@@ -1,0 +1,92 @@
+"""Source readers — parquet (primary) and gzip-JSON crime pages.
+
+Every read declares its schema (schemas.py) so the scan does zero
+inference work; with parquet, Catalyst pushes filters and prunes
+columns at the scan (verify via ``.explain``: ``PushedFilters`` /
+``ReadSchema``).
+
+Reference parity: the gzip-JSON page scan is the Spark equivalent of
+the reference's ``gzip.open`` → ``json.load`` loader
+(`airflow/dags/crimeapi/load.py:49-60`); ``spark.read.json`` handles
+``.gz`` and hive-partitioned directories (`year=/month=/load_date=`)
+transparently, replacing the regex key filter
+(`airflow/dags/crimeapi/utils/helper.py:21-39`) with partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import CRIME_RAW_SCHEMA, TESTDATA_SCHEMAS
+
+
+def _ns_long_fields(schema: T.StructType, parquet_path: str) -> set[str]:
+    """Names of TimestampType fields stored as TIMESTAMP(NANOS) in the
+    parquet footer (Spark reads those as long nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``)."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = parquet_path
+        if os.path.isdir(path):
+            inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not inner:
+                return set()
+            path = os.path.join(path, inner[0])
+        arrow_schema = pq.read_schema(path)
+    except Exception:
+        return set()
+    out = set()
+    for field in arrow_schema:
+        if str(field.type) == "timestamp[ns]":
+            out.add(field.name)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with its declared schema.
+
+    Timestamp columns physically stored as nanosecond parquet are read
+    as longs and converted to ``TimestampType`` (µs precision) here, so
+    downstream operators always see the declared schema.
+    """
+    schema = TESTDATA_SCHEMAS[name]
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_fields = _ns_long_fields(schema, path)
+    if not ns_fields:
+        return spark.read.schema(schema).parquet(path)
+
+    read_schema = T.StructType([
+        T.StructField(f.name, T.LongType() if f.name in ns_fields else f.dataType, f.nullable)
+        for f in schema.fields
+    ])
+    df = spark.read.schema(read_schema).parquet(path)
+    for col in ns_fields:
+        df = df.withColumn(col, F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long")))
+    return df.select(*[f.name for f in schema.fields])
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=None) -> dict[str, DataFrame]:
+    names = list(names) if names is not None else list(TESTDATA_SCHEMAS)
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str, names=None) -> None:
+    """Register each testdata table as a temp view for ``spark.sql``."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_crime_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a landing zone of gzip-JSON crime pages with the explicit
+    raw schema (reference loader: load.py:49-60; layout helper.py:67-86).
+
+    ``path`` may be a flat directory of ``part-*.json.gz`` or the
+    hive-partitioned ``raw/year=/month=/load_date=`` tree — partition
+    columns are discovered and usable as pruning predicates.
+    """
+    return spark.read.schema(CRIME_RAW_SCHEMA).json(path)

@@ -1,0 +1,481 @@
+"""Core relational inventory — scans, filters, projections, joins,
+aggregates (SURVEY.md §2.1-2.4).
+
+Each query exercises one operator family from the reference, mapped to
+testdata tables per FIXTURES.md §B. Scale notes per query where the
+plan shape matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io.readers import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Oracle-parity helpers. Float sums in Spark and DuckDB differ in the
+# last ulp (different accumulation order), so a plain round() can flip
+# at a .5 boundary. Rule: sum in exact DECIMAL (inputs are 2-decimal
+# monetary/qty values), round in decimal space, cast back to DOUBLE —
+# bit-identical on both engines. Averages divide the exact decimal sum
+# by the count as doubles. Dates are emitted as 'yyyy-MM-dd' strings so
+# pandas materialization matches (DateType → datetime.date vs DuckDB
+# DATE → datetime64 would diverge).
+
+def dec2(col):
+    """Column as DECIMAL(12,2) (exact for 2-decimal monetary values;
+    narrow precision keeps decimal arithmetic under both engines' 38-digit
+    cap so neither silently promotes to double)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(12,2)")
+
+
+def dsum(col, scale: int = 2):
+    """Exact decimal sum → rounded → double."""
+    return F.round(F.sum(dec2(col)), scale).cast("double")
+
+
+def davg(col, scale: int = 6):
+    """avg = exact decimal sum / count, rounded — deterministic across engines."""
+    return F.round(F.sum(dec2(col)).cast("double") / F.count(F.lit(1)), scale)
+
+
+def fmt_date(col):
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: monthly revenue rollup (the analytics the reference warehouse
+# exists to serve — crime counts per month ≡ revenue per month; SURVEY §7
+# step 0). Scan → join → group-agg → date funcs → sort in one plan.
+# Scale: lineitem⋈orders is a shuffle join on o_orderkey (both huge);
+# the group-by on month is low-cardinality → partial aggregation does
+# almost all the work map-side.
+# ---------------------------------------------------------------------------
+
+@register(
+    "flagship_monthly_revenue",
+    oracle="""
+        SELECT date_trunc('month', o.o_orderdate)            AS order_month,
+               count(*)                                      AS n_items,
+               count(DISTINCT o.o_orderkey)                  AS n_orders,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+               round(CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY date_trunc('month', o.o_orderdate)
+    """,
+    doc="Monthly revenue: join + group-by month + multi-agg (A8, J6, F4/F7).",
+    tags=("flagship", "join", "agg"),
+)
+def flagship_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum(dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))), 2)
+            .cast("double").alias("revenue"),
+            davg("l_quantity").alias("avg_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary: the canonical scan→filter→group-agg.
+# Scale: filter pushed to parquet scan; 4-group output → map-side combine.
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)      AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l_discount AS DECIMAL(12,2))
+                              * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS DOUBLE)      AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6)      AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6)      AS avg_disc,
+               count(*)                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Pricing summary rollup: pushed filter + wide aggregation (P7, A8).",
+    tags=("agg", "filter"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * dec2(1 + F.col("l_tax"))), 2).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (P4-P8) and watermark aggregates (A1-A4).
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_in_list",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderstatus IN ('F', 'P')
+        GROUP BY o_orderpriority
+    """,
+    doc="IN-list predicate under aggregation (P4 ≡ status IN (...) from db_postgres.py:77-81).",
+    tags=("filter",),
+)
+def filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus").isin("F", "P"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "global_max_watermark",
+    oracle="SELECT max(l_shipdate) AS watermark FROM lineitem",
+    doc="Global MAX watermark read (A1 ≡ MAX(source_updated_on), db_postgres.py:65-71).",
+    tags=("agg", "incremental"),
+)
+def global_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.max("l_shipdate").alias("watermark"))
+
+
+@register(
+    "filtered_max_load_date",
+    oracle="""
+        SELECT strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_load_date
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    """,
+    doc="Filtered global MAX (A2 ≡ MAX(load_date) WHERE status IN (...), db_postgres.py:73-84).",
+    tags=("agg", "incremental"),
+)
+def filtered_max_load_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .agg(fmt_date(F.max(F.col("o_orderdate").cast("date"))).alias("last_load_date"))
+    )
+
+
+@register(
+    "distinct_success_dates",
+    oracle="""
+        SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS load_date
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Distinct-set projection (A3 ≡ SELECT load_date WHERE status='SUCCESS', db_postgres.py:151-156).",
+    tags=("filter", "distinct"),
+)
+def distinct_success_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(fmt_date("o_orderdate").alias("load_date"))
+        .distinct()
+    )
+
+
+@register(
+    "range_predicate_between",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n_rows,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 23:59:59'
+        GROUP BY l_returnflag
+    """,
+    doc="Range predicate pushed to scan (P7 ≡ updated_on BETWEEN, extract.py:11).",
+    tags=("filter",),
+)
+def range_predicate_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01 00:00:00").cast("timestamp"),
+                F.lit("1996-12-31 23:59:59").cast("timestamp"),
+            )
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "watermark_incremental_scan",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               min(l_shipdate) AS first_ship,
+               max(l_shipdate) AS last_ship
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+    """,
+    doc="Watermark >= predicate + min/max probes (P8/A4 ≡ updated_on >= last_update, etl/main.py:34).",
+    tags=("filter", "incremental"),
+)
+def watermark_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "conjunctive_predicate",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_disc
+        FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F' AND l_quantity > 25
+    """,
+    doc="Conjunctive equality/range predicate (P5/P6 ≡ templated WHERE k1=:k1 AND ..., db_postgres.py:139-147).",
+    tags=("filter",),
+)
+def conjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F") & (F.col("l_quantity") > 25))
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_extendedprice").alias("sum_price"),
+            davg("l_discount").alias("avg_disc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / rename (P1/P2 ≡ transform.py drop+rename contract).
+# Scale: pure narrow ops; with parquet the projection prunes at the scan.
+# ---------------------------------------------------------------------------
+
+@register(
+    "project_drop_rename",
+    oracle="""
+        SELECT o_orderkey AS order_id,
+               o_custkey AS customer_id,
+               o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+        FROM orders
+    """,
+    doc="Drop + rename projection (P1/P2 ≡ transform.py:9-42 column mapping).",
+    tags=("projection",),
+)
+def project_drop_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    dropped = orders.drop("o_orderdate", "o_orderpriority")
+    return dropped.withColumnsRenamed(
+        {
+            "o_orderkey": "order_id",
+            "o_custkey": "customer_id",
+            "o_orderstatus": "status",
+        }
+    ).withColumn("total_price", dec2("o_totalprice").cast("double")).drop("o_totalprice")
+
+
+@register(
+    "union_all_literals",
+    oracle="""
+        SELECT 1 AS id
+        UNION ALL
+        SELECT CAST(NULL AS INT) AS id
+    """,
+    doc="Literal projection + bag union (P10/J4 ≡ my_first_dbt_model.sql:10-21).",
+    tags=("union",),
+)
+def union_all_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = spark.range(1).select(F.lit(1).cast("int").alias("id"))
+    b = spark.range(1).select(F.lit(None).cast("int").alias("id"))
+    return a.unionAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Joins (J3-J6). Scale notes: region/nation are tiny → broadcast (the
+# plan must show BroadcastHashJoin, no shuffle of the fact side for the
+# dims); customer⋈orders is a shuffle join on the key.
+# ---------------------------------------------------------------------------
+
+@register(
+    "star_join_broadcast_dims",
+    oracle="""
+        SELECT r.r_name AS region_name,
+               n.n_name AS nation_name,
+               count(*) AS n_customers,
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    doc="Star-schema join with broadcast dims (J5/J6 ≡ declared date-dim join, create_date.sql).",
+    tags=("join", "broadcast"),
+)
+def star_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    doc="Left-semi join / EXISTS (J3 family — membership without multiplicity).",
+    tags=("join", "semi"),
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join / NOT EXISTS (J3 ≡ missed-load-date set difference, crime_etl.py:388-392).",
+    tags=("join", "anti"),
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "set_except_load_dates",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS load_date
+        FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS load_date
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Set difference of load-date sets (J3/ST9 ≡ pos_missed = snow − pos, crime_etl.py:388-396).",
+    tags=("setop",),
+)
+def set_except_load_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    dates = orders.select(fmt_date("o_orderdate").alias("load_date"), "o_orderstatus")
+    open_dates = dates.filter(F.col("o_orderstatus") == "O").select("load_date").distinct()
+    done_dates = dates.filter(F.col("o_orderstatus") == "F").select("load_date").distinct()
+    return open_dates.exceptAll(done_dates)
+
+
+@register(
+    "left_outer_join_order_counts",
+    oracle="""
+        SELECT c.c_custkey AS c_custkey,
+               count(o.o_orderkey) AS n_orders,
+               CAST(round(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 0), 2) AS DOUBLE) AS total_spent
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+    doc="Left outer join preserving unmatched rows + count(col) null semantics (A6-adjacent).",
+    tags=("join",),
+)
+def left_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum(dec2("o_totalprice")), F.lit(0).cast("decimal(12,2)")), 2)
+            .cast("double").alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality aggregates (A5/A6 ≡ dbt unique/not_null tests).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dup_key_check",
+    oracle="""
+        SELECT l_orderkey, count(*) AS n_rows
+        FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+    """,
+    doc="Group-count uniqueness check (A5 ≡ dbt unique test, schema.yml:10-12).",
+    tags=("agg", "quality"),
+)
+def dup_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(F.count("*").alias("n_rows")).filter(F.col("n_rows") > 1)
+
+
+@register(
+    "not_null_check",
+    oracle="""
+        SELECT count(*) AS n_total,
+               count(o_custkey) AS n_not_null,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        FROM orders
+    """,
+    doc="Not-null data-quality check (A6 ≡ dbt not_null test, schema.yml:11).",
+    tags=("agg", "quality"),
+)
+def not_null_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_total"),
+        F.count("o_custkey").alias("n_not_null"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
