@@ -66,7 +66,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ])
     df = spark.read.schema(read_schema).parquet(path)
     for col in ns_fields:
-        df = df.withColumn(col, F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long")))
+        # integer `div`: float division of ~1e18 ns rounds and corrupts µs
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df.select(*[f.name for f in schema.fields])
 
 

@@ -1,0 +1,75 @@
+"""Join-based MERGE / upsert — the engine's one genuinely custom
+relational operator (SURVEY.md §2.3 J1/J2).
+
+Reference semantics (`db/postgres/db_postgres.py:158-203`): MERGE INTO
+target USING batch ON pk — matched rows take the batch's values,
+unmatched batch rows are inserted; the staging table's PK rejects
+duplicate keys within a batch (`create_stg_crime.sql:3`). Here the
+staging table disappears: the MERGE source is the batch DataFrame, and
+intra-batch duplicates are resolved *deterministically* by
+last-writer-wins on an ordering column (the reference's behavior was
+whatever-insert-order-survives; we define it).
+
+Spark-first design, not a row-at-a-time port:
+    merged = source ∪ (target ⟕anti source)
+One shuffle on the key for the anti join; the union is free. When the
+batch is small relative to the target (the incremental case), the
+anti join broadcasts the batch key set — the target is NEVER shuffled,
+which is the property that makes this viable on a 100 TB target table:
+the physical plan is a broadcast anti join + file append/overwrite of
+affected partitions only.
+
+Idempotence (ST7): merge(merge(t, s), s) ≡ merge(t, s) — replaying a
+batch cannot duplicate keys. Verified by property tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_last_writer_wins(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """Keep exactly one row per key: the last writer under ``order_by``
+    (descending, ties broken by all remaining columns for determinism).
+
+    Reference J2: the staging PK rejected intra-batch duplicate
+    crime_ids non-deterministically; this is the deterministic
+    replacement (row_number window, SURVEY §2.5).
+    """
+    ordering = [F.col(c).desc() for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    order_by: list[str] | None = None,
+    broadcast_source: bool | None = None,
+) -> DataFrame:
+    """MERGE semantics: source rows win on key match; unmatched target
+    rows survive; unmatched source rows are inserts.
+
+    ``order_by``: resolve intra-batch duplicate keys last-writer-wins
+    before merging (J2). None ⇒ source must be key-unique.
+    ``broadcast_source``: force/disable broadcasting the source side of
+    the anti join; default lets AQE/threshold decide, which picks
+    broadcast for the typical small-batch incremental load.
+    """
+    if order_by:
+        source = dedup_last_writer_wins(source, keys, order_by)
+    probe = source.select(*keys)
+    if broadcast_source:
+        probe = F.broadcast(probe)
+    survivors = target.join(probe, on=keys, how="left_anti")
+    return source.unionByName(survivors)

@@ -1,1 +1,336 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Window functions, sorts/top-k, and multi-dimensional aggregates
+(SURVEY.md §2.5, §2.6, A8).
+
+The reference has no OVER clause anywhere; these are the analytics its
+warehouse roadmap declares (`readme.md:41-42`) plus the window surface
+the merge/dedup operators need (J2's row_number is in pipeline.py).
+
+Determinism rule for oracle parity: every window ordering and every
+LIMIT carries a total tiebreak (append the key column) — otherwise the
+two engines may legally disagree.
+
+Scale notes: window partitions here are bounded (priority, nation,
+day); a window over a huge unpartitioned ordering would single-task —
+the global top-k uses orderBy+limit instead, which Spark executes as
+per-partition partial top-k + merge (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import _t, davg, dec2, dsum, fmt_date
+from .registry import register
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+               rnk
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   rank() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders
+        ) WHERE rnk <= 3
+    """,
+    doc="Top-k per group via rank window (O3; ranking family §2.5).",
+    tags=("window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            dec2("o_totalprice").cast("double").alias("total_price"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "global_topk_orders",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc="Global top-k: orderBy+limit → TakeOrderedAndProject, no full sort (O1/O3).",
+    tags=("topk", "sort"),
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", dec2("o_totalprice").cast("double").alias("total_price"))
+    )
+
+
+@register(
+    "lag_lead_daily_orders",
+    oracle="""
+        WITH daily AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day, count(*) AS n_orders
+            FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+            GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+        )
+        SELECT order_day, n_orders,
+               CAST(lag(n_orders) OVER (ORDER BY order_day) AS BIGINT)  AS prev_n,
+               CAST(lead(n_orders) OVER (ORDER BY order_day) AS BIGINT) AS next_n,
+               CAST(n_orders - coalesce(lag(n_orders) OVER (ORDER BY order_day), 0) AS BIGINT) AS dod_delta
+        FROM daily
+    """,
+    doc="lag/lead day-over-day deltas (analytic family §2.5).",
+    tags=("window",),
+)
+def lag_lead_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp"))
+        .groupBy(fmt_date("o_orderdate").alias("order_day"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy("order_day")
+    return daily.select(
+        "order_day",
+        "n_orders",
+        F.lag("n_orders").over(w).alias("prev_n"),
+        F.lead("n_orders").over(w).alias("next_n"),
+        (F.col("n_orders") - F.coalesce(F.lag("n_orders").over(w), F.lit(0))).alias("dod_delta"),
+    )
+
+
+@register(
+    "rolling_7day_revenue",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS ship_day,
+                   date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day_idx,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+            GROUP BY 1, 2
+        )
+        SELECT strftime(ship_day, '%Y-%m-%d') AS ship_day,
+               CAST(round(rev, 2) AS DOUBLE) AS day_revenue,
+               CAST(round(sum(rev) OVER (ORDER BY day_idx
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rolling_7d
+        FROM daily
+    """,
+    doc="7-day rolling revenue via RANGE frame on a day index (frame-spec family §2.5).",
+    tags=("window", "frame"),
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    daily = (
+        li.filter(F.col("l_shipdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.col("l_shipdate").cast("date").alias("ship_day"),
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("day_idx"),
+        )
+        .agg(F.sum(dec2("l_extendedprice")).alias("rev"))
+    )
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("ship_day", "yyyy-MM-dd").alias("ship_day"),
+        F.round("rev", 2).cast("double").alias("day_revenue"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("rolling_7d"),
+    )
+
+
+@register(
+    "running_total_monthly",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS order_month,
+                   count(*) AS n_orders,
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT order_month, n_orders,
+               CAST(round(rev, 2) AS DOUBLE) AS month_revenue,
+               CAST(sum(n_orders) OVER (ORDER BY order_month
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_orders,
+               CAST(round(sum(rev) OVER (ORDER BY order_month
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_revenue
+        FROM monthly
+    """,
+    doc="Cumulative running totals with ROWS frame (frame-spec family §2.5).",
+    tags=("window", "frame"),
+)
+def running_total_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month")).agg(
+        F.count("*").alias("n_orders"), F.sum(dec2("o_totalprice")).alias("rev")
+    )
+    w = Window.orderBy("order_month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "order_month",
+        "n_orders",
+        F.round("rev", 2).cast("double").alias("month_revenue"),
+        F.sum("n_orders").over(w).alias("cum_orders"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("cum_revenue"),
+    )
+
+
+@register(
+    "dense_rank_nations_by_spend",
+    oracle="""
+        WITH nation_spend AS (
+            SELECT n.n_name AS nation_name,
+                   sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS spend
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        )
+        SELECT nation_name,
+               CAST(round(spend, 2) AS DOUBLE) AS total_spend,
+               dense_rank() OVER (ORDER BY spend DESC, nation_name) AS spend_rank
+        FROM nation_spend
+    """,
+    doc="dense_rank over joined aggregate (ranking family §2.5 + J6).",
+    tags=("window", "join"),
+)
+def dense_rank_nations_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(dec2("o_totalprice")).alias("spend"))
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("nation_name"))
+    return spend.select(
+        "nation_name",
+        F.round("spend", 2).cast("double").alias("total_spend"),
+        F.dense_rank().over(w).alias("spend_rank"),
+    )
+
+
+@register(
+    "ntile_percent_rank_customers",
+    oracle="""
+        SELECT c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile,
+               round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
+        FROM customer
+    """,
+    doc="ntile + percent_rank distribution analytics (§2.5 ranking family).",
+    tags=("window",),
+)
+def ntile_percent_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        dec2("c_acctbal").cast("double").alias("acctbal"),
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "first_value_order_per_customer",
+    oracle="""
+        SELECT DISTINCT o_custkey,
+               first_value(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS first_orderkey,
+               strftime(first_value(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ), '%Y-%m-%d') AS first_order_day
+        FROM orders
+    """,
+    doc="first_value analytic — earliest order per customer (§2.5).",
+    tags=("window",),
+)
+def first_value_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        fmt_date(F.first("o_orderdate").over(w)).alias("first_order_day"),
+    ).distinct()
+
+
+@register(
+    "rollup_returnflag_status",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals + grouping id (A8 dashboard slices).",
+    tags=("agg", "rollup"),
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select("l_returnflag", "l_linestatus", "n_rows", "sum_qty", "gid")
+    )
+
+
+@register(
+    "cube_priority_status",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="CUBE over two dimensions + grouping id (A8 dashboard slices).",
+    tags=("agg", "cube"),
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            davg("o_totalprice").alias("avg_price"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "n_orders", "avg_price", "gid")
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # approx_count_distinct is engine-specific (HLL sketches differ)
+    doc="approx_count_distinct / HLL sketch (A8; rows-only check — sketch values are engine-specific).",
+    tags=("agg", "approx"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -1,1 +1,230 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Event-time windowing + semi-structured props (SURVEY.md §2.8 ST10,
+§2.7 F14) over the `events` table.
+
+These run in batch mode with the exact grouping semantics Structured
+Streaming's ``window()`` / ``session_window()`` use, so the logic is
+reusable verbatim in a ``readStream`` pipeline (streaming/ module);
+the DuckDB oracle reproduces window assignment with time_bucket /
+gaps-and-islands SQL.
+
+Scale notes: tumbling/sliding windows are plain group-bys (shuffle on
+window key, partial agg map-side). Session windows shuffle once per
+user and sort within the partition — Spark's native session_window does
+exactly this; no per-user collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .core import _t, dec2
+from .registry import register
+
+
+@register(
+    "tumbling_hourly_windows",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+        GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window ≡ window(ts, '1 hour') (ST10).",
+    tags=("events", "window-time"),
+)
+def tumbling_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "sliding_windows_1h_15m",
+    oracle="""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start,
+               count(*) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events, unnest([0, 1, 2, 3]) AS t(k)
+        WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+        GROUP BY 1
+    """,
+    doc="Sliding window 1h/15m ≡ window(ts, '1 hour', '15 minutes'): each event in 4 windows (ST10).",
+    tags=("events", "window-time"),
+)
+def sliding_windows_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )
+
+
+@register(
+    "session_windows_30m",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '30 minutes'
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    doc="Session windows, 30 min gap ≡ session_window(ts, '30 minutes'); oracle = gaps-and-islands (ST10).",
+    tags=("events", "window-time", "session"),
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec2("value")), 2).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
+    "json_props_extraction",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+               CAST(min(CAST(props->>'$.k' AS INT)) AS INT) AS min_k,
+               CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="JSON props extraction + agg (F14 ≡ from_json/get_json_object over events.props).",
+    tags=("events", "json"),
+)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("int").alias("min_k"),
+        F.max(k).cast("int").alias("max_k"),
+    )
+
+
+@register(
+    "from_json_typed_struct",
+    oracle="""
+        SELECT event_id,
+               CAST(props->>'$.k' AS INT) AS prop_k,
+               CASE WHEN CAST(props->>'$.k' AS INT) >= 50 THEN 'high' ELSE 'low' END AS k_band
+        FROM events WHERE event_id < 1000
+    """,
+    doc="from_json into a typed struct column (F14; MapType/StructType surface absent from reference).",
+    tags=("events", "json"),
+)
+def from_json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType(), True)])
+    parsed = F.from_json("props", schema).alias("p")
+    return (
+        ev.filter(F.col("event_id") < 1000)
+        .select("event_id", parsed)
+        .select(
+            "event_id",
+            F.col("p.k").alias("prop_k"),
+            F.when(F.col("p.k") >= 50, "high").otherwise("low").alias("k_band"),
+        )
+    )
+
+
+@register(
+    "event_type_hourly_pivot",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)    AS clicks,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)     AS views,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)   AS signups,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)    AS errors
+        FROM events
+        GROUP BY 1
+    """,
+    doc="Daily pivot of event types via conditional aggregation (A8 dashboard shape).",
+    tags=("events", "agg"),
+)
+def event_type_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    def cnt(t):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("bigint")
+    return ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        cnt("click").alias("clicks"),
+        cnt("view").alias("views"),
+        cnt("purchase").alias("purchases"),
+        cnt("signup").alias("signups"),
+        cnt("error").alias("errors"),
+    ).select(F.col("w.start").alias("day_start"), "clicks", "views", "purchases", "signups", "errors")
+
+
+@register(
+    "user_activity_rollup",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value,
+               min(ts) AS first_seen,
+               max(ts) AS last_seen,
+               CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS active_span_sec
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Per-user activity profile: multi-agg + timestamp span (A8 + F6 on event time).",
+    tags=("events", "agg"),
+)
+def user_activity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("bigint").alias("active_span_sec"),
+    )

@@ -1,1 +1,185 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Pipeline-semantics queries: MERGE/upsert, last-writer-wins dedup,
+watermark branching, reconciliation (SURVEY.md §2.3 J1-J3, §2.8).
+
+These put the engine's custom operators (operators/merge.py,
+incremental/) under the oracle gate by expressing the same semantics
+in ANSI SQL over the testdata tables. The deterministic scenario:
+- target   = orders placed before 1998 (the warehoused history)
+- source   = open orders since 1997 with re-priced totals (the
+             incremental batch, overlapping the target — ST4 overlap)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import dedup_last_writer_wins, merge_upsert
+from .core import _t, dec2, fmt_date
+from .registry import register
+
+
+def _merge_scenario(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = _t(spark, sf_dir, "orders")
+    price = dec2("o_totalprice").cast("double")
+    target = (
+        orders.filter(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_orderstatus", price.alias("total_price"))
+    )
+    source = (
+        orders.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(dec2("o_totalprice") * F.lit(1.05).cast("decimal(4,2)"), 2)
+            .cast("double").alias("total_price"),
+        )
+    )
+    return target, source
+
+
+_MERGE_SCENARIO_SQL = """
+        WITH target AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        ), source AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.05 AS DECIMAL(4,2)), 2) AS DOUBLE)
+                       AS total_price
+            FROM orders
+            WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        )
+"""
+
+
+@register(
+    "merge_upsert_orders",
+    oracle=_MERGE_SCENARIO_SQL + """
+        SELECT * FROM source
+        UNION ALL
+        SELECT t.* FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+    """,
+    doc="Join-based MERGE: matched→update, unmatched→insert (J1 ≡ MERGE INTO crime, db_postgres.py:183-194).",
+    tags=("merge", "join"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, source = _merge_scenario(spark, sf_dir)
+    return merge_upsert(target, source, keys=["o_orderkey"])
+
+
+@register(
+    "merge_result_summary",
+    oracle=_MERGE_SCENARIO_SQL + """
+        , merged AS (
+            SELECT * FROM source
+            UNION ALL
+            SELECT t.* FROM target t
+            WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+        )
+        SELECT o_orderstatus, count(*) AS n_rows,
+               CAST(round(sum(CAST(total_price AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM merged GROUP BY o_orderstatus
+    """,
+    doc="Post-merge audit rollup: updated/inserted/survivor counts (J1 + A8).",
+    tags=("merge", "agg"),
+)
+def merge_result_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, source = _merge_scenario(spark, sf_dir)
+    merged = merge_upsert(target, source, keys=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(dec2("total_price")), 2).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "dedup_last_writer_wins",
+    oracle="""
+        SELECT l_orderkey,
+               l_linenumber AS last_linenumber,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS last_qty
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   row_number() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_shipdate DESC, l_linenumber DESC
+                   ) AS rn
+            FROM lineitem
+        ) WHERE rn = 1
+    """,
+    doc="Deterministic last-writer-wins key dedup (J2 ≡ staging-PK dedupe, create_stg_crime.sql:3; row_number window).",
+    tags=("merge", "window", "dedup"),
+)
+def dedup_last_writer_wins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    deduped = dedup_last_writer_wins(
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+        keys=["l_orderkey"],
+        order_by=["l_shipdate", "l_linenumber"],
+    )
+    return deduped.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("last_linenumber"),
+        dec2("l_quantity").cast("double").alias("last_qty"),
+    )
+
+
+@register(
+    "watermark_branch_decision",
+    oracle="""
+        WITH wm AS (
+            SELECT max(o_orderdate) AS watermark
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT CASE WHEN watermark IS NULL THEN 'FULL' ELSE 'INCREMENT' END AS mode,
+               strftime(date_trunc('day', watermark), '%Y-%m-%d') AS overlap_window_start,
+               watermark
+        FROM wm
+    """,
+    doc="FULL/INCREMENT branch + midnight-overlap window start (ST1/ST2/ST4 ≡ crime_etl.py:104-108,195-197).",
+    tags=("incremental",),
+)
+def watermark_branch_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wm = orders.filter(F.col("o_orderstatus") == "F").agg(
+        F.max("o_orderdate").alias("watermark")
+    )
+    return wm.select(
+        F.when(F.col("watermark").isNull(), "FULL").otherwise("INCREMENT").alias("mode"),
+        fmt_date(F.date_trunc("day", F.col("watermark"))).alias("overlap_window_start"),
+        F.col("watermark"),
+    )
+
+
+@register(
+    "reconcile_replica_dates",
+    oracle="""
+        WITH replica_a AS (
+            SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS load_date
+            FROM orders WHERE o_orderstatus IN ('F', 'P')
+        ), replica_b AS (
+            SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS load_date
+            FROM orders WHERE o_orderstatus IN ('O', 'P')
+        )
+        SELECT load_date, 'a' AS missing_from
+        FROM replica_b WHERE load_date NOT IN (SELECT load_date FROM replica_a)
+        UNION ALL
+        SELECT load_date, 'b' AS missing_from
+        FROM replica_a WHERE load_date NOT IN (SELECT load_date FROM replica_b)
+    """,
+    doc="Two-sided replica reconciliation → RECOVERY work list (ST9/J3 ≡ validate_sync, crime_etl.py:377-408).",
+    tags=("incremental", "anti"),
+)
+def reconcile_replica_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..incremental.reconcile import reconcile_replicas
+
+    orders = _t(spark, sf_dir, "orders")
+    dates = orders.select(fmt_date("o_orderdate").alias("load_date"), "o_orderstatus")
+    rep_a = dates.filter(F.col("o_orderstatus").isin("F", "P")).select("load_date")
+    rep_b = dates.filter(F.col("o_orderstatus").isin("O", "P")).select("load_date")
+    return reconcile_replicas(rep_a, rep_b, "load_date")
