@@ -11,6 +11,9 @@ just adapts the engine's query registry to the driver's contract.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +21,30 @@ from pyspark.sql import DataFrame, SparkSession
 from open_crime_etl_pipeline_spark.queries import all_specs
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship the engine package to executors. Pandas-UDF stages pickle
+    functions by reference to this package; the grading driver runs from
+    an arbitrary cwd, so workers can't import it unless we addPyFile a
+    zip of the source. Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_ocep_pkg_shipped", False):
+        return
+    pkg_root = os.path.join(_REPO_DIR, "open_crime_etl_pipeline_spark")
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"ocep_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(dirpath, fname)
+                    z.write(full, os.path.relpath(full, _REPO_DIR))
+    sc.addPyFile(zpath)
+    sc._ocep_pkg_shipped = True
 
 
 def _configure(spark: SparkSession) -> None:
@@ -28,6 +55,10 @@ def _configure(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # static conf on some builds; readers fall back gracefully
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # best-effort; only Pandas-UDF queries need it
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Benchmark harness: times the engine's headline queries at a given
+scale factor and prints ONE JSON line.
+
+Usage:  python bench.py
+Env:    SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+        SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+Headline set spans every operator family in SURVEY.md §2: scan+join+agg
+(flagship, pricing), broadcast star join, window frames, top-k, merge
+upsert, event-time windows, dedup (exact + minhash), similarity top-k,
+and text stats. Each query is fully executed via a count-ish action
+(``df.write.format("noop")`` equivalent: foreach-noop via count on a
+cheap projection would skip compute, so we use ``collect``-free
+``df.foreach``-less ``count()`` over the *full* result — every headline
+query returns a small aggregated result, so count() materializes all
+work without driver-transfer cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("open-crime-etl-pipeline-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from open_crime_etl_pipeline_spark.queries import all_specs
+
+    specs = all_specs()
+
+    headline = [
+        "flagship_monthly_revenue",   # scan → join → month agg → sort
+        "pricing_summary",            # TPC-H Q1 shape: wide agg over lineitem
+        "star_join_broadcast_dims",   # multi-way broadcast star join
+        "rolling_7day_revenue",       # window frame (range) over daily series
+        "topk_per_group",             # rank window + filter
+        "merge_upsert_orders",        # the custom MERGE operator
+        "tumbling_hourly_windows",    # event-time windows over events
+        "user_activity_rollup",       # high-cardinality groupBy on events
+        "exact_dedup_documents",      # hash-groupBy dedup
+        "near_dedup_representatives", # minhash LSH + verify + cluster
+        "cosine_topk_exact",          # brute-force ANN baseline
+        "token_stats_top_terms",      # tokenize → explode → count → topk
+    ]
+
+    # Warm the JVM + parquet footers with one tiny action so q1 doesn't
+    # pay one-time session costs.
+    specs["global_max_watermark"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

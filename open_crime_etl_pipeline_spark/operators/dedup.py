@@ -1,0 +1,356 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram
+Jaccard (SURVEY.md §2.11 [EXT]).
+
+Scale design (100 TB corpus):
+- exact: hash first (xxhash64 of normalized text), group on the 8-byte
+  hash — the shuffle carries hashes + ids, never the documents.
+- minhash: signatures are computed scan-side with Catalyst HOFs (no
+  UDF, no shuffle); LSH banding turns near-dup search into an
+  equi-join on (band, band_hash) — the only shuffle is by bucket key,
+  and bucket sizes are bounded by the band width choice.
+- candidate verification + cluster representative selection run on the
+  candidate-pair graph, which is orders of magnitude smaller than the
+  corpus; min-propagation iterates a bounded number of rounds
+  (connected components lite — full CC is iterate-to-fixpoint with the
+  same step).
+- simhash: 64-bit signature via bit-vote aggregation, Hamming-bucketed
+  by 16-bit chunks for candidate generation.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import HASH_MOD, fold_hash, tokens, word_shingles
+
+
+def normalized_text(col, lower: bool = True):
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(F.trim(c), "\\s+", " ")
+    return F.lower(c) if lower else c
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalize: bool = True) -> DataFrame:
+    """Keep the minimum id per distinct (normalized) text. The group key
+    is a 128-bit double xxhash64 of the normalized text, so the
+    pre-aggregated shuffle moves 16-byte keys + ids — never the
+    documents. (Collision odds at 10^11 docs ≈ 10^-16; an engine that
+    needs certainty groups the handful of same-key ties by text in a
+    second residual pass.)"""
+    norm = normalized_text(text_col) if normalize else F.col(text_col)
+    hashed = df.select(
+        F.col(id_col),
+        F.xxhash64(norm).alias("__h1"),
+        F.xxhash64(norm, F.lit(1)).alias("__h2"),
+    )
+    keep = hashed.groupBy("__h1", "__h2").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="inner")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash",
+) -> DataFrame:
+    """(id, signature array<long>) — minhash over word shingles.
+
+    ``hash_fn="xxhash"`` (default): seed-mixed ``xxhash64`` per hash
+    function — stays in JVM codegen, the production path.
+    ``hash_fn="portable"``: polynomial fold hash whose arithmetic
+    reproduces in ANSI SQL (list_reduce) — used only where signature
+    VALUES are oracle-checked; ~10× slower (per-char HOF fold)."""
+    shingles = word_shingles(text_col, shingle_n)
+    if hash_fn == "xxhash":
+        def seeded(i: int):
+            # Must be a unary lambda: binary HOF lambdas receive the
+            # array index as the second arg, which would shadow the seed.
+            return lambda s: F.xxhash64(F.lit(i), s)
+
+        sig = F.array(*[
+            F.array_min(F.transform(shingles, seeded(i)))
+            for i in range(num_hashes)
+        ])
+        return df.select(F.col(id_col), sig.alias("signature"))
+    # One char-fold pass per shingle computes (P, 31^n mod p); each
+    # seed's hash is then the O(1) modular identity
+    #     fold(seed_init, chars) = (seed_init · 31^n + P) mod p
+    # — 32 seeds cost 32 multiplies, not 32 char folds. Values are
+    # bit-identical to the per-seed fold (what the SQL oracle computes).
+    base = F.transform(
+        shingles,
+        lambda s: F.aggregate(
+            F.split(s, ""),
+            F.struct(
+                F.lit(0).cast("long").alias("h"),
+                F.lit(1).cast("long").alias("pw"),
+            ),
+            lambda acc, ch: F.struct(
+                ((acc["h"] * 31 + F.ascii(ch)) % HASH_MOD).alias("h"),
+                ((acc["pw"] * 31) % HASH_MOD).alias("pw"),
+            ),
+        ),
+    )
+
+    def min_hash(seed: int):
+        init = seed * 131 + 7
+        # NB: unary lambda — Spark passes the array index to binary
+        # lambdas, which would shadow the seed.
+        return F.array_min(
+            F.transform(base, lambda x: (F.lit(init) * x["pw"] + x["h"]) % HASH_MOD)
+        )
+
+    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash): docs
+    sharing any band become candidate pairs (a < b). The join key is
+    tiny; skew only occurs if a band value is degenerate (guarded by
+    hashing the whole band slice).
+
+    Pass ``num_hashes`` to avoid triggering a job just to read the
+    signature width."""
+    if num_hashes is None:
+        num_hashes = signatures.select(F.size("signature")).first()[0]
+    rows_per_band = max(1, num_hashes // bands)
+    banded = signatures.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "signature", "bk.band", "bk.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    verify_exact: bool = False,
+    hash_fn: str = "xxhash",
+) -> DataFrame:
+    """Candidate pairs clearing the similarity threshold.
+
+    ``verify_exact=False``: threshold applies to the estimated Jaccard
+    (signature agreement fraction) — cheapest, recall/precision per the
+    usual S-curve. ``verify_exact=True``: candidates are re-scored with
+    the exact shingle-set Jaccard (array_intersect/union) — the standard
+    verify step; cost is |candidates|, not |corpus|²."""
+    # persist: the LSH self-join reads signatures on both sides — without
+    # this the (HOF-heavy, non-codegen) signature computation runs twice
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
+    if not verify_exact:
+        est = (
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+            .cast("double") / F.lit(float(num_hashes))
+        )
+        return cands.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard")).filter(
+            F.col("est_jaccard") >= threshold
+        )
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")).persist()
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    exact = (
+        cands.select("id_a", "id_b")
+        .join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return exact.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: explode distinct shingles,
+    equi-join on shingle, count intersections, compute |A∩B|/|A∪B|.
+    The shuffle key is the shingle — rare shingles dominate cost, so
+    extremely common shingles (stop-shingles) would be capped in a
+    production corpus (df-cut); at testdata scale no cap is needed."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash: xxhash64 each token, vote per bit position
+    (+1/-1), sign of the vote is the signature bit. One pass, all
+    Catalyst HOFs. Bit masks come from a literal powers-of-two array
+    (shiftleft requires a literal shift amount)."""
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(63)] + [F.lit(-(2**63)).cast("long")])
+    tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    Candidates via 16-bit chunk buckets (pigeonhole: distance ≤ 3
+    guarantees a shared chunk; larger distances may be missed — the
+    standard recall/cost trade)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"))
+            for c in range(4)
+        ])).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.cast("int").alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def cluster_representatives(pairs: DataFrame, max_iter: int = 5) -> DataFrame:
+    """Connected-components-lite: propagate the minimum id along edges
+    for ``max_iter`` rounds → (member_id, rep_id). The pair graph is
+    tiny relative to the corpus; for adversarially long chains switch
+    to iterate-to-fixpoint (same step in a loop with a convergence
+    count check)."""
+    # localCheckpoint (not just persist): iterative plans otherwise grow
+    # the lineage multiplicatively — Catalyst re-analyzes the whole
+    # upstream LSH pipeline per round and broadcasts re-execute it. The
+    # pair graph is tiny relative to the corpus, so materializing it is
+    # the standard iterative-algorithm pattern (same as GraphX/ALS).
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    rep = edges.select(F.col("src").alias("member_id"), F.col("src").alias("rep_id")).distinct()
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(rep, edges.dst == rep.member_id)
+            .groupBy("src").agg(F.min("rep_id").alias("neigh_rep"))
+        )
+        rep = (
+            rep.join(neigh_min, rep.member_id == neigh_min.src, "left")
+            .select(
+                "member_id",
+                F.least(F.col("rep_id"), F.coalesce("neigh_rep", "rep_id")).alias("rep_id"),
+            )
+            .localCheckpoint()
+        )
+    return rep
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Full near-dup pipeline: minhash LSH candidates → exact-Jaccard
+    verify → clusters → keep only cluster representatives (min id) plus
+    all unpaired docs."""
+    minhash_kwargs.setdefault("verify_exact", True)
+    pairs = minhash_near_dup_pairs(df, id_col, text_col, **minhash_kwargs)
+    rep = cluster_representatives(pairs)
+    losers = rep.filter(F.col("member_id") != F.col("rep_id")).select(
+        F.col("member_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 [EXT]).
+
+Exact brute-force cosine top-k is the correctness baseline: broadcast
+the (small) query set, score corpus-side with Catalyst array HOFs
+(zip_with dot product — JVM-vectorizable, no Python), rank per query.
+Cost is |Q|·|corpus| — fine for small |Q| at any corpus size because
+the corpus is never shuffled, only scanned.
+
+The scale path is LSH bucketing (random-hyperplane signatures →
+equi-join on bucket), trading recall for a corpus-partitionable join;
+recall is measured against the exact baseline in tests. An IVF variant
+would replace hyperplanes with k-means centroids — same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, sim, rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qvec"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cvec"),
+    )
+    scored = c.crossJoin(q)
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane: int, table: int = 0) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane components (seeded by
+    (table, plane, component) — no RNG state, reproducible everywhere)."""
+    comps = []
+    for d in range(dim):
+        h = ((table * 7919 + plane) * 1_000_003 + d * 131 + 7) * 2654435761 % (2**32)
+        comps.append(1.0 if (h >> 16) & 1 else -1.0)
+    return comps
+
+
+def lsh_bucket_signature(vec_col, dim: int, n_planes: int = 12, table: int = 0) -> Column:
+    """Random-hyperplane signature: bit p = sign(<v, h_p>) packed into a
+    long — a scan-side expression, no shuffle."""
+    v = as_double_array(vec_col)
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, table)])
+        bit = F.when(dot(v, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k with the standard multi-table LSH layout:
+    ``n_tables`` independent hash tables of ``n_planes`` hyperplane
+    bits each; candidates share any table's bucket, then exact cosine
+    within candidates. Recall ≈ 1-(1-p^m)^L for bit-agreement
+    probability p = 1-θ/π. Multi-probe (1-bit flips) widens recall
+    further at ~n_planes× candidate cost.
+
+    Scale shape: the per-table bucket join is an equi-join on
+    (table, bucket) — the corpus is shuffled once by bucket key, never
+    crossed; candidate volume is |corpus|·L/2^m per query."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cvec"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket_signature(vec_col, dim, n_planes, t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    ).select("neighbor_id", "cvec", "tb.tbl", "tb.bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qvec"),
+        *[
+            lsh_bucket_signature(vec_col, dim, n_planes, t).alias(f"qb_{t}")
+            for t in range(n_tables)
+        ],
+    )
+    # probe own bucket + all 1-bit-flip buckets, per table
+    probes = q.select(
+        "query_id", "qvec",
+        F.explode(
+            F.flatten(
+                F.array(*[
+                    F.array(
+                        F.struct(F.lit(t).alias("tbl"), F.col(f"qb_{t}").alias("bucket")),
+                        *[
+                            F.struct(
+                                F.lit(t).alias("tbl"),
+                                F.col(f"qb_{t}").bitwiseXOR(F.lit(1 << p)).alias("bucket"),
+                            )
+                            for p in range(n_planes)
+                        ],
+                    )
+                    for t in range(n_tables)
+                ])
+            )
+        ).alias("pb"),
+    ).select("query_id", "qvec", "pb.tbl", "pb.bucket")
+    scored = (
+        probes.join(c, on=["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join: vectors
+    in the same hyperplane bucket with cosine ≥ threshold."""
+    sig = df.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("v"),
+        lsh_bucket_signature(vec_col, dim, n_planes).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

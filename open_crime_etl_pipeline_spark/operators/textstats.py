@@ -1,0 +1,133 @@
+"""Text-analysis column builders (SURVEY.md §2.11 [EXT]).
+
+All pure Catalyst expressions (split/HOF/regexp) — no Python UDFs in
+any hot path, so everything stays inside whole-stage codegen and scales
+linearly with executors. The polynomial fold hash is implemented with
+``aggregate`` over a char split; it is engine-portable (same arithmetic
+reproduces in ANSI SQL via list_reduce), which is what lets minhash
+signatures be oracle-verified rather than trusted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small english stopword list used for quality scoring and as one
+# language profile; public-domain word list.
+STOPWORDS_EN = (
+    "the a an and or of to in is are was were be been it this that with",
+)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # tiny marker profiles for the n-gram/stopword language-ID heuristic
+    "en": ("the", "and", "of", "to", "in", "is", "a", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que"),
+    "zh": ("de", "shi", "bu", "le", "zai", "wo", "you", "he"),
+}
+
+HASH_MOD = 1_000_003  # prime modulus for the portable fold hash
+
+
+def tokens(col: Column | str, delimiter: str = " ") -> Column:
+    """Whitespace tokens with empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, delimiter), lambda t: t != F.lit(""))
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish subword segmentation: split on non-alphanumerics, then
+    words longer than 6 chars contribute their 4-char prefix chunks —
+    a deterministic stand-in for a real BPE vocab (which would ship as
+    a broadcast lookup table)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.regexp_replace(c, "[^a-zA-Z0-9]+", " ")), " ")
+    words = F.filter(words, lambda t: t != F.lit(""))
+    return F.flatten(
+        F.transform(
+            words,
+            lambda w: F.when(
+                F.length(w) <= 6, F.array(w)
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.floor((F.length(w) - 1) / 4).cast("int")),
+                    lambda i: F.substring(w, (i * 4 + 1).cast("int"), 4),
+                )
+            ),
+        )
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def fold_hash(col: Column | str, seed: int) -> Column:
+    """Portable polynomial hash: fold (acc*31 + ord(char)) % HASH_MOD
+    over the characters, starting from ``seed``. Reproducible in ANSI
+    SQL (list_reduce) — used where hash values must be oracle-checked.
+    For engine-internal hashing (exact dedup buckets) prefer
+    ``xxhash64`` (faster, 64-bit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(seed).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % HASH_MOD,
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, n)
+                ),
+            )
+        )
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] | None = None) -> Column:
+    sw = F.split(F.lit(stopwords[0] if stopwords else STOPWORDS_EN[0]), " ")
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def unique_token_ratio(col: Column | str) -> Column:
+    toks = tokens(col)
+    return F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+
+
+def avg_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + vocabulary
+    diversity + stopword presence (the C4/Gopher-style cheap filters,
+    expressed as one Catalyst expression)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    len_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.0)
+    diversity = unique_token_ratio(col)
+    stop = stopword_ratio(col)
+    stop_ok = F.when((stop > 0.0) & (stop < 0.6), 1.0).otherwise(0.5)
+    return F.round((len_ok + diversity + stop_ok) / 3.0, 6)
+
+
+def doc_fingerprint(col: Column | str, shingle_n: int = 3) -> Column:
+    """Winnowing-style fingerprint: md5 of the lexicographically
+    minimal shingle hash + full-text md5. Stable across engines."""
+    return F.md5(F.concat_ws("|", F.array_min(word_shingles(col, shingle_n)), F.md5(col)))

@@ -1,1 +1,540 @@
-"""Placeholder — populated in subsequent milestones."""
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal (SURVEY.md §2.11 [EXT]).
+
+The dedup scenarios build a corpus with known duplicates — documents
+unioned with id-shifted copies (exact) or first-word-perturbed copies
+(near) — so dedup operators have real work whose ground truth the
+DuckDB oracle can state in ANSI SQL. Hash-based pipelines whose
+internals are portable (fold-hash minhash signatures, md5
+fingerprints) are oracle-checked; pipelines built on engine-internal
+hashing (xxhash64 LSH buckets, SimHash) are rows-only here and
+verified against exact ground truth in pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import textstats as TS
+from .core import _t
+from .registry import register
+
+_ID_SHIFT = 100000
+
+_CORPUS_SQL_EXACT = """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+        )
+"""
+
+_CORPUS_SQL_NEAR = """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id,
+                   regexp_replace(text, '^[a-z]+', 'zzz') AS text
+            FROM documents
+        )
+"""
+
+
+def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + _ID_SHIFT).alias("doc_id"), "text")
+    return docs.unionByName(copies)
+
+
+def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + _ID_SHIFT).alias("doc_id"),
+        F.regexp_replace("text", "^[a-z]+", "zzz").alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup_documents",
+    oracle=_CORPUS_SQL_EXACT + """
+        SELECT min(doc_id) AS doc_id
+        FROM corpus
+        GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ')))
+    """,
+    doc="Exact dedup on normalized text, min-id winner (hash-groupBy; §2.11).",
+    tags=("llm", "dedup"),
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_exact(spark, sf_dir)
+    return D.exact_dedup(corpus, "doc_id", "text").select("doc_id")
+
+
+@register(
+    "minhash_signatures_check",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 50
+        ), shingled AS (
+            SELECT doc_id,
+                   list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                  for i in range(1, len(words) - 1)]) AS shingles
+            FROM docs WHERE len(words) >= 3
+        )
+        SELECT doc_id,
+               list_min([list_reduce(list_prepend((0*131 + 7)::BIGINT,
+                    [ord(c)::BIGINT for c in string_split(s, '')]),
+                    (acc, x) -> (acc * 31 + x) % 1000003) for s in shingles]) AS sig_0,
+               list_min([list_reduce(list_prepend((1*131 + 7)::BIGINT,
+                    [ord(c)::BIGINT for c in string_split(s, '')]),
+                    (acc, x) -> (acc * 31 + x) % 1000003) for s in shingles]) AS sig_1,
+               list_min([list_reduce(list_prepend((2*131 + 7)::BIGINT,
+                    [ord(c)::BIGINT for c in string_split(s, '')]),
+                    (acc, x) -> (acc * 31 + x) % 1000003) for s in shingles]) AS sig_2,
+               list_min([list_reduce(list_prepend((3*131 + 7)::BIGINT,
+                    [ord(c)::BIGINT for c in string_split(s, '')]),
+                    (acc, x) -> (acc * 31 + x) % 1000003) for s in shingles]) AS sig_3
+        FROM shingled
+    """,
+    doc="MinHash signature computation verified value-by-value via portable fold hash (§2.11).",
+    tags=("llm", "dedup", "minhash"),
+)
+def minhash_signatures_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    sigs = D.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=4, shingle_n=3, hash_fn="portable"
+    )
+    return sigs.select(
+        "doc_id",
+        *[F.element_at("signature", i + 1).alias(f"sig_{i}") for i in range(4)],
+    )
+
+
+@register(
+    "ngram_jaccard_near_dup",
+    oracle=_CORPUS_SQL_NEAR + """
+        , shingle_lists AS (
+            SELECT doc_id,
+                   list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                  for i in range(1, len(words) - 1)]) AS shingles
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)
+            WHERE len(words) >= 3
+        ), sh AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM shingle_lists
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(CAST(n_inter AS DOUBLE) /
+                     CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) /
+              CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) >= 0.5
+    """,
+    doc="Exact n-gram Jaccard similarity self-join finds the perturbed near-dups (§2.11).",
+    tags=("llm", "dedup", "jaccard"),
+)
+def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_near(spark, sf_dir)
+    return D.ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.5, shingle_n=3)
+
+
+@register(
+    "minhash_lsh_near_dup",
+    oracle=None,  # LSH banding uses engine-internal xxhash64; recall vs exact Jaccard asserted in tests
+    doc="MinHash+LSH near-dup candidate pairs with estimated Jaccard (§2.11; banding via xxhash64 → rows-only).",
+    tags=("llm", "dedup", "minhash"),
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_near(spark, sf_dir)
+    return D.minhash_near_dup_pairs(
+        corpus, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+@register(
+    "simhash_near_dup",
+    oracle=None,  # SimHash uses engine-internal xxhash64 token hashes
+    doc="SimHash near-dup pairs by Hamming distance with chunk-bucket candidates (§2.11; rows-only).",
+    tags=("llm", "dedup", "simhash"),
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_near(spark, sf_dir)
+    return D.simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=8)
+
+
+@register(
+    "near_dedup_representatives",
+    oracle=_CORPUS_SQL_NEAR + """
+        , shingle_lists AS (
+            SELECT doc_id,
+                   list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                  for i in range(1, len(words) - 1)]) AS shingles
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corpus)
+            WHERE len(words) >= 3
+        ), sh AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM shingle_lists
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING CAST(count(*) AS DOUBLE) /
+                   CAST((SELECT n_shingles FROM sizes WHERE doc_id = a.doc_id)
+                      + (SELECT n_shingles FROM sizes WHERE doc_id = b.doc_id)
+                      - count(*) AS DOUBLE) >= 0.7
+        ), edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b AS s, id_a AS d FROM pairs
+        ), r0 AS (
+            SELECT DISTINCT s AS m, s AS rep FROM edges
+        )
+        , r1 AS (
+            SELECT r.m AS m,
+                   least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
+            FROM r0 r
+            LEFT JOIN (SELECT e.s AS s, rr.rep AS rep
+                       FROM edges e JOIN r0 rr ON e.d = rr.m) nb
+              ON nb.s = r.m
+            GROUP BY r.m, r.rep
+        )
+        , r2 AS (
+            SELECT r.m AS m,
+                   least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
+            FROM r1 r
+            LEFT JOIN (SELECT e.s AS s, rr.rep AS rep
+                       FROM edges e JOIN r1 rr ON e.d = rr.m) nb
+              ON nb.s = r.m
+            GROUP BY r.m, r.rep
+        )
+        , r3 AS (
+            SELECT r.m AS m,
+                   least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
+            FROM r2 r
+            LEFT JOIN (SELECT e.s AS s, rr.rep AS rep
+                       FROM edges e JOIN r2 rr ON e.d = rr.m) nb
+              ON nb.s = r.m
+            GROUP BY r.m, r.rep
+        )
+        , r4 AS (
+            SELECT r.m AS m,
+                   least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
+            FROM r3 r
+            LEFT JOIN (SELECT e.s AS s, rr.rep AS rep
+                       FROM edges e JOIN r3 rr ON e.d = rr.m) nb
+              ON nb.s = r.m
+            GROUP BY r.m, r.rep
+        )
+        , r5 AS (
+            SELECT r.m AS m,
+                   least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
+            FROM r4 r
+            LEFT JOIN (SELECT e.s AS s, rr.rep AS rep
+                       FROM edges e JOIN r4 rr ON e.d = rr.m) nb
+              ON nb.s = r.m
+            GROUP BY r.m, r.rep
+        )
+        SELECT doc_id FROM corpus
+        WHERE doc_id NOT IN (SELECT m FROM r5 WHERE rep != m)
+    """,
+    doc="Full near-dedup pipeline: minhash LSH candidates → exact-Jaccard verify (>=0.7) → "
+        "bounded min-propagation clustering → keep min-id representative (§2.11). Oracle "
+        "replicates the exact pair graph and the same 5-round propagation in SQL.",
+    tags=("llm", "dedup", "minhash"),
+)
+def near_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_near(spark, sf_dir)
+    kept = D.near_dedup(
+        corpus, "doc_id", "text",
+        num_hashes=32, bands=16, threshold=0.7, verify_exact=True,
+    )
+    return kept.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "cosine_topk_exact",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+            FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_dot_product(q.qvec, e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.qvec, q.qvec)) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS raw_sim
+            FROM q, embeddings e
+            WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank
+        FROM (
+            SELECT query_id, neighbor_id, raw_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY raw_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    doc="Exact brute-force cosine top-k ANN baseline: broadcast queries, HOF dot product, ranked (§2.11).",
+    tags=("llm", "similarity"),
+)
+def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "cosine_topk_lsh",
+    oracle=None,  # approximate by construction; recall vs exact asserted in tests
+    doc="LSH-bucketed approximate top-k (random hyperplanes, multi-probe) — the 100 TB scale path (§2.11).",
+    tags=("llm", "similarity", "lsh"),
+)
+def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=4, n_tables=8)
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+        SELECT label,
+               count(*) AS n_vectors,
+               round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+               round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+        FROM embeddings
+        GROUP BY label
+    """,
+    doc="Vector-norm profile per label — array HOF math under aggregation (§2.11).",
+    tags=("llm", "similarity"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = S.l2_norm(S.as_double_array("embedding"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_stats_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), counts AS (
+            SELECT token, count(*) AS n FROM toks WHERE token != '' GROUP BY token
+        )
+        SELECT token, n, rnk FROM (
+            SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rnk
+            FROM counts
+        ) WHERE rnk <= 20
+    """,
+    doc="Corpus term statistics: tokenize → explode → count → top-k (§2.11 text analysis).",
+    tags=("llm", "text"),
+)
+def token_stats_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(TS.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 20)
+
+
+@register(
+    "doc_quality_scores",
+    oracle="""
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens,
+               len(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS n_unique,
+               round(CAST(list_sum([length(t) for t in list_filter(string_split(text, ' '), t -> t != '')]) AS DOUBLE)
+                     / greatest(len(list_filter(string_split(text, ' '), t -> t != '')), 1), 6) AS avg_token_len,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                         t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with'], t))) AS DOUBLE)
+                     / greatest(len(list_filter(string_split(text, ' '), t -> t != '')), 1), 6) AS stop_ratio
+        FROM documents
+    """,
+    doc="Per-document quality metrics: token counts, vocabulary diversity, stopword ratio (§2.11).",
+    tags=("llm", "text"),
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = TS.tokens("text")
+    total_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(total_len.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6).alias("avg_token_len"),
+        F.round(TS.stopword_ratio("text"), 6).alias("stop_ratio"),
+    )
+
+
+@register(
+    "lang_id_stopword_profile",
+    oracle="""
+        WITH markers(lang, marker) AS (
+            SELECT * FROM (VALUES
+                ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),('en','is'),('en','a'),('en','that'),
+                ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','nicht'),('de','ein'),('de','zu'),
+                ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est'),('fr','un'),('fr','une'),('fr','dans'),
+                ('es','el'),('es','la'),('es','los'),('es','las'),('es','es'),('es','un'),('es','una'),('es','que'),
+                ('zh','de'),('zh','shi'),('zh','bu'),('zh','le'),('zh','zai'),('zh','wo'),('zh','you'),('zh','he')
+            )
+        ), toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), scores AS (
+            SELECT t.doc_id, m.lang, count(*) AS score
+            FROM toks t JOIN markers m ON t.token = m.marker
+            GROUP BY t.doc_id, m.lang
+        )
+        SELECT doc_id, lang AS detected_lang, score FROM (
+            SELECT doc_id, lang, score,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    """,
+    doc="Language-ID heuristic: token join against per-language marker profiles, argmax (§2.11).",
+    tags=("llm", "text"),
+)
+def lang_id_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    marker_rows = [(lang, m) for lang, ms in TS.LANG_MARKERS.items() for m in ms]
+    markers = F.broadcast(
+        spark.createDataFrame(marker_rows, "lang string, marker string")
+    )
+    toks = docs.select("doc_id", F.explode(TS.tokens("text")).alias("token"))
+    scores = (
+        toks.join(markers, toks.token == markers.marker)
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("detected_lang"), "score")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+        WITH shingled AS (
+            SELECT doc_id, text,
+                   list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                  for i in range(1, len(words) - 1)]) AS shingles
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+            WHERE len(words) >= 3
+        )
+        SELECT doc_id,
+               md5(list_min(shingles) || '|' || md5(text)) AS fingerprint
+        FROM shingled
+    """,
+    doc="Document fingerprint: md5 of (min shingle | text digest) — winnowing-style, engine-portable (§2.11).",
+    tags=("llm", "text"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               sha256(text) AS checksum,
+               CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+        FROM documents
+    """,
+    doc="Multimodal decode plumbing: binary payload + mapInPandas feature stage, checked vs SQL byte math (§2.11).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.synthesize_media(docs)
+    feats = M.decode_and_featurize(media, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "byte_len",
+        "checksum",
+        F.element_at("features", 7).cast("bigint").alias("n_spaces"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id AS media_id,
+               unnest(range(0, (n_chars % 30 + 1)::INT, 5)) AS frame_idx,
+               (n_chars % 30 + 1)::INT AS n_frames
+        FROM documents
+        WHERE doc_id % 3 = 2
+    """,
+    doc="Video frame sampling plumbing: every-Nth-frame explode over media metadata (§2.11).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = M.synthesize_media(docs)
+    return M.frame_sample(media, every_n=5)
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               (n_chars % 640 + 16)::INT AS width,
+               (n_chars % 480 + 16)::INT AS height,
+               round(least(1.0, 256.0 / greatest(n_chars % 640 + 16, n_chars % 480 + 16)), 6) AS scale,
+               greatest(CAST(floor((n_chars % 640 + 16) *
+                    least(1.0, 256.0 / greatest(n_chars % 640 + 16, n_chars % 480 + 16))) AS INT), 1) AS target_width,
+               greatest(CAST(floor((n_chars % 480 + 16) *
+                    least(1.0, 256.0 / greatest(n_chars % 640 + 16, n_chars % 480 + 16))) AS INT), 1) AS target_height
+        FROM documents
+    """,
+    doc="Aspect-preserving resize planning as column math over media metadata (§2.11).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return M.resize_meta(M.synthesize_media(docs), max_side=256)
