@@ -19,12 +19,18 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+import random
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import HASH_MOD, fold_hash, tokens, word_shingles
+
+# Mersenne prime 2^31-1: minhash mixing stays below 2^62, so the affine
+# mixes are safe under ANSI arithmetic (no silent/throwing overflow).
+_P31 = 2_147_483_647
+_MIX_SEED = 0xC0FFEE5EED
 
 
 def normalized_text(col, lower: bool = True):
@@ -67,16 +73,36 @@ def minhash_signatures(
     VALUES are oracle-checked; ~10× slower (per-char HOF fold)."""
     shingles = word_shingles(text_col, shingle_n)
     if hash_fn == "xxhash":
-        def seeded(i: int):
-            # Must be a unary lambda: binary HOF lambdas receive the
-            # array index as the second arg, which would shadow the seed.
-            return lambda s: F.xxhash64(F.lit(i), s)
+        # One expensive pass builds per-shingle base hashes; the
+        # num_hashes minhash functions are then cheap affine mixes
+        # (a·h+b mod p, the classic universal family) of that array.
+        # The persist barrier matters: without it, projection collapse
+        # re-inlines the shingle construction into every one of the
+        # num_hashes passes — measured 10× slower.
+        sc = df.sparkSession.sparkContext
+        base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
+        hashed = df.select(F.col(id_col), base.alias("__sh"))
+        if hashed.rdd.getNumPartitions() < sc.defaultParallelism:
+            # compute-bound stage: don't let a few input files serialize it
+            hashed = df.repartition(sc.defaultParallelism).select(
+                F.col(id_col), base.alias("__sh")
+            )
+        hashed = hashed.persist()
+
+        rnd = random.Random(_MIX_SEED)
+
+        def mix(a: int, b: int):
+            # unary lambda on purpose: binary HOF lambdas receive the
+            # array index as the second argument
+            return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P31))
 
         sig = F.array(*[
-            F.array_min(F.transform(shingles, seeded(i)))
-            for i in range(num_hashes)
+            F.array_min(
+                F.transform(F.col("__sh"), mix(rnd.randrange(1, _P31), rnd.randrange(_P31)))
+            )
+            for _ in range(num_hashes)
         ])
-        return df.select(F.col(id_col), sig.alias("signature"))
+        return hashed.select(F.col(id_col), sig.alias("signature"))
     # One char-fold pass per shingle computes (P, 31^n mod p); each
     # seed's hash is then the O(1) modular identity
     #     fold(seed_init, chars) = (seed_init · 31^n + P) mod p
@@ -189,7 +215,11 @@ def minhash_near_dup_pairs(
         return cands.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard")).filter(
             F.col("est_jaccard") >= threshold
         )
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")).persist()
+    sc = df.sparkSession.sparkContext
+    src = df
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)  # shingle pass is compute-bound
+    sh = src.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")).persist()
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     exact = (

@@ -39,9 +39,14 @@ def dedup_last_writer_wins(
 
     Reference J2: the staging PK rejected intra-batch duplicate
     crime_ids non-deterministically; this is the deterministic
-    replacement (row_number window, SURVEY §2.5).
+    replacement (row_number window, SURVEY §2.5). Every remaining
+    column is appended to the ordering as a final tie-breaker, so rows
+    that tie on ``order_by`` still resolve identically on every run —
+    without this, a tie is broken by partition arrival order and the
+    result flickers between executions.
     """
-    ordering = [F.col(c).desc() for c in order_by]
+    tie_break = [c for c in df.columns if c not in keys and c not in order_by]
+    ordering = [F.col(c).desc() for c in [*order_by, *tie_break]]
     w = Window.partitionBy(*keys).orderBy(*ordering)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -12,6 +12,7 @@ Submodules group the inventory (SURVEY.md §2):
     events    — event-time windows + JSON props (§2.8 ST10, F14)
     pipeline  — merge/upsert, dedup, reconciliation as queries (§2.3)
     llm       — dedup / similarity / text analysis / multimodal (§2.11)
+    streaming — real readStream runs: finalized windows, stateful sessions (§2.8)
 """
 
 from .registry import QuerySpec, all_specs, get_spec, register  # noqa: F401
@@ -23,3 +24,4 @@ from . import scalars  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
+from . import streaming  # noqa: E402,F401

@@ -107,7 +107,7 @@ def merge_result_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_orderkey, l_linenumber, l_quantity,
                    row_number() OVER (
                        PARTITION BY l_orderkey
-                       ORDER BY l_shipdate DESC, l_linenumber DESC
+                       ORDER BY l_shipdate DESC, l_linenumber DESC, l_quantity DESC
                    ) AS rn
             FROM lineitem
         ) WHERE rn = 1

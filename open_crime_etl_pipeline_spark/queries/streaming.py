@@ -1,0 +1,108 @@
+"""Structured Streaming queries for the driver inventory (SURVEY.md
+§2.8). Each runs a real ``readStream`` pipeline to completion with
+``trigger(availableNow=True)`` into a memory sink and returns the
+result as a batch DataFrame.
+
+``streaming_tumbling_finalized`` is oracle-checked: in append mode the
+engine emits exactly the windows the final watermark has finalized
+(window_end <= max event time − delay), which ANSI SQL can state. The
+stateful sessionizer is engine-custom state-machine logic (the
+genuinely non-SQL-expressible op) → rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA_SCHEMAS
+from ..streaming import sessionize_stateful, windowed_event_counts
+from .registry import register
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nanos→micros
+    conversion the batch reader applies (TESTDATA stores ts as
+    TIMESTAMP(NANOS), unreadable as TimestampType directly)."""
+    from ..io.readers import _ns_long_fields
+
+    schema = TESTDATA_SCHEMAS["events"]
+    path = os.path.join(sf_dir, "events.parquet")
+    ns_fields = _ns_long_fields(schema, path)
+    read_schema = T.StructType([
+        T.StructField(
+            f.name,
+            T.LongType() if f.name in ns_fields else f.dataType,
+            f.nullable,
+        )
+        for f in schema.fields
+    ])
+    df = (
+        spark.readStream.schema(read_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for col in ns_fields:
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df.select(*[f.name for f in schema.fields])
+
+
+def _run_to_table(stream: DataFrame, prefix: str) -> DataFrame:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream.sparkSession.table(name)
+
+
+@register(
+    "streaming_tumbling_finalized",
+    oracle="""
+        WITH wm AS (
+            SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '2 hours' AS w
+            FROM events
+        )
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+               event_type,
+               count(*) AS n_events
+        FROM events, wm
+        GROUP BY 1, 2, 3, wm.w
+        HAVING window_end <= wm.w
+    """,
+    doc="Structured Streaming tumbling windows, append mode + 2h watermark: "
+        "emitted set == windows finalized by the final watermark (ST10; real "
+        "readStream run, availableNow).",
+    tags=("streaming", "window-time"),
+)
+def streaming_tumbling_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = windowed_event_counts(
+        _stream_events(spark, sf_dir), window="1 hour", watermark="2 hours"
+    )
+    return _run_to_table(stream, "stream_tumbling")
+
+
+@register(
+    "streaming_stateful_sessions",
+    oracle=None,  # custom applyInPandasWithState state machine; semantics pytest-verified
+    doc="Custom stateful sessionizer (applyInPandasWithState, event-time "
+        "timeout): closed sessions per user from a real stream run (§2.8/§2.10).",
+    tags=("streaming", "session", "stateful"),
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = sessionize_stateful(
+        _stream_events(spark, sf_dir), gap_seconds=1800, watermark="2 hours"
+    )
+    return _run_to_table(stream, "stream_sessions")

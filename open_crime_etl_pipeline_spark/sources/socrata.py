@@ -1,0 +1,245 @@
+"""Paginated REST (Socrata-style) scan as a Spark 4 Python DataSource
+(SURVEY.md §2.1 S1/S2).
+
+Reference semantics (`airflow/dags/crimeapi/extract.py:9-42`): POST a
+SoQL query `SELECT * WHERE updated_on BETWEEN '{start}' AND '{end}'`
+with limit/offset paging; stop on the first empty page; a variant uses
+a `>=` watermark with a page cap (`etl/main.py:26-61`).
+
+Spark-first restatement — the reference's imperative month-chunk loop
+(`helper.py:41-65` + DAG full_load) becomes the source's PARTITION
+planning, and its in-query WHERE becomes Catalyst filter pushdown:
+
+- ``partitions()`` → one ``InputPartition`` per month window, so a
+  full backfill fans out across executors instead of looping on the
+  driver (the reference fetches serially; at 1000 executors each month
+  streams independently).
+- ``pushFilters()`` → range predicates on ``updated_on`` tighten the
+  window *before* partition planning — months outside the predicate
+  are never planned, the API is never asked for them (the same
+  server-side filtering the reference gets via SoQL, now driven by
+  Catalyst instead of hand-templated strings).
+- each partition pages through its window until an empty page
+  (reference termination, extract.py:37-38) or the page cap
+  (etl/main.py:57).
+
+Endpoints: ``https://…`` POSTs real SoQL (urllib, executor-side);
+``fake://<rows_per_month>`` is a deterministic offline generator with
+identical paging/termination behavior, used by tests and the query
+inventory — this container has no network.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from dataclasses import dataclass
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from ..schemas import CRIME_RAW_SCHEMA
+
+SOQL_TS_FMT = "%Y-%m-%dT%H:%M:%S.%f"  # reference helper.py:12-16 (ms-truncated)
+
+DEFAULT_PAGESIZE = 5000        # reference crime_etl.py:554
+DEFAULT_MAX_PAGES = 10_000     # safety cap; reference variant used 50 (etl/main.py:57)
+DEFAULT_START = "2025-01-01T00:00:00.000"  # reference full-load epoch (crime_etl.py:136-138)
+DEFAULT_END = "2025-07-01T00:00:00.000"
+
+
+def _parse_ts(s: str) -> dt.datetime:
+    return dt.datetime.strptime(s[:23] + "000", SOQL_TS_FMT)
+
+
+def _fmt_ts(d: dt.datetime) -> str:
+    return d.strftime(SOQL_TS_FMT)[:-3]  # ms precision, reference date_to_str
+
+
+def _add_month(d: dt.datetime) -> dt.datetime:
+    import calendar
+
+    y, m = (d.year + 1, 1) if d.month == 12 else (d.year, d.month + 1)
+    return d.replace(year=y, month=m, day=min(d.day, calendar.monthrange(y, m)[1]))
+
+
+def month_windows(start: dt.datetime, end: dt.datetime) -> list[tuple[dt.datetime, dt.datetime]]:
+    """[start, end) chunked into month-sized windows anchored at
+    ``start``, last window clamped — reference generate_date_range
+    (helper.py:41-65, relativedelta(months=1) stepping)."""
+    out = []
+    cur = start
+    while cur < end:
+        nxt = min(_add_month(cur), end)
+        out.append((cur, nxt))
+        cur = nxt
+    return out
+
+
+@dataclass
+class MonthWindow(InputPartition):
+    start: str  # SoQL timestamp string, inclusive
+    end: str    # exclusive
+
+
+def _fake_page(
+    rows_per_month: int, window_start: dt.datetime, window_end: dt.datetime,
+    pagenum: int, pagesize: int,
+) -> list[dict]:
+    """Deterministic offline page generator: ``rows_per_month`` records
+    spread uniformly over the window, same paging/termination contract
+    as the HTTP path. Pure function of its arguments."""
+    lo = pagenum * pagesize
+    hi = min(lo + pagesize, rows_per_month)
+    if lo >= hi:
+        return []
+    span = (window_end - window_start).total_seconds()
+    out = []
+    for i in range(lo, hi):
+        ts = window_start + dt.timedelta(seconds=(i * span) / max(rows_per_month, 1))
+        key = f"{window_start:%Y%m}{i:06d}"
+        out.append({
+            "id": key,
+            "case_number": f"HZ{key}",
+            "date": _fmt_ts(ts),
+            "block": f"0000X N STATE ST {i % 97}",
+            "iucr": f"{(i % 50):04d}",
+            "primary_type": ["THEFT", "BATTERY", "ASSAULT", "BURGLARY"][i % 4],
+            "description": f"DESC {i % 13}",
+            "location_description": ["STREET", "RESIDENCE", "APARTMENT"][i % 3],
+            "arrest": str(i % 5 == 0).lower(),
+            "domestic": str(i % 7 == 0).lower(),
+            "beat": str(100 + i % 300),
+            "district": str(1 + i % 25),
+            "ward": str(1 + i % 50),
+            "community_area": str(1 + i % 77),
+            "fbi_code": f"{(i % 26):02d}",
+            "x_coordinate": str(1100000 + (i * 37) % 90000),
+            "y_coordinate": str(1800000 + (i * 53) % 90000),
+            "year": str(window_start.year),
+            "updated_on": _fmt_ts(ts),
+            "latitude": str(41.6 + (i % 1000) / 2500.0),
+            "longitude": str(-87.9 + (i % 1000) / 3300.0),
+            "location": None,
+            ":id": f"row-{key}",
+            ":version": "rv1",
+            ":created_at": _fmt_ts(ts),
+            ":updated_at": _fmt_ts(ts),
+        })
+    return out
+
+
+def _http_page(
+    endpoint: str, window_start: str, window_end: str, pagenum: int, pagesize: int,
+) -> list[dict]:
+    """Real SoQL POST — reference extract.py:9-42 (query line 11,
+    POST line 28). Executor-side; one window per task."""
+    import urllib.request
+
+    query = (
+        f"select * where updated_on between '{window_start}' and '{window_end}' "
+        f"limit {pagesize} offset {pagenum * pagesize}"
+    )
+    req = urllib.request.Request(
+        endpoint,
+        data=json.dumps({"query": query}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as res:
+        return json.loads(res.read().decode())
+
+
+class SocrataReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.field_names = [f.name for f in schema.fields]
+        self.endpoint = options.get("endpoint", "fake://12000")
+        self.pagesize = int(options.get("pagesize", DEFAULT_PAGESIZE))
+        self.max_pages = int(options.get("max_pages", DEFAULT_MAX_PAGES))
+        self.start = options.get("start_date", DEFAULT_START)
+        self.end = options.get("end_date", DEFAULT_END)
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept range predicates on updated_on by tightening the scan
+        window (SoQL pushdown, reference extract.py:11 / etl/main.py:34);
+        everything else is returned for Spark to evaluate."""
+        for f in filters:
+            if getattr(f, "attribute", None) == ("updated_on",) and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo)
+            ):
+                v = str(f.value)
+                try:
+                    _parse_ts(v)
+                except ValueError:
+                    yield f
+                    continue
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    self.start = max(self.start, v)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    self.end = min(self.end, v)
+                else:  # EqualTo pins both ends
+                    self.start, self.end = max(self.start, v), min(self.end, v)
+                # Conservative: windows are tightened but the filter is
+                # also re-evaluated by Spark (boundary inclusiveness).
+                yield f
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        s, e = _parse_ts(self.start), _parse_ts(self.end)
+        if s >= e:
+            return [MonthWindow(self.start, self.start)]
+        return [
+            MonthWindow(_fmt_ts(a), _fmt_ts(b)) for a, b in month_windows(s, e)
+        ]
+
+    def read(self, partition: MonthWindow) -> Iterator[tuple]:
+        ws, we = _parse_ts(partition.start), _parse_ts(partition.end)
+        if ws >= we:
+            return
+        fake_rows = None
+        if self.endpoint.startswith("fake://"):
+            fake_rows = int(self.endpoint[len("fake://"):])
+        for pagenum in range(self.max_pages):
+            if fake_rows is not None:
+                page = _fake_page(fake_rows, ws, we, pagenum, self.pagesize)
+            else:
+                page = _http_page(self.endpoint, partition.start, partition.end,
+                                  pagenum, self.pagesize)
+            if not page:  # reference termination: empty page ends the window
+                return
+            for rec in page:
+                yield tuple(rec.get(name) for name in self.field_names)
+
+
+class SocrataCrimeDataSource(DataSource):
+    """``spark.read.format("socrata_crime")`` — options: endpoint,
+    start_date, end_date, pagesize, max_pages."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "socrata_crime"
+
+    def schema(self) -> StructType:
+        return CRIME_RAW_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SocrataReader(schema, dict(self.options))
+
+
+def register_socrata_source(spark) -> None:
+    # Python-source filter pushdown is opt-in (Spark 4.1); without it a
+    # reader implementing pushFilters refuses to plan.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SocrataCrimeDataSource)

@@ -1,0 +1,9 @@
+from .pipeline import (  # noqa: F401
+    foreach_batch_upsert,
+    sessionize_stateful,
+    session_event_counts,
+    stream_crime_pages,
+    stream_events,
+    streaming_dedup,
+    windowed_event_counts,
+)

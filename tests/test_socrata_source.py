@@ -1,0 +1,93 @@
+"""Custom Python DataSource for the paginated REST scan (SURVEY §2.1
+S1/S2): month-window partitions, empty-page termination, updated_on
+filter pushdown, and the end-to-end ingest slice (source → silver
+transform → merge)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from open_crime_etl_pipeline_spark.operators.merge import merge_upsert
+from open_crime_etl_pipeline_spark.sources import register_socrata_source
+from open_crime_etl_pipeline_spark.sources.socrata import month_windows
+from open_crime_etl_pipeline_spark.transform.crime import transform_crime_page
+
+
+@pytest.fixture(scope="module")
+def socrata(spark):
+    register_socrata_source(spark)
+    return spark
+
+
+def _read(spark, **options):
+    reader = spark.read.format("socrata_crime")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def test_month_window_chunking():
+    w = month_windows(dt.datetime(2025, 1, 15), dt.datetime(2025, 4, 1))
+    assert w == [
+        (dt.datetime(2025, 1, 15), dt.datetime(2025, 2, 15)),
+        (dt.datetime(2025, 2, 15), dt.datetime(2025, 3, 15)),
+        (dt.datetime(2025, 3, 15), dt.datetime(2025, 4, 1)),  # clamped
+    ]
+
+
+def test_fake_scan_counts_and_schema(socrata):
+    df = _read(
+        socrata, endpoint="fake://130", pagesize="50",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-03-01T00:00:00.000",
+    )
+    # 2 month windows × 130 rows, paged 50/50/30 then empty-page stop
+    assert df.count() == 260
+    assert df.schema["updated_on"].dataType.typeName() == "string"
+    ids = [r.id for r in df.select("id").collect()]
+    assert len(set(ids)) == 260
+
+
+def test_updated_on_pushdown_prunes_windows(socrata):
+    full = _read(
+        socrata, endpoint="fake://40", pagesize="50",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-06-01T00:00:00.000",
+    )
+    pushed = full.filter(F.col("updated_on") >= "2025-04-01T00:00:00.000")
+    expect = sorted(
+        r.id for r in full.collect()
+        if r.updated_on >= "2025-04-01T00:00:00.000"
+    )
+    got = sorted(r.id for r in pushed.collect())
+    assert got == expect and len(got) > 0
+
+
+def test_page_cap_limits_rows(socrata):
+    df = _read(
+        socrata, endpoint="fake://1000", pagesize="100", max_pages="2",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-02-01T00:00:00.000",
+    )
+    assert df.count() == 200  # etl/main.py:57 page-cap semantics
+
+
+def test_ingest_end_to_end_source_transform_merge(socrata, tmp_path):
+    raw = _read(
+        socrata, endpoint="fake://25", pagesize="10",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-02-01T00:00:00.000",
+    )
+    silver = transform_crime_page(raw)
+    assert silver.filter(F.col("crime_id").isNull()).count() == 0
+    assert silver.select("crime_id").distinct().count() == 25
+
+    # incremental batch with one overlap month (ST4 deliberate-overlap)
+    batch = transform_crime_page(_read(
+        socrata, endpoint="fake://25", pagesize="10",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-03-01T00:00:00.000",
+    ))
+    merged = merge_upsert(silver, batch, keys=["crime_id"],
+                          order_by=["source_updated_on"])
+    assert merged.count() == 50  # 25 updates absorbed, 25 inserts
+    assert merged.select("crime_id").distinct().count() == 50

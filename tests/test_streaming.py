@@ -1,0 +1,174 @@
+"""Structured Streaming surface tests (SURVEY §2.8): file-source
+streams, event-time windows + watermark, streaming dedup, stateful
+sessionization, foreachBatch MERGE sink with replay idempotence."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from open_crime_etl_pipeline_spark.streaming import (
+    foreach_batch_upsert,
+    session_event_counts,
+    sessionize_stateful,
+    stream_crime_pages,
+    stream_events,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+BASE = dt.datetime(2025, 3, 1, 0, 0, 0)
+
+
+def _write_events(spark, path: str, rows):
+    df = spark.createDataFrame(
+        [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _run_available_now(df, tmpdir: str, name: str):
+    """Run a streaming DataFrame to completion into a memory sink."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+def test_windowed_event_counts_stream(spark, tmp_path):
+    src = str(tmp_path / "events")
+    rows = [
+        (BASE + dt.timedelta(minutes=m), 1, "click") for m in (5, 10, 70, 130)
+    ] + [(BASE + dt.timedelta(minutes=15), 2, "view")] + [
+        # sentinel far beyond the 2h watermark: append mode only emits
+        # windows the watermark has finalized
+        (BASE + dt.timedelta(hours=12), 9, "sentinel"),
+    ]
+    _write_events(spark, src, rows)
+    out = _run_available_now(
+        windowed_event_counts(stream_events(spark, src), window="1 hour"),
+        str(tmp_path), "win_counts",
+    ).collect()
+    got = {(r.window_start, r.event_type): r.n_events for r in out}
+    assert got[(BASE, "click")] == 2
+    assert got[(BASE + dt.timedelta(hours=1), "click")] == 1
+    assert got[(BASE, "view")] == 1
+
+
+def test_streaming_dedup_drops_replayed_keys(spark, tmp_path):
+    src = str(tmp_path / "events")
+    rows = [
+        (BASE, 1, "click"),
+        (BASE + dt.timedelta(minutes=1), 1, "click"),
+        (BASE + dt.timedelta(minutes=2), 2, "view"),
+    ]
+    # duplicate user_id+event_type arrives twice within the watermark
+    _write_events(spark, src, rows)
+    deduped = streaming_dedup(
+        stream_events(spark, src), keys=["user_id", "event_type"]
+    )
+    out = _run_available_now(deduped, str(tmp_path), "dedup").collect()
+    assert len(out) == 2
+    assert {(r.user_id, r.event_type) for r in out} == {(1, "click"), (2, "view")}
+
+
+def test_session_window_builtin(spark, tmp_path):
+    src = str(tmp_path / "events")
+    # user 1: two sessions separated by >30min; user 2: one session
+    rows = [
+        (BASE, 1, "a"),
+        (BASE + dt.timedelta(minutes=10), 1, "a"),
+        (BASE + dt.timedelta(minutes=90), 1, "a"),
+        (BASE + dt.timedelta(minutes=5), 2, "a"),
+        (BASE + dt.timedelta(hours=12), 9, "a"),  # watermark sentinel
+    ]
+    _write_events(spark, src, rows)
+    out = _run_available_now(
+        session_event_counts(stream_events(spark, src), gap="30 minutes"),
+        str(tmp_path), "sessions",
+    ).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_sessionize_stateful_emits_closed_sessions(spark, tmp_path):
+    src = str(tmp_path / "events")
+    rows = [
+        (BASE, 1, "a"),
+        (BASE + dt.timedelta(minutes=10), 1, "a"),
+        (BASE + dt.timedelta(minutes=90), 1, "a"),  # closes session 1
+        (BASE + dt.timedelta(hours=12), 9, "a"),    # advances watermark far
+    ]
+    _write_events(spark, src, rows)
+    out = _run_available_now(
+        sessionize_stateful(stream_events(spark, src), gap_seconds=1800),
+        str(tmp_path), "stateful_sessions",
+    ).collect()
+    sessions = {(r.user_id, r.session_start, r.session_end): r.n_events for r in out}
+    # the first session of user 1 must be emitted closed with 2 events
+    key = (1, BASE, BASE + dt.timedelta(minutes=10))
+    assert key in sessions and sessions[key] == 2
+
+
+def test_foreach_batch_upsert_idempotent_replay(spark, tmp_path):
+    pages = str(tmp_path / "landing")
+    target = str(tmp_path / "crime_table")
+    os.makedirs(pages)
+
+    def page(n, recs):
+        with open(os.path.join(pages, f"part-{n:04d}.json"), "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+
+    page(0, [
+        {"id": "1", "case_number": "A", ":updated_at": "2025-01-01T00:00:00.000"},
+        {"id": "2", "case_number": "B", ":updated_at": "2025-01-01T00:00:00.000"},
+    ])
+    q = foreach_batch_upsert(
+        stream_crime_pages(spark, pages),
+        target, keys=["id"], order_by=[":updated_at"],
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+
+    # second page updates id=2 and adds id=3
+    page(1, [
+        {"id": "2", "case_number": "B2", ":updated_at": "2025-01-02T00:00:00.000"},
+        {"id": "3", "case_number": "C", ":updated_at": "2025-01-02T00:00:00.000"},
+        {"id": "3", "case_number": "C-old", ":updated_at": "2025-01-01T00:00:00.000"},
+    ])
+    q = foreach_batch_upsert(
+        stream_crime_pages(spark, pages),
+        target, keys=["id"], order_by=[":updated_at"],
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+
+    rows = {r["id"]: r["case_number"] for r in spark.read.parquet(target).collect()}
+    assert rows == {"1": "A", "2": "B2", "3": "C"}
+
+    # replay from a fresh checkpoint (simulates reprocessing the zone):
+    # merge idempotence keeps the table identical
+    q = foreach_batch_upsert(
+        stream_crime_pages(spark, pages),
+        target, keys=["id"], order_by=[":updated_at"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    rows2 = {r["id"]: r["case_number"] for r in spark.read.parquet(target).collect()}
+    assert rows2 == rows
