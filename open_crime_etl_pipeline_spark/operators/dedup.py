@@ -352,19 +352,20 @@ def cluster_representatives(pairs: DataFrame, max_iter: int = 5) -> DataFrame:
         .localCheckpoint()
     )
     rep = edges.select(F.col("src").alias("member_id"), F.col("src").alias("rep_id")).distinct()
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neigh_min = (
             edges.join(rep, edges.dst == rep.member_id)
             .groupBy("src").agg(F.min("rep_id").alias("neigh_rep"))
         )
-        rep = (
-            rep.join(neigh_min, rep.member_id == neigh_min.src, "left")
-            .select(
-                "member_id",
-                F.least(F.col("rep_id"), F.coalesce("neigh_rep", "rep_id")).alias("rep_id"),
-            )
-            .localCheckpoint()
+        rep = rep.join(neigh_min, rep.member_id == neigh_min.src, "left").select(
+            "member_id",
+            F.least(F.col("rep_id"), F.coalesce("neigh_rep", "rep_id")).alias("rep_id"),
         )
+        # lineage must stay bounded, but every-round materialization is
+        # all fixed job overhead on a tiny graph — every 2nd round keeps
+        # plans shallow at half the cost
+        if i % 2 == 1 or i == max_iter - 1:
+            rep = rep.localCheckpoint()
     return rep
 
 

@@ -538,3 +538,85 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return M.resize_meta(M.synthesize_media(docs), max_side=256)
+
+
+@register(
+    "doc_token_counts_bpe",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t != '') AS ws_toks,
+                   list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                               t -> t != '') AS words
+            FROM documents
+        )
+        SELECT doc_id,
+               len(ws_toks) AS n_ws_tokens,
+               len(flatten([CASE WHEN length(x) <= 6 THEN [x]
+                            ELSE [substring(x, i * 4 + 1, 4)
+                                  for i in range(0, (length(x) - 1) // 4 + 1)]
+                            END
+                            for x in words])) AS n_bpe_tokens
+        FROM w
+    """,
+    doc="Token counting, whitespace + BPE-ish subword segmentation (§2.11 text analysis).",
+    tags=("llm", "text", "tokens"),
+)
+def doc_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count("text").alias("n_ws_tokens"),
+        F.size(TS.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_quality_composite",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(toks) AS n,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS diversity,
+                   CAST(len(list_filter(toks, x -> list_contains(
+                       ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with'], x)))
+                       AS DOUBLE) / greatest(len(toks), 1) AS stop
+            FROM t
+        )
+        SELECT doc_id,
+               round((CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+                      + diversity
+                      + CASE WHEN stop > 0.0 AND stop < 0.6 THEN 1.0 ELSE 0.5 END) / 3.0,
+                     6) AS quality
+        FROM m
+    """,
+    doc="Composite quality heuristic: length band + vocab diversity + stopword band "
+        "(C4/Gopher-style cheap filters; §2.11).",
+    tags=("llm", "text", "quality"),
+)
+def doc_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.quality_score("text").alias("quality"))
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=None,  # LSH bucketing is approximate by construction; recall asserted in tests
+    doc="Embedding-cosine near-duplicate pairs via hyperplane-LSH self-join (§2.11; rows-only).",
+    tags=("llm", "similarity", "dedup"),
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # duplicate a shifted copy so the operator has true near-dups to find
+    noisy = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    return S.embedding_near_dup_pairs(
+        emb.unionByName(noisy), dim=64, threshold=0.99, n_planes=6
+    )

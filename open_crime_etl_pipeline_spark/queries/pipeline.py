@@ -183,3 +183,35 @@ def reconcile_replica_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_a = dates.filter(F.col("o_orderstatus").isin("F", "P")).select("load_date")
     rep_b = dates.filter(F.col("o_orderstatus").isin("O", "P")).select("load_date")
     return reconcile_replicas(rep_a, rep_b, "load_date")
+
+
+@register(
+    "socrata_ingest_silver",
+    oracle=None,  # source is the custom REST DataSource (deterministic fake endpoint), not a testdata table
+    doc="End-to-end ingest slice: custom Python DataSource (S1 paginated REST scan, "
+        "month-window partitions, pushFilters) → silver transform (P1-P3 + typed "
+        "casts) → per-month arrest profile. Deterministic offline endpoint.",
+    tags=("source", "ingest", "crime"),
+)
+def socrata_ingest_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import register_socrata_source
+    from ..transform.crime import transform_crime_page
+
+    register_socrata_source(spark)
+    raw = (
+        spark.read.format("socrata_crime")
+        .option("endpoint", "fake://230")
+        .option("pagesize", "100")
+        .option("start_date", "2025-01-01T00:00:00.000")
+        .option("end_date", "2025-04-01T00:00:00.000")
+        .load()
+    )
+    silver = transform_crime_page(raw)
+    return (
+        silver.groupBy(F.date_format("date_of_occurrence", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_crimes"),
+            F.count_if(F.col("arrest") == "true").alias("n_arrests"),
+            F.countDistinct("primary_description").alias("n_types"),
+        )
+    )
