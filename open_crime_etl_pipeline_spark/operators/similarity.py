@@ -205,3 +205,100 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine):
+    broadcast the centroid table, score, argmax via row_number. This is
+    the IVF build step — the corpus is scanned once, never shuffled by
+    anything wider than (id, cluster)."""
+    c = F.broadcast(
+        centroids.select(
+            F.col("cluster_id"), F.col("cvec"),
+        ).withColumn("cnorm", l2_norm(F.col("cvec")))
+    )
+    v = df.select(
+        F.col(id_col), as_double_array(vec_col).alias("v")
+    ).withColumn("vnorm", l2_norm(F.col("v")))
+    scored = v.crossJoin(c).select(
+        id_col, "v",
+        "cluster_id",
+        (dot(F.col("v"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm"))).alias("aff"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("aff").desc(), F.col("cluster_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "v", "cluster_id")
+    )
+
+
+def seed_centroids(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid seeding: the k vectors with the smallest
+    xxhash64(id) — a reproducible uniform sample (k-means|| iterations
+    would refine these; for IVF bucketing, seeds alone already give the
+    partition-pruning structure)."""
+    w = Window.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        df.select(F.col(id_col), as_double_array(vec_col).alias("cvec"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).alias("cluster_id"), "cvec")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid;
+    each query scores only its ``n_probe`` closest clusters' members.
+    Candidate volume ≈ |corpus|·n_probe/n_clusters per query, and the
+    probe join is an equi-join on cluster_id — the shape that scales:
+    the inverted lists shuffle once at build and are reusable across
+    query batches (persist/write the assignment)."""
+    cents = seed_centroids(corpus, n_clusters, id_col, vec_col).persist()
+    assigned = ivf_assign(corpus, cents, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    ).withColumn("qnorm", l2_norm(F.col("qv")))
+    qc = q.crossJoin(F.broadcast(cents.withColumn("cnorm", l2_norm(F.col("cvec"))))).select(
+        "query_id", "qv", "qnorm", "cluster_id",
+        (dot(F.col("qv"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("aff"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.col("aff").desc(), F.col("cluster_id"))
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wprobe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "qnorm", "cluster_id")
+    )
+    scored = (
+        probes.join(assigned, on="cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * l2_norm(F.col("v"))), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

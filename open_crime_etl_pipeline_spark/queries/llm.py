@@ -620,3 +620,16 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(
         emb.unionByName(noisy), dim=64, threshold=0.99, n_planes=6
     )
+
+
+@register(
+    "cosine_topk_ivf",
+    oracle=None,  # approximate by construction (n_probe < n_clusters); recall vs exact asserted in tests
+    doc="IVF approximate top-k: deterministic centroid seeding, inverted-list "
+        "bucketing, n_probe nearest clusters per query (§2.11 scale path).",
+    tags=("llm", "similarity", "ivf"),
+)
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk_ivf(emb, queries, k=5, n_clusters=8, n_probe=4)

@@ -215,3 +215,30 @@ def socrata_ingest_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("primary_description").alias("n_types"),
         )
     )
+
+
+@register(
+    "salted_join_skew_check",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    doc="Salted skew-join ≡ plain equi-join (salt is a distribution detail, "
+        "results identical — the property that makes skew mitigation safe; §4).",
+    tags=("skew", "join", "agg"),
+)
+def salted_join_skew_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, orders, on=["l_orderkey"], salt_buckets=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(dec2("l_quantity")), 2).cast("double").alias("total_qty"),
+    )

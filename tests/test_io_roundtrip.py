@@ -1,0 +1,56 @@
+"""Landing-zone writer/reader round trip (SURVEY §2.1 S3-S6): hive
+layout, gzip-JSON, partition pruning reaching the scan."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from open_crime_etl_pipeline_spark.io.readers import read_crime_pages
+from open_crime_etl_pipeline_spark.io.writers import write_partitioned_crime
+from open_crime_etl_pipeline_spark.sources import register_socrata_source
+from open_crime_etl_pipeline_spark.transform.crime import transform_crime_page
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    register_socrata_source(spark)
+    raw = (
+        spark.read.format("socrata_crime")
+        .option("endpoint", "fake://60").option("pagesize", "25")
+        .option("start_date", "2025-01-01T00:00:00.000")
+        .option("end_date", "2025-03-01T00:00:00.000")
+        .load()
+    )
+    silver = transform_crime_page(raw)
+    path = str(tmp_path_factory.mktemp("zone") / "raw")
+    write_partitioned_crime(silver, path, fmt="json", load_date="2025-03-02")
+    return path, silver
+
+
+def test_roundtrip_preserves_rows(spark, landing):
+    path, silver = landing
+    back = spark.read.json(path)
+    assert back.count() == silver.count() == 120
+    # hive partition columns discovered
+    assert {"year", "month", "load_date"} <= set(back.columns)
+    # paths are zero-padded (month=01); discovery infers ints from them
+    assert set(r.month for r in back.select("month").distinct().collect()) == {1, 2}
+
+
+def test_partition_pruning_reaches_scan(spark, landing):
+    path, _ = landing
+    pruned = spark.read.json(path).filter(F.col("month") == 2)
+    # the month predicate must plan as a partition filter (directory
+    # pruning), not a data filter — inputFiles() reflects the unpruned
+    # index, so assert on the physical plan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "month" in plan.split("PartitionFilters")[1][:120]
+    assert pruned.count() == 60
+
+
+def test_gzip_compression_applied(spark, landing):
+    path, _ = landing
+    files = spark.read.json(path).inputFiles()
+    assert files and all(f.endswith(".gz") for f in files)

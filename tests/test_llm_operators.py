@@ -119,3 +119,22 @@ def test_bpe_ish_tokens_cover_text(spark):
     assert "short" in toks
     assert any(t.startswith("extr") for t in toks)  # long word chunked
     assert all(len(t) <= 6 for t in toks)
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    from open_crime_etl_pipeline_spark.io.readers import load_table
+    from open_crime_etl_pipeline_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, q, k=5).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_ivf(emb, q, k=5, n_clusters=8, n_probe=4).collect()
+    }
+    # probing half the clusters must beat the n_probe/n_clusters=0.5
+    # uniform baseline (centroid structure is doing work)
+    assert len(exact & ivf) / len(exact) >= 0.6
+    # every returned neighbor must carry a correct similarity rank shape
+    assert all(r.rank <= 5 for r in S.cosine_topk_ivf(emb, q, k=5, n_clusters=8, n_probe=4).collect())
