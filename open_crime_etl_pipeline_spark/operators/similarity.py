@@ -302,3 +302,56 @@ def cosine_topk_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def standardize_by_group(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group vector standardization as an ``applyInPandas``
+    grouped-map stage (SURVEY §2.10): within each group, center every
+    component on the group's scalar mean-of-components and scale by the
+    group's std — the normalize-before-index step of an embedding
+    pipeline, and the engine's oracle-gated demonstration of the
+    grouped-map UDF pattern (numpy kernel, Arrow batches, one group per
+    call).
+
+    Scale shape: one shuffle on ``group_col``; groups stream through
+    workers as Arrow batches, so memory is bounded by the largest
+    group, and the kernel is vectorized numpy, not per-row Python.
+    The closure is self-contained (numpy/pandas only) — workers never
+    import this package.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField(group_col, df.schema[group_col].dataType),
+        T.StructField("std_embedding", T.ArrayType(T.DoubleType())),
+    ])
+
+    def standardize(pdf):
+        import numpy as np
+        import pandas as pd
+
+        # shuffle delivers group rows in arbitrary order; sorting first
+        # makes pairwise float summation (and thus the rounded outputs)
+        # bit-stable across runs
+        pdf = pdf.sort_values(id_col)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        mu = float(mat.mean())
+        sd = float(mat.std()) or 1.0
+        std = (mat - mu) / sd
+        return pd.DataFrame({
+            id_col: pdf[id_col].values,
+            group_col: pdf[group_col].values,
+            "std_embedding": [np.round(row, 6).tolist() for row in std],
+        })
+
+    return (
+        df.select(id_col, group_col, vec_col)
+        .groupBy(group_col)
+        .applyInPandas(standardize, schema=out_schema)
+    )

@@ -633,3 +633,41 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.cosine_topk_ivf(emb, queries, k=5, n_clusters=8, n_probe=4)
+
+
+@register(
+    "embedding_standardize_by_label",
+    oracle="""
+        WITH comp AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings
+        ), stats AS (
+            SELECT label, avg(x) AS mu,
+                   -- population std to match numpy's default ddof=0
+                   sqrt(avg(x * x) - avg(x) * avg(x)) AS sd
+            FROM comp GROUP BY label
+        )
+        , ex AS (
+            SELECT vec_id, label,
+                   CAST(generate_subscripts(embedding::DOUBLE[], 1) - 1 AS INT) AS idx,
+                   unnest(embedding::DOUBLE[]) AS x
+            FROM embeddings
+        )
+        SELECT ex.vec_id, ex.label, ex.idx,
+               round((ex.x - s.mu)
+                     / (CASE WHEN s.sd = 0 THEN 1.0 ELSE s.sd END), 6) AS val
+        FROM ex JOIN stats s ON ex.label = s.label
+    """,
+    doc="applyInPandas grouped-map: per-label embedding standardization, "
+        "numpy kernel checked value-by-value against window SQL (§2.10). "
+        "Output exploded to scalar rows — array columns don't hash "
+        "portably across engines.",
+    tags=("llm", "similarity", "udf"),
+)
+def embedding_standardize_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    std = S.standardize_by_group(emb)
+    return std.select(
+        "vec_id", "label", F.posexplode("std_embedding").alias("idx", "val")
+    )

@@ -53,7 +53,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
                 return "\x00NULL"
         except (TypeError, ValueError):
             pass
-        if isinstance(v, (list, tuple)):
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return "[" + ",".join(canon(x) for x in v) + "]"
         return str(v)
 
