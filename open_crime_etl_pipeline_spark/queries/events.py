@@ -228,3 +228,53 @@ def user_activity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
         .cast("bigint").alias("active_span_sec"),
     )
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Exact linear-interpolated percentiles per group (Spark percentile ≡ "
+        "DuckDB quantile_cont; the approx_percentile sketch is the 100 TB "
+        "path, same query shape).",
+    tags=("events", "agg", "percentile"),
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
+    "grouping_sets_type_hour",
+    oracle="""
+        SELECT event_type, CAST(NULL AS BIGINT) AS hour_of_day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT CAST(NULL AS VARCHAR) AS event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY hour(ts)
+    """,
+    doc="GROUPING SETS ((event_type), (hour)) — the dashboard-slice shape "
+        "cube/rollup generalize (A8).",
+    tags=("events", "agg", "grouping-sets"),
+)
+def grouping_sets_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_gs")
+    return spark.sql("""
+        SELECT event_type, CAST(hour_of_day AS BIGINT) AS hour_of_day,
+               count(*) AS n
+        FROM (SELECT event_type, hour(ts) AS hour_of_day FROM __ev_gs)
+        GROUP BY GROUPING SETS ((event_type), (hour_of_day))
+    """)

@@ -106,3 +106,44 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_events(spark, sf_dir), gap_seconds=1800, watermark="2 hours"
     )
     return _run_to_table(stream, "stream_sessions")
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id AS user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(round(date_diff('second', c.ts, p.ts), 0) AS BIGINT) AS secs_to_purchase
+        FROM clicks c JOIN purchases p
+          ON p.user_id = c.user_id
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream interval join (click→purchase attribution within 30 min): "
+        "real dual readStream run; append-mode inner join emits exactly the "
+        "batch join result, so the oracle is plain interval-join SQL (ST10).",
+    tags=("streaming", "join", "interval"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import stream_interval_join
+
+    ev = _stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    joined = stream_interval_join(
+        clicks, purchases, on="user_id", upper="30 minutes",
+        left_prefix="c_", right_prefix="p_",
+    )
+    out = joined.select(
+        F.col("c_user_id").alias("user_id"),
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("secs_to_purchase"),
+    )
+    return _run_to_table(out, "stream_ij")

@@ -238,3 +238,36 @@ def foreach_batch_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join (ST10): right-side events within
+    ``(left_ts, left_ts + upper]`` of a left event with the same key —
+    the click→conversion attribution shape. Both sides carry watermarks
+    and the time-range condition bounds join state: rows older than
+    watermark − upper are evicted (without the range condition a
+    stream-stream join's state grows forever).
+    """
+    l = left.withWatermark(left_ts, watermark).select(
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    lts, rts = F.col(f"{left_prefix}{left_ts}"), F.col(f"{right_prefix}{right_ts}")
+    cond = (
+        (F.col(f"{left_prefix}{on}") == F.col(f"{right_prefix}{on}"))
+        & (rts > lts)
+        & (rts <= lts + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")

@@ -172,3 +172,25 @@ def test_foreach_batch_upsert_idempotent_replay(spark, tmp_path):
     q.awaitTermination(120)
     rows2 = {r["id"]: r["case_number"] for r in spark.read.parquet(target).collect()}
     assert rows2 == rows
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    from open_crime_etl_pipeline_spark.streaming.pipeline import stream_interval_join
+
+    src = str(tmp_path / "events")
+    rows = [
+        (BASE, 1, "click"),
+        (BASE + dt.timedelta(minutes=10), 1, "purchase"),   # within 30m of click
+        (BASE + dt.timedelta(minutes=50), 1, "purchase"),   # outside 30m
+        (BASE + dt.timedelta(minutes=5), 2, "purchase"),    # different user has no click
+    ]
+    _write_events(spark, src, rows)
+    ev = spark.read.parquet(src)
+    sev = spark.readStream.schema(ev.schema).parquet(src)
+    clicks = sev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purch = sev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    joined = stream_interval_join(clicks, purch, on="user_id", upper="30 minutes",
+                                  left_prefix="c_", right_prefix="p_")
+    out = _run_available_now(joined, str(tmp_path), "ij").collect()
+    assert len(out) == 1
+    assert out[0].c_user_id == 1 and out[0].p_event_id == 1
