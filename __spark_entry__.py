@@ -56,6 +56,14 @@ def _configure(spark: SparkSession) -> None:
     except Exception:
         pass  # static conf on some builds; readers fall back gracefully
     try:
+        # results are partition-count-invariant; 200 default partitions
+        # just slows sf0.01 runs (and gives streaming ops 200 state
+        # stores). AQE coalesces upward cases.
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 32:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
+    try:
         _ship_package(spark)
     except Exception:
         pass  # best-effort; only Pandas-UDF queries need it

@@ -242,3 +242,32 @@ def salted_join_skew_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.round(F.sum(dec2("l_quantity")), 2).cast("double").alias("total_qty"),
     )
+
+
+@register(
+    "crime_pipeline_lifecycle",
+    oracle=None,  # orchestration over the REST source + scratch lake, not a testdata table
+    doc="The reference's whole DAG as one run: FULL load → INCREMENT load "
+        "with overlap → ledger rows; returns per-run mode/status/table-size "
+        "(§3.1 crime_etl topology, deterministic offline endpoint).",
+    tags=("pipeline", "e2e", "incremental"),
+)
+def crime_pipeline_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from ..pipeline import CrimePipeline
+
+    root = tempfile.mkdtemp(prefix="crime_lake_")
+    try:
+        p = CrimePipeline(spark, root, endpoint="fake://120", pagesize=60)
+        r1 = p.run(now=dt.datetime(2025, 2, 15, 12), load_date=dt.date(2025, 2, 15))
+        r2 = p.run(now=dt.datetime(2025, 3, 10, 12), load_date=dt.date(2025, 3, 10))
+        return spark.createDataFrame(
+            [(1, r1["mode"], r1["status"], r1["table_rows"]),
+             (2, r2["mode"], r2["status"], r2["table_rows"])],
+            "run_seq int, mode string, status string, table_rows long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

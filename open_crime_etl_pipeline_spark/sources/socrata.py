@@ -108,7 +108,7 @@ def _fake_page(
     out = []
     for i in range(lo, hi):
         ts = window_start + dt.timedelta(seconds=(i * span) / max(rows_per_month, 1))
-        key = f"{window_start:%Y%m}{i:06d}"
+        key = f"{window_start:%Y%m%d}{i:06d}"
         out.append({
             "id": key,
             "case_number": f"HZ{key}",
