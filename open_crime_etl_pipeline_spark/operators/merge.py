@@ -67,6 +67,11 @@ def merge_upsert(
 
     ``order_by``: resolve intra-batch duplicate keys last-writer-wins
     before merging (J2). None ⇒ source must be key-unique.
+
+    Precondition: the TARGET is key-unique (the reference's target has
+    a PK — `create_crime.sql:2`). The property is inductive: a merge
+    into a key-unique target yields a key-unique result, and the engine
+    only builds targets through this merge.
     ``broadcast_source``: force/disable broadcasting the source side of
     the anti join; default lets AQE/threshold decide, which picks
     broadcast for the typical small-batch incremental load.

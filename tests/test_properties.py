@@ -1,0 +1,106 @@
+"""Property-based tests (SURVEY §5.3): merge idempotence and
+last-writer-wins determinism, dedup invariants, salted-op equivalence —
+over hypothesis-generated micro-tables."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from open_crime_etl_pipeline_spark.operators.dedup import exact_dedup
+from open_crime_etl_pipeline_spark.operators.merge import (
+    dedup_last_writer_wins,
+    merge_upsert,
+)
+from open_crime_etl_pipeline_spark.operators.skew import salted_count
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+row = st.tuples(
+    st.integers(min_value=0, max_value=5),    # key
+    st.integers(min_value=0, max_value=100),  # version / order col
+    st.text(alphabet="abc ", min_size=0, max_size=8),
+)
+rows = st.lists(row, min_size=0, max_size=15)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, "k int, v int, payload string") if data else \
+        spark.createDataFrame([], "k int, v int, payload string")
+
+
+@SLOW
+@given(target=rows, source=rows)
+def test_merge_idempotent(spark, target, source):
+    t, s = _df(spark, target), _df(spark, source)
+    once = merge_upsert(t, s, keys=["k"], order_by=["v"]).cache()
+    twice = merge_upsert(once, s, keys=["k"], order_by=["v"])
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+def _key_unique(data):
+    """merge_upsert's documented precondition: targets are key-unique
+    (built by merge, whose output is key-unique by induction)."""
+    seen, out = set(), []
+    for r in data:
+        if r[0] not in seen:
+            seen.add(r[0])
+            out.append(r)
+    return out
+
+
+@SLOW
+@given(target=rows, source=rows)
+def test_merge_key_unique_and_source_wins(spark, target, source):
+    target = _key_unique(target)
+    t, s = _df(spark, target), _df(spark, source)
+    merged = merge_upsert(t, s, keys=["k"], order_by=["v"]).collect()
+    ks = [r.k for r in merged]
+    assert len(ks) == len(set(ks))  # PK uniqueness always holds
+    src_keys = {r[0] for r in source}
+    # for every key present in the source, the merged row is the
+    # deterministic last-writer (max (v, payload)) of the source rows
+    for key in src_keys:
+        winner = max((r for r in source if r[0] == key), key=lambda r: (r[1], r[2]))
+        got = next(r for r in merged if r.k == key)
+        assert (got.v, got.payload) == (winner[1], winner[2])
+
+
+@SLOW
+@given(data=rows)
+def test_lww_dedup_deterministic_across_runs(spark, data):
+    df = _df(spark, data)
+    a = sorted(dedup_last_writer_wins(df, ["k"], ["v"]).collect())
+    b = sorted(dedup_last_writer_wins(df.repartition(5), ["k"], ["v"]).collect())
+    assert a == b  # partitioning must not change the winner
+
+
+@SLOW
+@given(data=rows)
+def test_exact_dedup_min_id_per_text(spark, data):
+    # use v as the id, payload as the text
+    df = _df(spark, data).select(F.col("v").alias("id"), F.col("payload").alias("text"))
+    kept = exact_dedup(df, "id", "text").collect()
+    # expected: min id per normalized text
+    import re
+
+    norm = lambda t: re.sub(r"\s+", " ", t.strip()).lower()
+    expect = {}
+    for _, v, payload in data:
+        n = norm(payload)
+        expect[n] = min(expect.get(n, v), v)
+    assert sorted({r.id for r in kept}) == sorted(set(expect.values()))
+
+
+@SLOW
+@given(data=rows)
+def test_salted_count_matches_plain(spark, data):
+    df = _df(spark, data)
+    plain = {(r.k): r["count"] for r in df.groupBy("k").count().collect()}
+    salted = {(r.k): r.n for r in salted_count(df, ["k"], salt_buckets=4).collect()}
+    assert plain == salted
