@@ -321,3 +321,103 @@ def date_dim_holiday_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("holiday_name"),
         F.when(F.col("holiday_name").isNotNull(), 1).otherwise(0).alias("is_holiday"),
     )
+
+
+@register(
+    "unpivot_event_value_stats",
+    oracle="""
+        WITH agg AS (
+            SELECT event_type,
+                   round(min(value), 6) AS min_v,
+                   round(max(value), 6) AS max_v,
+                   round(avg(value), 6) AS avg_v
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, 'min_v' AS metric, min_v AS metric_value FROM agg
+        UNION ALL
+        SELECT event_type, 'max_v' AS metric, max_v AS metric_value FROM agg
+        UNION ALL
+        SELECT event_type, 'avg_v' AS metric, avg_v AS metric_value FROM agg
+    """,
+    doc="Unpivot (wide→long) via stack() — the inverse of the pivot query (A8/F14).",
+    tags=("scalar", "unpivot"),
+)
+def unpivot_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+    )
+    return agg.select(
+        "event_type",
+        F.expr("stack(3, 'min_v', min_v, 'max_v', max_v, 'avg_v', avg_v) AS (metric, metric_value)"),
+    )
+
+
+@register(
+    "null_ordering_explicit",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE round(c_acctbal, 2) END AS bal,
+               row_number() OVER (
+                   ORDER BY (CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE round(c_acctbal, 2) END)
+                            DESC NULLS LAST,
+                            c_custkey
+               ) AS rnk
+        FROM customer
+        WHERE c_custkey <= 200
+    """,
+    doc="Explicit NULLS LAST ordering under a window — Spark and ANSI default "
+        "null ordering for DESC differ (Spark: nulls last; many engines: nulls "
+        "first), so orderings over nullable keys must pin it (§2.6 risk item).",
+    tags=("scalar", "sort", "nulls"),
+)
+def null_ordering_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    bal = F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+        F.round("c_acctbal", 2)
+    )
+    w = Window.orderBy(bal.desc_nulls_last(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey", bal.alias("bal"), F.row_number().over(w).alias("rnk")
+    )
+
+
+@register(
+    "array_hof_suite",
+    oracle="""
+        SELECT vec_id,
+               len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos,
+               round(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS l1_norm,
+               CAST(len(list_filter(embedding::DOUBLE[], x -> x > 2.5)) > 0 AS BOOLEAN) AS any_gt,
+               CAST(len(list_filter(embedding::DOUBLE[], x -> abs(x) <= 10)) = len(embedding) AS BOOLEAN) AS all_bounded,
+               round(list_reduce(list_transform(embedding::DOUBLE[], x -> greatest(x, 0.0)),
+                                 (a, b) -> greatest(a, b)), 6) AS max_clipped
+        FROM embeddings WHERE vec_id < 100
+    """,
+    doc="Higher-order array function suite: filter/transform/exists/forall/"
+        "aggregate — the Catalyst HOF surface every [EXT] operator builds on (F14).",
+    tags=("scalar", "array", "hof"),
+)
+def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, b: a + b), 6
+        ).alias("l1_norm"),
+        F.exists(v, lambda x: x > 2.5).alias("any_gt"),
+        F.forall(v, lambda x: F.abs(x) <= 10).alias("all_bounded"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: F.greatest(x, F.lit(0.0))),
+                F.lit(0.0).cast("double"),
+                lambda a, b: F.greatest(a, b),
+            ), 6
+        ).alias("max_clipped"),
+    )
