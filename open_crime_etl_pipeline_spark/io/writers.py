@@ -55,3 +55,21 @@ def write_partitioned_crime(
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Plain parquet table write (ledger, dims, silver outputs)."""
     df.write.mode(mode).parquet(path)
+
+
+def write_dual(
+    df: DataFrame,
+    path_a: str,
+    path_b: str,
+    mode: str = "overwrite",
+) -> None:
+    """S8 dual-sink fan-out (≡ `upload_s3 >> [load_postgres,
+    load_snowflake]`, crime_etl.py:694): persist once, write twice —
+    the upstream plan executes a single time instead of once per sink.
+    Unpersists afterward."""
+    df.persist()
+    try:
+        df.write.mode(mode).parquet(path_a)
+        df.write.mode(mode).parquet(path_b)
+    finally:
+        df.unpersist()

@@ -140,6 +140,7 @@ def lsh_candidate_pairs(
     id_col: str,
     bands: int = 4,
     num_hashes: int | None = None,
+    with_signatures: bool = True,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash): docs
     sharing any band become candidate pairs (a < b). The join key is
@@ -166,8 +167,21 @@ def lsh_candidate_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "signature", "bk.band", "bk.band_hash")
+    if not with_signatures:
+        # exact-verify callers re-score from shingles; dropping the
+        # signature arrays here keeps the dedup shuffle to 16-byte rows
+        banded = banded.drop("signature")
     a = banded.alias("a")
     b = banded.alias("b")
+    pair_cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    ]
+    if with_signatures:
+        pair_cols += [
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        ]
     return (
         a.join(
             b,
@@ -175,12 +189,7 @@ def lsh_candidate_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(*pair_cols)
         .distinct()
     )
 
@@ -206,7 +215,9 @@ def minhash_near_dup_pairs(
     # persist: the LSH self-join reads signatures on both sides — without
     # this the (HOF-heavy, non-codegen) signature computation runs twice
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn).persist()
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, num_hashes=num_hashes, with_signatures=not verify_exact
+    )
     if not verify_exact:
         est = (
             F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))

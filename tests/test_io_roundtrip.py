@@ -54,3 +54,14 @@ def test_gzip_compression_applied(spark, landing):
     path, _ = landing
     files = spark.read.json(path).inputFiles()
     assert files and all(f.endswith(".gz") for f in files)
+
+
+def test_dual_sink_fanout(spark, tmp_path):
+    from open_crime_etl_pipeline_spark.io.writers import write_dual
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    a, b = str(tmp_path / "sink_a"), str(tmp_path / "sink_b")
+    write_dual(df, a, b)
+    ra = sorted((r.id, r.v) for r in spark.read.parquet(a).collect())
+    rb = sorted((r.id, r.v) for r in spark.read.parquet(b).collect())
+    assert ra == rb and len(ra) == 100
