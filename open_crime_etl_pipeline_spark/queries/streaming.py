@@ -53,6 +53,8 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_table(stream: DataFrame, prefix: str) -> DataFrame:
+    import shutil
+
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     q = (
@@ -64,6 +66,9 @@ def _run_to_table(stream: DataFrame, prefix: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    # the memory-sink table holds the results; the checkpoint is
+    # one-shot scratch — don't leak a dir per invocation
+    shutil.rmtree(ckpt, ignore_errors=True)
     return stream.sparkSession.table(name)
 
 
