@@ -1,0 +1,42 @@
+"""Deterministic sampling & train/val splits (SURVEY §2.11 [EXT]).
+
+Training-data pipelines need samples and splits that are REPRODUCIBLE
+across runs, engines, and cluster sizes — `rand()`-based sampling is
+none of those. Everything here keys off md5(id), which computes
+identically in Spark, DuckDB, and any other engine, so a "10% sample"
+is the same 10% everywhere, forever, and is embarrassingly parallel
+(a scan-side filter: no shuffle, prunes at the source when combined
+with partition predicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col, buckets: int = 100, salt: str = "") -> Column:
+    """Stable bucket in [0, buckets) from md5 of the id (+ salt).
+    Uses the first 8 hex chars → 32-bit int → mod. Engine-portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    return (h.cast("long") % buckets).cast("int")
+
+
+def deterministic_sample(df: DataFrame, id_col: str, pct: int, salt: str = "") -> DataFrame:
+    """Keep rows whose hash bucket < pct (pct in [0,100])."""
+    return df.filter(hash_bucket(id_col, 100, salt) < pct)
+
+
+def train_val_test_split(
+    df: DataFrame, id_col: str, val_pct: int = 10, test_pct: int = 10, salt: str = "",
+) -> DataFrame:
+    """Add a ``split`` column: test | val | train, disjoint and stable.
+    Same row → same split on every run and every engine."""
+    b = hash_bucket(id_col, 100, salt)
+    split = (
+        F.when(b < test_pct, "test")
+        .when(b < test_pct + val_pct, "val")
+        .otherwise("train")
+    )
+    return df.withColumn("split", split)

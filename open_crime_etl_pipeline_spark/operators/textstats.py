@@ -131,3 +131,28 @@ def doc_fingerprint(col: Column | str, shingle_n: int = 3) -> Column:
     """Winnowing-style fingerprint: md5 of the lexicographically
     minimal shingle hash + full-text md5. Stable across engines."""
     return F.md5(F.concat_ws("|", F.array_min(word_shingles(col, shingle_n)), F.md5(col)))
+
+
+def chunk_text(
+    col: Column | str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> Column:
+    """Overlapping token-window chunks — the long-document splitter a
+    training pipeline runs before tokenization. Returns
+    array<struct<chunk_idx int, chunk string>>; stride =
+    chunk_tokens − overlap. Pure Catalyst HOFs (sequence/slice/
+    concat_ws) — the chunk explode is scan-side, no shuffle."""
+    toks = tokens(col)
+    stride = max(1, chunk_tokens - overlap)
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(overlap)).cast("double") / stride).cast("int"),
+        F.lit(1),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias("chunk"),
+        ),
+    )

@@ -671,3 +671,57 @@ def embedding_standardize_by_label(spark: SparkSession, sf_dir: str) -> DataFram
     return std.select(
         "vec_id", "label", F.posexplode("std_embedding").alias("idx", "val")
     )
+
+
+@register(
+    "deterministic_split_documents",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN b < 10 THEN 'test'
+                    WHEN b < 20 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'r1'), 1, 8) AS BIGINT) % 100 AS INT) AS b
+            FROM documents
+        )
+    """,
+    doc="Deterministic md5-bucket train/val/test split — identical assignment "
+        "in every engine and every run; scan-side, no shuffle (§2.11 sampling).",
+    tags=("llm", "sampling"),
+)
+def deterministic_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import train_val_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_val_test_split(docs, "doc_id", val_pct=10, test_pct=10, salt="r1").select(
+        "doc_id", "split"
+    )
+
+
+@register(
+    "doc_chunking_overlap",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents WHERE doc_id < 200
+        ), n AS (
+            SELECT doc_id, toks,
+                   greatest(CAST(ceil((len(toks) - 16) / 48.0) AS INT), 1) AS n_chunks
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
+        FROM n, unnest(range(0, n_chunks)) AS u(i)
+    """,
+    doc="Overlapping token-window chunking (64-token chunks, 16 overlap) — the "
+        "long-document splitter, exploded to one row per chunk (§2.11 text).",
+    tags=("llm", "text", "chunking"),
+)
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chunks = TS.chunk_text("text", chunk_tokens=64, overlap=16)
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk")
+    )
