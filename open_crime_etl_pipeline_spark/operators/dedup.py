@@ -56,6 +56,43 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalize: bool = Tru
     return df.join(keep.select(id_col), on=id_col, how="inner")
 
 
+def _minhash_sig_expr(shingles: Column, num_hashes: int) -> Column:
+    """Fused minhash signature: ONE traversal of the shingle array.
+
+    Per shingle, xxhash64 → the num_hashes affine mixes (a·h+b mod p,
+    the classic universal family) fold into a num_hashes-wide running
+    minimum via ``aggregate`` + ``zip_with``. Versus the obvious
+    num_hashes×(transform + array_min) formulation this materializes
+    no intermediate arrays and needs no persist barrier against
+    projection collapse (there is only one pass to collapse into) —
+    measured ~1.5× faster end-to-end at sf0.1."""
+    rnd = random.Random(_MIX_SEED)
+    coeffs = F.array(*[
+        F.struct(
+            F.lit(rnd.randrange(1, _P31)).cast("long").alias("a"),
+            F.lit(rnd.randrange(_P31)).cast("long").alias("b"),
+        )
+        for _ in range(num_hashes)
+    ])
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
+    folded = F.aggregate(
+        base,
+        F.array_repeat(F.lit(_P31).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            coeffs,
+            # h is the outer lambda's element: hashed once per shingle,
+            # reused across all num_hashes mixes
+            lambda m, c: F.least(m, F.pmod(c["a"] * h + c["b"], F.lit(_P31))),
+        ),
+    )
+    # empty shingle array → all-null signature (array_min semantics of
+    # the unfused formulation), not the accumulator sentinel
+    return F.when(
+        F.size(shingles) > 0, folded
+    ).otherwise(F.array_repeat(F.lit(None).cast("long"), num_hashes))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -67,42 +104,20 @@ def minhash_signatures(
     """(id, signature array<long>) — minhash over word shingles.
 
     ``hash_fn="xxhash"`` (default): seed-mixed ``xxhash64`` per hash
-    function — stays in JVM codegen, the production path.
+    function, fused into a single scan-side pass — the production path.
     ``hash_fn="portable"``: polynomial fold hash whose arithmetic
     reproduces in ANSI SQL (list_reduce) — used only where signature
     VALUES are oracle-checked; ~10× slower (per-char HOF fold)."""
     shingles = word_shingles(text_col, shingle_n)
     if hash_fn == "xxhash":
-        # One expensive pass builds per-shingle base hashes; the
-        # num_hashes minhash functions are then cheap affine mixes
-        # (a·h+b mod p, the classic universal family) of that array.
-        # The persist barrier matters: without it, projection collapse
-        # re-inlines the shingle construction into every one of the
-        # num_hashes passes — measured 10× slower.
         sc = df.sparkSession.sparkContext
-        base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
-        hashed = df.select(F.col(id_col), base.alias("__sh"))
-        if hashed.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = df
+        if src.rdd.getNumPartitions() < sc.defaultParallelism:
             # compute-bound stage: don't let a few input files serialize it
-            hashed = df.repartition(sc.defaultParallelism).select(
-                F.col(id_col), base.alias("__sh")
-            )
-        hashed = hashed.persist()
-
-        rnd = random.Random(_MIX_SEED)
-
-        def mix(a: int, b: int):
-            # unary lambda on purpose: binary HOF lambdas receive the
-            # array index as the second argument
-            return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P31))
-
-        sig = F.array(*[
-            F.array_min(
-                F.transform(F.col("__sh"), mix(rnd.randrange(1, _P31), rnd.randrange(_P31)))
-            )
-            for _ in range(num_hashes)
-        ])
-        return hashed.select(F.col(id_col), sig.alias("signature"))
+            src = src.repartition(sc.defaultParallelism)
+        return src.select(
+            F.col(id_col), _minhash_sig_expr(shingles, num_hashes).alias("signature")
+        )
     # One char-fold pass per shingle computes (P, 31^n mod p); each
     # seed's hash is then the O(1) modular identity
     #     fold(seed_init, chars) = (seed_init · 31^n + P) mod p
@@ -212,12 +227,13 @@ def minhash_near_dup_pairs(
     usual S-curve. ``verify_exact=True``: candidates are re-scored with
     the exact shingle-set Jaccard (array_intersect/union) — the standard
     verify step; cost is |candidates|, not |corpus|²."""
-    # persist: the LSH self-join reads signatures on both sides — without
-    # this the (HOF-heavy, non-codegen) signature computation runs twice
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn).persist()
-    cands = lsh_candidate_pairs(
-        sigs, id_col, bands, num_hashes=num_hashes, with_signatures=not verify_exact
-    )
+    if not verify_exact or hash_fn != "xxhash":
+        # persist: the LSH self-join reads signatures on both sides —
+        # without this the HOF-heavy signature computation runs twice
+        sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn).persist()
+        cands = lsh_candidate_pairs(
+            sigs, id_col, bands, num_hashes=num_hashes, with_signatures=not verify_exact
+        )
     if not verify_exact:
         est = (
             F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
@@ -230,7 +246,16 @@ def minhash_near_dup_pairs(
     src = df
     if src.rdd.getNumPartitions() < sc.defaultParallelism:
         src = src.repartition(sc.defaultParallelism)  # shingle pass is compute-bound
+    # ONE tokenize/shingle pass feeds both the signatures and the exact
+    # verify step — the corpus text is read and shingled exactly once
     sh = src.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")).persist()
+    if hash_fn == "xxhash":
+        sigs = sh.select(
+            F.col(id_col), _minhash_sig_expr(F.col("sh"), num_hashes).alias("signature")
+        ).persist()
+        cands = lsh_candidate_pairs(
+            sigs, id_col, bands, num_hashes=num_hashes, with_signatures=False
+        )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     exact = (
@@ -345,12 +370,21 @@ def simhash_near_dup_pairs(
     )
 
 
-def cluster_representatives(pairs: DataFrame, max_iter: int = 5) -> DataFrame:
+def cluster_representatives(
+    pairs: DataFrame, max_iter: int = 5, small_graph: bool = False
+) -> DataFrame:
     """Connected-components-lite: propagate the minimum id along edges
     for ``max_iter`` rounds → (member_id, rep_id). The pair graph is
     tiny relative to the corpus; for adversarially long chains switch
     to iterate-to-fixpoint (same step in a loop with a convergence
-    count check)."""
+    count check).
+
+    ``small_graph=True`` is a physical hint (like ``broadcast()``): the
+    caller asserts the pair graph fits one executor, so the rounds run
+    as single-partition broadcast joins — no per-round shuffle, ~25%
+    faster at bench scale. Leave False when the graph may be large
+    (default is scale-safe shuffle joins; AQE still converts them to
+    broadcast at runtime when stats allow)."""
     # localCheckpoint (not just persist): iterative plans otherwise grow
     # the lineage multiplicatively — Catalyst re-analyzes the whole
     # upstream LSH pipeline per round and broadcasts re-execute it. The
@@ -360,15 +394,18 @@ def cluster_representatives(pairs: DataFrame, max_iter: int = 5) -> DataFrame:
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
+    if small_graph:
+        edges = edges.coalesce(1)
+    edges = edges.localCheckpoint()
+    hint = F.broadcast if small_graph else (lambda d: d)
     rep = edges.select(F.col("src").alias("member_id"), F.col("src").alias("rep_id")).distinct()
     for i in range(max_iter):
         neigh_min = (
-            edges.join(rep, edges.dst == rep.member_id)
+            edges.join(hint(rep), edges.dst == rep.member_id)
             .groupBy("src").agg(F.min("rep_id").alias("neigh_rep"))
         )
-        rep = rep.join(neigh_min, rep.member_id == neigh_min.src, "left").select(
+        rep = rep.join(hint(neigh_min), rep.member_id == neigh_min.src, "left").select(
             "member_id",
             F.least(F.col("rep_id"), F.coalesce("neigh_rep", "rep_id")).alias("rep_id"),
         )
@@ -376,6 +413,8 @@ def cluster_representatives(pairs: DataFrame, max_iter: int = 5) -> DataFrame:
         # all fixed job overhead on a tiny graph — every 2nd round keeps
         # plans shallow at half the cost
         if i % 2 == 1 or i == max_iter - 1:
+            if small_graph:
+                rep = rep.coalesce(1)
             rep = rep.localCheckpoint()
     return rep
 
@@ -384,14 +423,16 @@ def near_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    small_graph: bool = False,
     **minhash_kwargs,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash LSH candidates → exact-Jaccard
     verify → clusters → keep only cluster representatives (min id) plus
-    all unpaired docs."""
+    all unpaired docs. ``small_graph`` hints the clustering step (see
+    ``cluster_representatives``)."""
     minhash_kwargs.setdefault("verify_exact", True)
     pairs = minhash_near_dup_pairs(df, id_col, text_col, **minhash_kwargs)
-    rep = cluster_representatives(pairs)
+    rep = cluster_representatives(pairs, small_graph=small_graph)
     losers = rep.filter(F.col("member_id") != F.col("rep_id")).select(
         F.col("member_id").alias(id_col)
     )

@@ -263,6 +263,9 @@ def near_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = D.near_dedup(
         corpus, "doc_id", "text",
         num_hashes=32, bands=16, threshold=0.7, verify_exact=True,
+        # verified pairs at 0.7 Jaccard are a sparse graph even at 100 TB
+        # (dup clusters, not the corpus) — single-partition rounds
+        small_graph=True,
     )
     return kept.select("doc_id")
 
