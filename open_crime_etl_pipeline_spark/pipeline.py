@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +37,7 @@ from .incremental.watermark import (
     incremental_window,
     read_watermark,
 )
+from .io.table import VersionedParquetTable
 from .io.writers import write_partitioned_crime
 from .operators.merge import merge_upsert
 from .schemas import CRIME_SILVER_SCHEMA
@@ -63,22 +63,26 @@ class CrimePipeline:
         self.pagesize = pagesize
         self.landing = os.path.join(lake_root, "raw")
         self.table_path = os.path.join(lake_root, "crime")
+        # Versioned table with an atomic commit log: a merge publishes a
+        # new immutable snapshot (single data write), readers never see a
+        # partial rewrite, and a crash mid-commit leaves the previous
+        # version intact (vs the old staging double-write + in-place
+        # overwrite, which was neither atomic nor crash-safe).
+        self.table = VersionedParquetTable(
+            spark, self.table_path, schema=CRIME_SILVER_SCHEMA
+        )
         self.ledger = RunLedger(spark, os.path.join(lake_root, "logs"))
         register_socrata_source(spark)
 
     # -- table access -------------------------------------------------
     def crime_table(self) -> DataFrame:
-        if not os.path.exists(self.table_path):
-            return self.spark.createDataFrame([], CRIME_SILVER_SCHEMA)
-        return self.spark.read.schema(CRIME_SILVER_SCHEMA).parquet(self.table_path)
+        return self.table.read()
 
-    def _overwrite_table(self, df: DataFrame) -> None:
-        # merged plan reads from table_path; two-step swap avoids
-        # clobbering its own input mid-scan
-        tmp = self.table_path + ".staging"
-        df.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.table_path)
-        shutil.rmtree(tmp, ignore_errors=True)
+    def _overwrite_table(self, df: DataFrame, action: str) -> None:
+        self.table.commit(df, action=action)
+        # retain the previous snapshot for rollback/time travel; older
+        # ones (and orphans from crashed commits) are reclaimed eagerly
+        self.table.vacuum(keep_last=2)
 
     # -- DAG stages ---------------------------------------------------
     def ingest_window(self, start: dt.datetime, end: dt.datetime,
@@ -124,7 +128,7 @@ class CrimePipeline:
             merged = merge_upsert(
                 target, batch, keys=["crime_id"], order_by=["source_updated_on"]
             )
-            self._overwrite_table(merged)
+            self._overwrite_table(merged, action=f"merge:{mode}")
             self.ledger.finish_run(run_id, load_date, "SUCCESS")
             status = "SUCCESS"
         except Exception:
@@ -157,7 +161,7 @@ class CrimePipeline:
                 self.crime_table(), batch,
                 keys=["crime_id"], order_by=["source_updated_on"],
             )
-            self._overwrite_table(merged)
+            self._overwrite_table(merged, action="merge:RECOVERY")
             self.ledger.finish_run(run_id, d, "SUCCESS")
             recovered.append(d.isoformat())
         return recovered
