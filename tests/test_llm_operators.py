@@ -138,3 +138,35 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     assert len(exact & ivf) / len(exact) >= 0.6
     # every returned neighbor must carry a correct similarity rank shape
     assert all(r.rank <= 5 for r in S.cosine_topk_ivf(emb, q, k=5, n_clusters=8, n_probe=4).collect())
+
+
+def test_prefix_filter_jaccard_equals_naive_join(spark, near_corpus):
+    """The prefix-filtered set-similarity join must be bit-identical to
+    the naive explode-and-join formulation (it is an exact algorithm,
+    not an approximation) — including low thresholds where prefixes are
+    long and stop-shingles would dominate the naive join."""
+    for t in (0.3, 0.5, 0.8):
+        sh = near_corpus.select(
+            "doc_id", F.explode(TS.word_shingles("text", 3)).alias("shingle")
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .agg(F.count("*").alias("o"))
+        )
+        naive = {
+            (r.id_a, r.id_b, round(r.o / (r.n_a + r.n_b - r.o), 6))
+            for r in inter
+            .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+            .collect()
+            if r.o / (r.n_a + r.n_b - r.o) >= t
+        }
+        fast = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(near_corpus, "doc_id", "text", threshold=t).collect()
+        }
+        assert fast == naive, f"threshold {t}: {fast ^ naive}"
