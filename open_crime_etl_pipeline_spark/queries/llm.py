@@ -639,6 +639,22 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cosine_topk_ivf_kmeanspp",
+    oracle=None,  # approximate by construction; determinism + balance + recall asserted in tests
+    doc="IVF top-k with k-means|| centroids (Bahmani init + distributed Lloyd "
+        "refinement): balanced inverted lists bound the per-probe scan "
+        "fraction, the property hash seeding cannot guarantee (§2.11 scale path).",
+    tags=("llm", "similarity", "ivf", "kmeans"),
+)
+def cosine_topk_ivf_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk_ivf(
+        emb, queries, k=5, n_clusters=8, n_probe=4, centroid_init="kmeans||"
+    )
+
+
+@register(
     "embedding_standardize_by_label",
     oracle="""
         WITH comp AS (

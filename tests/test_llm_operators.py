@@ -170,3 +170,36 @@ def test_prefix_filter_jaccard_equals_naive_join(spark, near_corpus):
             for r in D.ngram_jaccard_pairs(near_corpus, "doc_id", "text", threshold=t).collect()
         }
         assert fast == naive, f"threshold {t}: {fast ^ naive}"
+
+
+def test_kmeans_parallel_centroids_deterministic_and_balanced(spark, sf_dir):
+    """k-means|| init: deterministic (hash-thresholded sampling, no RNG
+    state), exactly k centroids, and inverted lists with bounded skew —
+    the property that gives IVF its scan-fraction guarantee. (The
+    synthetic embeddings are near-uniform, so a recall WIN over hash
+    seeding is not assertable here; recall floor is.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    c1 = S.kmeans_parallel_centroids(emb, 6)
+    c2 = S.kmeans_parallel_centroids(emb, 6)
+    rows1 = sorted(map(str, c1.collect()))
+    assert rows1 == sorted(map(str, c2.collect()))
+    assert c1.count() == 6
+    sizes = [
+        r["c"]
+        for r in S.ivf_assign(emb, c1).groupBy("cluster_id")
+        .agg(F.count("*").alias("c")).collect()
+    ]
+    assert len(sizes) == 6 and max(sizes) <= 0.5 * n  # no mega-cluster
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk_ivf(
+            emb, q, k=5, n_clusters=6, n_probe=4, centroid_init="kmeans||"
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.4  # probes 4/6 of the lists
