@@ -43,9 +43,12 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
     LessThan,
     LessThanOrEqual,
+    StringContains,
 )
 from pyspark.sql.types import StructType
 
@@ -97,18 +100,27 @@ def _fake_page(
     rows_per_month: int, window_start: dt.datetime, window_end: dt.datetime,
     pagenum: int, pagesize: int,
 ) -> list[dict]:
-    """Deterministic offline page generator: ``rows_per_month`` records
-    spread uniformly over the window, same paging/termination contract
-    as the HTTP path. Pure function of its arguments."""
+    """Deterministic offline page generator over a FIXED global dataset:
+    ``rows_per_month`` records anchored to each calendar month, the
+    window merely selecting ``ts ∈ [window_start, window_end)`` — so
+    pushdown that tightens the scan window can never change which rows
+    exist, exactly like a real server. Same paging/termination contract
+    as the HTTP path."""
+    sel = []
+    m = window_start.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    while m < window_end:
+        m_end = _add_month(m)
+        span = (m_end - m).total_seconds()
+        for i in range(rows_per_month):
+            ts = m + dt.timedelta(seconds=(i * span) / max(rows_per_month, 1))
+            if window_start <= ts < window_end:
+                sel.append((m, i, ts))
+        m = m_end
     lo = pagenum * pagesize
-    hi = min(lo + pagesize, rows_per_month)
-    if lo >= hi:
-        return []
-    span = (window_end - window_start).total_seconds()
+    page = sel[lo:lo + pagesize]
     out = []
-    for i in range(lo, hi):
-        ts = window_start + dt.timedelta(seconds=(i * span) / max(rows_per_month, 1))
-        key = f"{window_start:%Y%m%d}{i:06d}"
+    for month_start, i, ts in page:
+        key = f"{month_start:%Y%m%d}{i:06d}"
         out.append({
             "id": key,
             "case_number": f"HZ{key}",
@@ -127,7 +139,7 @@ def _fake_page(
             "fbi_code": f"{(i % 26):02d}",
             "x_coordinate": str(1100000 + (i * 37) % 90000),
             "y_coordinate": str(1800000 + (i * 53) % 90000),
-            "year": str(window_start.year),
+            "year": str(month_start.year),
             "updated_on": _fmt_ts(ts),
             "latitude": str(41.6 + (i % 1000) / 2500.0),
             "longitude": str(-87.9 + (i % 1000) / 3300.0),
@@ -140,17 +152,35 @@ def _fake_page(
     return out
 
 
+def _soql_lit(v: str) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _soql_fragment(f: Filter) -> str:
+    """Render an absorbed filter as a SoQL predicate. ``StringContains``
+    becomes ``like '%v%'`` — a superset when v itself holds % or _
+    wildcards, which is fine: the reader re-applies the exact predicate
+    executor-side, so the server-side clause only reduces transfer."""
+    col = f.attribute[0]
+    if isinstance(f, In):
+        return f"{col} in ({', '.join(_soql_lit(v) for v in f.value)})"
+    if isinstance(f, StringContains):
+        return f"{col} like {_soql_lit('%' + f.value + '%')}"
+    return f"{col} is not null"  # IsNotNull
+
+
 def _http_page(
     endpoint: str, window_start: str, window_end: str, pagenum: int, pagesize: int,
+    extra_where: Sequence[str] = (),
 ) -> list[dict]:
     """Real SoQL POST — reference extract.py:9-42 (query line 11,
     POST line 28). Executor-side; one window per task."""
     import urllib.request
 
-    query = (
-        f"select * where updated_on between '{window_start}' and '{window_end}' "
-        f"limit {pagesize} offset {pagenum * pagesize}"
-    )
+    where = f"updated_on between '{window_start}' and '{window_end}'"
+    for frag in extra_where:
+        where += f" and {frag}"
+    query = f"select * where {where} limit {pagesize} offset {pagenum * pagesize}"
     req = urllib.request.Request(
         endpoint,
         data=json.dumps({"query": query}).encode(),
@@ -169,12 +199,42 @@ class SocrataReader(DataSourceReader):
         self.max_pages = int(options.get("max_pages", DEFAULT_MAX_PAGES))
         self.start = options.get("start_date", DEFAULT_START)
         self.end = options.get("end_date", DEFAULT_END)
+        # filters fully absorbed by the source: rendered into the SoQL
+        # WHERE (HTTP path) and re-applied exactly per record in read()
+        self.absorbed: list[Filter] = []
+
+    def _absorbable(self, f: Filter) -> bool:
+        """IN-list / substring / not-null on any schema string column —
+        the SoQL predicate types the reference's hand-built WHERE could
+        express (extract.py:11 shape, generalized)."""
+        attr = getattr(f, "attribute", None)
+        if not (isinstance(attr, tuple) and len(attr) == 1 and attr[0] in self.field_names):
+            return False
+        if isinstance(f, In):
+            return all(isinstance(v, str) for v in f.value)
+        if isinstance(f, StringContains):
+            return isinstance(f.value, str)
+        return isinstance(f, IsNotNull)
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Accept range predicates on updated_on by tightening the scan
-        window (SoQL pushdown, reference extract.py:11 / etl/main.py:34);
+        window (SoQL pushdown, reference extract.py:11 / etl/main.py:34)
+        and absorb IN / contains / not-null predicates server-side;
         everything else is returned for Spark to evaluate."""
         for f in filters:
+            if self._absorbable(f):
+                self.absorbed.append(f)
+                if isinstance(f, In) and f.attribute == ("updated_on",):
+                    # bonus pruning: an IN-list on the scan column also
+                    # bounds the month windows that get planned at all
+                    try:
+                        vals = sorted(f.value)
+                        hi = _fmt_ts(_parse_ts(vals[-1]) + dt.timedelta(milliseconds=1))
+                        self.start = max(self.start, vals[0])
+                        self.end = min(self.end, hi)  # end is exclusive
+                    except (ValueError, IndexError):
+                        pass
+                continue  # not yielded: the source enforces it exactly
             if getattr(f, "attribute", None) == ("updated_on",) and isinstance(
                 f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo)
             ):
@@ -184,12 +244,19 @@ class SocrataReader(DataSourceReader):
                 except ValueError:
                     yield f
                     continue
+                # window end is EXCLUSIVE: inclusive upper predicates
+                # (<=, =) must keep one ms past v inside the scan, or a
+                # row at exactly v is never generated at all — and the
+                # re-yielded filter can't resurrect an unscanned row
+                v_excl = _fmt_ts(_parse_ts(v) + dt.timedelta(milliseconds=1))
                 if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     self.start = max(self.start, v)
-                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                elif isinstance(f, LessThan):
                     self.end = min(self.end, v)
+                elif isinstance(f, LessThanOrEqual):
+                    self.end = min(self.end, v_excl)
                 else:  # EqualTo pins both ends
-                    self.start, self.end = max(self.start, v), min(self.end, v)
+                    self.start, self.end = max(self.start, v), min(self.end, v_excl)
                 # Conservative: windows are tightened but the filter is
                 # also re-evaluated by Spark (boundary inclusiveness).
                 yield f
@@ -204,6 +271,21 @@ class SocrataReader(DataSourceReader):
             MonthWindow(_fmt_ts(a), _fmt_ts(b)) for a, b in month_windows(s, e)
         ]
 
+    def _matches(self, rec: dict) -> bool:
+        """Exact semantics of every absorbed filter (SQL three-valued:
+        null never matches IN or contains)."""
+        for f in self.absorbed:
+            v = rec.get(f.attribute[0])
+            if isinstance(f, In):
+                if v is None or v not in f.value:
+                    return False
+            elif isinstance(f, StringContains):
+                if v is None or f.value not in v:
+                    return False
+            elif v is None:  # IsNotNull
+                return False
+        return True
+
     def read(self, partition: MonthWindow) -> Iterator[tuple]:
         ws, we = _parse_ts(partition.start), _parse_ts(partition.end)
         if ws >= we:
@@ -211,16 +293,18 @@ class SocrataReader(DataSourceReader):
         fake_rows = None
         if self.endpoint.startswith("fake://"):
             fake_rows = int(self.endpoint[len("fake://"):])
+        extra = [_soql_fragment(f) for f in self.absorbed]
         for pagenum in range(self.max_pages):
             if fake_rows is not None:
                 page = _fake_page(fake_rows, ws, we, pagenum, self.pagesize)
             else:
                 page = _http_page(self.endpoint, partition.start, partition.end,
-                                  pagenum, self.pagesize)
+                                  pagenum, self.pagesize, extra)
             if not page:  # reference termination: empty page ends the window
                 return
             for rec in page:
-                yield tuple(rec.get(name) for name in self.field_names)
+                if self._matches(rec):
+                    yield tuple(rec.get(name) for name in self.field_names)
 
 
 class SocrataCrimeDataSource(DataSource):

@@ -65,6 +65,72 @@ def test_updated_on_pushdown_prunes_windows(socrata):
     assert got == expect and len(got) > 0
 
 
+def test_inclusive_upper_bound_keeps_boundary_row(socrata):
+    """updated_on <= v / = v must scan past the exclusive window end —
+    a row at exactly v is otherwise never generated (and the re-yielded
+    filter can't resurrect an unscanned row)."""
+    full = _read(
+        socrata, endpoint="fake://40", pagesize="50",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-03-01T00:00:00.000",
+    )
+    rows = full.collect()
+    boundary = max(r.updated_on for r in rows)
+    expect_le = sorted(r.id for r in rows if r.updated_on <= boundary)
+    got_le = sorted(
+        r.id for r in full.filter(F.col("updated_on") <= boundary).collect()
+    )
+    assert got_le == expect_le
+    expect_eq = sorted(r.id for r in rows if r.updated_on == boundary)
+    got_eq = sorted(
+        r.id for r in full.filter(F.col("updated_on") == boundary).collect()
+    )
+    assert got_eq == expect_eq and len(got_eq) > 0
+
+
+def test_in_contains_notnull_absorbed_pushdown(socrata):
+    """IN-list / contains / not-null predicates are absorbed by the
+    source (enforced server-side); results must equal Spark-side
+    evaluation of the same predicates."""
+    full = _read(
+        socrata, endpoint="fake://60", pagesize="50",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-03-01T00:00:00.000",
+    )
+    rows = full.collect()
+    kinds = sorted({r.primary_type for r in rows if r.primary_type})[:2]
+    pushed = full.filter(
+        F.col("primary_type").isin(*kinds)
+        & F.col("case_number").contains("2025")
+        & F.col("location").isNotNull()
+    )
+    expect = sorted(
+        r.id for r in rows
+        if r.primary_type in kinds and r.case_number and "2025" in r.case_number
+        and r.location is not None
+    )
+    assert sorted(r.id for r in pushed.collect()) == expect
+    # the same query with a satisfiable location predicate
+    pushed2 = full.filter(
+        F.col("primary_type").isin(*kinds) & F.col("case_number").contains("2025")
+    )
+    expect2 = sorted(
+        r.id for r in rows
+        if r.primary_type in kinds and r.case_number and "2025" in r.case_number
+    )
+    got2 = sorted(r.id for r in pushed2.collect())
+    assert got2 == expect2 and len(got2) > 0
+
+
+def test_soql_fragment_rendering():
+    from pyspark.sql.datasource import In, IsNotNull, StringContains
+    from open_crime_etl_pipeline_spark.sources.socrata import _soql_fragment
+
+    assert _soql_fragment(In(("beat",), ("0111", "O'Hare"))) == \
+        "beat in ('0111', 'O''Hare')"
+    assert _soql_fragment(StringContains(("block",), "50% OFF")) == \
+        "block like '%50% OFF%'"
+    assert _soql_fragment(IsNotNull(("ward",))) == "ward is not null"
+
+
 def test_page_cap_limits_rows(socrata):
     df = _read(
         socrata, endpoint="fake://1000", pagesize="100", max_pages="2",
