@@ -125,6 +125,67 @@ def test_sessionize_stateful_emits_closed_sessions(spark, tmp_path):
     assert key in sessions and sessions[key] == 2
 
 
+def test_sessionize_transform_with_state_gated_without_protobuf(spark, tmp_path):
+    """Without google.protobuf the new-API sessionizer must fail fast
+    with a clear ImportError, not crash the streaming python worker."""
+    import importlib.util
+
+    try:
+        if importlib.util.find_spec("google.protobuf") is not None:
+            pytest.skip("protobuf installed; gate not exercised")
+    except ModuleNotFoundError:
+        pass  # no 'google' namespace at all — the gate applies
+    from open_crime_etl_pipeline_spark.streaming import (
+        sessionize_transform_with_state,
+    )
+
+    src = str(tmp_path / "events")
+    _write_events(spark, src, [(BASE, 1, "a")])
+    with pytest.raises(ImportError, match="protobuf"):
+        sessionize_transform_with_state(stream_events(spark, src))
+
+
+def test_sessionize_transform_with_state_matches_old_api(spark, tmp_path):
+    """transformWithStateInPandas variant: same closed-session semantics
+    as the applyInPandasWithState sessionizer — in-batch closes AND
+    timer-driven flushes once the watermark passes last + gap."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's python worker speaks protobuf to the "
+               "JVM state server; not installed in this container",
+    )
+    from open_crime_etl_pipeline_spark.streaming import (
+        sessionize_transform_with_state,
+    )
+
+    src = str(tmp_path / "events")
+    rows = [
+        (BASE, 1, "a"),
+        (BASE + dt.timedelta(minutes=10), 1, "a"),
+        (BASE + dt.timedelta(minutes=90), 1, "a"),   # closes session 1
+        (BASE + dt.timedelta(minutes=5), 2, "a"),    # single-event session
+        (BASE + dt.timedelta(hours=12), 9, "a"),     # advances watermark far
+    ]
+    _write_events(spark, src, rows)
+    out = _run_available_now(
+        sessionize_transform_with_state(stream_events(spark, src), gap_seconds=1800),
+        str(tmp_path), "tws_sessions",
+    ).collect()
+    got = {(r.user_id, r.session_start, r.session_end): r.n_events for r in out}
+    assert got[(1, BASE, BASE + dt.timedelta(minutes=10))] == 2
+    # timer-driven flush: user 2's lone session closes when the
+    # watermark (driven by the hour-12 sentinel) passes its end + gap
+    k2 = (2, BASE + dt.timedelta(minutes=5), BASE + dt.timedelta(minutes=5))
+    assert got.get(k2) == 1
+    old = _run_available_now(
+        sessionize_stateful(stream_events(spark, src), gap_seconds=1800),
+        str(tmp_path), "old_sessions",
+    ).collect()
+    old_got = {(r.user_id, r.session_start, r.session_end): r.n_events for r in old}
+    shared = {k for k in got if k in old_got}
+    assert all(got[k] == old_got[k] for k in shared) and len(shared) >= 2
+
+
 def test_foreach_batch_upsert_idempotent_replay(spark, tmp_path):
     pages = str(tmp_path / "landing")
     target = str(tmp_path / "crime_table")
