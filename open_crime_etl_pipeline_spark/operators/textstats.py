@@ -94,6 +94,102 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """All word n-grams in document order, NON-distinct — repetition
+    metrics need multiplicity. (``word_shingles`` is the distinct
+    variant used by the similarity operators.) Texts with fewer than
+    ``n`` tokens yield an empty array."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def repetition_metrics(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 3,
+):
+    """Gopher-style repetition quality metrics (Rae et al. 2021, §A1.1
+    filters): per document, (a) the fraction of the document's
+    characters covered by occurrences of its single most frequent word
+    ``top_n``-gram, and (b) the fraction of ``dup_n``-gram characters
+    sitting in n-grams that occur more than once. High values flag
+    boilerplate and degenerate repetitive text — the cheap filters a
+    training-data pipeline runs before any model-based scoring.
+
+    Ties for the top n-gram break to the lexicographically LARGEST
+    n-gram (max count, then max string) — deterministic and cheap to
+    mirror in ANSI SQL.
+
+    Scale shape: explode → aggregate keyed by (id, ngram); map-side
+    partial aggregation absorbs each document's repetition before the
+    shuffle, so shuffled bytes ∝ distinct n-grams, and nothing is
+    quadratic. Returns (id, top_ngram, top_ngram_frac, dup_ngram_frac).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("__chars"),
+        word_ngrams(text_col, top_n).alias("__top"),
+        word_ngrams(text_col, dup_n).alias("__dup"),
+    )
+    top_counts = (
+        base.select(id_col, "__chars", F.explode("__top").alias("ngram"))
+        .groupBy(id_col, "__chars", "ngram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("ngram").desc())
+    top = (
+        top_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("ngram").alias("top_ngram"),
+            F.round(
+                (F.col("cnt") * F.length("ngram")).cast("double")
+                / F.greatest(F.col("__chars"), F.lit(1)),
+                6,
+            ).alias("top_ngram_frac"),
+        )
+    )
+    dup = (
+        base.select(id_col, F.explode("__dup").alias("ngram"))
+        .groupBy(id_col, "ngram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("cnt") > 1, F.col("cnt") * F.length("ngram"))
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.greatest(F.sum(F.col("cnt") * F.length("ngram")), F.lit(1)),
+                6,
+            ).alias("dup_ngram_frac")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("top_ngram", F.lit("")).alias("top_ngram"),
+            F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+            F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+        )
+    )
+
+
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] | None = None) -> Column:
     sw = F.split(F.lit(stopwords[0] if stopwords else STOPWORDS_EN[0]), " ")
     toks = tokens(col)

@@ -744,3 +744,121 @@ def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk")
     )
+
+
+@register(
+    "repetition_quality_metrics",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, length(text) AS chars,
+                   list_filter(string_split(text, ' '), t -> t != '') AS tk
+            FROM documents
+        ), bi AS (
+            SELECT doc_id, chars, tk[i] || ' ' || tk[i+1] AS ngram
+            FROM d, unnest(range(1, len(tk) + 1)) AS g(i)
+            WHERE i + 1 <= len(tk)
+        ), bc AS (
+            SELECT doc_id, chars, ngram, count(*) AS cnt
+            FROM bi GROUP BY 1, 2, 3
+        ), top AS (
+            SELECT doc_id, ngram, cnt, chars,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY cnt DESC, ngram DESC
+                   ) AS rn
+            FROM bc
+        ), tri AS (
+            SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS ngram
+            FROM d, unnest(range(1, len(tk) + 1)) AS g(i)
+            WHERE i + 2 <= len(tk)
+        ), tc AS (
+            SELECT doc_id, ngram, count(*) AS cnt FROM tri GROUP BY 1, 2
+        ), dup AS (
+            SELECT doc_id,
+                   round(CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(ngram)
+                                       ELSE 0 END) AS DOUBLE)
+                         / greatest(sum(cnt * length(ngram)), 1), 6) AS dup_ngram_frac
+            FROM tc GROUP BY 1
+        )
+        SELECT d0.doc_id,
+               coalesce(t.ngram, '') AS top_ngram,
+               coalesce(round(CAST(t.cnt * length(t.ngram) AS DOUBLE)
+                              / greatest(t.chars, 1), 6), 0.0) AS top_ngram_frac,
+               coalesce(dup.dup_ngram_frac, 0.0) AS dup_ngram_frac
+        FROM (SELECT doc_id FROM documents) d0
+        LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        LEFT JOIN dup USING (doc_id)
+    """,
+    doc="Gopher-style repetition filters (Rae et al. 2021 A1.1): per-doc "
+        "top-bigram character coverage and duplicated-trigram character "
+        "fraction — the cheap boilerplate detectors run before model-based "
+        "quality scoring (§2.11 text analysis).",
+    tags=("llm", "text", "quality"),
+)
+def repetition_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TS.repetition_metrics(docs, "doc_id", "text", top_n=2, dup_n=3)
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'cont'), 1, 8)
+                        AS BIGINT) % 100 AS INT) AS bkt,
+                   list_filter(string_split(text, ' '), t -> t != '') AS tk
+            FROM documents
+        ), tri AS (
+            SELECT DISTINCT doc_id, bkt,
+                   tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+            FROM d, unnest(range(1, len(tk) + 1)) AS g(i)
+            WHERE i + 2 <= len(tk)
+        ), bench AS (
+            SELECT DISTINCT sh FROM tri WHERE bkt < 5
+        ), corpus AS (
+            SELECT doc_id, sh FROM tri WHERE bkt >= 5
+        ), tot AS (
+            SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1
+        ), hit AS (
+            SELECT c.doc_id, count(*) AS n_overlap
+            FROM corpus c JOIN bench USING (sh) GROUP BY 1
+        )
+        SELECT t.doc_id, t.n_shingles,
+               CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+               round(CAST(coalesce(h.n_overlap, 0) AS DOUBLE)
+                     / greatest(t.n_shingles, 1), 6) AS overlap_frac
+        FROM tot t LEFT JOIN hit h USING (doc_id)
+    """,
+    doc="Benchmark-contamination detection: word 3-gram overlap of each corpus "
+        "document against a held-out benchmark split (deterministic 5% md5 "
+        "bucket). The benchmark shingle set is broadcast — at 100 TB the "
+        "corpus scan stays shuffle-free on the probe side (§2.11).",
+    tags=("llm", "text", "dedup"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__bkt", hash_bucket("doc_id", 100, "cont")
+    )
+    tri = docs.select(
+        "doc_id", "__bkt", F.explode(TS.word_shingles("text", 3)).alias("sh")
+    )
+    bench = tri.filter(F.col("__bkt") < 5).select("sh").distinct()
+    corpus = tri.filter(F.col("__bkt") >= 5)
+    tot = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+        F.round(
+            F.coalesce("n_overlap", F.lit(0).cast("long")).cast("double")
+            / F.greatest(F.col("n_shingles"), F.lit(1)),
+            6,
+        ).alias("overlap_frac"),
+    )

@@ -203,3 +203,52 @@ def test_kmeans_parallel_centroids_deterministic_and_balanced(spark, sf_dir):
         ).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.4  # probes 4/6 of the lists
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """Gopher repetition metrics against hand-computed values."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z"), (3, "q")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TS.repetition_metrics(df).collect()}
+    # doc 1: bigram "a b"×3 (len 3) over 11 chars; all trigrams repeat
+    assert got[1].top_ngram == "a b"
+    assert got[1].top_ngram_frac == round(9 / 11, 6)
+    assert got[1].dup_ngram_frac == 1.0
+    # doc 2: tie between "x y"/"y z" breaks to the larger string
+    assert got[2].top_ngram == "y z"
+    assert got[2].top_ngram_frac == 0.6
+    assert got[2].dup_ngram_frac == 0.0
+    # doc 3: too short for any bigram
+    assert got[3].top_ngram == "" and got[3].top_ngram_frac == 0.0
+
+
+def test_contamination_overlap_vs_python_ground_truth(spark, sf_dir):
+    """Broadcast 3-gram overlap join vs a pure-python reference."""
+    import hashlib
+
+    from open_crime_etl_pipeline_spark.queries.llm import contamination_ngram_overlap
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def bucket(doc_id):
+        return int(hashlib.md5(f"{doc_id}cont".encode()).hexdigest()[:8], 16) % 100
+
+    def tris(text):
+        tk = [t for t in text.split(" ") if t]
+        return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+    bench = set().union(*(tris(t) for d, t in docs.items() if bucket(d) < 5))
+    expect = {
+        d: (len(tris(t)), len(tris(t) & bench))
+        for d, t in docs.items() if bucket(d) >= 5
+    }
+    got = {
+        r.doc_id: (r.n_shingles, r.n_overlap)
+        for r in contamination_ngram_overlap(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 10
