@@ -238,6 +238,30 @@ def ivf_assign(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector min/max scalar quantization to uint8 codes — the 4×
+    vector-compression step an ANN index runs before sharding at scale
+    (code arrays ship across the wire instead of float32). Returns
+    (id, qvec array<int>, scale_min, scale_max); dequantize as
+    ``mn + q/255·(mx−mn)``. Degenerate constant vectors (mx == mn)
+    quantize to all-zero codes. Pure Catalyst HOF — one scan-side pass,
+    no shuffle, engine-portable arithmetic (float→double promotion is
+    exact, so codes reproduce bit-identically in ANSI SQL)."""
+    v = as_double_array(vec_col)
+    mn, mx = F.array_min(v), F.array_max(v)
+    rng = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: F.round((x - mn) / rng * 255).cast("int")).alias("qvec"),
+        mn.alias("scale_min"),
+        mx.alias("scale_max"),
+    )
+
+
 def seed_centroids(
     df: DataFrame,
     k: int,

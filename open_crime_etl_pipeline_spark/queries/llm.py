@@ -862,3 +862,105 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("overlap_frac"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e
+        )
+        SELECT vec_id,
+               CAST(i - 1 AS INT) AS pos,
+               CAST(round((v[i] - mn)
+                          / (CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END) * 255)
+                    AS INT) AS q,
+               round(mn, 6) AS scale_min,
+               round(mx, 6) AS scale_max
+        FROM s, unnest(range(1, len(v) + 1)) AS g(i)
+    """,
+    doc="Per-vector min/max uint8 scalar quantization (4x vector compression "
+        "for ANN index shipping), posexploded to scalar rows for the oracle "
+        "(arrays hash differently across engines; §2.11 similarity).",
+    tags=("llm", "similarity", "quantize"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = S.quantize_int8(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        F.posexplode("qvec").alias("pos", "q"),
+        F.round("scale_min", 6).alias("scale_min"),
+        F.round("scale_max", 6).alias("scale_max"),
+    )
+
+
+@register(
+    "curation_pipeline_summary",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents
+        ), m AS (
+            SELECT doc_id, text, len(toks) AS n_tokens,
+                   round((CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+                          + CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)
+                          + CASE WHEN (CAST(len(list_filter(toks, x -> list_contains(
+                                ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with'], x)))
+                                AS DOUBLE) / greatest(len(toks), 1)) > 0.0
+                                AND (CAST(len(list_filter(toks, x -> list_contains(
+                                ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with'], x)))
+                                AS DOUBLE) / greatest(len(toks), 1)) < 0.6
+                                THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+            FROM t
+        ), kept AS (
+            SELECT * FROM m WHERE quality >= 0.5
+        ), dedup AS (
+            SELECT min(doc_id) AS doc_id
+            FROM kept
+            GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ')))
+        ), survivors AS (
+            SELECT m.doc_id, m.n_tokens, m.quality,
+                   CAST(CAST('0x' || substring(md5(CAST(m.doc_id AS VARCHAR) || 'cur'), 1, 8)
+                        AS BIGINT) % 100 AS INT) AS b
+            FROM m JOIN dedup USING (doc_id)
+        )
+        SELECT CASE WHEN b < 10 THEN 'test'
+                    WHEN b < 20 THEN 'val'
+                    ELSE 'train' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_quality
+        FROM survivors GROUP BY 1
+    """,
+    doc="End-to-end curation DAG as one query: quality filter -> exact dedup "
+        "(min-id winner) -> deterministic md5 split -> per-split doc/token/"
+        "quality rollup. The composition a pre-training data pipeline runs "
+        "nightly; every stage is an engine operator (§2.11).",
+    tags=("llm", "text", "pipeline"),
+)
+def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import train_val_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        TS.token_count("text").alias("n_tokens"),
+        TS.quality_score("text").alias("quality"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.5)
+    deduped = D.exact_dedup(kept, "doc_id", "text")
+    survivors = train_val_test_split(deduped, "doc_id", val_pct=10, test_pct=10, salt="cur")
+    return survivors.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_quality"),
+    )

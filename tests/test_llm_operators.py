@@ -252,3 +252,60 @@ def test_contamination_overlap_vs_python_ground_truth(spark, sf_dir):
         for r in contamination_ngram_overlap(spark, sf_dir).collect()
     }
     assert got == expect and len(got) > 10
+
+
+def test_quantize_int8_codes_and_reconstruction(spark):
+    """Hand-computed codes; dequantization error bounded by half a step;
+    constant vectors hit the degenerate-range guard."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.5]), (2, [2.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in S.quantize_int8(df).collect()}
+    assert got[1].qvec == [0, 255, 128]  # round(127.5) half-up
+    assert (got[1].scale_min, got[1].scale_max) == (0.0, 1.0)
+    assert got[2].qvec == [0, 0] and got[2].scale_min == got[2].scale_max == 2.0
+    # reconstruction bound on real data: |x - dequant(q)| <= step/2
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    joined = (
+        S.quantize_int8(emb).join(emb, "vec_id")
+        .select(
+            F.max(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding", "qvec",
+                        lambda x, q: F.abs(
+                            x.cast("double")
+                            - (F.col("scale_min")
+                               + q / 255.0 * (F.col("scale_max") - F.col("scale_min")))
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, x),
+                )
+                - (F.col("scale_max") - F.col("scale_min")) / 510.0
+            ).alias("worst_excess")
+        )
+    )
+    assert joined.first().worst_excess <= 1e-9
+
+
+def test_curation_pipeline_summary_consistent_with_stages(spark, sf_dir):
+    """The one-query pipeline must agree with running its stages
+    individually."""
+    from open_crime_etl_pipeline_spark.operators.sampling import train_val_test_split
+    from open_crime_etl_pipeline_spark.queries.llm import curation_pipeline_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "text", TS.quality_score("text").alias("q"))
+    kept = scored.filter(F.col("q") >= 0.5)
+    deduped = D.exact_dedup(kept, "doc_id", "text")
+    expect = {
+        r.split: r.n for r in train_val_test_split(deduped, "doc_id", salt="cur")
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r.split: r.n_docs
+        for r in curation_pipeline_summary(spark, sf_dir).collect()
+    }
+    assert got == expect and sum(got.values()) == deduped.count()
