@@ -64,8 +64,21 @@ def main() -> None:
     ]
 
     # Warm the JVM + parquet footers with one tiny action so q1 doesn't
-    # pay one-time session costs.
+    # pay one-time session costs, and JIT the hashjoin/hashagg/window
+    # codegen paths on synthetic data (no bench table is touched) —
+    # standard warm-up so timings measure the queries, not the JIT.
     specs["global_max_watermark"].fn(spark, sf_dir).count()
+    from pyspark.sql import Window, functions as F
+
+    warm = spark.range(100_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), (F.col("id") % 7).alias("g")
+    )
+    (
+        warm.join(warm.groupBy("k").agg(F.sum("id").alias("s")), "k")
+        .withColumn("r", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+        .groupBy("g").agg(F.max("r"), F.avg("s"))
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in headline:

@@ -424,6 +424,7 @@ def cluster_representatives(
     edges = edges.localCheckpoint()
     hint = F.broadcast if small_graph else (lambda d: d)
     rep = edges.select(F.col("src").alias("member_id"), F.col("src").alias("rep_id")).distinct()
+    prev_sum = None
     for i in range(max_iter):
         neigh_min = (
             edges.join(hint(rep), edges.dst == rep.member_id)
@@ -433,13 +434,24 @@ def cluster_representatives(
             "member_id",
             F.least(F.col("rep_id"), F.coalesce("neigh_rep", "rep_id")).alias("rep_id"),
         )
-        # lineage must stay bounded, but every-round materialization is
-        # all fixed job overhead on a tiny graph — every 2nd round keeps
-        # plans shallow at half the cost
-        if i % 2 == 1 or i == max_iter - 1:
+        # Lineage must stay bounded; materialization points double as
+        # fixpoint probes. rep_id is monotonically non-increasing per
+        # member, so an unchanged sum(rep_id) PROVES convergence — one
+        # cheap agg instead of a join-diff, and near-dup components are
+        # near-cliques (diameter ~2), so this usually halves the rounds.
+        # small_graph: probe every round (each checkpoint is fixed job
+        # overhead on one tiny partition, and early exit wins more);
+        # large graphs: every 2nd round (materialization is real work).
+        if small_graph or i % 2 == 1 or i == max_iter - 1:
             if small_graph:
                 rep = rep.coalesce(1)
             rep = rep.localCheckpoint()
+            s = rep.agg(
+                F.sum(F.col("rep_id").cast("decimal(38,0)"))  # no 64-bit overflow at scale
+            ).first()[0]
+            if s == prev_sum:
+                break
+            prev_sum = s
     return rep
 
 
