@@ -49,6 +49,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringContains,
+    StringEndsWith,
+    StringStartsWith,
 )
 from pyspark.sql.types import StructType
 
@@ -166,6 +168,10 @@ def _soql_fragment(f: Filter) -> str:
         return f"{col} in ({', '.join(_soql_lit(v) for v in f.value)})"
     if isinstance(f, StringContains):
         return f"{col} like {_soql_lit('%' + f.value + '%')}"
+    if isinstance(f, StringStartsWith):
+        return f"{col} like {_soql_lit(f.value + '%')}"
+    if isinstance(f, StringEndsWith):
+        return f"{col} like {_soql_lit('%' + f.value)}"
     return f"{col} is not null"  # IsNotNull
 
 
@@ -212,7 +218,7 @@ class SocrataReader(DataSourceReader):
             return False
         if isinstance(f, In):
             return all(isinstance(v, str) for v in f.value)
-        if isinstance(f, StringContains):
+        if isinstance(f, (StringContains, StringStartsWith, StringEndsWith)):
             return isinstance(f.value, str)
         return isinstance(f, IsNotNull)
 
@@ -281,6 +287,12 @@ class SocrataReader(DataSourceReader):
                     return False
             elif isinstance(f, StringContains):
                 if v is None or f.value not in v:
+                    return False
+            elif isinstance(f, StringStartsWith):
+                if v is None or not v.startswith(f.value):
+                    return False
+            elif isinstance(f, StringEndsWith):
+                if v is None or not v.endswith(f.value):
                     return False
             elif v is None:  # IsNotNull
                 return False

@@ -121,14 +121,36 @@ def test_in_contains_notnull_absorbed_pushdown(socrata):
 
 
 def test_soql_fragment_rendering():
-    from pyspark.sql.datasource import In, IsNotNull, StringContains
+    from pyspark.sql.datasource import (
+        In, IsNotNull, StringContains, StringEndsWith, StringStartsWith,
+    )
     from open_crime_etl_pipeline_spark.sources.socrata import _soql_fragment
 
     assert _soql_fragment(In(("beat",), ("0111", "O'Hare"))) == \
         "beat in ('0111', 'O''Hare')"
     assert _soql_fragment(StringContains(("block",), "50% OFF")) == \
         "block like '%50% OFF%'"
+    assert _soql_fragment(StringStartsWith(("block",), "0000X")) == \
+        "block like '0000X%'"
+    assert _soql_fragment(StringEndsWith(("iucr",), "7")) == "iucr like '%7'"
     assert _soql_fragment(IsNotNull(("ward",))) == "ward is not null"
+
+
+def test_startswith_endswith_absorbed_pushdown(socrata):
+    full = _read(
+        socrata, endpoint="fake://60", pagesize="50",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-02-01T00:00:00.000",
+    )
+    rows = full.collect()
+    pushed = full.filter(
+        F.col("case_number").startswith("HZ2025") & F.col("iucr").endswith("7")
+    )
+    expect = sorted(
+        r.id for r in rows
+        if r.case_number.startswith("HZ2025") and r.iucr.endswith("7")
+    )
+    got = sorted(r.id for r in pushed.collect())
+    assert got == expect and len(got) > 0
 
 
 def test_page_cap_limits_rows(socrata):
