@@ -153,6 +153,28 @@ def test_startswith_endswith_absorbed_pushdown(socrata):
     assert got == expect and len(got) > 0
 
 
+def test_absorbed_filters_leave_no_postscan_filter(socrata):
+    """Plan-shape regression: absorbed predicates must disappear into
+    the BatchScan — a post-scan Filter node means Spark is re-running
+    work the source already did server-side."""
+    df = _read(
+        socrata, endpoint="fake://30", pagesize="50",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-02-01T00:00:00.000",
+    ).filter(
+        F.col("primary_type").isin("THEFT", "BATTERY")
+        & F.col("case_number").startswith("HZ")
+        & F.col("block").contains("STATE")
+        & F.col("ward").isNotNull()
+    )
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan socrata_crime" in plan
+    # a Filter NODE renders as "Filter (" / "+- Filter" / "*(n) Filter";
+    # the BatchScan's own "RuntimeFilters: []" attribute is not a node
+    assert not re.search(r"(?:\*\(\d+\) |\+- |^)Filter ", plan, re.M)
+
+
 def test_page_cap_limits_rows(socrata):
     df = _read(
         socrata, endpoint="fake://1000", pagesize="100", max_pages="2",
