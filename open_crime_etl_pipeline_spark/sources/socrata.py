@@ -27,6 +27,15 @@ Endpoints: ``https://…`` POSTs real SoQL (urllib, executor-side);
 ``fake://<rows_per_month>`` is a deterministic offline generator with
 identical paging/termination behavior, used by tests and the query
 inventory — this container has no network.
+
+**Planning caveat (Spark 4.1 Python DataSource):** Spark re-plans the
+scan (fresh reader + ``pushFilters``) for every query that carries
+pushable predicates, but a query with NO pushable predicates reuses
+the relation's most recently planned scan — including any filters that
+scan absorbed. Treat a loaded DataFrame as one logical query: call
+``.load()`` per query (every ``queries()`` entry and the pipeline do).
+Verified empirically in ``test_socrata_source.py``
+(test_fresh_load_per_query_contract).
 """
 
 from __future__ import annotations
@@ -46,8 +55,10 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
     IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    Not,
     StringContains,
     StringEndsWith,
     StringStartsWith,
@@ -163,6 +174,8 @@ def _soql_fragment(f: Filter) -> str:
     becomes ``like '%v%'`` — a superset when v itself holds % or _
     wildcards, which is fine: the reader re-applies the exact predicate
     executor-side, so the server-side clause only reduces transfer."""
+    if isinstance(f, Not):
+        return f"not ({_soql_fragment(f.child)})"
     col = f.attribute[0]
     if isinstance(f, In):
         return f"{col} in ({', '.join(_soql_lit(v) for v in f.value)})"
@@ -172,6 +185,8 @@ def _soql_fragment(f: Filter) -> str:
         return f"{col} like {_soql_lit(f.value + '%')}"
     if isinstance(f, StringEndsWith):
         return f"{col} like {_soql_lit('%' + f.value)}"
+    if isinstance(f, IsNull):
+        return f"{col} is null"
     return f"{col} is not null"  # IsNotNull
 
 
@@ -210,9 +225,12 @@ class SocrataReader(DataSourceReader):
         self.absorbed: list[Filter] = []
 
     def _absorbable(self, f: Filter) -> bool:
-        """IN-list / substring / not-null on any schema string column —
-        the SoQL predicate types the reference's hand-built WHERE could
-        express (extract.py:11 shape, generalized)."""
+        """IN-list / substring / null-test predicates (and their NOT)
+        on any schema string column — the SoQL predicate types the
+        reference's hand-built WHERE could express (extract.py:11
+        shape, generalized)."""
+        if isinstance(f, Not):
+            return self._absorbable(f.child)
         attr = getattr(f, "attribute", None)
         if not (isinstance(attr, tuple) and len(attr) == 1 and attr[0] in self.field_names):
             return False
@@ -220,7 +238,7 @@ class SocrataReader(DataSourceReader):
             return all(isinstance(v, str) for v in f.value)
         if isinstance(f, (StringContains, StringStartsWith, StringEndsWith)):
             return isinstance(f.value, str)
-        return isinstance(f, IsNotNull)
+        return isinstance(f, (IsNotNull, IsNull))
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Accept range predicates on updated_on by tightening the scan
@@ -277,26 +295,32 @@ class SocrataReader(DataSourceReader):
             MonthWindow(_fmt_ts(a), _fmt_ts(b)) for a, b in month_windows(s, e)
         ]
 
+    def _eval(self, f: Filter, rec: dict) -> bool | None:
+        """SQL three-valued evaluation: a null operand yields UNKNOWN
+        (None), so NOT(IN) correctly rejects null rows instead of
+        admitting them through boolean negation."""
+        if isinstance(f, Not):
+            x = self._eval(f.child, rec)
+            return None if x is None else not x
+        v = rec.get(f.attribute[0])
+        if isinstance(f, IsNull):
+            return v is None
+        if isinstance(f, IsNotNull):
+            return v is not None
+        if v is None:
+            return None
+        if isinstance(f, In):
+            return v in f.value
+        if isinstance(f, StringContains):
+            return f.value in v
+        if isinstance(f, StringStartsWith):
+            return v.startswith(f.value)
+        return v.endswith(f.value)  # StringEndsWith
+
     def _matches(self, rec: dict) -> bool:
-        """Exact semantics of every absorbed filter (SQL three-valued:
-        null never matches IN or contains)."""
-        for f in self.absorbed:
-            v = rec.get(f.attribute[0])
-            if isinstance(f, In):
-                if v is None or v not in f.value:
-                    return False
-            elif isinstance(f, StringContains):
-                if v is None or f.value not in v:
-                    return False
-            elif isinstance(f, StringStartsWith):
-                if v is None or not v.startswith(f.value):
-                    return False
-            elif isinstance(f, StringEndsWith):
-                if v is None or not v.endswith(f.value):
-                    return False
-            elif v is None:  # IsNotNull
-                return False
-        return True
+        """A row survives only if every absorbed predicate is TRUE
+        (UNKNOWN filters out, as in a SQL WHERE)."""
+        return all(self._eval(f, rec) is True for f in self.absorbed)
 
     def read(self, partition: MonthWindow) -> Iterator[tuple]:
         ws, we = _parse_ts(partition.start), _parse_ts(partition.end)

