@@ -48,6 +48,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
@@ -175,10 +176,20 @@ def _soql_fragment(f: Filter) -> str:
     wildcards, which is fine: the reader re-applies the exact predicate
     executor-side, so the server-side clause only reduces transfer."""
     if isinstance(f, Not):
-        return f"not ({_soql_fragment(f.child)})"
+        c = f.child
+        if isinstance(c, EqualNullSafe) and c.value is not None:
+            # NOT(a <=> v) is TRUE for null rows; a bare `not (a = v)`
+            # would drop them server-side
+            col = c.attribute[0]
+            return f"({col} is null or {col} != {_soql_lit(c.value)})"
+        return f"not ({_soql_fragment(c)})"
     col = f.attribute[0]
     if isinstance(f, In):
         return f"{col} in ({', '.join(_soql_lit(v) for v in f.value)})"
+    if isinstance(f, EqualTo):
+        return f"{col} = {_soql_lit(f.value)}"
+    if isinstance(f, EqualNullSafe):
+        return f"{col} is null" if f.value is None else f"{col} = {_soql_lit(f.value)}"
     if isinstance(f, StringContains):
         return f"{col} like {_soql_lit('%' + f.value + '%')}"
     if isinstance(f, StringStartsWith):
@@ -225,10 +236,10 @@ class SocrataReader(DataSourceReader):
         self.absorbed: list[Filter] = []
 
     def _absorbable(self, f: Filter) -> bool:
-        """IN-list / substring / null-test predicates (and their NOT)
-        on any schema string column — the SoQL predicate types the
-        reference's hand-built WHERE could express (extract.py:11
-        shape, generalized)."""
+        """IN-list / equality (incl. null-safe) / substring / null-test
+        predicates (and their NOT) on any schema string column — the
+        SoQL predicate types the reference's hand-built WHERE could
+        express (extract.py:11 shape, generalized)."""
         if isinstance(f, Not):
             return self._absorbable(f.child)
         attr = getattr(f, "attribute", None)
@@ -236,8 +247,10 @@ class SocrataReader(DataSourceReader):
             return False
         if isinstance(f, In):
             return all(isinstance(v, str) for v in f.value)
-        if isinstance(f, (StringContains, StringStartsWith, StringEndsWith)):
+        if isinstance(f, (StringContains, StringStartsWith, StringEndsWith, EqualTo)):
             return isinstance(f.value, str)
+        if isinstance(f, EqualNullSafe):
+            return f.value is None or isinstance(f.value, str)
         return isinstance(f, (IsNotNull, IsNull))
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -248,15 +261,21 @@ class SocrataReader(DataSourceReader):
         for f in filters:
             if self._absorbable(f):
                 self.absorbed.append(f)
-                if isinstance(f, In) and f.attribute == ("updated_on",):
-                    # bonus pruning: an IN-list on the scan column also
-                    # bounds the month windows that get planned at all
-                    try:
+                if getattr(f, "attribute", None) == ("updated_on",):
+                    # bonus pruning: point predicates on the scan column
+                    # also bound the month windows that get planned at all
+                    if isinstance(f, In):
                         vals = sorted(f.value)
-                        hi = _fmt_ts(_parse_ts(vals[-1]) + dt.timedelta(milliseconds=1))
-                        self.start = max(self.start, vals[0])
-                        self.end = min(self.end, hi)  # end is exclusive
-                    except (ValueError, IndexError):
+                    elif isinstance(f, (EqualTo, EqualNullSafe)) and isinstance(f.value, str):
+                        vals = [f.value]
+                    else:
+                        vals = []
+                    try:
+                        if vals:
+                            hi = _fmt_ts(_parse_ts(vals[-1]) + dt.timedelta(milliseconds=1))
+                            self.start = max(self.start, vals[0])
+                            self.end = min(self.end, hi)  # end is exclusive
+                    except ValueError:
                         pass
                 continue  # not yielded: the source enforces it exactly
             if getattr(f, "attribute", None) == ("updated_on",) and isinstance(
@@ -307,8 +326,12 @@ class SocrataReader(DataSourceReader):
             return v is None
         if isinstance(f, IsNotNull):
             return v is not None
+        if isinstance(f, EqualNullSafe):
+            return v == f.value  # total: null-safe equality never yields UNKNOWN
         if v is None:
             return None
+        if isinstance(f, EqualTo):
+            return v == f.value
         if isinstance(f, In):
             return v in f.value
         if isinstance(f, StringContains):

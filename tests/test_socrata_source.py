@@ -138,6 +138,38 @@ def test_soql_fragment_rendering():
 
     assert _soql_fragment(IsNull(("location",))) == "location is null"
     assert _soql_fragment(Not(In(("beat",), ("1",)))) == "not (beat in ('1'))"
+    from pyspark.sql.datasource import EqualNullSafe, EqualTo
+
+    assert _soql_fragment(EqualTo(("beat",), "0111")) == "beat = '0111'"
+    assert _soql_fragment(EqualNullSafe(("beat",), "0111")) == "beat = '0111'"
+    assert _soql_fragment(EqualNullSafe(("ward",), None)) == "ward is null"
+    # NOT(a <=> v) is TRUE on null rows — must not drop them server-side
+    assert _soql_fragment(Not(EqualNullSafe(("beat",), "0111"))) == \
+        "(beat is null or beat != '0111')"
+
+
+def test_equality_absorbed_pushdown(socrata):
+    """EqualTo / EqualNullSafe absorb into the scan; null-safe negation
+    keeps rows where the column is NULL (location is always NULL in the
+    fake data), unlike three-valued NOT(=)."""
+    full = _read(
+        socrata, endpoint="fake://60", pagesize="50",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-02-01T00:00:00.000",
+    )
+    rows = full.collect()
+    kind = rows[0].primary_type
+    expect = sorted(r.id for r in rows if r.primary_type == kind)
+    got = sorted(
+        r.id for r in full.filter(F.col("primary_type") == kind).collect()
+    )
+    assert got == expect and len(got) > 0
+    # null-safe equality against a NULL column is total, not UNKNOWN
+    assert full.filter(F.col("location").eqNullSafe(F.lit(None))).count() \
+        == len(rows)
+    assert full.filter(F.col("location").eqNullSafe("x")).count() == 0
+    assert full.filter(~F.col("location").eqNullSafe("x")).count() == len(rows)
+    # plain NOT(=) on the same NULL column is UNKNOWN everywhere
+    assert full.filter(F.col("location") != "x").count() == 0
 
 
 def test_startswith_endswith_absorbed_pushdown(socrata):
