@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators import textstats as TS
 from ..schemas import TESTDATA_SCHEMAS
 from ..streaming import sessionize_stateful, windowed_event_counts
 from .registry import register
@@ -111,6 +112,61 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_events(spark, sf_dir), gap_seconds=1800, watermark="2 hours"
     )
     return _run_to_table(stream, "stream_sessions")
+
+
+def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (a single file, so the
+    stream scans the parent dir with a glob — same trick as events)."""
+    return (
+        spark.readStream.schema(TESTDATA_SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@register(
+    "streaming_curation_dedup",
+    oracle="""
+        WITH normed AS (
+            SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+            FROM documents
+        ), gated AS (
+            SELECT norm FROM normed
+            WHERE length(norm) >= 100
+              AND CAST(len(list_filter(string_split(norm, ' '),
+                    t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with'], t))) AS DOUBLE)
+                  / greatest(len(list_filter(string_split(norm, ' '), t -> t != '')), 1)
+                  >= 0.05
+        )
+        SELECT DISTINCT md5(norm) AS content_key,
+               length(norm) AS norm_len
+        FROM gated
+    """,
+    doc="Streaming curation pipeline (quality gate → normalize → streaming "
+        "exact dedup → sink) as one continuous readStream run. Oracle-checkable "
+        "despite streaming dropDuplicates being arrival-order dependent: the "
+        "emitted columns are pure functions of the dedup key, and the KEY SET "
+        "is deterministic. At corpus scale the state is one 16-byte digest per "
+        "distinct document; an unbounded feed would swap in "
+        "dropDuplicatesWithinWatermark keyed on the same digest (§2.8 + §2.11).",
+    tags=("streaming", "llm", "dedup"),
+)
+def streaming_curation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _stream_documents(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    curated = (
+        docs.withColumn("norm", norm)
+        .filter(
+            (F.length("norm") >= 100)
+            & (TS.stopword_ratio(F.col("norm")) >= 0.05)
+        )
+        .select(
+            F.md5(F.col("norm")).alias("content_key"),
+            F.length("norm").alias("norm_len"),
+        )
+        .dropDuplicates(["content_key"])
+    )
+    return _run_to_table(curated, "stream_curation")
 
 
 @register(

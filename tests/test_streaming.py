@@ -255,3 +255,32 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     out = _run_available_now(joined, str(tmp_path), "ij").collect()
     assert len(out) == 1
     assert out[0].c_user_id == 1 and out[0].p_event_id == 1
+
+
+def test_streaming_curation_matches_batch(spark):
+    """The streaming curation pipeline (quality gate → normalize →
+    dropDuplicates → sink) must emit exactly the batch-computed curated
+    key set — duplicates collapse, sub-quality docs never reach state."""
+    from open_crime_etl_pipeline_spark.operators import textstats as TS
+    from open_crime_etl_pipeline_spark.queries.streaming import (
+        streaming_curation_dedup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r.content_key, r.norm_len)
+        for r in streaming_curation_dedup(spark, sf_dir).collect()
+    }
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    batch = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn("norm", norm)
+        .filter(
+            (F.length("norm") >= 100)
+            & (TS.stopword_ratio(F.col("norm")) >= 0.05)
+        )
+        .select(F.md5("norm").alias("k"), F.length("norm").alias("n"))
+        .distinct()
+    )
+    expect = {(r.k, r.n) for r in batch.collect()}
+    assert got == expect and len(got) > 0
