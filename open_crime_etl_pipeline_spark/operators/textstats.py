@@ -29,6 +29,33 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 HASH_MOD = 1_000_003  # prime modulus for the portable fold hash
 
+# PII scrub patterns, kept to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB oracle) so redaction is engine-portable. Applied in tuple
+# order — replacements must run in the SAME order everywhere, since an
+# earlier rewrite can destroy a later pattern's match.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Text with email/phone/IP spans replaced by typed placeholder
+    tokens — the standard pre-training scrub pass. Pure regexp_replace
+    chain: codegen'd, no shuffle, linear scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts on the ORIGINAL text (measured before
+    any rewrite, so counts are order-independent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {name: F.regexp_count(c, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
+
 
 def tokens(col: Column | str, delimiter: str = " ") -> Column:
     """Whitespace tokens with empties removed."""

@@ -402,6 +402,94 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_oracle() -> str:
+    """Build the PII-scrub oracle from the same pattern table the Spark
+    side uses (string concat, not f-string: the regexes contain braces)."""
+    redacted = "text"
+    for _name, pat, repl in TS.PII_PATTERNS:
+        redacted = (
+            "regexp_replace(" + redacted + ", '" + pat + "', '" + repl + "', 'g')"
+        )
+    counts = ",\n               ".join(
+        "len(regexp_extract_all(text, '" + pat + "')) AS n_" + name + "s"
+        for name, pat, _repl in TS.PII_PATTERNS
+    )
+    return (
+        "SELECT doc_id,\n               " + counts + ",\n"
+        "               md5(" + redacted + ") AS redacted_key\n"
+        "        FROM documents"
+    )
+
+
+@register(
+    "pii_redaction_scrub",
+    oracle=_pii_oracle(),
+    doc="PII scrub pass (emails/phones/IPs → typed placeholders) with "
+        "per-kind match counts; redacted_key proves byte-identical rewrite "
+        "output across engines. Pure regexp chain — codegen'd linear scan, "
+        "no shuffle, so it composes into any curation pipeline for free "
+        "(§2.11 text curation). The synthetic corpus carries no PII, so "
+        "counts are zero here; the operator itself is exercised on "
+        "PII-laden rows in tests/test_llm_operators.py.",
+    tags=("llm", "text", "curation"),
+)
+def pii_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = TS.pii_counts("text")
+    return docs.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}s") for name, _p, _r in TS.PII_PATTERNS],
+        F.md5(TS.pii_redact("text")).alias("redacted_key"),
+    )
+
+
+@register(
+    "source_mixture_weights",
+    oracle="""
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(list_filter(string_split(text, ' '), t -> t != ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, count(*) AS n_src
+            FROM per_src
+        )
+        SELECT source, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS token_share,
+               round((CAST(tot AS DOUBLE) / CAST(n_src AS DOUBLE)) / CAST(n_tokens AS DOUBLE), 6) AS repeat_factor
+        FROM per_src, tot
+    """,
+    doc="Domain-mixture reweighting: per-source token mass, corpus share, and "
+        "the repeat factor that equalizes token contribution across sources — "
+        "the sampling-weight computation behind mixture tuning. One partial "
+        "agg per source plus a single-row global broadcast: no wide shuffle "
+        "at any corpus size (§2.11 curation).",
+    tags=("llm", "curation", "aggregate"),
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(TS.tokens("text")).cast("long")).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n_src")
+    )
+    return per_src.join(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("token_share"),
+        F.round(
+            (F.col("tot").cast("double") / F.col("n_src").cast("double"))
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("repeat_factor"),
+    )
+
+
 @register(
     "lang_id_stopword_profile",
     oracle="""

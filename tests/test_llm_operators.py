@@ -113,6 +113,32 @@ def test_quality_score_range(spark, sf_dir):
     assert out_of_range == 0
 
 
+def test_pii_redaction_on_pii_laden_rows(spark):
+    """The synthetic corpus carries no PII, so the driver query sees
+    zeros — this exercises the scrub on rows that do contain it."""
+    rows = [
+        ("mail me at jo.doe+x@ex-ample.co.uk or call 555-867-5309.",),
+        ("server 192.168.0.1 and 10.0.0.255; dotted phone 555.123.4567",),
+        ("no pii here, just 1234 and a.b",),
+        ("two mails: a@b.io c@d.org and ip 8.8.8.8",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    counts = TS.pii_counts("text")
+    got = df.select(
+        TS.pii_redact("text").alias("red"),
+        counts["email"].alias("e"), counts["phone"].alias("p"),
+        counts["ip"].alias("i"),
+    ).collect()
+    assert got[0].e == 1 and got[0].p == 1 and got[0].i == 0
+    assert "jo.doe" not in got[0].red and "<EMAIL>" in got[0].red
+    assert "555-867-5309" not in got[0].red and "<PHONE>" in got[0].red
+    assert got[1].i == 2 and got[1].p == 1
+    assert "<IP>" in got[1].red and "192.168.0.1" not in got[1].red
+    assert got[2].e == got[2].p == got[2].i == 0
+    assert got[2].red == rows[2][0]  # clean text passes through unchanged
+    assert got[3].e == 2 and got[3].i == 1
+
+
 def test_bpe_ish_tokens_cover_text(spark):
     df = spark.createDataFrame([("short extravagantly long-word",)], "text string")
     toks = df.select(TS.bpe_ish_tokens("text").alias("t")).first().t
