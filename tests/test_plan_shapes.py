@@ -1,0 +1,61 @@
+"""Physical-plan regression tests for the scale-critical properties.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives a 100× scale-up — dims broadcast instead of
+shuffled, predicates and projections reaching the parquet scan,
+map-side partial aggregation, top-k without a global sort, dedup
+shuffles carrying digests rather than documents. A regression here
+means a silent 10-100× cost cliff on a real cluster even though every
+value-check still passes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from open_crime_etl_pipeline_spark.queries.registry import all_specs
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_specs()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "star_join_broadcast_dims")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region builds
+    assert "SortMergeJoin" not in plan  # a dim falling back = full shuffle of the fact
+
+
+def test_range_predicate_reaches_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "range_predicate_between")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed, not post-scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: a 3-column projection must not read all 16 lineitem cols
+    assert "ReadSchema: struct<l_quantity:double,l_returnflag:string,l_shipdate:timestamp>" in plan
+
+
+def test_agg_is_partial_then_final_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert plan.count("Exchange hashpartitioning") == 1  # one shuffle total
+
+
+def test_global_topk_avoids_total_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "global_topk_orders")
+    assert "TakeOrderedAndProject" in plan  # per-partition heap + merge
+    assert "Exchange" not in plan  # a global Sort would shuffle everything
+
+
+def test_single_row_totals_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "source_mixture_weights")
+    assert "Broadcast" in plan  # 1-row totals never justify a shuffled join
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_shuffles_digests_not_text(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "exact_dedup_documents")
+    # the group-by exchange is keyed on the two xxhash64 digests; the
+    # document text itself never crosses the wire
+    assert "hashpartitioning(__h1" in plan
+    assert "SortMergeJoin" not in plan  # min-id winners broadcast back
