@@ -82,12 +82,48 @@ def register_testdata_views(spark: SparkSession, sf_dir: str, names=None) -> Non
         df.createOrReplaceTempView(name)
 
 
-def read_crime_pages(spark: SparkSession, path: str) -> DataFrame:
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_crime_pages(
+    spark: SparkSession, path: str, capture_corrupt: bool = False
+) -> DataFrame:
     """Scan a landing zone of gzip-JSON crime pages with the explicit
     raw schema (reference loader: load.py:49-60; layout helper.py:67-86).
 
     ``path`` may be a flat directory of ``part-*.json.gz`` or the
     hive-partitioned ``raw/year=/month=/load_date=`` tree — partition
     columns are discovered and usable as pruning predicates.
+
+    With ``capture_corrupt=True`` the scan appends a ``_corrupt_record``
+    column holding the raw text of any unparseable record instead of
+    silently producing an all-null row — quarantine-not-crash semantics
+    for a landing zone fed by an external API. Use :func:`split_corrupt`
+    to separate the streams.
     """
-    return spark.read.schema(CRIME_RAW_SCHEMA).json(path)
+    if not capture_corrupt:
+        return spark.read.schema(CRIME_RAW_SCHEMA).json(path)
+    schema = T.StructType(
+        list(CRIME_RAW_SCHEMA.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def split_corrupt(df: DataFrame, corrupt_col: str = CORRUPT_COL):
+    """Split a corrupt-capturing scan into (good, quarantine) frames.
+
+    Spark refuses a filter that references only the corrupt column of
+    a raw JSON scan (it would force a second parse with different
+    semantics — SPARK-21610); the documented contract is to cache the
+    parsed frame first, which also means the landing files are read
+    once, not twice.
+    """
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad

@@ -92,3 +92,23 @@ def test_dropped_columns_gone(spark, landing_dir):
     silver = transform_crime_page(read_crime_pages(spark, landing_dir))
     for col in (":id", ":version", "year", "updated_on", "location"):
         assert col not in silver.columns
+
+
+def test_corrupt_records_quarantined_not_dropped(spark, tmp_path):
+    """A malformed landing line must surface in the quarantine stream
+    with its raw text — not crash the scan, not silently become an
+    all-null row in silver."""
+    from open_crime_etl_pipeline_spark.io.readers import split_corrupt
+
+    with gzip.open(tmp_path / "part-0000.json.gz", "wt") as f:
+        f.write(json.dumps(PAGE[0]) + "\n")
+        f.write('{"id": "13000003", "case_number": truncated-garbage\n')
+        f.write(json.dumps(PAGE[1]) + "\n")
+    raw = read_crime_pages(spark, str(tmp_path), capture_corrupt=True)
+    good, bad = split_corrupt(raw)
+    assert sorted(r.id for r in good.collect()) == ["13000001", "13000002"]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "truncated-garbage" in bad_rows[0]._corrupt_record
+    # default (non-capturing) scan keeps its exact historical schema
+    assert "_corrupt_record" not in read_crime_pages(spark, str(tmp_path)).columns
