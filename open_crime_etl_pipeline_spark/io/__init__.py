@@ -1,10 +1,14 @@
-from .readers import load_table, load_tables, read_crime_pages
+from .bucketed import bucketed_join, write_bucketed
+from .readers import load_table, load_tables, read_crime_pages, split_corrupt
 from .writers import write_partitioned_crime, write_table
 
 __all__ = [
+    "bucketed_join",
     "load_table",
     "load_tables",
     "read_crime_pages",
+    "split_corrupt",
+    "write_bucketed",
     "write_partitioned_crime",
     "write_table",
 ]
