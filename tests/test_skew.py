@@ -40,3 +40,40 @@ def test_salted_count_equals_group_count(spark):
     plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
     salted = {r.k: r.n for r in salted_count(df, ["k"], salt_buckets=8).collect()}
     assert plain == salted
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The runtime half of the skew story: AQE detects the hot
+    partition at the shuffle boundary and splits it across tasks
+    (SortMergeJoin(skew=true)) with no code change — salting is only
+    needed where AQE can't see (aggregation keys, broadcast-ineligible
+    plans). Thresholds are lowered so the tiny test corpus trips the
+    same detection a hot key trips at production scale."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+        cold = spark.range(2_000).select((F.col("id") % 50 + 2).alias("k"), F.col("id").alias("v"))
+        left = hot.unionByName(cold)
+        right = spark.range(60).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        joined = left.join(right, on=["k"])
+        # execute THIS dataframe (not a derived .count() plan) so its
+        # adaptive plan finalizes and records the runtime decision
+        assert len(joined.collect()) == 200_000 + 2_000  # every key matches once
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan  # the hot partition was split at runtime
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -257,6 +257,56 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     assert out[0].c_user_id == 1 and out[0].p_event_id == 1
 
 
+def test_drop_duplicates_within_watermark_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark — the bounded-state dedup for
+    unbounded feeds (what streaming_curation_dedup's docstring points
+    at): duplicates inside the horizon collapse, and a key re-arriving
+    after its state was evicted is emitted again."""
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+
+    def write_file(n, rows):
+        df = spark.createDataFrame(
+            [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/f{n}")
+        # the file source orders batches by modification time; pin
+        # distinct mtimes so f1 < f2 < f3 regardless of write speed
+        import time
+
+        t = time.time() + n * 10
+        for root, _dirs, files in os.walk(f"{src}/f{n}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+    t0 = BASE
+    write_file(1, [(t0, 1, "a"), (t0 + dt.timedelta(minutes=5), 1, "a"),
+                   (t0, 2, "b")])
+    write_file(2, [(t0 + dt.timedelta(hours=3), 3, "c")])  # advances watermark
+    # eviction runs against the watermark as of batch START, so the
+    # advance from f2 takes effect one batch later — f3 is that batch
+    write_file(3, [(t0 + dt.timedelta(hours=3, minutes=10), 4, "d")])
+    write_file(4, [(t0 + dt.timedelta(hours=3, minutes=15), 1, "a")])  # key 1 re-arrives
+
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/f*")
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    out = _run_available_now(stream, str(tmp_path), "ddww").collect()
+    per_user = sorted((r.user_id, r.ts) for r in out)
+    users = [u for u, _ in per_user]
+    assert users == [1, 1, 2, 3, 4]  # user 1 twice: horizon-separated arrivals
+    # within-horizon duplicate collapsed to the first arrival
+    assert (1, t0) in per_user and (1, t0 + dt.timedelta(minutes=5)) not in per_user
+    assert (1, t0 + dt.timedelta(hours=3, minutes=15)) in per_user
+
+
 def test_streaming_curation_matches_batch(spark):
     """The streaming curation pipeline (quality gate → normalize →
     dropDuplicates → sink) must emit exactly the batch-computed curated
