@@ -1,0 +1,64 @@
+"""Range-clustered parquet layout for data skipping.
+
+At 100 TB, a filter like ``l_shipdate BETWEEN x AND y`` is only cheap
+if most files never get read. Parquet stores per-column min/max stats
+per file and row group; if the data is range-clustered on the filter
+column — ``repartitionByRange`` (global sort boundaries via sampling)
+plus ``sortWithinPartitions`` — each file covers a narrow, mostly
+disjoint key range and the scan's pushed predicate eliminates whole
+files/row-groups from the read. Unclustered data has every file
+spanning the full key range, so stats prune nothing and the "pushed"
+filter still reads 100% of the bytes.
+
+This is the same storage idea the bucketed layout applies to equi-join
+keys (io/bucketed.py), pointed at range predicates instead — the Spark
+expression of clustering/Z-ordering in lakehouse engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet range-clustered on ``keys``: rows are
+    range-partitioned into ``n_files`` contiguous key ranges (sampled
+    boundaries) and sorted within each, so per-file min/max stats are
+    narrow and filters on ``keys`` skip non-matching files entirely."""
+    (
+        df.repartitionByRange(n_files, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_key_ranges(path: str, key: str) -> list[tuple[object, object]]:
+    """Per-file (min, max) of ``key`` from the parquet footers — the
+    stats a reader prunes with. Driver-side helper for tests/audits
+    (footer reads only; never touches row data)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, name))
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[key]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(col_idx).statistics
+            if stats is None or not stats.has_min_max:
+                return []  # stats missing: no skipping possible
+            mins.append(stats.min)
+            maxs.append(stats.max)
+        out.append((min(mins), max(maxs)))
+    return out

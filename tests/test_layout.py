@@ -1,0 +1,61 @@
+"""Range-clustered parquet layout: per-file min/max stats must be
+narrow and mostly disjoint (that's what lets a range filter skip whole
+files at scale), versus unclustered writes where every file spans the
+full key range and stats prune nothing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_crime_etl_pipeline_spark.io.layout import file_key_ranges, write_range_clustered
+from open_crime_etl_pipeline_spark.io.readers import load_table
+
+
+def _overlap_fraction(ranges):
+    """Fraction of file pairs whose [min, max] ranges overlap."""
+    pairs = [
+        (a, b)
+        for i, a in enumerate(ranges)
+        for b in ranges[i + 1:]
+    ]
+    overlapping = sum(1 for a, b in pairs if a[0] <= b[1] and b[0] <= a[1])
+    return overlapping / len(pairs) if pairs else 0.0
+
+
+def test_range_clustered_files_are_disjoint(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    clustered = str(tmp_path / "clustered")
+    write_range_clustered(orders, clustered, keys=["o_orderkey"], n_files=8)
+    ranges = file_key_ranges(clustered, "o_orderkey")
+    assert len(ranges) >= 2
+    # sampled range boundaries are contiguous: at most neighboring
+    # files may share a boundary value, so overlap stays near zero
+    assert _overlap_fraction(ranges) <= 0.1
+
+    # control: a random shuffle leaves every file spanning ~everything
+    unclustered = str(tmp_path / "unclustered")
+    orders.repartition(8).write.parquet(unclustered)
+    assert _overlap_fraction(file_key_ranges(unclustered, "o_orderkey")) >= 0.9
+
+    # layout changes bytes on disk, never rows
+    back = spark.read.parquet(clustered)
+    assert back.count() == orders.count()
+    assert back.agg(F.sum("o_orderkey")).first()[0] == \
+        orders.agg(F.sum("o_orderkey")).first()[0]
+
+
+def test_file_key_ranges_reads_footers_only(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "c2")
+    write_range_clustered(
+        load_table(spark, sf_dir, "orders").select("o_orderkey"),
+        path, keys=["o_orderkey"], n_files=4,
+    )
+    ranges = file_key_ranges(path, "o_orderkey")
+    lo = min(r[0] for r in ranges)
+    hi = max(r[1] for r in ranges)
+    row = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .first()
+    )
+    assert (lo, hi) == (row.lo, row.hi)
