@@ -278,3 +278,103 @@ def grouping_sets_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT event_type, hour(ts) AS hour_of_day FROM __ev_gs)
         GROUP BY GROUPING SETS ((event_type), (hour_of_day))
     """)
+
+
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, event_id AS click_id, ts FROM events
+            WHERE event_type = 'click'
+        ), purch AS (
+            SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id AS user_id, c.click_id AS click_id,
+               p.purchase_id AS purchase_id,
+               round(CAST(p.purchase_value AS DOUBLE), 6) AS purchase_value
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    doc="As-of join (each click ↔ the user's latest purchase at-or-before "
+        "it, NULL-extended): union + per-key window carry — ONE shuffle, no "
+        "|L|·|R| range-join explosion (operators/asof.py). Oracle is "
+        "DuckDB's native ASOF LEFT JOIN; the corpus has no duplicate "
+        "(user, ts) purchases, so both tie-break rules coincide.",
+    tags=("events", "join", "asof"),
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", ts="ts",
+        value_cols=["purchase_id", "purchase_value"], seq="purchase_id",
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id",
+        F.round(F.col("purchase_value").cast("double"), 6).alias("purchase_value"),
+    )
+
+
+@register(
+    "range_join_window_totals",
+    oracle="""
+        WITH daily AS (
+            SELECT d AS wid,
+                   TIMESTAMP '2024-01-01 08:00:00' + INTERVAL (d - 1) DAY AS w_start,
+                   TIMESTAMP '2024-01-01 20:00:00' + INTERVAL (d - 1) DAY AS w_end
+            FROM range(1, 31) AS t(d)
+        ), weekly AS (
+            SELECT 100 + w AS wid,
+                   TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (7 * (w - 1)) DAY AS w_start,
+                   TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (7 * w) DAY AS w_end
+            FROM range(1, 6) AS t(w)
+        ), windows AS (
+            SELECT * FROM daily UNION ALL SELECT * FROM weekly
+        )
+        SELECT w.wid AS wid, count(*) AS n_events,
+               CAST(round(sum(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM events e JOIN windows w
+          ON w.w_start <= e.ts AND e.ts < w.w_end
+        GROUP BY w.wid
+    """,
+    doc="Range join (events into overlapping daily + weekly windows) via the "
+        "granule-binning equi-join (operators/rangejoin.py) — a point can "
+        "match several intervals, and the plan is an ordinary hash join on "
+        "the time granule, not the BroadcastNestedLoopJoin a bare "
+        "inequality join degenerates to. Oracle is the naive containment "
+        "join, affordable at oracle scale.",
+    tags=("events", "join", "range"),
+)
+def range_join_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from ..operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    base = dt.datetime(2024, 1, 1)
+    daily = [
+        (d, base + dt.timedelta(days=d - 1, hours=8), base + dt.timedelta(days=d - 1, hours=20))
+        for d in range(1, 31)
+    ]
+    weekly = [
+        (100 + w, base + dt.timedelta(days=7 * (w - 1)), base + dt.timedelta(days=7 * w))
+        for w in range(1, 6)
+    ]
+    windows = spark.createDataFrame(
+        daily + weekly, "wid int, w_start timestamp, w_end timestamp"
+    )
+    joined = range_join(ev, windows, ts="ts", start="w_start", end="w_end")
+    return joined.groupBy("wid").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+    )
