@@ -65,3 +65,27 @@ def test_dual_sink_fanout(spark, tmp_path):
     ra = sorted((r.id, r.v) for r in spark.read.parquet(a).collect())
     rb = sorted((r.id, r.v) for r in spark.read.parquet(b).collect())
     assert ra == rb and len(ra) == 100
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """A landing zone grows columns over time: old files lack the new
+    column, new files carry it. mergeSchema unions the footers at plan
+    time and NULL-fills the old files — no rewrite of historical data."""
+    base = str(tmp_path / "evolving")
+    spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")) \
+        .write.parquet(f"{base}/batch=1")
+    spark.range(10, 20).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("src9").alias("origin")
+    ).write.parquet(f"{base}/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "v", "origin", "batch"}
+    assert merged.count() == 20
+    old = merged.filter(F.col("batch") == 1)
+    assert old.filter(F.col("origin").isNull()).count() == 10  # backfilled as NULL
+    assert merged.filter(F.col("origin") == "src9").count() == 10
+
+    # default read keeps the historically-declared schema: pinning an
+    # explicit schema is what makes old pipelines immune to new columns
+    pinned = spark.read.schema("id long, v long").parquet(f"{base}/batch=2")
+    assert set(pinned.columns) == {"id", "v"} and pinned.count() == 10
