@@ -1052,3 +1052,58 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("quality").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
         ).alias("avg_quality"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+            FROM tf JOIN df USING (term), n
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, round(score, 6) AS score, rnk
+        FROM (
+            SELECT doc_id, term, tf, score,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3
+    """,
+    doc="TF-IDF: per-(doc, term) term frequency × ln(N/df), top-3 terms per "
+        "document. Token explode → two partial-agg groupBys; the term→df "
+        "dictionary joins back by term (a dictionary-sized side — "
+        "broadcastable even at corpus scale). Deterministic tie-break "
+        "(score desc, term asc); equal (tf, df) pairs produce bit-identical "
+        "doubles in both engines, so ranks can't diverge (§2.11 text).",
+    tags=("llm", "text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one scalar job; literal-folds into the plan
+    tf = (
+        docs.select("doc_id", F.explode(TS.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id", "term", "tf",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", F.round("score", 6).alias("score"), "rnk")
+    )
