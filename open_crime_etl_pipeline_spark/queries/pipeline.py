@@ -271,3 +271,70 @@ def crime_pipeline_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "scd2_order_status_history",
+    oracle="""
+        WITH snap AS (
+            SELECT o_orderkey, o_orderstatus AS status,
+                   TIMESTAMP '1990-01-01 00:00:00' AS ts
+            FROM orders
+        ), u1 AS (
+            SELECT o_orderkey, 'P' AS status, CAST(o_orderdate AS TIMESTAMP) AS ts
+            FROM orders WHERE o_orderkey % 3 = 0
+        ), u2 AS (
+            SELECT o_orderkey, 'F' AS status,
+                   CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS ts
+            FROM orders WHERE o_orderkey % 2 = 0
+        ), merged AS (
+            SELECT * FROM snap UNION ALL SELECT * FROM u1 UNION ALL SELECT * FROM u2
+        ), flagged AS (
+            SELECT o_orderkey, status, ts,
+                   (status IS DISTINCT FROM
+                    lag(status) OVER (PARTITION BY o_orderkey ORDER BY ts)) AS chg
+            FROM merged
+        ), versions AS (
+            SELECT o_orderkey, status, ts FROM flagged WHERE chg
+        )
+        SELECT o_orderkey, status,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM versions
+        WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts)
+    """,
+    doc="SCD type 2 derivation (operators/scd2.py): order-status history as "
+        "validity intervals from a snapshot + deterministic update stream "
+        "(some updates are no-ops and must collapse). One keyed window pass "
+        "builds arbitrarily long version chains — no iterative merging; the "
+        "reference's MERGE is the type-1 overwrite of this (J1 extension).",
+    tags=("merge", "scd2", "window"),
+)
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd2_apply
+
+    orders = _t(spark, sf_dir, "orders")
+    snap = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    u1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.lit("P").alias("status"), F.col("o_orderdate").alias("ts")
+    )
+    u2 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("F").alias("status"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+    )
+    hist = scd2_apply(
+        snap, u1.unionByName(u2), keys=["o_orderkey"], attrs=["status"], ts_col="ts"
+    )
+    return hist.select(
+        "o_orderkey",
+        "status",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
