@@ -39,6 +39,30 @@ def write_range_clustered(
     )
 
 
+def compact(spark, src: str, dst: str, target_file_bytes: int = 128 << 20) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    Streaming/incremental sinks accrete small files; at scale the
+    file-listing and per-file open cost starts to dominate scans. This
+    sizes the output from the actual bytes on disk (``ceil(total /
+    target)``) and round-robin repartitions to balance file sizes.
+    Writes to a NEW directory — atomically swapping a directory is the
+    table format's job (the txn-log snapshot publish in
+    ``io/table.py``), not a filesystem rename race. Returns the file
+    count written."""
+    import math
+    import os
+
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(src)
+        if e.is_file() and e.name.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n).write.mode("error").parquet(dst)
+    return n
+
+
 def file_key_ranges(path: str, key: str) -> list[tuple[object, object]]:
     """Per-file (min, max) of ``key`` from the parquet footers — the
     stats a reader prunes with. Driver-side helper for tests/audits

@@ -1,0 +1,62 @@
+"""Global row numbering without the single-partition window.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY moves the
+ENTIRE dataset through one task (Spark even logs
+"No Partition Defined for Window operation") — fine for a top-k over a
+pre-aggregated dictionary, fatal for numbering a 100 TB fact table.
+The scalable form is the classic two-pass:
+
+1. range-repartition on the order key (sampled boundaries, so
+   partition i holds strictly-earlier keys than partition i+1);
+2. count rows per partition — one tiny row per partition to the
+   driver — and prefix-sum into per-partition offsets;
+3. per-PARTITION row_number (parallel) + broadcast offset.
+
+The partitioned frame is pinned with ``localCheckpoint`` so pass 2 and
+pass 3 see identical range boundaries (the range partitioner samples;
+re-planning could re-sample). Requires a TOTAL order — include a
+unique tie-break column, or equal keys straddling a partition
+boundary would make numbering nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column | str],
+    out_col: str = "rn",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Add a contiguous 1-based global row number in ``order_by`` order
+    (which must be total), using range partitioning + per-partition
+    numbering + driver-side offsets instead of a one-task global sort."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    tagged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in tagged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    omap = F.create_map(
+        *[lit for pid, off in offsets for lit in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        tagged.withColumn(
+            out_col,
+            (F.row_number().over(w) + F.element_at(omap, F.col("__pid"))).cast("long"),
+        )
+        .drop("__pid")
+    )

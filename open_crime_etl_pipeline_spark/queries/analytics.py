@@ -334,3 +334,35 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "global_rank_customers_by_spend",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS spend
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, spend,
+               row_number() OVER (ORDER BY spend DESC, o_custkey) AS rn
+        FROM spend
+    """,
+    doc="Contiguous global ranking of EVERY customer by spend via the "
+        "two-pass range-partition + offset scheme (operators/ranking.py) — "
+        "no single-partition window, so the plan that ranks 1.5k customers "
+        "here ranks billions unchanged. Tie-break on custkey makes the "
+        "order total (§2.5/2.6 scale path).",
+    tags=("window", "ranking", "scale"),
+)
+def global_rank_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_row_number
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias("spend"))
+    )
+    return global_row_number(
+        spend, [F.col("spend").desc(), F.col("o_custkey").asc()], out_col="rn"
+    )

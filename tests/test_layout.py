@@ -59,3 +59,23 @@ def test_file_key_ranges_reads_footers_only(spark, sf_dir, tmp_path):
         .first()
     )
     assert (lo, hi) == (row.lo, row.hi)
+
+
+def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
+    from open_crime_etl_pipeline_spark.io.layout import compact
+
+    src = str(tmp_path / "small_files")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(40).write.parquet(src)
+    import os
+
+    n_small = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_small == 40
+    total = sum(
+        e.stat().st_size for e in os.scandir(src) if e.name.endswith(".parquet")
+    )
+    dst = str(tmp_path / "compacted")
+    n = compact(spark, src, dst, target_file_bytes=total // 3)
+    n_out = sum(1 for f in os.listdir(dst) if f.endswith(".parquet"))
+    assert n_out == n <= 4  # ~3 target-size files instead of 40 shards
+    assert spark.read.parquet(dst).count() == orders.count()
