@@ -61,6 +61,7 @@ def main() -> None:
         "near_dedup_representatives", # minhash LSH + verify + cluster
         "cosine_topk_exact",          # brute-force ANN baseline
         "token_stats_top_terms",      # tokenize → explode → count → topk
+        "asof_join_last_purchase",    # as-of join via union + window carry
     ]
 
     # Warm the JVM + parquet footers with one tiny action so q1 doesn't

@@ -378,3 +378,91 @@ def range_join_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "conversion_funnel_stages",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN v
+              ON v.user_id = e.user_id
+             AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 4 HOUR
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN c
+              ON c.user_id = e.user_id
+             AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 48 HOUR
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT stage, count(*) AS n_users FROM (
+            SELECT u.user_id,
+                   CASE WHEN p.user_id IS NOT NULL THEN 3
+                        WHEN c.user_id IS NOT NULL THEN 2
+                        WHEN v.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS stage
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v USING (user_id)
+            LEFT JOIN c USING (user_id)
+            LEFT JOIN p USING (user_id)
+        ) GROUP BY stage
+    """,
+    doc="Conversion funnel (view → click ≤4h later → purchase ≤48h after "
+        "that, anchored at each user's EARLIEST view — the standard fixed-"
+        "anchor funnel): per-user "
+        "greedy stage matching as ONE groupBy + sorted-array fold (Catalyst "
+        "HOF, single shuffle) instead of one self-join per stage — the "
+        "funnel depth doesn't multiply shuffle count. Greedy-on-earliest "
+        "equals the min-based derivation the oracle states (ST10/A8 "
+        "analytics shape).",
+    tags=("events", "funnel", "agg"),
+)
+def conversion_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_type").alias("et")))
+    )
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+
+    def step(acc, e):
+        new_t1 = F.when(
+            acc["t1"].isNull() & (e["et"] == "view"), e["ts"]
+        ).otherwise(acc["t1"])
+        new_t2 = F.when(
+            acc["t2"].isNull() & acc["t1"].isNotNull()
+            & (e["et"] == "click") & (e["ts"] > acc["t1"])
+            & (e["ts"] <= acc["t1"] + F.expr("INTERVAL 4 HOURS")),
+            e["ts"],
+        ).otherwise(acc["t2"])
+        new_t3 = F.when(
+            acc["t3"].isNull() & acc["t2"].isNotNull()
+            & (e["et"] == "purchase") & (e["ts"] > acc["t2"])
+            & (e["ts"] <= acc["t2"] + F.expr("INTERVAL 48 HOURS")),
+            e["ts"],
+        ).otherwise(acc["t3"])
+        return F.struct(new_t1.alias("t1"), new_t2.alias("t2"), new_t3.alias("t3"))
+
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id", F.aggregate(F.col("seq"), init, step).alias("f")
+        )
+        .select(
+            "user_id",
+            F.when(F.col("f.t3").isNotNull(), 3)
+            .when(F.col("f.t2").isNotNull(), 2)
+            .when(F.col("f.t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage"),
+        )
+    )
+    return per_user.groupBy("stage").agg(F.count("*").alias("n_users"))

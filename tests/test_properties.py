@@ -104,3 +104,47 @@ def test_salted_count_matches_plain(spark, data):
     plain = {(r.k): r["count"] for r in df.groupBy("k").count().collect()}
     salted = {(r.k): r.n for r in salted_count(df, ["k"], salt_buckets=4).collect()}
     assert plain == salted
+
+
+# --- as-of join vs brute force -------------------------------------------
+
+asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=12
+)
+asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+    min_size=0, max_size=12,
+)
+
+
+@SLOW
+@given(left=asof_left, right=asof_right)
+def test_asof_join_matches_brute_force(spark, left, right):
+    """asof_join ≡ per-row argmax over right.ts <= left.ts (largest
+    seq on ties), on arbitrary key/time collisions incl. duplicates."""
+    from open_crime_etl_pipeline_spark.operators.asof import asof_join
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    lrows = [(k, t0 + dt.timedelta(minutes=m), i) for i, (k, m) in enumerate(left)]
+    rrows = [(k, t0 + dt.timedelta(minutes=m), s, float(s)) for k, m, s in right]
+    l = spark.createDataFrame(
+        lrows if lrows else [], "k int, ts timestamp, lid int"
+    ) if lrows else spark.createDataFrame([], "k int, ts timestamp, lid int")
+    r = spark.createDataFrame(
+        rrows, "k int, ts timestamp, rid int, rv double"
+    ) if rrows else spark.createDataFrame([], "k int, ts timestamp, rid int, rv double")
+
+    got = {
+        row.lid: (row.rid, row.rv)
+        for row in asof_join(l, r, on="k", ts="ts", value_cols=["rid", "rv"],
+                             seq="rid").collect()
+    }
+    for k, ts, lid in lrows:
+        cands = [(rts, rid, rv) for (rk, rts, rid, rv) in rrows
+                 if rk == k and rts <= ts]
+        expect = (None, None)
+        if cands:
+            _, rid, rv = max(cands, key=lambda c: (c[0], c[1]))
+            expect = (rid, rv)
+        assert got[lid] == expect, (lid, got[lid], expect)
