@@ -1107,3 +1107,53 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", F.round("score", 6).alias("score"), "rnk")
     )
+
+
+@register(
+    "sequence_packing_bins",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM toks
+        )
+        SELECT source, CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS bin_id,
+               count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM cum GROUP BY source, bin_id
+    """,
+    doc="Sequence packing for pretraining batches: concatenate-then-chunk "
+        "semantics — docs in deterministic order, each assigned to the bin "
+        "its starting token offset falls in (512-token bins). Packed WITHIN "
+        "each source partition, so the running sum parallelizes across "
+        "sources instead of funneling the corpus through one global window "
+        "(§2.11 curation).",
+    tags=("llm", "curation", "packing"),
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(TS.tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        cum.withColumn(
+            "bin_id", F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 512)
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
