@@ -51,6 +51,15 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} collide with left columns — alias "
+            "the right side before joining"
+        )
+    missing = {on, ts, *value_cols} - set(right.columns)
+    if missing:
+        raise ValueError(f"right side lacks columns {sorted(missing)}")
     seq = seq or value_cols[0]
     payload = F.struct(*[F.col(c) for c in value_cols])
     rhs = right.select(

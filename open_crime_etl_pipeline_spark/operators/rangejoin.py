@@ -37,6 +37,12 @@ def range_join(
     """Join each ``points`` row to every ``intervals`` row with
     ``start <= ts < end`` (end-exclusive). Output columns: all point
     columns plus all interval columns; names must not collide."""
+    clash = set(points.columns) & set(intervals.columns)
+    if clash:
+        raise ValueError(
+            f"point/interval column names collide: {sorted(clash)} — alias "
+            "one side before joining"
+        )
     gm = F.lit(int(granule_seconds) * 1_000_000)  # granule in µs
     pts = points.withColumn("__g", F.floor(F.unix_micros(F.col(ts)) / gm))
     ivs = intervals.withColumn(

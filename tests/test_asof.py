@@ -119,3 +119,14 @@ def test_asof_forward_ties_resolve_to_smallest_seq(spark):
         direction="forward",
     ).first()
     assert (row.rid, row.rv) == (7, 2.0)  # deterministic: min seq wins
+
+
+def test_asof_rejects_colliding_and_missing_columns(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, _m(0), 5)], "k long, ts timestamp, rid int")
+    right = spark.createDataFrame([(1, _m(0), 7, 1.0)], "k long, ts timestamp, rid int, rv double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", ts="ts", value_cols=["rid"])
+    with _pytest.raises(ValueError, match="lacks"):
+        asof_join(left.drop("rid"), right, on="k", ts="ts", value_cols=["nope"])
