@@ -223,6 +223,22 @@ def _http_page(
         return json.loads(res.read().decode())
 
 
+def _with_retries(fn, attempts: int, base_delay: float):
+    """Call ``fn`` with up to ``attempts`` retries on any exception —
+    capped exponential backoff, ceiling 10 s (the reference runs 3
+    retries with a 10 s delay, crime_etl.py:558-561; exponential-with-
+    cap subsumes that while failing fast on transient blips)."""
+    import time
+
+    for i in range(attempts + 1):
+        try:
+            return fn()
+        except Exception:
+            if i == attempts:
+                raise
+            time.sleep(min(base_delay * (2 ** i), 10.0))
+
+
 class SocrataReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.field_names = [f.name for f in schema.fields]
@@ -231,6 +247,11 @@ class SocrataReader(DataSourceReader):
         self.max_pages = int(options.get("max_pages", DEFAULT_MAX_PAGES))
         self.start = options.get("start_date", DEFAULT_START)
         self.end = options.get("end_date", DEFAULT_END)
+        self.retries = int(options.get("retries", 3))
+        self.retry_delay = float(options.get("retry_delay", 1.0))
+        # fault-injection memory for the flaky:// test backend: pages
+        # that already failed once succeed on retry
+        self._failed_once: set = set()
         # filters fully absorbed by the source: rendered into the SoQL
         # WHERE (HTTP path) and re-applied exactly per record in read()
         self.absorbed: list[Filter] = []
@@ -349,16 +370,36 @@ class SocrataReader(DataSourceReader):
         ws, we = _parse_ts(partition.start), _parse_ts(partition.end)
         if ws >= we:
             return
-        fake_rows = None
+        fake_rows = fail_every = None
         if self.endpoint.startswith("fake://"):
             fake_rows = int(self.endpoint[len("fake://"):])
+        elif self.endpoint.startswith("flaky://"):
+            # deterministic fault injection: every fail_every-th page
+            # raises on its FIRST attempt, then succeeds — exercises the
+            # retry path without a real flaky server
+            spec = self.endpoint[len("flaky://"):]
+            rows_s, fail_s = spec.split(":")
+            fake_rows, fail_every = int(rows_s), int(fail_s)
         extra = [_soql_fragment(f) for f in self.absorbed]
         for pagenum in range(self.max_pages):
-            if fake_rows is not None:
-                page = _fake_page(fake_rows, ws, we, pagenum, self.pagesize)
-            else:
-                page = _http_page(self.endpoint, partition.start, partition.end,
+
+            def fetch(pagenum=pagenum):
+                if fail_every is not None:
+                    key = (partition.start, pagenum)
+                    if (
+                        pagenum % fail_every == fail_every - 1
+                        and key not in self._failed_once
+                    ):
+                        self._failed_once.add(key)
+                        raise ConnectionError(
+                            f"injected fault on page {pagenum}"
+                        )
+                if fake_rows is not None:
+                    return _fake_page(fake_rows, ws, we, pagenum, self.pagesize)
+                return _http_page(self.endpoint, partition.start, partition.end,
                                   pagenum, self.pagesize, extra)
+
+            page = _with_retries(fetch, self.retries, self.retry_delay)
             if not page:  # reference termination: empty page ends the window
                 return
             for rec in page:

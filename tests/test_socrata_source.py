@@ -277,3 +277,29 @@ def test_ingest_end_to_end_source_transform_merge(socrata, tmp_path):
                           order_by=["source_updated_on"])
     assert merged.count() == 50  # 25 updates absorbed, 25 inserts
     assert merged.select("crime_id").distinct().count() == 50
+
+
+def test_flaky_backend_recovers_via_retries(socrata):
+    """Transient page failures are retried with backoff (reference runs
+    3 retries / 10 s, crime_etl.py:558-561); the recovered scan must be
+    byte-identical to the healthy one."""
+    healthy = _read(
+        socrata, endpoint="fake://120", pagesize="25",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-03-01T00:00:00.000",
+    ).collect()
+    flaky = _read(
+        socrata, endpoint="flaky://120:2", pagesize="25", retry_delay="0.01",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-03-01T00:00:00.000",
+    ).collect()
+    assert sorted(map(tuple, flaky)) == sorted(map(tuple, healthy))
+    assert len(flaky) == 240
+
+
+def test_flaky_backend_without_retries_fails(socrata):
+    df = _read(
+        socrata, endpoint="flaky://120:2", pagesize="25",
+        retries="0", retry_delay="0.01",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-02-01T00:00:00.000",
+    )
+    with pytest.raises(Exception, match="injected fault"):
+        df.collect()
