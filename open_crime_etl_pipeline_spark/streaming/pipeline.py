@@ -357,6 +357,45 @@ def foreach_batch_upsert(
     return writer.start()
 
 
+def foreach_batch_upsert_versioned(
+    stream: DataFrame,
+    table_root: str,
+    keys: list[str],
+    order_by: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming MERGE into the txn-log versioned table (io/table.py):
+    each micro-batch commits a NEW immutable snapshot published by an
+    atomic log append — no tmp-dir swap dance, readers never see a torn
+    epoch, and every epoch is a time-travelable version. Replay after a
+    failure re-merges idempotently (last-writer-wins), so a re-run epoch
+    commits a snapshot with identical content (ST5-ST7 + §2.3 J1 on the
+    lakehouse storage layer).
+    """
+    from ..io.table import VersionedParquetTable
+    from ..operators.merge import dedup_last_writer_wins
+
+    spark = stream.sparkSession
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        table = VersionedParquetTable(spark, table_root)
+        if table.exists():
+            merged = merge_upsert(
+                table.read(), batch, keys=keys, order_by=order_by
+            )
+        else:
+            merged = dedup_last_writer_wins(batch, keys, order_by)
+        table.commit(merged, action=f"stream-epoch-{epoch_id}")
+
+    writer = stream.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,
