@@ -61,6 +61,7 @@ def merge_upsert(
     keys: list[str],
     order_by: list[str] | None = None,
     broadcast_source: bool | None = None,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """MERGE semantics: source rows win on key match; unmatched target
     rows survive; unmatched source rows are inserts.
@@ -75,6 +76,12 @@ def merge_upsert(
     ``broadcast_source``: force/disable broadcasting the source side of
     the anti join; default lets AQE/threshold decide, which picks
     broadcast for the typical small-batch incremental load.
+
+    ``allow_schema_evolution``: with True, a batch may add columns (old
+    target rows backfill NULL) or omit target columns (inserted rows
+    get NULL) — the MERGE WITH SCHEMA EVOLUTION behavior of lakehouse
+    SQL engines. Default False keeps the strict-schema contract: a
+    mismatch raises at plan time instead of silently widening.
     """
     if order_by:
         source = dedup_last_writer_wins(source, keys, order_by)
@@ -82,4 +89,4 @@ def merge_upsert(
     if broadcast_source:
         probe = F.broadcast(probe)
     survivors = target.join(probe, on=keys, how="left_anti")
-    return source.unionByName(survivors)
+    return source.unionByName(survivors, allowMissingColumns=allow_schema_evolution)

@@ -28,6 +28,24 @@ def deterministic_sample(df: DataFrame, id_col: str, pct: int, salt: str = "") -
     return df.filter(hash_bucket(id_col, 100, salt) < pct)
 
 
+def stratified_sample(
+    df: DataFrame, id_col: str, strata_col: str, fractions: dict[str, int],
+    default_pct: int = 0, salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum value → percentage
+    kept (0-100); unlisted strata keep ``default_pct``. The Spark-native
+    ``sampleBy`` is seed-stable only within one Spark version and one
+    partitioning — this is stable across engines, runs, and cluster
+    sizes, because membership is a pure function of (id, salt). Used
+    for domain up/down-sampling against mixture weights
+    (``source_mixture_weights``)."""
+    b = hash_bucket(id_col, 100, salt)
+    pct = F.lit(default_pct)
+    for value, p in sorted(fractions.items()):
+        pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
+    return df.filter(b < pct)
+
+
 def train_val_test_split(
     df: DataFrame, id_col: str, val_pct: int = 10, test_pct: int = 10, salt: str = "",
 ) -> DataFrame:

@@ -356,23 +356,26 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "join", "range"),
 )
 def range_join_window_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime as dt
-
     from ..operators.rangejoin import range_join
 
     ev = _t(spark, sf_dir, "events").select("ts", "value")
-    base = dt.datetime(2024, 1, 1)
-    daily = [
-        (d, base + dt.timedelta(days=d - 1, hours=8), base + dt.timedelta(days=d - 1, hours=20))
-        for d in range(1, 31)
-    ]
-    weekly = [
-        (100 + w, base + dt.timedelta(days=7 * (w - 1)), base + dt.timedelta(days=7 * w))
-        for w in range(1, 6)
-    ]
-    windows = spark.createDataFrame(
-        daily + weekly, "wid int, w_start timestamp, w_end timestamp"
+    # windows built Catalyst-side from string literals: a naive Python
+    # datetime through createDataFrame is interpreted in the OS
+    # timezone (not the UTC-pinned session), which shifts every window
+    # when the host runs in a non-UTC TZ — caught by the TZ=America/
+    # Chicago verify run
+    day = "make_interval(0, 0, 0, 1, 0, 0, 0)"
+    daily = spark.range(1, 31).select(
+        F.col("id").cast("int").alias("wid"),
+        F.expr(f"timestamp'2024-01-01 08:00:00' + (id - 1) * {day}").alias("w_start"),
+        F.expr(f"timestamp'2024-01-01 20:00:00' + (id - 1) * {day}").alias("w_end"),
     )
+    weekly = spark.range(1, 6).select(
+        (F.col("id") + 100).cast("int").alias("wid"),
+        F.expr(f"timestamp'2024-01-01 00:00:00' + (id - 1) * 7 * {day}").alias("w_start"),
+        F.expr(f"timestamp'2024-01-01 00:00:00' + id * 7 * {day}").alias("w_end"),
+    )
+    windows = daily.unionByName(weekly)
     joined = range_join(ev, windows, ts="ts", start="w_start", end="w_end")
     return joined.groupBy("wid").agg(
         F.count("*").alias("n_events"),

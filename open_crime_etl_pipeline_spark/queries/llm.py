@@ -1157,3 +1157,44 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("bin_tokens"),
         )
     )
+
+
+@register(
+    "stratified_sample_counts",
+    oracle="""
+        WITH sampled AS (
+            SELECT doc_id, source
+            FROM (
+                SELECT doc_id, source,
+                       CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) AS BIGINT) % 100 AS INT) AS b
+                FROM documents
+            )
+            WHERE b < CASE source
+                        WHEN 'src0' THEN 80 WHEN 'src1' THEN 40
+                        WHEN 'src2' THEN 20 WHEN 'src3' THEN 10
+                        ELSE 50 END
+        )
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM sampled GROUP BY source
+    """,
+    doc="Per-stratum deterministic sampling (domain up/down-sampling against "
+        "mixture weights): membership is a pure function of md5(doc_id, salt), "
+        "so the same rows are kept in every engine, run, and partitioning — "
+        "rand()/sampleBy can't promise any of that. Scan-side filter, no "
+        "shuffle before the count (§2.11 sampling).",
+    tags=("llm", "sampling", "curation"),
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "doc_id", "source",
+        fractions={"src0": 80, "src1": 40, "src2": 20, "src3": 10},
+        default_pct=50, salt="mix1",
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )

@@ -70,3 +70,26 @@ def test_merge_overlap_window_absorbs_duplicates(spark):
     merged = merge_upsert(target, overlap_batch, ["k"])
     assert merged.count() == 3
     assert merged.filter(F.col("k") == "a").count() == 1
+
+
+def test_merge_schema_evolution_adds_and_omits_columns(spark):
+    """MERGE WITH SCHEMA EVOLUTION: a batch may introduce a column
+    (old rows backfill NULL) or omit one (inserts get NULL); the strict
+    default still raises on mismatch."""
+    from open_crime_etl_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    widened = spark.createDataFrame(
+        [(2, "b2", "W2"), (3, "c", "W3")], "id long, v string, w string"
+    )
+    out = merge_upsert(target, widened, keys=["id"], allow_schema_evolution=True)
+    rows = {r.id: (r.v, r.w) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b2", "W2"), 3: ("c", "W3")}
+
+    narrowed = spark.createDataFrame([(4,)], "id long")
+    out2 = merge_upsert(out, narrowed, keys=["id"], allow_schema_evolution=True)
+    assert {r.id: (r.v, r.w) for r in out2.collect()}[4] == (None, None)
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):  # strict default refuses the widened batch
+        merge_upsert(target, widened, keys=["id"]).collect()
