@@ -1198,3 +1198,25 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+@register(
+    "multimodal_dedup_checksum",
+    oracle=_CORPUS_SQL_EXACT + """
+        SELECT min(doc_id) AS media_id
+        FROM corpus
+        GROUP BY sha256(text)
+    """,
+    doc="Exact media dedup over the Arrow-batched decode stage: the corpus "
+        "(with id-shifted duplicate payloads) flows media-synthesis → "
+        "mapInPandas decode (sha256 checksum + byte-stat features) → "
+        "min-id per checksum. sha256 is engine-portable, so this oracle-"
+        "checks the Pandas-UDF plumbing itself end-to-end — schema, batch "
+        "shape, and checksum values — not just row counts (§2.11 multimodal).",
+    tags=("llm", "multimodal", "dedup"),
+)
+def multimodal_dedup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_exact(spark, sf_dir)
+    media = M.synthesize_media(corpus.withColumn("n_chars", F.length("text")))
+    feats = M.decode_and_featurize(media)
+    return feats.groupBy("checksum").agg(F.min("media_id").alias("media_id")).select("media_id")
