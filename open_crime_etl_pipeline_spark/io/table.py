@@ -147,6 +147,45 @@ class VersionedParquetTable:
         )
 
     # -- maintenance ---------------------------------------------------
+    def diff(self, keys: list[str], v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change data feed between two committed versions: every row of
+        ``v_to`` (default latest) that is new or changed since
+        ``v_from``, plus tombstones for deleted keys. Output = v_to's
+        columns + ``_change`` ∈ {insert, update_postimage, delete}
+        (deleted rows carry v_from's values).
+
+        Computed as two keyed anti/join passes over the immutable
+        snapshots — no change log needs to be captured at write time,
+        which is the advantage of snapshot-complete versioning: any
+        pair of retained versions can be diffed after the fact.
+        """
+        from pyspark.sql import functions as F
+
+        old = self.read(version=v_from)
+        new = self.read(version=v_to)
+        non_keys = [c for c in new.columns if c not in keys]
+        old_keyed = old.select(*keys, F.struct(*non_keys).alias("__v"))
+        new_keyed = new.select(*keys, F.struct(*non_keys).alias("__v"))
+        joined = new_keyed.alias("n").join(
+            old_keyed.alias("o"), on=keys, how="full_outer"
+        )
+        n_v, o_v = F.col("n.__v"), F.col("o.__v")
+        change = (
+            F.when(o_v.isNull(), "insert")
+            .when(n_v.isNull(), "delete")
+            .when(~n_v.eqNullSafe(o_v), "update_postimage")
+        )
+        picked = F.coalesce(n_v, o_v)  # deletes carry the pre-image
+        return (
+            joined.withColumn("_change", change)
+            .filter(F.col("_change").isNotNull())
+            .select(
+                *keys,
+                *[picked[c].alias(c) for c in non_keys],
+                "_change",
+            )
+        )
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop snapshot directories beyond the ``keep_last`` most
         recent committed versions, plus any orphaned (never-committed)

@@ -128,3 +128,26 @@ def test_merge_plan_reading_current_snapshot_commits_safely(spark, tmp_path):
     assert t.latest_version() == 3
     got2 = {r["crime_id"]: r["case_num"] for r in t.read().collect()}
     assert got2 == got
+
+
+def test_diff_change_data_feed(spark, tmp_path):
+    """diff(v_from, v_to) reconstructs inserts/updates/deletes between
+    any two retained versions from the snapshots alone — no write-time
+    change capture."""
+    t = VersionedParquetTable(spark, str(tmp_path / "cdf"))
+    t.commit(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"))
+    t.commit(spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "id long, v string"))  # upd 2, del 3, ins 4
+
+    changes = {r.id: (r.v, r._change) for r in t.diff(["id"], v_from=1).collect()}
+    assert changes == {
+        2: ("B2", "update_postimage"),
+        3: ("c", "delete"),          # tombstone carries the pre-image
+        4: ("d", "insert"),
+    }
+    # unchanged key 1 is absent; self-diff is empty
+    assert t.diff(["id"], v_from=2, v_to=2).count() == 0
+    # reversed diff sees the inverse operations
+    rev = {r.id: r._change for r in t.diff(["id"], v_from=2, v_to=1).collect()}
+    assert rev == {2: "update_postimage", 3: "insert", 4: "delete"}
