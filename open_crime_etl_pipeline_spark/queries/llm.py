@@ -1220,3 +1220,42 @@ def multimodal_dedup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(corpus.withColumn("n_chars", F.length("text")))
     feats = M.decode_and_featurize(media)
     return feats.groupBy("checksum").agg(F.min("media_id").alias("media_id")).select("media_id")
+
+
+@register(
+    "unigram_logprob_quality",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT term, count(*) AS n FROM toks GROUP BY term
+        ), total AS (
+            SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM tf
+        )
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               round(avg(ln(CAST(tf.n AS DOUBLE) / total.n_total)), 6) AS avg_logprob
+        FROM toks t JOIN tf USING (term), total
+        GROUP BY t.doc_id
+    """,
+    doc="Unigram language-model quality score (the perplexity-proxy filter "
+        "of CCNet-style curation): per-document mean ln p(token) under the "
+        "corpus unigram distribution. Token explode → dictionary-sized term "
+        "counts broadcast back → one partial agg per doc; no shuffle "
+        "carries raw text (§2.11 quality).",
+    tags=("llm", "text", "quality"),
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TS.tokens("text")).alias("term"))
+    tf = toks.groupBy("term").agg(F.count("*").alias("n"))
+    n_total = tf.agg(F.sum("n")).first()[0]
+    scored = toks.join(F.broadcast(tf), "term").select(
+        "doc_id",
+        F.log(F.col("n").cast("double") / F.lit(float(n_total))).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
