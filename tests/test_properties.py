@@ -148,3 +148,57 @@ def test_asof_join_matches_brute_force(spark, left, right):
             _, rid, rv = max(cands, key=lambda c: (c[0], c[1]))
             expect = (rid, rv)
         assert got[lid] == expect, (lid, got[lid], expect)
+
+
+# --- SCD2 vs brute force ---------------------------------------------------
+
+scd2_updates = st.lists(
+    st.tuples(st.integers(0, 3), st.sampled_from(["A", "B", "C"])),
+    min_size=0, max_size=12,
+)
+scd2_snapshot = st.dictionaries(
+    st.integers(0, 3), st.sampled_from(["A", "B", "C"]), max_size=4
+)
+
+
+@SLOW
+@given(snap=scd2_snapshot, upds=scd2_updates)
+def test_scd2_matches_brute_force(spark, snap, upds):
+    """scd2_apply ≡ per-key chronological collapse of equal-attr runs,
+    with lead()-closed validity intervals."""
+    from open_crime_etl_pipeline_spark.operators.scd2 import scd2_apply
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    snap_rows = [(k, v, t0) for k, v in sorted(snap.items())]
+    # unique, increasing ts per key by construction
+    upd_rows = [
+        (k, v, t0 + dt.timedelta(minutes=i + 1))
+        for i, (k, v) in enumerate(upds)
+        if k in snap  # updates for unknown keys would start new chains; keep it simple
+    ]
+    if not snap_rows:
+        return
+    s = spark.createDataFrame(snap_rows, "k int, status string, valid_from timestamp")
+    u = spark.createDataFrame(
+        upd_rows, "k int, status string, ts timestamp"
+    ) if upd_rows else spark.createDataFrame([], "k int, status string, ts timestamp")
+
+    got = {
+        (r.k, r.valid_from): (r.status, r.valid_to, r.is_current)
+        for r in scd2_apply(s, u, keys=["k"], attrs=["status"], ts_col="ts").collect()
+    }
+
+    expect = {}
+    for k in snap:
+        chain = [(t0, snap[k])] + sorted(
+            [(ts, v) for (kk, v, ts) in upd_rows if kk == k]
+        )
+        versions = []
+        for ts, v in chain:
+            if not versions or versions[-1][1] != v:
+                versions.append((ts, v))
+        for i, (ts, v) in enumerate(versions):
+            nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+            expect[(k, ts)] = (v, nxt, nxt is None)
+    assert got == expect
