@@ -53,6 +53,35 @@ def test_single_row_totals_are_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A hive-partitioned fact joined to a filtered dim on the
+    partition column must plan a dynamicpruning expression in
+    PartitionFilters — at scale this skips whole partition directories
+    based on the dim filter's runtime result, instead of scanning the
+    full fact and filtering after the join."""
+    from pyspark.sql import functions as F
+
+    from open_crime_etl_pipeline_spark.io.readers import load_table
+
+    fact_path = str(tmp_path / "fact")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("prio", F.split("o_orderpriority", "-")[0])
+        .write.partitionBy("prio")
+        .parquet(fact_path)
+    )
+    dim = spark.createDataFrame(
+        [("1", "urgent"), ("2", "high"), ("3", "medium")], "prio string, label string"
+    )
+    joined = spark.read.parquet(fact_path).join(
+        dim.filter(F.col("label") == "urgent"), "prio"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    assert "PartitionFilters" in plan
+    assert joined.count() > 0
+
+
 def test_exact_dedup_shuffles_digests_not_text(spark, sf_dir):
     plan = _plan(spark, sf_dir, "exact_dedup_documents")
     # the group-by exchange is keyed on the two xxhash64 digests; the
