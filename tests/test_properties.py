@@ -202,3 +202,41 @@ def test_scd2_matches_brute_force(spark, snap, upds):
             nxt = versions[i + 1][0] if i + 1 < len(versions) else None
             expect[(k, ts)] = (v, nxt, nxt is None)
     assert got == expect
+
+
+# --- range join vs naive inequality join -----------------------------------
+
+rj_points = st.lists(st.integers(0, 120), min_size=0, max_size=12)
+rj_intervals = st.lists(
+    st.tuples(st.integers(0, 120), st.integers(0, 40)), min_size=0, max_size=8
+)
+
+
+@SLOW
+@given(points=rj_points, intervals=rj_intervals)
+def test_range_join_matches_brute_force(spark, points, intervals):
+    """Granule-binned range_join ≡ naive containment across arbitrary
+    overlaps, empty intervals, and boundary alignment with the granule."""
+    from open_crime_etl_pipeline_spark.operators.rangejoin import range_join
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    m = dt.timedelta(minutes=1)
+    prow = [(i, t0 + p * m) for i, p in enumerate(points)]
+    irow = [(i, t0 + s * m, t0 + (s + d) * m) for i, (s, d) in enumerate(intervals)]
+    p = spark.createDataFrame(prow, "pid int, ts timestamp") if prow else \
+        spark.createDataFrame([], "pid int, ts timestamp")
+    iv = spark.createDataFrame(irow, "wid int, w_start timestamp, w_end timestamp") \
+        if irow else spark.createDataFrame([], "wid int, w_start timestamp, w_end timestamp")
+    got = sorted(
+        (r.pid, r.wid)
+        for r in range_join(p, iv, ts="ts", start="w_start", end="w_end",
+                            granule_seconds=600).collect()  # 10-min granule
+    )
+    expect = sorted(
+        (pi, wi)
+        for pi, pts in prow
+        for wi, ws, we in irow
+        if ws <= pts < we
+    )
+    assert got == expect
