@@ -396,3 +396,54 @@ def test_foreach_batch_upsert_versioned_table(spark, tmp_path):
     assert table.latest_version() == 3
     replay = {r["id"]: r["case_number"] for r in table.read().collect()}
     assert replay == now
+
+
+def test_windowed_counts_update_mode_emits_revisions(spark, tmp_path):
+    """Update output mode: a window revised by a later micro-batch is
+    re-emitted with its new count (append mode would hold it until the
+    watermark finalizes; complete mode would re-emit everything). The
+    sink therefore sees BOTH versions of the revised window."""
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+
+    def write_file(n, rows):
+        df = spark.createDataFrame(
+            [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/f{n}")
+        import time
+
+        t = time.time() + n * 10
+        for root, _d, files in os.walk(f"{src}/f{n}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+    write_file(1, [(BASE + dt.timedelta(minutes=5), 1, "click")])
+    write_file(2, [(BASE + dt.timedelta(minutes=20), 2, "click")])  # same 1h window
+
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/f*")
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("upd_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_upd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = [(r.window_start, r.n_events) for r in spark.table("upd_counts").collect()]
+    # batch 1 emits (window, 1); batch 2 revises the SAME window to 2
+    assert (BASE, 1) in out and (BASE, 2) in out and len(out) == 2
