@@ -21,6 +21,12 @@ unbounded-preceding window:
 ``direction="forward"`` is the same shape with the window reversed
 (first/unbounded-following): the EARLIEST right row at-or-after each
 left row.
+
+``tolerance`` (pandas ``merge_asof``'s staleness bound) rides the same
+single pass: the matched right row's timestamp travels inside the
+payload struct, and a match further than ``tolerance`` from the left
+timestamp is nulled out AFTER the window — no extra join, no second
+shuffle.
 """
 
 from __future__ import annotations
@@ -37,6 +43,7 @@ def asof_join(
     value_cols: list[str],
     seq: str | None = None,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, joined to the latest
     ``right`` row with the same ``on`` key and ``right.ts <= left.ts``
@@ -48,9 +55,16 @@ def asof_join(
     collide with left column names. ``seq`` (optional, defaults to the
     first value column) breaks ties between equal right timestamps:
     largest wins backward, smallest wins forward.
+
+    ``tolerance`` is a SQL interval expression (e.g. ``"INTERVAL 7
+    DAY"``): a matched right row further than that from the left
+    timestamp is treated as no match (NULL-extended), like pandas
+    ``merge_asof(tolerance=...)``.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if "__rts" in value_cols:
+        raise ValueError("'__rts' is reserved inside the as-of payload")
     clash = set(value_cols) & set(left.columns)
     if clash:
         raise ValueError(
@@ -61,7 +75,9 @@ def asof_join(
     if missing:
         raise ValueError(f"right side lacks columns {sorted(missing)}")
     seq = seq or value_cols[0]
-    payload = F.struct(*[F.col(c) for c in value_cols])
+    # the right timestamp rides inside the payload so the tolerance
+    # check always reads the SAME row the carried values came from
+    payload = F.struct(F.col(ts).alias("__rts"), *[F.col(c) for c in value_cols])
     rhs = right.select(
         F.col(on),
         F.col(ts),
@@ -100,11 +116,16 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         carried = F.first(F.col("__payload"), ignorenulls=True).over(w)
-    return (
-        merged.withColumn("__match", carried)
-        .filter(F.col("__side") == 1)
-        .select(
-            *left.columns,
-            *[F.col(f"__match.{c}").alias(c) for c in value_cols],
+    out = merged.withColumn("__match", carried).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        # NULL __match compares NULL → when() yields NULL → stays unmatched
+        in_bound = (
+            F.col("__match.__rts") >= F.col(ts) - F.expr(tolerance)
+            if direction == "backward"
+            else F.col("__match.__rts") <= F.col(ts) + F.expr(tolerance)
         )
+        out = out.withColumn("__match", F.when(in_bound, F.col("__match")))
+    return out.select(
+        *left.columns,
+        *[F.col(f"__match.{c}").alias(c) for c in value_cols],
     )

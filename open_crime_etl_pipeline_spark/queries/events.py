@@ -326,6 +326,177 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_distribution_stats",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS p25,
+               round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+               round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+               round(stddev_samp(CAST(value AS DOUBLE)), 6) AS sd,
+               round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(value), 6) AS avg_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Exact distribution statistics per group: continuous-interpolation "
+        "percentiles (Spark `percentile` ≡ DuckDB `quantile_cont` — both "
+        "use the linear-interpolation definition, verified to 6dp), sample "
+        "stddev, and the exact-decimal mean. Exact percentile sorts within "
+        "each group partition; at 100 TB swap in percentile_approx "
+        "(t-digest, mergeable map-side — no per-group sort) where the "
+        "downstream tolerates ε.",
+    tags=("events", "agg", "stats"),
+)
+def value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.9)"), 6).alias("p90"),
+        F.round(F.stddev_samp(v), 6).alias("sd"),
+        F.round(
+            F.sum(dec2("value")).cast("double") / F.count("value"), 6
+        ).alias("avg_value"),
+    )
+
+
+@register(
+    "correlation_matrix_stats",
+    oracle="""
+        SELECT round(corr(CAST(value AS DOUBLE),
+                          CAST(epoch(ts) AS DOUBLE)), 6) AS corr_value_time,
+               round(covar_samp(CAST(value AS DOUBLE),
+                                CAST(epoch(ts) AS DOUBLE)) / 1000000, 6) AS covar_value_time_m,
+               round(corr(CAST(value AS DOUBLE),
+                          CAST(user_id AS DOUBLE)), 6) AS corr_value_user
+        FROM events
+    """,
+    doc="Bivariate statistics (Pearson corr, sample covariance) as single- "
+        "pass aggregates — Spark's corr/covar_samp are mergeable moment "
+        "accumulators (partial agg map-side, constant-size state), the "
+        "same one-pass shape DuckDB uses, so they match to 6dp despite "
+        "float summation order differing across 32 partitions.",
+    tags=("events", "agg", "stats"),
+)
+def correlation_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    # cast keeps the microsecond fraction, matching DuckDB's epoch();
+    # unix_timestamp() would truncate to whole seconds and diverge
+    t_s = F.col("ts").cast("double")
+    return ev.select(
+        F.round(F.corr(v, t_s), 6).alias("corr_value_time"),
+        F.round(F.covar_samp(v, t_s) / F.lit(1000000.0), 6).alias("covar_value_time_m"),
+        F.round(F.corr(v, F.col("user_id").cast("double")), 6).alias("corr_value_user"),
+    )
+
+
+@register(
+    "asof_join_next_purchase",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, event_id AS click_id, ts FROM events
+            WHERE event_type = 'click'
+        ), purch AS (
+            SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT c.user_id AS user_id, c.click_id AS click_id,
+               p.purchase_id AS purchase_id,
+               round(CAST(p.purchase_value AS DOUBLE), 6) AS purchase_value
+        FROM clicks c ASOF LEFT JOIN purch p
+          ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+    doc="Forward as-of join (each click ↔ the user's EARLIEST purchase "
+        "at-or-after it — attribution's 'what did this click convert to'). "
+        "Same union + window-carry single-shuffle plan with the window "
+        "reversed (operators/asof.py direction='forward'). Oracle is "
+        "DuckDB's native ASOF LEFT JOIN with the inequality flipped.",
+    tags=("events", "join", "asof"),
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", ts="ts",
+        value_cols=["purchase_id", "purchase_value"], seq="purchase_id",
+        direction="forward",
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id",
+        F.round(F.col("purchase_value").cast("double"), 6).alias("purchase_value"),
+    )
+
+
+@register(
+    "asof_join_recent_purchase_7d",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, event_id AS click_id, ts FROM events
+            WHERE event_type = 'click'
+        ), purch AS (
+            SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        ), cand AS (
+            SELECT c.user_id, c.click_id, p.purchase_id, p.purchase_value,
+                   row_number() OVER (
+                       PARTITION BY c.user_id, c.click_id
+                       ORDER BY p.ts DESC, p.purchase_id DESC) AS rn
+            FROM clicks c JOIN purch p
+              ON c.user_id = p.user_id
+             AND p.ts <= c.ts
+             AND p.ts >= c.ts - INTERVAL 7 DAY
+        )
+        SELECT c.user_id AS user_id, c.click_id AS click_id,
+               k.purchase_id AS purchase_id,
+               round(CAST(k.purchase_value AS DOUBLE), 6) AS purchase_value
+        FROM clicks c LEFT JOIN (SELECT * FROM cand WHERE rn = 1) k
+          USING (user_id, click_id)
+    """,
+    doc="As-of join with a staleness bound (latest purchase at most 7 days "
+        "before each click; older matches are NULLed like pandas "
+        "merge_asof(tolerance=...)). The bound is applied to the carried "
+        "payload AFTER the single window pass — still one shuffle, no "
+        "re-join. Oracle is the brute-force bounded-range join with a "
+        "row_number pick, affordable at oracle scale.",
+    tags=("events", "join", "asof"),
+)
+def asof_join_recent_purchase_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", ts="ts",
+        value_cols=["purchase_id", "purchase_value"], seq="purchase_id",
+        tolerance="INTERVAL 7 DAY",
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id",
+        F.round(F.col("purchase_value").cast("double"), 6).alias("purchase_value"),
+    )
+
+
+@register(
     "range_join_window_totals",
     oracle="""
         WITH daily AS (

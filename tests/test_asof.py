@@ -121,6 +121,43 @@ def test_asof_forward_ties_resolve_to_smallest_seq(spark):
     assert (row.rid, row.rv) == (7, 2.0)  # deterministic: min seq wins
 
 
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _m(10), "a"), (1, _m(120), "b")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _m(5), 100, 1.0)],
+        "k long, ts timestamp, rid int, rv double",
+    )
+    out = {
+        r.tag: (r.rid, r.rv)
+        for r in asof_join(
+            left, right, on="k", ts="ts", value_cols=["rid", "rv"],
+            tolerance="INTERVAL 30 MINUTE",
+        ).collect()
+    }
+    assert out["a"] == (100, 1.0)    # 5 min stale: inside tolerance
+    assert out["b"] == (None, None)  # 115 min stale: nulled, not carried
+
+
+def test_asof_tolerance_boundary_inclusive_and_forward(spark):
+    left = spark.createDataFrame([(1, _m(10), "a")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _m(40), 100, 1.0)], "k long, ts timestamp, rid int, rv double"
+    )
+    exact = asof_join(
+        left, right, on="k", ts="ts", value_cols=["rid", "rv"],
+        direction="forward", tolerance="INTERVAL 30 MINUTE",
+    ).first()
+    assert exact.rid == 100  # exactly at the bound: inclusive, like merge_asof
+    tight = asof_join(
+        left, right, on="k", ts="ts", value_cols=["rid", "rv"],
+        direction="forward", tolerance="INTERVAL 29 MINUTE",
+    ).first()
+    assert tight.rid is None
+
+
 def test_asof_rejects_colliding_and_missing_columns(spark):
     import pytest as _pytest
 
