@@ -80,6 +80,26 @@ def main() -> None:
         .groupBy("g").agg(F.max("r"), F.avg("s"))
         .count()
     )
+    # Warm the minhash/LSH/cluster codegen family on a tiny synthetic
+    # corpus with the SAME operator constants as the headline query —
+    # identical expression shapes hit Spark's codegen cache, so the
+    # timed near-dedup slot measures the pipeline, not Janino compiles.
+    from open_crime_etl_pipeline_spark.operators.dedup import near_dedup
+
+    toy = spark.range(256).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit("w"), ((F.col("id") * (i + 3)) % 41).cast("string"))
+                for i in range(12)
+            ],
+        ).alias("text"),
+    )
+    near_dedup(
+        toy, "doc_id", "text",
+        num_hashes=32, bands=16, threshold=0.7, small_graph=True,
+    ).count()
 
     timings: dict[str, float] = {}
     for name in headline:

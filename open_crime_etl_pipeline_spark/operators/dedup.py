@@ -56,16 +56,28 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalize: bool = Tru
     return df.join(keep.select(id_col), on=id_col, how="inner")
 
 
-def _minhash_sig_expr(shingles: Column, num_hashes: int) -> Column:
-    """Fused minhash signature: ONE traversal of the shingle array.
+def hashed_shingles(col, shingle_n: int = 3) -> Column:
+    """64-bit xxhash per distinct word shingle — the corpus text is read
+    ONCE into an ``array<long>`` that feeds both the minhash signatures
+    and the exact-Jaccard verify step (Jaccard over distinct 64-bit
+    hashes equals Jaccard over the shingle strings up to a ~n²/2⁶⁴
+    collision chance per pair). Long arrays persist ~3× smaller and
+    intersect faster than the shingle strings."""
+    return F.array_distinct(
+        F.transform(word_shingles(col, shingle_n), lambda s: F.xxhash64(s))
+    )
 
-    Per shingle, xxhash64 → the num_hashes affine mixes (a·h+b mod p,
-    the classic universal family) fold into a num_hashes-wide running
-    minimum via ``aggregate`` + ``zip_with``. Versus the obvious
-    num_hashes×(transform + array_min) formulation this materializes
-    no intermediate arrays and needs no persist barrier against
-    projection collapse (there is only one pass to collapse into) —
-    measured ~1.5× faster end-to-end at sf0.1."""
+
+def _minhash_sig_from_hashes(hashes: Column, num_hashes: int) -> Column:
+    """Fused minhash signature from pre-hashed shingles: ONE traversal.
+
+    Per shingle hash, pmod into 31 bits → the num_hashes affine mixes
+    (a·h+b mod p, the classic universal family) fold into a
+    num_hashes-wide running minimum via ``aggregate`` + ``zip_with``.
+    Versus the obvious num_hashes×(transform + array_min) formulation
+    this materializes no intermediate arrays and needs no persist
+    barrier against projection collapse (there is only one pass to
+    collapse into) — measured ~1.5× faster end-to-end at sf0.1."""
     rnd = random.Random(_MIX_SEED)
     coeffs = F.array(*[
         F.struct(
@@ -74,14 +86,14 @@ def _minhash_sig_expr(shingles: Column, num_hashes: int) -> Column:
         )
         for _ in range(num_hashes)
     ])
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
+    base = F.transform(hashes, lambda h: F.pmod(h, F.lit(_P31)))
     folded = F.aggregate(
         base,
         F.array_repeat(F.lit(_P31).cast("long"), num_hashes),
         lambda acc, h: F.zip_with(
             acc,
             coeffs,
-            # h is the outer lambda's element: hashed once per shingle,
+            # h is the outer lambda's element: one pmod per shingle,
             # reused across all num_hashes mixes
             lambda m, c: F.least(m, F.pmod(c["a"] * h + c["b"], F.lit(_P31))),
         ),
@@ -89,8 +101,17 @@ def _minhash_sig_expr(shingles: Column, num_hashes: int) -> Column:
     # empty shingle array → all-null signature (array_min semantics of
     # the unfused formulation), not the accumulator sentinel
     return F.when(
-        F.size(shingles) > 0, folded
+        F.size(hashes) > 0, folded
     ).otherwise(F.array_repeat(F.lit(None).cast("long"), num_hashes))
+
+
+def _minhash_sig_expr(shingles: Column, num_hashes: int) -> Column:
+    """Minhash signature straight from shingle strings (hash + fold in
+    one expression); values identical to ``_minhash_sig_from_hashes``
+    over ``transform(shingles, xxhash64)``."""
+    return _minhash_sig_from_hashes(
+        F.transform(shingles, lambda s: F.xxhash64(s)), num_hashes
+    )
 
 
 def minhash_signatures(
@@ -225,52 +246,87 @@ def minhash_near_dup_pairs(
     ``verify_exact=False``: threshold applies to the estimated Jaccard
     (signature agreement fraction) — cheapest, recall/precision per the
     usual S-curve. ``verify_exact=True``: candidates are re-scored with
-    the exact shingle-set Jaccard (array_intersect/union) — the standard
-    verify step; cost is |candidates|, not |corpus|²."""
-    if not verify_exact or hash_fn != "xxhash":
-        # persist: the LSH self-join reads signatures on both sides —
-        # without this the HOF-heavy signature computation runs twice
+    the exact shingle-set Jaccard (array_intersect/union over the
+    64-bit shingle hashes) — the standard verify step; cost is
+    |candidates|, not |corpus|².
+
+    The result is MATERIALIZED (localCheckpoint) before returning: the
+    pair graph is orders of magnitude smaller than the corpus, and the
+    eager barrier lets the scan-side persist scaffolding be released
+    immediately — repeat invocations in one session stay flat instead
+    of accumulating cached blocks."""
+    if hash_fn != "xxhash":
+        # portable fold-hash path (oracle value checks only): shingle
+        # STRINGS feed both signatures and verify — ~10× slower
         sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_fn).persist()
         cands = lsh_candidate_pairs(
             sigs, id_col, bands, num_hashes=num_hashes, with_signatures=not verify_exact
         )
-    if not verify_exact:
-        est = (
-            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-            .cast("double") / F.lit(float(num_hashes))
-        )
-        return cands.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard")).filter(
-            F.col("est_jaccard") >= threshold
-        )
+        if verify_exact:
+            sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("hh"))
+            out = _verify_pairs(cands, sh, id_col, threshold)
+        else:
+            out = _estimate_pairs(cands, num_hashes, threshold)
+        out = out.localCheckpoint()
+        sigs.unpersist()
+        return out
     sc = df.sparkSession.sparkContext
     src = df
     if src.rdd.getNumPartitions() < sc.defaultParallelism:
         src = src.repartition(sc.defaultParallelism)  # shingle pass is compute-bound
-    # ONE tokenize/shingle pass feeds both the signatures and the exact
-    # verify step — the corpus text is read and shingled exactly once
-    sh = src.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")).persist()
-    if hash_fn == "xxhash":
-        sigs = sh.select(
-            F.col(id_col), _minhash_sig_expr(F.col("sh"), num_hashes).alias("signature")
-        ).persist()
-        cands = lsh_candidate_pairs(
-            sigs, id_col, bands, num_hashes=num_hashes, with_signatures=False
-        )
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    exact = (
+    # ONE tokenize/shingle/hash pass feeds both the signatures and the
+    # exact verify step — the corpus text is read and shingled exactly
+    # once, and only long arrays are ever persisted or shuffled
+    per_doc = src.select(
+        F.col(id_col), hashed_shingles(text_col, shingle_n).alias("hh")
+    ).select(
+        id_col, "hh", _minhash_sig_from_hashes(F.col("hh"), num_hashes).alias("signature")
+    ).persist()
+    per_doc.count()  # materialize once: LSH join + verify all read cache
+    cands = lsh_candidate_pairs(
+        per_doc.select(id_col, "signature"), id_col, bands,
+        num_hashes=num_hashes, with_signatures=not verify_exact,
+    )
+    if verify_exact:
+        out = _verify_pairs(cands, per_doc.select(id_col, "hh"), id_col, threshold)
+    else:
+        out = _estimate_pairs(cands, num_hashes, threshold)
+    out = out.localCheckpoint()
+    per_doc.unpersist()
+    return out
+
+
+def _estimate_pairs(cands: DataFrame, num_hashes: int, threshold: float) -> DataFrame:
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        .cast("double") / F.lit(float(num_hashes))
+    )
+    return cands.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def _verify_pairs(
+    cands: DataFrame, shingle_sets: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over the candidate pairs: join each side's shingle
+    set (hash arrays on the fast path) back by id. The per-doc side is
+    corpus-sized but tiny rows; AQE broadcasts it when it fits."""
+    sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("hh").alias("hh_a"))
+    sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("hh").alias("hh_b"))
+    return (
         cands.select("id_a", "id_b")
         .join(sa, "id_a").join(sb, "id_b")
         .select(
             "id_a", "id_b",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                F.size(F.array_intersect("hh_a", "hh_b")).cast("double")
+                / F.size(F.array_union("hh_a", "hh_b")).cast("double"),
                 6,
             ).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
     )
-    return exact.filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(
