@@ -324,8 +324,18 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # approx_count_distinct is engine-specific (HLL sketches differ)
-    doc="approx_count_distinct / HLL sketch (A8; rows-only check — sketch values are engine-specific).",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS approx_ok
+        FROM events GROUP BY event_type
+    """,
+    doc="approx_count_distinct / HLL sketch (A8). Sketch estimates are "
+        "engine-specific, so the driver-checkable projection is the "
+        "derived deterministic property: the estimate lands within 15% "
+        "of the exact distinct count (3× the observed worst case at "
+        "sf0.1 with Spark's default rsd=0.05) — a broken sketch path "
+        "(wrong column, lost merge, garbage estimate) flips the boolean.",
     tags=("agg", "approx"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,6 +343,13 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    ).select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        ).alias("approx_ok"),
     )
 
 

@@ -305,16 +305,61 @@ def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=5)
 
 
+# Planted-twin ANN certificate: union a ×1.000001-scaled copy of each
+# query vector into the corpus. Positive scaling preserves the sign of
+# every hyperplane dot product (LSH buckets identical in every table)
+# and the argmax-cosine cluster assignment (IVF: the twin lands in the
+# query's own nearest cluster, which is always probed) — so the twin is
+# DETERMINISTICALLY retrieved at rank 1 with cosine 1.0, regardless of
+# how approximate the index is. The certificate projection
+# (query_id, top1_neighbor_id, top1_sim, n_results) is therefore an
+# exact deterministic table DuckDB can state without running the index,
+# while still exercising the full signature/bucket/probe/score/rank
+# pipeline: a broken bucket join drops the twin or the result count.
+# The approximate operating points' recall curves stay pytest-asserted
+# against the exact baseline (tests/test_llm_operators.py).
+_ANN_TWIN_ORACLE = """
+        SELECT vec_id AS query_id,
+               vec_id + 100000 AS top1_neighbor_id,
+               1.0 AS top1_sim,
+               CAST(5 AS BIGINT) AS n_results
+        FROM embeddings WHERE vec_id < 5
+"""
+
+
+def _ann_twin_certificate(emb: DataFrame, ann_fn) -> DataFrame:
+    queries = emb.filter(F.col("vec_id") < 5)
+    twins = queries.select(
+        (F.col("vec_id") + _ID_SHIFT).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+        "label",
+    )
+    topk = ann_fn(emb.unionByName(twins), queries)
+    top1 = topk.filter(F.col("rank") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("top1_neighbor_id"),
+        F.col("sim").alias("top1_sim"),
+    )
+    counts = topk.groupBy("query_id").agg(F.count("*").alias("n_results"))
+    return top1.join(counts, "query_id")
+
+
 @register(
     "cosine_topk_lsh",
-    oracle=None,  # approximate by construction; recall vs exact asserted in tests
-    doc="LSH-bucketed approximate top-k (random hyperplanes, multi-probe) — the 100 TB scale path (§2.11).",
+    oracle=_ANN_TWIN_ORACLE,
+    doc="LSH-bucketed approximate top-k (random hyperplanes, multi-probe) — "
+        "the 100 TB scale path (§2.11), driver-checked via the planted-twin "
+        "retrieval certificate (see _ann_twin_certificate).",
     tags=("llm", "similarity", "lsh"),
 )
 def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return S.cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=4, n_tables=8)
+    return _ann_twin_certificate(
+        emb,
+        lambda corpus, queries: S.cosine_topk_lsh(
+            corpus, queries, dim=64, k=5, n_planes=4, n_tables=8
+        ),
+    )
 
 
 @register(
@@ -696,8 +741,20 @@ def doc_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup_lsh",
-    oracle=None,  # LSH bucketing is approximate by construction; recall asserted in tests
-    doc="Embedding-cosine near-duplicate pairs via hyperplane-LSH self-join (§2.11; rows-only).",
+    oracle="""
+        SELECT vec_id AS id_a,
+               vec_id + 100000 AS id_b,
+               1.0 AS sim
+        FROM embeddings
+    """,
+    doc="Embedding-cosine near-duplicate pairs via hyperplane-LSH self-join "
+        "(§2.11). Deterministically oracle-checkable: the planted ×1.000001 "
+        "copies share every hyperplane sign bit with their originals (same "
+        "bucket by construction, cosine 1.0), and no natural pair in the "
+        "corpus clears the 0.99 threshold (verified at sf0.001/0.01/0.1) — "
+        "so the result IS exactly the planted-pair table. A broken bucket "
+        "join loses pairs; a loosened threshold admits extras; either "
+        "flips the hash.",
     tags=("llm", "similarity", "dedup"),
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,30 +772,38 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cosine_topk_ivf",
-    oracle=None,  # approximate by construction (n_probe < n_clusters); recall vs exact asserted in tests
+    oracle=_ANN_TWIN_ORACLE,
     doc="IVF approximate top-k: deterministic centroid seeding, inverted-list "
-        "bucketing, n_probe nearest clusters per query (§2.11 scale path).",
+        "bucketing, n_probe nearest clusters per query (§2.11 scale path); "
+        "driver-checked via the planted-twin retrieval certificate.",
     tags=("llm", "similarity", "ivf"),
 )
 def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return S.cosine_topk_ivf(emb, queries, k=5, n_clusters=8, n_probe=4)
+    return _ann_twin_certificate(
+        emb,
+        lambda corpus, queries: S.cosine_topk_ivf(
+            corpus, queries, k=5, n_clusters=8, n_probe=4
+        ),
+    )
 
 
 @register(
     "cosine_topk_ivf_kmeanspp",
-    oracle=None,  # approximate by construction; determinism + balance + recall asserted in tests
+    oracle=_ANN_TWIN_ORACLE,
     doc="IVF top-k with k-means|| centroids (Bahmani init + distributed Lloyd "
         "refinement): balanced inverted lists bound the per-probe scan "
-        "fraction, the property hash seeding cannot guarantee (§2.11 scale path).",
+        "fraction, the property hash seeding cannot guarantee (§2.11 scale "
+        "path); driver-checked via the planted-twin retrieval certificate.",
     tags=("llm", "similarity", "ivf", "kmeans"),
 )
 def cosine_topk_ivf_kmeanspp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return S.cosine_topk_ivf(
-        emb, queries, k=5, n_clusters=8, n_probe=4, centroid_init="kmeans||"
+    return _ann_twin_certificate(
+        emb,
+        lambda corpus, queries: S.cosine_topk_ivf(
+            corpus, queries, k=5, n_clusters=8, n_probe=4, centroid_init="kmeans||"
+        ),
     )
 
 

@@ -187,7 +187,18 @@ def reconcile_replica_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "socrata_ingest_silver",
-    oracle=None,  # source is the custom REST DataSource (deterministic fake endpoint), not a testdata table
+    # fake://230 is a deterministic offline generator independent of
+    # sf_dir: 230 records per month window, fixed arrest/type mix — the
+    # ingest+transform profile is a constant table the oracle can state
+    # as VALUES (golden check over the REST source's pagination, window
+    # pushdown, and the silver transform's typed casts).
+    oracle="""
+        SELECT * FROM (VALUES
+            ('2025-01', CAST(230 AS BIGINT), CAST(46 AS BIGINT), CAST(4 AS BIGINT)),
+            ('2025-02', CAST(230 AS BIGINT), CAST(46 AS BIGINT), CAST(4 AS BIGINT)),
+            ('2025-03', CAST(230 AS BIGINT), CAST(46 AS BIGINT), CAST(4 AS BIGINT))
+        ) AS t(month, n_crimes, n_arrests, n_types)
+    """,
     doc="End-to-end ingest slice: custom Python DataSource (S1 paginated REST scan, "
         "month-window partitions, pushFilters) → silver transform (P1-P3 + typed "
         "casts) → per-month arrest profile. Deterministic offline endpoint.",
@@ -246,9 +257,24 @@ def salted_join_skew_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "crime_pipeline_lifecycle",
-    oracle=None,  # orchestration over the REST source + scratch lake, not a testdata table
+    # The fake:// endpoint is a deterministic offline generator that does
+    # not depend on sf_dir, so the whole lifecycle projection — per-run
+    # mode/status, ingest windows, post-merge table sizes, and the ledger
+    # rows the pipeline wrote — is a fixed table the oracle states as
+    # VALUES (a golden check; any drift in watermarking, windowing, merge
+    # semantics, or ledger lifecycle changes one of these cells).
+    oracle="""
+        SELECT * FROM (VALUES
+            (1, '2025-02-15', 'SCHEDULED', 'FULL', 'SUCCESS',
+             '2025-01-01T00:00:00', '2025-02-15T12:00:00', CAST(183 AS BIGINT)),
+            (2, '2025-03-10', 'SCHEDULED', 'INCREMENT', 'SUCCESS',
+             '2025-02-15T00:00:00', '2025-03-10T12:00:00', CAST(277 AS BIGINT))
+        ) AS t(run_seq, load_date, run_type, mode, status,
+               window_start, window_end, table_rows)
+    """,
     doc="The reference's whole DAG as one run: FULL load → INCREMENT load "
-        "with overlap → ledger rows; returns per-run mode/status/table-size "
+        "with overlap → ledger rows; returns per-run mode/status/window/"
+        "table-size joined with the ledger rows the run actually persisted "
         "(§3.1 crime_etl topology, deterministic offline endpoint).",
     tags=("pipeline", "e2e", "incremental"),
 )
@@ -264,11 +290,36 @@ def crime_pipeline_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = CrimePipeline(spark, root, endpoint="fake://120", pagesize=60)
         r1 = p.run(now=dt.datetime(2025, 2, 15, 12), load_date=dt.date(2025, 2, 15))
         r2 = p.run(now=dt.datetime(2025, 3, 10, 12), load_date=dt.date(2025, 3, 10))
-        return spark.createDataFrame(
-            [(1, r1["mode"], r1["status"], r1["table_rows"]),
-             (2, r2["mode"], r2["status"], r2["table_rows"])],
-            "run_seq int, mode string, status string, table_rows long",
+        runs = spark.createDataFrame(
+            [
+                (1, r1["run_id"], r1["mode"], r1["status"],
+                 r1["window"][0], r1["window"][1], r1["table_rows"]),
+                (2, r2["run_id"], r2["mode"], r2["status"],
+                 r2["window"][0], r2["window"][1], r2["table_rows"]),
+            ],
+            "run_seq int, run_id string, mode string, status string, "
+            "window_start string, window_end string, table_rows long",
         )
+        # join back against the ledger the pipeline PERSISTED — the
+        # projection reflects on-disk lifecycle state, not the return dicts
+        ledger = p.ledger.read().select(
+            "run_id",
+            F.date_format("load_date", "yyyy-MM-dd").alias("load_date"),
+            F.col("type").alias("run_type"),
+            F.col("mode").alias("ledger_mode"),
+            F.col("status").alias("ledger_status"),
+        )
+        out = runs.join(ledger, "run_id").select(
+            "run_seq", "load_date", "run_type",
+            # mode/status must agree between the return value and the
+            # ledger row; surfacing the ledger copy puts D4/D5 under the
+            # oracle while the join keeps both sides honest
+            F.col("ledger_mode").alias("mode"),
+            F.col("ledger_status").alias("status"),
+            "window_start", "window_end", "table_rows",
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from temp lake
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
