@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 from ..schemas import LOGS_SCHEMA
 
 
+def _utcnow() -> dt.datetime:
+    # tz-aware UTC: `utcnow()` is deprecated (3.12+) and its naive result
+    # silently re-interprets under a non-UTC session timezone — an
+    # engine-level TIMESTAMPTZ correctness trap.
+    return dt.datetime.now(dt.timezone.utc)
+
+
 class RunLedger:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -57,7 +64,7 @@ class RunLedger:
         """Insert a RUNNING row (≡ init_log, db_postgres.py:86-91)."""
         run_id = run_id or uuid.uuid4().hex
         row = [(run_id, load_date, run_type, mode, "RUNNING",
-                dt.datetime.utcnow(), None, config)]
+                _utcnow(), None, config)]
         new = self.spark.createDataFrame(row, LOGS_SCHEMA)
         self._write(self.read().unionByName(new))
         return run_id
@@ -70,7 +77,7 @@ class RunLedger:
             "status", F.when(hit, F.lit(status)).otherwise(F.col("status"))
         ).withColumn(
             "end_time",
-            F.when(hit, F.lit(dt.datetime.utcnow())).otherwise(F.col("end_time")),
+            F.when(hit, F.lit(_utcnow())).otherwise(F.col("end_time")),
         )
         self._write(updated)
 

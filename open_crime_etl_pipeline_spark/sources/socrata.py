@@ -249,6 +249,17 @@ class SocrataReader(DataSourceReader):
         self.end = options.get("end_date", DEFAULT_END)
         self.retries = int(options.get("retries", 3))
         self.retry_delay = float(options.get("retry_delay", 1.0))
+        # ST5 page-level checkpoint/resume (reference crime_etl.py:131-169,
+        # 190-228): when set, every fetched page lands atomically as a
+        # gzip-JSON file keyed (window, pagenum) under this dir — the
+        # Spark-native restatement of the reference's {last_page,
+        # last_date} XCom cursor. A retried/re-run partition serves
+        # landed pages from the checkpoint and only fetches beyond the
+        # cursor, so a flaky API never re-serves a landed page. The
+        # landed format doubles as the reference's gzip-JSON landing
+        # zone (helper.py:67-86). Local-path API here; on a cluster the
+        # dir lives on shared storage (s3a/HDFS via a mounted path).
+        self.checkpoint_dir = options.get("checkpoint_dir")
         # fault-injection memory for the flaky:// test backend: pages
         # that already failed once succeed on retry
         self._failed_once: set = set()
@@ -366,11 +377,79 @@ class SocrataReader(DataSourceReader):
         (UNKNOWN filters out, as in a SQL WHERE)."""
         return all(self._eval(f, rec) is True for f in self.absorbed)
 
+    def _window_ckpt_dir(self, partition: MonthWindow, extra: Sequence[str]) -> str:
+        """Per-window landing dir, fingerprinted by the page geometry and
+        absorbed server-side WHERE — a checkpoint landed under one query
+        shape is never resumed by a different one (pages would differ)."""
+        import hashlib
+        import os
+
+        fp = hashlib.sha256(
+            json.dumps([self.pagesize, sorted(extra)]).encode()
+        ).hexdigest()[:12]
+        safe = partition.start.replace(":", "-")
+        return os.path.join(self.checkpoint_dir, f"window={safe}__{fp}")
+
+    def _read_pages(self, partition: MonthWindow, ws, we, fetch_page) -> Iterator[list]:
+        """Page loop with optional ST5 landing checkpoint.
+
+        Uncheckpointed: fetch → yield until the empty page (reference
+        termination, extract.py:37-38) or the page cap. Checkpointed:
+        each page is served from its landed file when present, else
+        fetched and landed ATOMICALLY (tmp + rename) before any row is
+        emitted; the terminating empty page lands a ``_COMPLETE`` cursor
+        `{last_page}` so a resumed run replays entirely from the lake
+        without one API call. Every real fetch appends a marker under
+        ``_fetchlog/`` — the at-most-once-per-page fetch audit trail the
+        resume test asserts on."""
+        if not self.checkpoint_dir:
+            for pagenum in range(self.max_pages):
+                page = fetch_page(pagenum)
+                if not page:
+                    return
+                yield page
+            return
+        import gzip
+        import os
+        import uuid
+
+        extra = [_soql_fragment(f) for f in self.absorbed]
+        wdir = self._window_ckpt_dir(partition, extra)
+        os.makedirs(os.path.join(wdir, "_fetchlog"), exist_ok=True)
+        complete = os.path.join(wdir, "_COMPLETE")
+        for pagenum in range(self.max_pages):
+            pfile = os.path.join(wdir, f"page-{pagenum:05d}.json.gz")
+            if os.path.exists(pfile):
+                with gzip.open(pfile, "rt", encoding="utf-8") as fh:
+                    page = json.load(fh)
+            elif os.path.exists(complete):
+                return  # cursor says the window ended before this page
+            else:
+                page = fetch_page(pagenum)
+                log = os.path.join(
+                    wdir, "_fetchlog", f"page-{pagenum:05d}.{uuid.uuid4().hex}"
+                )
+                with open(log, "w", encoding="utf-8"):
+                    pass
+                if not page:
+                    tmp = complete + f".tmp.{uuid.uuid4().hex}"
+                    with open(tmp, "w", encoding="utf-8") as fh:
+                        json.dump({"last_page": pagenum - 1}, fh)
+                    os.replace(tmp, complete)
+                    return
+                tmp = pfile + f".tmp.{uuid.uuid4().hex}"
+                with gzip.open(tmp, "wt", encoding="utf-8") as fh:
+                    json.dump(page, fh)
+                os.replace(tmp, pfile)  # atomic: no torn page is ever visible
+            if not page:
+                return
+            yield page
+
     def read(self, partition: MonthWindow) -> Iterator[tuple]:
         ws, we = _parse_ts(partition.start), _parse_ts(partition.end)
         if ws >= we:
             return
-        fake_rows = fail_every = None
+        fake_rows = fail_every = crash_page = None
         if self.endpoint.startswith("fake://"):
             fake_rows = int(self.endpoint[len("fake://"):])
         elif self.endpoint.startswith("flaky://"):
@@ -380,10 +459,17 @@ class SocrataReader(DataSourceReader):
             spec = self.endpoint[len("flaky://"):]
             rows_s, fail_s = spec.split(":")
             fake_rows, fail_every = int(rows_s), int(fail_s)
+        elif self.endpoint.startswith("crash://"):
+            # hard fault injection: the given page fails on EVERY attempt
+            # (retries exhaust, the task dies) — simulates the mid-window
+            # kill that ST5's landing checkpoint resumes from
+            spec = self.endpoint[len("crash://"):]
+            rows_s, crash_s = spec.split(":")
+            fake_rows, crash_page = int(rows_s), int(crash_s)
         extra = [_soql_fragment(f) for f in self.absorbed]
-        for pagenum in range(self.max_pages):
 
-            def fetch(pagenum=pagenum):
+        def fetch_page(pagenum: int):
+            def fetch():
                 if fail_every is not None:
                     key = (partition.start, pagenum)
                     if (
@@ -394,14 +480,16 @@ class SocrataReader(DataSourceReader):
                         raise ConnectionError(
                             f"injected fault on page {pagenum}"
                         )
+                if crash_page is not None and pagenum == crash_page:
+                    raise ConnectionError(f"injected crash on page {pagenum}")
                 if fake_rows is not None:
                     return _fake_page(fake_rows, ws, we, pagenum, self.pagesize)
                 return _http_page(self.endpoint, partition.start, partition.end,
                                   pagenum, self.pagesize, extra)
 
-            page = _with_retries(fetch, self.retries, self.retry_delay)
-            if not page:  # reference termination: empty page ends the window
-                return
+            return _with_retries(fetch, self.retries, self.retry_delay)
+
+        for page in self._read_pages(partition, ws, we, fetch_page):
             for rec in page:
                 if self._matches(rec):
                     yield tuple(rec.get(name) for name in self.field_names)

@@ -76,6 +76,12 @@ def test_ledger_lifecycle(spark, tmp_path):
     assert rows[0].status == "SUCCESS"
     assert rows[0].end_time is not None
     assert [r.load_date for r in ledger.successful_load_dates().collect()] == [d]
+    # Ledger timestamps are tz-consistent UTC instants: with the session
+    # timezone pinned to UTC, the collected (naive, session-tz) values
+    # must agree with a tz-aware UTC clock, and end >= start.
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    assert abs((now - rows[0].start_time).total_seconds()) < 300
+    assert rows[0].end_time >= rows[0].start_time
 
 
 def test_reconcile_two_sided(spark):

@@ -303,3 +303,93 @@ def test_flaky_backend_without_retries_fails(socrata):
     )
     with pytest.raises(Exception, match="injected fault"):
         df.collect()
+
+
+# ---------------------------------------------------------------------------
+# ST5: page-level checkpoint/resume (reference crime_etl.py:131-169,190-228)
+# ---------------------------------------------------------------------------
+
+def _fetched_pages(ckpt_root):
+    """(window_dir, pagenum) → fetch count, from the _fetchlog audit trail."""
+    from collections import Counter
+    from pathlib import Path
+
+    counts: Counter = Counter()
+    for marker in Path(ckpt_root).glob("window=*/_fetchlog/page-*"):
+        pagenum = int(marker.name.split(".")[0].split("-")[1])
+        counts[(marker.parent.parent.name, pagenum)] += 1
+    return counts
+
+
+def test_checkpoint_resume_skips_landed_pages(socrata, tmp_path):
+    """Kill mid-window, re-run: pages landed before the crash are served
+    from the checkpoint, never re-fetched from the API."""
+    ckpt = str(tmp_path / "ckpt")
+    window = dict(
+        pagesize="25", retries="0", checkpoint_dir=ckpt,
+        start_date="2025-01-01T00:00:00.000", end_date="2025-02-01T00:00:00.000",
+    )
+    # First attempt: page 3 hard-fails every retry → the task (and with
+    # local maxFailures=1, the job) dies after pages 0-2 have landed.
+    with pytest.raises(Exception):
+        _read(socrata, endpoint="crash://120:3", **window).count()
+    first = _fetched_pages(ckpt)
+    assert sum(n for (_, p), n in first.items() if p <= 2) == 3  # 0,1,2 landed
+
+    # Server healed: the re-run resumes from the cursor. 120 rows @ 25
+    # per page = pages 0-4 + empty page 5 terminator.
+    healthy = _read(socrata, endpoint="fake://120", **window)
+    assert healthy.count() == 120
+    after = _fetched_pages(ckpt)
+    # No landed page was fetched twice; only pages 3,4 and the empty
+    # terminator (5) hit the API on the resume run.
+    assert all(n == 1 for n in after.values())
+    resumed = {p for key, p in after.keys() - first.keys()} | {
+        p for (w, p) in after if after[(w, p)] > first.get((w, p), 0)
+    }
+    assert resumed == {3, 4, 5}
+
+    # Third run: the window is _COMPLETE — replayed fully from the lake,
+    # zero API calls.
+    again = _read(socrata, endpoint="fake://120", **window)
+    assert again.count() == 120
+    assert _fetched_pages(ckpt) == after
+
+
+def test_checkpoint_complete_replay_matches_uncheckpointed(socrata, tmp_path):
+    """A checkpoint-replayed scan is row-identical to a direct scan."""
+    ckpt = str(tmp_path / "ckpt2")
+    window = dict(
+        pagesize="50",
+        start_date="2025-01-01T00:00:00.000", end_date="2025-03-01T00:00:00.000",
+    )
+    direct = _read(socrata, endpoint="fake://130", **window).collect()
+    landed = _read(
+        socrata, endpoint="fake://130", checkpoint_dir=ckpt, **window
+    ).collect()
+    replayed = _read(
+        socrata, endpoint="fake://130", checkpoint_dir=ckpt, **window
+    ).collect()
+    assert sorted(map(tuple, landed)) == sorted(map(tuple, direct))
+    assert sorted(map(tuple, replayed)) == sorted(map(tuple, direct))
+
+
+def test_checkpoint_fingerprint_isolates_query_shapes(socrata, tmp_path):
+    """Different absorbed WHEREs land under different fingerprints — a
+    resume never serves pages fetched for a different server-side query."""
+    ckpt = str(tmp_path / "ckpt3")
+    window = dict(
+        pagesize="50", checkpoint_dir=ckpt,
+        start_date="2025-01-01T00:00:00.000", end_date="2025-02-01T00:00:00.000",
+    )
+    full = _read(socrata, endpoint="fake://90", **window)
+    assert full.count() == 90
+    filtered = _read(socrata, endpoint="fake://90", **window).filter(
+        F.col("primary_type").isin("THEFT")
+    )
+    n_theft = filtered.count()
+    assert 0 < n_theft < 90
+    from pathlib import Path
+
+    wdirs = {p.name for p in Path(ckpt).glob("window=*")}
+    assert len(wdirs) == 2  # one landing per query fingerprint
