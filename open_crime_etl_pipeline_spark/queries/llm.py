@@ -190,22 +190,31 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, unnest(shingles) AS shingle FROM shingle_lists
         ), sizes AS (
             SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        ), inter AS MATERIALIZED (
+            -- decorrelated on purpose: the correlated-subquery HAVING
+            -- form runs per candidate pair and dies at sf0.1 (>240s);
+            -- grouped join + two hash joins on sizes finishes in ~2s
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
-            HAVING CAST(count(*) AS DOUBLE) /
-                   CAST((SELECT n_shingles FROM sizes WHERE doc_id = a.doc_id)
-                      + (SELECT n_shingles FROM sizes WHERE doc_id = b.doc_id)
-                      - count(*) AS DOUBLE) >= 0.7
-        ), edges AS (
+        ), pairs AS MATERIALIZED (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.id_a
+            JOIN sizes sb ON sb.doc_id = inter.id_b
+            WHERE CAST(n_inter AS DOUBLE) /
+                  CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) >= 0.7
+        ), edges AS MATERIALIZED (
+            -- MATERIALIZED throughout: r1..r5 each reference the prior
+            -- round twice; inlined CTEs would re-evaluate the whole
+            -- pair pipeline 2^5 times (observed: hung at sf0.1)
             SELECT id_a AS s, id_b AS d FROM pairs
             UNION
             SELECT id_b AS s, id_a AS d FROM pairs
-        ), r0 AS (
+        ), r0 AS MATERIALIZED (
             SELECT DISTINCT s AS m, s AS rep FROM edges
         )
-        , r1 AS (
+        , r1 AS MATERIALIZED (
             SELECT r.m AS m,
                    least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
             FROM r0 r
@@ -214,7 +223,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON nb.s = r.m
             GROUP BY r.m, r.rep
         )
-        , r2 AS (
+        , r2 AS MATERIALIZED (
             SELECT r.m AS m,
                    least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
             FROM r1 r
@@ -223,7 +232,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON nb.s = r.m
             GROUP BY r.m, r.rep
         )
-        , r3 AS (
+        , r3 AS MATERIALIZED (
             SELECT r.m AS m,
                    least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
             FROM r2 r
@@ -232,7 +241,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON nb.s = r.m
             GROUP BY r.m, r.rep
         )
-        , r4 AS (
+        , r4 AS MATERIALIZED (
             SELECT r.m AS m,
                    least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
             FROM r3 r
@@ -241,7 +250,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON nb.s = r.m
             GROUP BY r.m, r.rep
         )
-        , r5 AS (
+        , r5 AS MATERIALIZED (
             SELECT r.m AS m,
                    least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
             FROM r4 r
