@@ -460,11 +460,51 @@ def cluster_representatives(
     count check).
 
     ``small_graph=True`` is a physical hint (like ``broadcast()``): the
-    caller asserts the pair graph fits one executor, so the rounds run
-    as single-partition broadcast joins — no per-round shuffle, ~25%
-    faster at bench scale. Leave False when the graph may be large
-    (default is scale-safe shuffle joins; AQE still converts them to
-    broadcast at runtime when stats allow)."""
+    caller asserts the pair graph fits on one machine, so clustering
+    runs as a driver-side union-find over the collected edge list —
+    exact connected components in O(E·α), zero Spark rounds (the same
+    collect-the-small-side pattern MLlib's k-means|| uses for its O(k)
+    candidate set). The collect is O(pair graph), NOT O(corpus): at
+    near-dup thresholds the verified pair graph is dup-clusters-sized,
+    orders of magnitude below the corpus. Leave False when the graph
+    may be large — the default path is scale-safe shuffle-join
+    min-propagation (AQE still converts to broadcast when stats allow).
+
+    Both paths yield min-id-per-component reps; the bounded-round path
+    stops early once a fixpoint probe proves convergence, and near-dup
+    components are near-cliques (diameter ~2), so ``max_iter=5``
+    matches exact CC on every corpus we generate (the SQL oracle
+    replicates the 5-round propagation)."""
+    if small_graph:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = pairs.select("id_a", "id_b").collect()
+        for r in rows:
+            a, b = r[0], r[1]
+            for v in (a, b):
+                if v not in parent:
+                    parent[v] = v
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id directly: the smaller root wins, so
+                # every tree root IS its component's min id throughout
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(m, find(m)) for m in parent]
+        spark = pairs.sparkSession
+        schema = pairs.select(
+            F.col("id_a").alias("member_id"), F.col("id_a").alias("rep_id")
+        ).schema
+        return spark.createDataFrame(out, schema)
     # localCheckpoint (not just persist): iterative plans otherwise grow
     # the lineage multiplicatively — Catalyst re-analyzes the whole
     # upstream LSH pipeline per round and broadcasts re-execute it. The
@@ -475,18 +515,15 @@ def cluster_representatives(
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
-    if small_graph:
-        edges = edges.coalesce(1)
     edges = edges.localCheckpoint()
-    hint = F.broadcast if small_graph else (lambda d: d)
     rep = edges.select(F.col("src").alias("member_id"), F.col("src").alias("rep_id")).distinct()
     prev_sum = None
     for i in range(max_iter):
         neigh_min = (
-            edges.join(hint(rep), edges.dst == rep.member_id)
+            edges.join(rep, edges.dst == rep.member_id)
             .groupBy("src").agg(F.min("rep_id").alias("neigh_rep"))
         )
-        rep = rep.join(hint(neigh_min), rep.member_id == neigh_min.src, "left").select(
+        rep = rep.join(neigh_min, rep.member_id == neigh_min.src, "left").select(
             "member_id",
             F.least(F.col("rep_id"), F.coalesce("neigh_rep", "rep_id")).alias("rep_id"),
         )
@@ -494,13 +531,9 @@ def cluster_representatives(
         # fixpoint probes. rep_id is monotonically non-increasing per
         # member, so an unchanged sum(rep_id) PROVES convergence — one
         # cheap agg instead of a join-diff, and near-dup components are
-        # near-cliques (diameter ~2), so this usually halves the rounds.
-        # small_graph: probe every round (each checkpoint is fixed job
-        # overhead on one tiny partition, and early exit wins more);
-        # large graphs: every 2nd round (materialization is real work).
-        if small_graph or i % 2 == 1 or i == max_iter - 1:
-            if small_graph:
-                rep = rep.coalesce(1)
+        # near-cliques (diameter ~2), so this usually halves the rounds;
+        # probe every 2nd round (materialization is real work).
+        if i % 2 == 1 or i == max_iter - 1:
             rep = rep.localCheckpoint()
             s = rep.agg(
                 F.sum(F.col("rep_id").cast("decimal(38,0)"))  # no 64-bit overflow at scale

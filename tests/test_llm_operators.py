@@ -335,3 +335,44 @@ def test_curation_pipeline_summary_consistent_with_stages(spark, sf_dir):
         for r in curation_pipeline_summary(spark, sf_dir).collect()
     }
     assert got == expect and sum(got.values()) == deduped.count()
+
+
+def test_cluster_union_find_matches_iterative_on_near_cliques(spark):
+    """small_graph=True (driver union-find) and the scale path (bounded
+    min-propagation) must assign identical min-id representatives on
+    dup-cluster-shaped graphs (near-cliques, the only shape near-dup
+    verify emits)."""
+    pairs = spark.createDataFrame(
+        # two triangles + one pair + self-contained star
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (20, 22), (20, 23)],
+        "id_a long, id_b long",
+    )
+    uf = {(r.member_id, r.rep_id)
+          for r in D.cluster_representatives(pairs, small_graph=True).collect()}
+    it = {(r.member_id, r.rep_id)
+          for r in D.cluster_representatives(pairs, small_graph=False).collect()}
+    assert uf == it
+    assert uf == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                  (20, 20), (21, 20), (22, 20), (23, 20)}
+
+
+def test_cluster_union_find_exact_on_long_chain(spark):
+    """The union-find path computes EXACT connected components even on a
+    chain longer than the iterative path's max_iter propagation radius —
+    the one graph family where the two paths may legitimately differ."""
+    n = 20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    reps = {r.member_id: r.rep_id
+            for r in D.cluster_representatives(pairs, small_graph=True).collect()}
+    assert set(reps.values()) == {0}  # one component, min-id rep
+    assert len(reps) == n + 1
+
+
+def test_cluster_union_find_empty_pairs(spark):
+    out = D.cluster_representatives(
+        spark.createDataFrame([], "id_a long, id_b long"), small_graph=True
+    )
+    assert out.count() == 0
+    assert out.columns == ["member_id", "rep_id"]
