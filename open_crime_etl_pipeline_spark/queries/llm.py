@@ -1027,6 +1027,82 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_bloom_prefilter",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'cont'), 1, 8)
+                        AS BIGINT) % 100 AS INT) AS bkt,
+                   list_filter(string_split(text, ' '), t -> t != '') AS tk
+            FROM documents
+        ), tri AS (
+            SELECT DISTINCT doc_id, bkt,
+                   tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+            FROM d, unnest(range(1, len(tk) + 1)) AS g(i)
+            WHERE i + 2 <= len(tk)
+        ), bench AS (
+            SELECT DISTINCT sh FROM tri WHERE bkt < 5
+        ), corpus AS (
+            SELECT doc_id, sh FROM tri WHERE bkt >= 5
+        ), tot AS (
+            SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1
+        ), hit AS (
+            SELECT c.doc_id, count(*) AS n_overlap
+            FROM corpus c JOIN bench USING (sh) GROUP BY 1
+        )
+        SELECT t.doc_id, t.n_shingles,
+               CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+               round(CAST(coalesce(h.n_overlap, 0) AS DOUBLE)
+                     / greatest(t.n_shingles, 1), 6) AS overlap_frac
+        FROM tot t LEFT JOIN hit h USING (doc_id)
+    """,
+    doc="Decontamination at broadcast-breaking scale: identical semantics "
+        "(and oracle) to contamination_ngram_overlap, but the corpus-side "
+        "probe is prefiltered by a broadcast Bloom bit-set over the benchmark "
+        "shingles (operators/bloom.py) before the exact hit-join — ~16 "
+        "bits/element broadcast instead of the string set, no false "
+        "negatives, so the exact join on survivors returns the identical "
+        "answer while only (contaminated + ~0.5% FP) shingles reach it. "
+        "The build collects bit-or'd words (<= num_bits/64 longs), never "
+        "elements (§2.11 [EXT]).",
+    tags=("llm", "text", "dedup", "bloom"),
+)
+def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import build_bloom, might_contain
+    from ..operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__bkt", hash_bucket("doc_id", 100, "cont")
+    )
+    tri = docs.select(
+        "doc_id", "__bkt", F.explode(TS.word_shingles("text", 3)).alias("sh")
+    )
+    bench = tri.filter(F.col("__bkt") < 5).select("sh").distinct()
+    corpus = tri.filter(F.col("__bkt") >= 5)
+    # totals come from the UNfiltered corpus side; only the hit-join
+    # branch goes through the bloom
+    tot = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    num_bits, k = 1 << 18, 3
+    bits = build_bloom(bench, "sh", num_bits=num_bits, k=k)
+    survivors = corpus.filter(might_contain(bits, F.col("sh"), num_bits, k))
+    hit = (
+        survivors.join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+        F.round(
+            F.coalesce("n_overlap", F.lit(0).cast("long")).cast("double")
+            / F.greatest(F.col("n_shingles"), F.lit(1)),
+            6,
+        ).alias("overlap_frac"),
+    )
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
         WITH e AS (

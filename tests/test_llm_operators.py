@@ -376,3 +376,40 @@ def test_cluster_union_find_empty_pairs(spark):
     )
     assert out.count() == 0
     assert out.columns == ["member_id", "rep_id"]
+
+
+def test_bloom_no_false_negatives_and_prefilter_bites(spark):
+    from open_crime_etl_pipeline_spark.operators import bloom as B
+
+    small = spark.range(500).select(F.concat(F.lit("k"), "id").alias("sh"))
+    big = spark.range(20_000).select(F.concat(F.lit("k"), "id").alias("sh"))
+    num_bits, k = 1 << 14, 3
+    bits = B.build_bloom(small, "sh", num_bits=num_bits, k=k)
+    kept = big.filter(B.might_contain(bits, F.col("sh"), num_bits, k))
+    n_kept = kept.count()
+    # every true member survives (no false negatives) ...
+    assert kept.join(small, "sh", "left_semi").count() == 500
+    # ... and the filter removes the overwhelming majority of non-members
+    # (16k bits / 500 elems = 32 bits/elem, k=3 → FP ~0.1%)
+    assert 500 <= n_kept < 1000
+
+
+def test_bloom_semi_join_equals_exact_semi_join(spark):
+    from open_crime_etl_pipeline_spark.operators import bloom as B
+
+    small = spark.range(300).select((F.col("id") * 7).alias("v"))
+    big = spark.range(10_000).select(F.col("id").alias("v"), (F.col("id") % 13).alias("x"))
+    got = B.bloom_semi_join(big, small, "v", num_bits=1 << 13, k=3)
+    want = big.join(small.distinct(), "v", "left_semi")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_contamination_bloom_matches_exact_variant(spark, sf_dir):
+    from open_crime_etl_pipeline_spark.queries.llm import (
+        contamination_bloom_prefilter,
+        contamination_ngram_overlap,
+    )
+
+    a = sorted(map(tuple, contamination_bloom_prefilter(spark, sf_dir).collect()))
+    b = sorted(map(tuple, contamination_ngram_overlap(spark, sf_dir).collect()))
+    assert a == b
