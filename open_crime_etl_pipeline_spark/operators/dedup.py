@@ -562,3 +562,158 @@ def near_dedup(
         F.col("member_id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def build_near_dup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One-time dedup index for incremental near-dedup: (id, hh,
+    signature). Written once per corpus (parquet/table), reused by every
+    subsequent batch — the corpus text is never re-tokenized. Banding is
+    applied at join time (a cheap scan-side transform), so one index
+    serves any band count with rows_per_band = num_hashes // bands."""
+    src = df
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    return src.select(
+        F.col(id_col), hashed_shingles(text_col, shingle_n).alias("hh")
+    ).select(
+        id_col, "hh", _minhash_sig_from_hashes(F.col("hh"), num_hashes).alias("signature")
+    )
+
+
+def _band_keys(df: DataFrame, id_col: str, bands: int, num_hashes: int) -> DataFrame:
+    rows_per_band = max(1, num_hashes // bands)
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_hash")
+
+
+def near_dedup_incremental(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-indexed corpus plus itself,
+    without touching corpus text: the production steady-state where the
+    corpus is 100 TB and the daily batch is 0.1% of it.
+
+    ``index`` is ``build_near_dup_index`` output for the kept corpus.
+    Candidates come from banding the batch signatures against
+    (index ∪ batch) bands — corpus-corpus pairs are never generated
+    (the corpus is already deduped; their edges cannot change which
+    batch docs survive, see below). Candidates are verified with exact
+    shingle-hash Jaccard, then components form over the batch-involving
+    edges; a batch doc is kept iff its component contains no corpus doc
+    and it is the min batch id in it (corpus-always-wins + min-id rep,
+    the same rule ``near_dedup`` applies globally). Correctness note:
+    omitting corpus-corpus edges cannot alter the kept set — any batch
+    doc adjacent to ANY corpus doc is dropped regardless of how corpus
+    docs interconnect, and components without corpus docs have no
+    corpus edges to lose.
+
+    Returns the kept batch rows (original ``batch`` columns).
+    Scale: cost ∝ |batch| + |candidates|; the index side shuffles only
+    (id, band keys) and the hh arrays of candidate ids."""
+    b_idx = build_near_dup_index(
+        batch, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    ).persist()
+    b_idx.count()
+    c_banded = _band_keys(index, id_col, bands, num_hashes).withColumn(
+        "is_corpus", F.lit(True)
+    )
+    b_banded = _band_keys(b_idx, id_col, bands, num_hashes).withColumn(
+        "is_corpus", F.lit(False)
+    )
+    both = c_banded.unionByName(b_banded)
+    a, b = b_banded.alias("a"), both.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (
+                F.col("b.is_corpus")
+                | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("b.is_corpus").alias("b_is_corpus"),
+        )
+        .distinct()
+    )
+    # exact-Jaccard verify: batch side from b_idx, other side from the
+    # union of index and batch hh maps
+    hh_all = index.select(F.col(id_col), "hh").unionByName(
+        b_idx.select(F.col(id_col), "hh")
+    )
+    sa = b_idx.select(F.col(id_col).alias("id_a"), F.col("hh").alias("hh_a"))
+    sb = hh_all.select(F.col(id_col).alias("id_b"), F.col("hh").alias("hh_b"))
+    pairs = (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "__j",
+            F.size(F.array_intersect("hh_a", "hh_b")).cast("double")
+            / F.size(F.array_union("hh_a", "hh_b")).cast("double"),
+        )
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", "b_is_corpus")
+    )
+    # union-find with corpus-first ordering: node key (0, id) for corpus
+    # beats (1, id) for batch, so every component root is a corpus doc
+    # when one exists, else the min batch id. Pair graph ∝ dup density.
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs.collect():
+        ka, kb = (1, r.id_a), ((0 if r.b_is_corpus else 1), r.id_b)
+        for v in (ka, kb):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(ka), find(kb)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    dropped = [
+        m[1] for m in parent
+        if m[0] == 1 and find(m) != m
+    ]
+    b_idx.unpersist()
+    spark = batch.sparkSession
+    if not dropped:
+        return batch
+    drop_df = spark.createDataFrame(
+        [(d,) for d in dropped], batch.select(id_col).schema
+    )
+    return batch.join(F.broadcast(drop_df), on=id_col, how="left_anti")

@@ -279,6 +279,126 @@ def near_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+_INCR_BATCH_SQL = """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+        ), batch AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   regexp_replace(text, '^[a-z]+', 'zzz') AS text
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 3000000,
+                   regexp_replace(array_to_string(list_reverse(string_split(text, ' ')), ' '),
+                                  '^[a-z]+', 'zzz')
+            FROM documents WHERE doc_id % 5 = 2
+            UNION ALL
+            SELECT doc_id + 4000000,
+                   regexp_replace(array_to_string(list_reverse(string_split(text, ' ')), ' '),
+                                  '^[a-z]+', 'zzy')
+            FROM documents WHERE doc_id % 5 = 2
+            UNION ALL
+            SELECT doc_id + 5000000,
+                   translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                             'nopqrstuvwxyzabcdefghijklm')
+            FROM documents WHERE doc_id % 5 = 3
+        ), allv AS (
+            SELECT * FROM corpus UNION ALL SELECT * FROM batch
+        )
+"""
+
+
+@register(
+    "near_dedup_incremental_batch",
+    oracle=_INCR_BATCH_SQL + """
+        , shingle_lists AS (
+            SELECT doc_id,
+                   list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                  for i in range(1, len(words) - 1)]) AS shingles
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM allv)
+            WHERE len(words) >= 3
+        ), sh AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM shingle_lists
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+        ), inter AS MATERIALIZED (
+            -- batch-involving pairs only: the incremental engine path
+            -- never generates corpus-corpus candidates (cannot affect
+            -- which batch docs survive — see operators/dedup.py)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            WHERE a.doc_id >= 1000000 OR b.doc_id >= 1000000
+            GROUP BY a.doc_id, b.doc_id
+        ), pairs AS MATERIALIZED (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.id_a
+            JOIN sizes sb ON sb.doc_id = inter.id_b
+            WHERE CAST(n_inter AS DOUBLE) /
+                  CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) >= 0.7
+        ), edges AS MATERIALIZED (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b AS s, id_a AS d FROM pairs
+        ), r0 AS MATERIALIZED (
+            SELECT DISTINCT s AS m, s AS rep FROM edges
+        ), r1 AS MATERIALIZED (
+            SELECT r.m AS m, least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
+            FROM r0 r
+            LEFT JOIN (SELECT e.s AS s, rr.rep AS rep
+                       FROM edges e JOIN r0 rr ON e.d = rr.m) nb ON nb.s = r.m
+            GROUP BY r.m, r.rep
+        ), r2 AS MATERIALIZED (
+            SELECT r.m AS m, least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
+            FROM r1 r
+            LEFT JOIN (SELECT e.s AS s, rr.rep AS rep
+                       FROM edges e JOIN r1 rr ON e.d = rr.m) nb ON nb.s = r.m
+            GROUP BY r.m, r.rep
+        ), r3 AS MATERIALIZED (
+            SELECT r.m AS m, least(r.rep, coalesce(min(nb.rep), r.rep)) AS rep
+            FROM r2 r
+            LEFT JOIN (SELECT e.s AS s, rr.rep AS rep
+                       FROM edges e JOIN r2 rr ON e.d = rr.m) nb ON nb.s = r.m
+            GROUP BY r.m, r.rep
+        )
+        SELECT doc_id FROM batch
+        WHERE doc_id NOT IN (SELECT m FROM r3 WHERE rep != m AND m >= 1000000)
+    """,
+    doc="Incremental near-dedup: a new batch deduped against an "
+        "already-indexed corpus (build_near_dup_index: id/shingle-hash/"
+        "signature, computed once) plus itself — corpus text is never "
+        "re-tokenized and corpus-corpus candidates are never generated; "
+        "cost ∝ batch + candidates, the 100 TB steady-state pattern. "
+        "Corpus ids precede batch ids, so min-id components encode "
+        "corpus-always-wins; the oracle replays the batch-involving "
+        "exact-Jaccard pair graph with min-propagation (3 rounds suffice: "
+        "scenario components have diameter ≤ 2) (§2.11 [EXT]).",
+    tags=("llm", "dedup", "minhash", "incremental"),
+)
+def near_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rev = F.concat_ws(" ", F.reverse(F.split("text", " ")))
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.regexp_replace("text", "^[a-z]+", "zzz").alias("text"))
+        .unionByName(docs.filter(F.col("doc_id") % 5 == 2).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.regexp_replace(rev, "^[a-z]+", "zzz").alias("text")))
+        .unionByName(docs.filter(F.col("doc_id") % 5 == 2).select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.regexp_replace(rev, "^[a-z]+", "zzy").alias("text")))
+        .unionByName(docs.filter(F.col("doc_id") % 5 == 3).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.translate("text", "abcdefghijklmnopqrstuvwxyz",
+                        "nopqrstuvwxyzabcdefghijklm").alias("text")))
+    )
+    idx = D.build_near_dup_index(docs, "doc_id", "text", num_hashes=32)
+    kept = D.near_dedup_incremental(
+        idx, batch, "doc_id", "text", num_hashes=32, bands=16, threshold=0.7
+    )
+    return kept.select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

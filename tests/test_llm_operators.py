@@ -413,3 +413,50 @@ def test_contamination_bloom_matches_exact_variant(spark, sf_dir):
     a = sorted(map(tuple, contamination_bloom_prefilter(spark, sf_dir).collect()))
     b = sorted(map(tuple, contamination_ngram_overlap(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_incremental_near_dedup_matches_global_pipeline(spark, sf_dir):
+    """near_dedup_incremental(index(corpus), batch) must keep exactly the
+    batch rows that near_dedup(corpus ∪ batch) keeps — the incremental
+    path skips corpus-corpus candidate generation, which provably cannot
+    change which batch docs survive."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 200
+    )
+    # batch: near-dups of corpus, a batch-internal near-dup pair
+    # (reversed text → unrelated to corpus), and fresh docs
+    rev = F.concat_ws(" ", F.reverse(F.split("text", " ")))
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.regexp_replace("text", "^[a-z]+", "zzz").alias("text"))
+        .unionByName(docs.filter(F.col("doc_id") % 5 == 2).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.regexp_replace(rev, "^[a-z]+", "zzz").alias("text")))
+        .unionByName(docs.filter(F.col("doc_id") % 5 == 2).select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.regexp_replace(rev, "^[a-z]+", "zzy").alias("text")))
+        .unionByName(docs.filter(F.col("doc_id") % 5 == 3).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"),
+            F.translate("text", "abcdefghijklmnopqrstuvwxyz",
+                        "nopqrstuvwxyzabcdefghijklm").alias("text")))
+    )
+    idx = D.build_near_dup_index(docs, "doc_id", "text", num_hashes=32)
+    inc = {r.doc_id for r in D.near_dedup_incremental(
+        idx, batch, "doc_id", "text", num_hashes=32, bands=16, threshold=0.7
+    ).select("doc_id").collect()}
+    full = D.near_dedup(
+        docs.unionByName(batch), "doc_id", "text",
+        num_hashes=32, bands=16, threshold=0.7, small_graph=True,
+    )
+    glob = {r.doc_id for r in full.select("doc_id").collect() if r.doc_id >= 1_000_000}
+    assert inc == glob
+    # sanity on the scenario itself: near-dups of corpus all dropped,
+    # min-id of each batch-internal pair kept, fresh docs kept
+    assert not any(1_000_000 <= d < 2_000_000 for d in inc)
+    assert {d for d in inc if d >= 5_000_000} == {
+        r.doc_id + 5_000_000
+        for r in docs.filter(F.col("doc_id") % 5 == 3).collect()}
+    assert {d for d in inc if 3_000_000 <= d < 5_000_000} == {
+        r.doc_id + 3_000_000
+        for r in docs.filter(F.col("doc_id") % 5 == 2).collect()}
