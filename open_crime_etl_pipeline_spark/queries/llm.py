@@ -1223,6 +1223,56 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "frequent_terms_cms_certificate",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(lower(
+                       regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+                   t -> t != '')) AS term
+            FROM documents
+        ), counts AS (
+            SELECT term, count(*) AS exact_count FROM toks GROUP BY term
+        )
+        SELECT term, CAST(exact_count AS BIGINT) AS exact_count, TRUE AS cms_ok
+        FROM counts ORDER BY exact_count DESC, term LIMIT 20
+    """,
+    doc="Frequent terms via count-min sketch with a deterministic error "
+        "certificate: the CMS aggregates distributed (mergeable, O(sketch) "
+        "per partition — the scale path for term stats when the dictionary "
+        "doesn't fit), the driver queries the 20 top terms against it, and "
+        "cms_ok certifies exact <= estimate <= exact + ceil(eps*N) — the "
+        "one-sided CMS guarantee the oracle can state as TRUE. Fixed seed "
+        "=> deterministic (§2.11 text analysis [EXT]).",
+    tags=("llm", "text", "sketch"),
+)
+def frequent_terms_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TS.tokens("text")).alias("term"))
+    toks = toks.persist()
+    total = toks.count()
+    eps = 0.001
+    sketch_bytes = toks.agg(
+        F.expr(f"count_min_sketch(term, {eps}d, 0.99d, 42)").alias("s")
+    ).collect()[0].s
+    top = (
+        toks.groupBy("term").agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "term").limit(20).collect()
+    )
+    toks.unpersist()
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch_bytes)
+    )
+    slack = math.ceil(eps * total)
+    rows = []
+    for r in top:
+        est = cms.estimateCount(r.term)
+        rows.append((r.term, r.exact_count, bool(r.exact_count <= est <= r.exact_count + slack)))
+    return spark.createDataFrame(rows, "term string, exact_count long, cms_ok boolean")
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
         WITH e AS (
