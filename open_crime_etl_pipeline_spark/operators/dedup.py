@@ -717,3 +717,41 @@ def near_dedup_incremental(
         [(d,) for d in dropped], batch.select(id_col).schema
     )
     return batch.join(F.broadcast(drop_df), on=id_col, how="left_anti")
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document fraction of distinct word n-grams that also occur in
+    at least one OTHER document — the corpus-level duplication signal
+    curation pipelines (CCNet / RefinedWeb "duplicate n-gram fraction")
+    threshold on before training. Returns (id, n_shingles, n_dup,
+    dup_frac).
+
+    Scale shape: an inverted index keyed by the 64-bit shingle hash —
+    doc-frequency is a partial-aggregated count, then one hash join back
+    to the (shingle, doc) postings. Everything shuffled is an 8-byte
+    hash + id; no self-join, so hot stop-shingles cost k postings rows,
+    never k² (unlike a candidate join). Linear in corpus tokens.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(hashed_shingles(text_col, shingle_n)).alias("__sh"),
+    )
+    dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__dfreq"))
+    return (
+        sh.join(dfreq, "__sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("__dfreq") > 1).cast("long")).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_shingles").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -417,3 +417,88 @@ def global_rank_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFram
     return global_row_number(
         spend, [F.col("spend").desc(), F.col("o_custkey").asc()], out_col="rn"
     )
+
+
+@register(
+    "quantile_sketch_rank_certificate",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               TRUE AS p50_ok,
+               TRUE AS p90_ok
+        FROM events GROUP BY event_type
+    """,
+    doc="approx_percentile sketch with a driver-checkable RANK certificate: "
+        "the sketch guarantees rank error <= n/accuracy, so the returned "
+        "p50/p90 values are re-ranked against the data (count of values <= "
+        "estimate) and certified within n/1000 of the target rank — the "
+        "exact value is engine-specific, the certificate is not. This is "
+        "the 100 TB percentile path: one pass, mergeable partials, no "
+        "global sort (A8 [EXT], sketch family with HLL/CMS).",
+    tags=("agg", "approx", "sketch"),
+)
+def quantile_sketch_rank_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)).alias("ap")
+    ).select(
+        "event_type", F.col("ap")[0].alias("p50_est"), F.col("ap")[1].alias("p90_est")
+    )
+    tol = F.greatest(F.col("n_events") / 1000.0, F.lit(1.0))
+    return (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value") <= F.col("p50_est")).cast("long")).alias("r50"),
+            F.sum((F.col("value") <= F.col("p90_est")).cast("long")).alias("r90"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (F.abs(F.col("r50") - 0.5 * F.col("n_events")) <= tol).alias("p50_ok"),
+            (F.abs(F.col("r90") - 0.9 * F.col("n_events")) <= tol).alias("p90_ok"),
+        )
+    )
+
+
+@register(
+    "hll_daily_rollup_merge",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS merged_ok
+        FROM events GROUP BY event_type
+    """,
+    doc="The mergeability claim of distinct_users_hll_sketch, MEASURED: "
+        "per-(event_type, day) HLL sketches built first (the daily rollup "
+        "a 100 TB pipeline materializes), then hll_union_agg merges the "
+        "daily sketches into the all-time estimate WITHOUT re-scanning "
+        "events — certified within the 3-sigma bound of the exact distinct "
+        "count. Re-aggregation over materialized partials is the whole "
+        "point of sketch columns (ST8/A8 [EXT]).",
+    tags=("agg", "approx", "sketch", "incremental"),
+)
+def hll_daily_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bound = 3 * 1.04 / (2 ** 14) ** 0.5
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("day_sketch"))
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(day_sketch))").alias("merged_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("merged_users") - F.col("exact_users"))
+            <= bound * F.col("exact_users")
+        ).alias("merged_ok"),
+    )

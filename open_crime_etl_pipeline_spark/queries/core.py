@@ -479,3 +479,103 @@ def not_null_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_custkey").alias("n_not_null"),
         F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("n_null"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decorrelated-subquery / set-operator shapes (§2.3/§2.4 [EXT]).
+# ---------------------------------------------------------------------------
+
+@register(
+    "correlated_avg_quantity_filter",
+    oracle="""
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0, 2)
+                    AS DOUBLE) AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#3'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+    """,
+    doc="TPC-H Q17-shape correlated scalar subquery (small-order revenue), "
+        "decorrelated the way Catalyst rewrites it: per-part AVG as a "
+        "grouped aggregate joined back on the correlation key, then the "
+        "range filter. The per-part aggregate is tiny relative to lineitem "
+        "and broadcast; lineitem shuffles once on l_partkey at scale. "
+        "Deterministic across engines because integral quantities make "
+        "avg() order-independent (A8/J6 [EXT]).",
+    tags=("join", "subquery", "agg"),
+)
+def correlated_avg_quantity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    brand_keys = part.select("p_partkey")
+    # avg over ALL lineitems of each brand-filtered part (semi-join first so
+    # the per-part aggregate only computes groups that can survive).
+    li_of_part = li.join(
+        F.broadcast(brand_keys), li.l_partkey == brand_keys.p_partkey, "left_semi"
+    )
+    avg_qty = li_of_part.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li_of_part.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (F.round(F.sum(dec2("l_extendedprice")) / 7.0, 2))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "exists_late_shipment_priority",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-shape correlated EXISTS (orders with a line shipped >60 "
+        "days after order date) as a LEFT SEMI join — the physical form "
+        "every engine rewrites EXISTS into. Equi key l_orderkey carries "
+        "the shuffle; the extra non-equi conjunct rides along in the same "
+        "join, so no second pass over lineitem (J6 [EXT]).",
+    tags=("join", "subquery", "agg"),
+)
+def exists_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "intersect_click_purchase_users",
+    oracle="""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="Set INTERSECT (users present in both behavior sets) — the dual of "
+        "set_except_load_dates' EXCEPT; Spark plans it as a distinct-ing "
+        "LEFT SEMI join, one shuffle per side on the set key (J3 dual).",
+    tags=("setop",),
+)
+def intersect_click_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)

@@ -1579,3 +1579,37 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+@register(
+    "duplicate_ngram_fraction",
+    oracle="""
+        WITH shingle_lists AS (
+            SELECT doc_id,
+                   list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                  for i in range(1, len(words) - 1)]) AS shingles
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+            WHERE len(words) >= 3
+        ), sh AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM shingle_lists
+        ), dfq AS (
+            SELECT shingle, count(*) AS dfreq FROM sh GROUP BY shingle
+        )
+        SELECT doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               round(CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS dup_frac
+        FROM sh JOIN dfq USING (shingle)
+        GROUP BY doc_id
+    """,
+    doc="Cross-corpus duplicate n-gram fraction per document (CCNet / "
+        "RefinedWeb curation signal): distinct 3-gram postings -> "
+        "doc-frequency -> fraction of a doc's shingles seen elsewhere. "
+        "Inverted-index join on 64-bit shingle hashes, no self-join — "
+        "linear in corpus tokens at 100 TB (§2.11).",
+    tags=("llm", "dedup", "quality"),
+)
+def duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.duplicate_ngram_fraction(docs, "doc_id", "text", shingle_n=3)

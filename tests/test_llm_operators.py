@@ -460,3 +460,26 @@ def test_incremental_near_dedup_matches_global_pipeline(spark, sf_dir):
     assert {d for d in inc if 3_000_000 <= d < 5_000_000} == {
         r.doc_id + 3_000_000
         for r in docs.filter(F.col("doc_id") % 5 == 2).collect()}
+
+
+def test_duplicate_ngram_fraction_hand_computed(spark):
+    """Planted corpus with known shared 3-grams: a twin pair shares ALL
+    shingles (dup_frac 1.0); a unique doc shares none (0.0); a doc
+    overlapping the twin text on exactly one 3-gram gets 1/its-count."""
+    rows = [
+        (1, "a b c d e"),        # twins: every shingle duplicated
+        (2, "a b c d e"),
+        (3, "p q r s t"),        # unique: no shingle appears elsewhere
+        (4, "x y a b c"),        # shares exactly "a b c" with the twins
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in D.duplicate_ngram_fraction(df, "doc_id", "text", shingle_n=3).collect()
+    }
+    assert out[1].n_shingles == 3 and out[1].dup_frac == 1.0
+    assert out[2].dup_frac == 1.0
+    assert out[3].n_shingles == 3 and out[3].n_dup == 0 and out[3].dup_frac == 0.0
+    # doc 4: shingles {"x y a", "y a b", "a b c"}; only "a b c" is shared
+    assert out[4].n_shingles == 3 and out[4].n_dup == 1
+    assert abs(out[4].dup_frac - round(1 / 3, 6)) < 1e-9

@@ -88,3 +88,30 @@ def test_exact_dedup_shuffles_digests_not_text(spark, sf_dir):
     # document text itself never crosses the wire
     assert "hashpartitioning(__h1" in plan
     assert "SortMergeJoin" not in plan  # min-id winners broadcast back
+
+
+def test_correlated_subquery_decorrelates_to_broadcasts(spark, sf_dir):
+    """Q17 shape: the brand-key semi-join and the per-part average join
+    must both broadcast — lineitem (the 100 TB side) is never the build
+    side and never sort-merge-shuffled for either join."""
+    plan = _plan(spark, sf_dir, "correlated_avg_quantity_filter")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exists_rewrites_to_semi_join_on_equi_key(spark, sf_dir):
+    """Q4 shape: EXISTS must become a LeftSemi keyed on l_orderkey — the
+    non-equi shipdate conjunct rides along as a join condition, never a
+    post-join filter over an exploded product."""
+    plan = _plan(spark, sf_dir, "exists_late_shipment_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_ngram_fraction_shuffles_hashes_not_text(spark, sf_dir):
+    """The postings shuffle carries 8-byte shingle hashes + ids; the
+    document text must never appear past the scan projection."""
+    plan = _plan(spark, sf_dir, "duplicate_ngram_fraction")
+    assert "xxhash64" in plan
+    assert "partial_count" in plan  # dfreq combines map-side
