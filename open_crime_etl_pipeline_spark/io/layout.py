@@ -86,3 +86,73 @@ def file_key_ranges(path: str, key: str) -> list[tuple[object, object]]:
             maxs.append(stats.max)
         out.append((min(mins), max(maxs)))
     return out
+
+
+def zorder_key(cols: list, bits: int = 10, mins: list | None = None,
+               maxs: list | None = None):
+    """Morton (Z-order) key interleaving ``bits`` bits from each column.
+
+    Columns are first mapped to integer grid coordinates in
+    [0, 2**bits) by linear min/max scaling (pass precomputed ``mins``/
+    ``maxs`` — a 1-row aggregate — so the expression stays pure
+    scan-side). Bit interleaving is a static expression tree of
+    shifts/masks, fully whole-stage-codegen'd: no UDF, no shuffle of
+    its own. Linear scaling assumes roughly uniform columns; for
+    heavily skewed keys, rank-normalize first (bucket by quantile
+    boundaries from percentile_approx) and feed the bucket ids here.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        col = F.col(c) if isinstance(c, str) else c
+        span = float(hi) - float(lo)
+        if span <= 0:
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        g = ((col.cast("double") - float(lo)) / span * ((1 << bits) - 1))
+        scaled.append(F.least(F.greatest(g.cast("long"), F.lit(0)),
+                              F.lit((1 << bits) - 1)))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1)).cast("long")
+            z = z.bitwiseOR(bit * F.lit(1 << (i * n + j)))  # bit i of col j -> position i*n + j
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    n_files: int = 8,
+    bits: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` parquet Z-order-clustered on ``keys`` — the
+    multi-column generalization of ``write_range_clustered``. Range
+    clustering makes per-file stats narrow on ONE leading key; Morton
+    interleaving makes them narrow on EVERY key simultaneously (each
+    file covers a hyper-rectangle tile of the key space), so a filter
+    on any single clustered column still skips most files. This is the
+    lakehouse OPTIMIZE ZORDER BY, expressed as repartitionByRange +
+    sort on the Morton key. The min/max pre-scan is one cheap 1-row
+    aggregate over the keys only (column-pruned)."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(k).cast("double").alias(f"mn_{k}") for k in keys],
+        *[F.max(k).cast("double").alias(f"mx_{k}") for k in keys],
+    ).first()
+    mins = [stats[f"mn_{k}"] for k in keys]
+    maxs = [stats[f"mx_{k}"] for k in keys]
+    z = zorder_key(keys, bits=bits, mins=mins, maxs=maxs)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -11,7 +11,7 @@ with partition predicates).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,3 +58,27 @@ def train_val_test_split(
         .otherwise("train")
     )
     return df.withColumn("split", split)
+
+
+def reservoir_per_group(
+    df: DataFrame, group_col: str, id_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group by
+    md5(id + salt) and keep the first k — the reproducible analog of a
+    per-group reservoir sample. Membership is a pure function of
+    (id, salt, the group's id set), so the same k rows come back on any
+    engine, any run, any cluster size.
+
+    Scale shape: one shuffle on the group key, then a per-group sort on
+    the 32-hex-char rank key. For pathologically large single groups,
+    pre-filter with a hash threshold (keep rows whose bucket is below
+    ~k/|group| + slack, then rank the survivors) to cap the sorted set —
+    same result, bounded memory.
+    """
+    rank_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -523,3 +523,69 @@ def standardize_by_group(
         .groupBy(group_col)
         .applyInPandas(standardize, schema=out_schema)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    use_kmeans: bool = False,
+    small_graph: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then pruning within-cluster
+    pairs whose cosine exceeds ``threshold``, keeping the min-id
+    representative of each semantic-duplicate group. Returns
+    (id, had_semantic_dup) for the KEPT rows.
+
+    Scale shape — the reason SemDeDup clusters first: the pairwise
+    cosine join is confined to same-cluster pairs, so with k chosen
+    ∝ corpus size (constant expected cluster size, as in the paper)
+    the candidate count stays linear in the corpus instead of N².
+    The corpus shuffles once keyed by cluster_id carrying normalized
+    vectors; centroids are always broadcast (ivf_assign). The pair
+    graph is dup-group-sized, so representative election is the same
+    union-find / min-propagation machinery as text near-dedup.
+    """
+    from .dedup import cluster_representatives
+
+    cents = (
+        kmeans_parallel_centroids(df, n_clusters, id_col, vec_col)
+        if use_kmeans
+        else seed_centroids(df, n_clusters, id_col, vec_col)
+    )
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    normed = assigned.select(
+        F.col(id_col),
+        "cluster_id",
+        F.transform("v", lambda x: x / l2_norm(F.col("v"))).alias("nv"),
+    )
+    a = normed.select(
+        F.col(id_col).alias("id_a"), F.col("cluster_id"), F.col("nv").alias("nv_a")
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"), F.col("cluster_id"), F.col("nv").alias("nv_b")
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot(F.col("nv_a"), F.col("nv_b")) >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    reps = cluster_representatives(pairs, small_graph=small_graph)
+    drops = reps.filter(F.col("member_id") != F.col("rep_id")).select(
+        F.col("member_id").alias(id_col)
+    )
+    flagged = reps.filter(F.col("member_id") == F.col("rep_id")).select(
+        F.col("rep_id").alias(id_col), F.lit(True).alias("had_semantic_dup")
+    )
+    return (
+        df.select(id_col)
+        .join(F.broadcast(drops), id_col, "left_anti")
+        .join(F.broadcast(flagged), id_col, "left")
+        .select(
+            id_col, F.coalesce("had_semantic_dup", F.lit(False)).alias("had_semantic_dup")
+        )
+    )

@@ -1613,3 +1613,56 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return D.duplicate_ngram_fraction(docs, "doc_id", "text", shingle_n=3)
+
+
+@register(
+    "semdedup_embedding_prune",
+    oracle="""
+        SELECT vec_id, (vec_id % 3 = 0) AS had_semantic_dup
+        FROM embeddings
+    """,
+    doc="SemDeDup (Abbas et al. 2023): cluster embeddings, prune "
+        "within-cluster pairs with cosine >= 0.9, keep min-id "
+        "representatives. Planted-twin certificate: every vec_id % 3 == 0 "
+        "gets an identical-embedding copy at +10M, so the correct output "
+        "is exactly the original ids with had_semantic_dup = (vec_id % 3 "
+        "= 0) — deterministic regardless of which clusters the engine "
+        "forms, because identical vectors always co-cluster and the "
+        "corpus' max natural cosine (~0.60) is far below the threshold "
+        "(§2.11).",
+    tags=("llm", "dedup", "embedding"),
+)
+def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    return S.semdedup(
+        corpus, "vec_id", "embedding", n_clusters=16, threshold=0.9
+    )
+
+
+@register(
+    "reservoir_sample_per_group",
+    oracle="""
+        SELECT event_type, event_id FROM (
+            SELECT event_type, event_id,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR) || 'rsv'), event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn <= 5
+    """,
+    doc="Deterministic per-group reservoir sample: 5 events per type by "
+        "md5-hash rank — the same 5 on any engine, run, or cluster size, "
+        "unlike rand()/sampleBy. Same portable-md5 family as the "
+        "deterministic splits (§2.11).",
+    tags=("llm", "sampling"),
+)
+def reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import reservoir_per_group
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id")
+    return reservoir_per_group(ev, "event_type", "event_id", k=5, salt="rsv")

@@ -79,3 +79,38 @@ def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
     n_out = sum(1 for f in os.listdir(dst) if f.endswith(".parquet"))
     assert n_out == n <= 4  # ~3 target-size files instead of 40 shards
     assert spark.read.parquet(dst).count() == orders.count()
+
+
+def _skip_fraction(ranges, lo, hi):
+    """Fraction of files a [lo, hi] predicate skips on footer stats."""
+    return sum(1 for mn, mx in ranges if mx < lo or mn > hi) / len(ranges)
+
+
+def test_zorder_skips_on_both_columns(spark, tmp_path):
+    """A 64x64 uniform grid written as 16 Z-ordered files: each file
+    covers a 2D tile, so a narrow predicate on EITHER column skips most
+    files — while range clustering on x alone prunes nothing for y."""
+    from open_crime_etl_pipeline_spark.io.layout import write_zorder_clustered
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zorder_clustered(grid, zpath, keys=["x", "y"], n_files=16, bits=6)
+    zx, zy = file_key_ranges(zpath, "x"), file_key_ranges(zpath, "y")
+    assert len(zx) == 16
+    # an 8-wide slice (1/8 of either axis) must skip >= half the files
+    assert _skip_fraction(zx, 0, 7) >= 0.5
+    assert _skip_fraction(zy, 0, 7) >= 0.5
+
+    rpath = str(tmp_path / "range_x")
+    write_range_clustered(grid, rpath, keys=["x"], n_files=16)
+    rx, ry = file_key_ranges(rpath, "x"), file_key_ranges(rpath, "y")
+    assert _skip_fraction(rx, 0, 7) >= 0.5   # leading key prunes
+    assert _skip_fraction(ry, 0, 7) == 0.0   # second column prunes nothing
+
+    # layout changes bytes, never rows
+    back = spark.read.parquet(zpath)
+    assert back.count() == 64 * 64
+    assert back.agg(F.sum("x"), F.sum("y")).first() == \
+        grid.agg(F.sum("x"), F.sum("y")).first()

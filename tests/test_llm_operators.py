@@ -483,3 +483,22 @@ def test_duplicate_ngram_fraction_hand_computed(spark):
     # doc 4: shingles {"x y a", "y a b", "a b c"}; only "a b c" is shared
     assert out[4].n_shingles == 3 and out[4].n_dup == 1
     assert abs(out[4].dup_frac - round(1 / 3, 6)) < 1e-9
+
+
+def test_semdedup_drops_twin_keeps_near_threshold(spark):
+    """Hand-built vectors: ids 1/2 identical (cosine 1.0 -> dedup, keep
+    min id), ids 3/4 at cosine 0.96 (below the 0.99 threshold -> both
+    kept), id 5 orthogonal. One cluster forces all pairs examined."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.8, 0.6, 0.0]),
+        (4, [0.6, 0.8, 0.0]),
+        (5, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r.had_semantic_dup for r in
+           S.semdedup(df, "vec_id", "embedding", n_clusters=1, threshold=0.99).collect()}
+    assert set(out) == {1, 3, 4, 5}          # 2 dropped as twin of 1
+    assert out[1] is True                     # survivor of a dup group
+    assert out[3] is False and out[4] is False and out[5] is False
