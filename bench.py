@@ -62,6 +62,8 @@ def main() -> None:
         "cosine_topk_exact",          # brute-force ANN baseline
         "token_stats_top_terms",      # tokenize → explode → count → topk
         "asof_join_last_purchase",    # as-of join via union + window carry
+        "duplicate_ngram_fraction",   # inverted-index cross-corpus dup signal
+        "semdedup_embedding_prune",   # cluster + per-cluster gram-matrix prune
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not
@@ -124,6 +126,29 @@ def main() -> None:
     from open_crime_etl_pipeline_spark.operators.dedup import exact_dedup
 
     exact_dedup(warm_corpus, "doc_id", "text").count()
+    # Warm the duplicate-ngram inverted-index family (same shingle/hash
+    # codegen, plus its dfreq join) and the semdedup family (Arrow
+    # python-worker startup for applyInPandas + ivf assign codegen) on
+    # synthetic inputs shaped like the bench tables.
+    from open_crime_etl_pipeline_spark.operators.dedup import duplicate_ngram_fraction
+    from open_crime_etl_pipeline_spark.operators.similarity import semdedup
+
+    duplicate_ngram_fraction(base, "doc_id", "text").count()
+    warm_vecs = spark.range(2_500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: ((F.col("id") * 31 + i * 7) % 97).cast("double") / 97.0,
+        ).alias("embedding"),
+    )
+    semdedup(
+        warm_vecs.unionByName(
+            warm_vecs.limit(800).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+            )
+        ),
+        "vec_id", "embedding",
+    ).count()
     # The warm corpus churns several GB of young-gen; collect it now so
     # a major GC pause doesn't land inside a timed query (observed: a
     # one-off 12.5s exact_dedup spike right after warm-up, 2.8s clean).
@@ -136,6 +161,13 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # collect the PREVIOUS query's garbage outside the timers: a
+        # major G1 pause otherwise lands in whichever query happens to
+        # allocate next (observed: a one-off 10.4s duplicate_ngram run
+        # whose steady state is 2.3s, right after the near-dedup heap
+        # churn; per-query attribution should not bill a neighbor's
+        # garbage).
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -734,7 +734,13 @@ def duplicate_ngram_fraction(
     hash + id; no self-join, so hot stop-shingles cost k postings rows,
     never k² (unlike a candidate join). Linear in corpus tokens.
     """
-    sh = df.select(
+    sc = df.sparkSession.sparkContext
+    src = df
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        # compute-bound shingle stage: don't let a few input files
+        # serialize it (same guard as minhash_signatures)
+        src = src.repartition(sc.defaultParallelism)
+    sh = src.select(
         F.col(id_col),
         F.explode(hashed_shingles(text_col, shingle_n)).alias("__sh"),
     )

@@ -533,6 +533,7 @@ def semdedup(
     threshold: float = 0.9,
     use_kmeans: bool = False,
     small_graph: bool = True,
+    pairwise: str = "pandas",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings, then pruning within-cluster
@@ -548,6 +549,15 @@ def semdedup(
     vectors; centroids are always broadcast (ivf_assign). The pair
     graph is dup-group-sized, so representative election is the same
     union-find / min-propagation machinery as text near-dedup.
+
+    ``pairwise="pandas"`` (default) computes each cluster's pairwise
+    cosines as ONE Arrow-batched numpy gram matrix (X @ X.T) per
+    cluster — exactly the paper's per-cluster dense matmul, and the
+    legitimate Pandas-UDF case: a quadratic-in-cluster-size kernel a
+    row-expression join can only express as candidate-pair lambdas
+    (measured ~4x slower at 64-dim). Per-task memory is cluster_size²,
+    the knob n_clusters already bounds. ``pairwise="sql"`` keeps the
+    pure-Catalyst join (used to cross-check the kernel in tests).
     """
     from .dedup import cluster_representatives
 
@@ -557,23 +567,50 @@ def semdedup(
         else seed_centroids(df, n_clusters, id_col, vec_col)
     )
     assigned = ivf_assign(df, cents, id_col, vec_col)
-    normed = assigned.select(
-        F.col(id_col),
-        "cluster_id",
-        F.transform("v", lambda x: x / l2_norm(F.col("v"))).alias("nv"),
-    )
-    a = normed.select(
-        F.col(id_col).alias("id_a"), F.col("cluster_id"), F.col("nv").alias("nv_a")
-    )
-    b = normed.select(
-        F.col(id_col).alias("id_b"), F.col("cluster_id"), F.col("nv").alias("nv_b")
-    )
-    pairs = (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dot(F.col("nv_a"), F.col("nv_b")) >= F.lit(threshold))
-        .select("id_a", "id_b")
-    )
+    if pairwise == "pandas":
+        import pandas as pd
+
+        def gram_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            ids = pdf["__id"].to_numpy()
+            X = np.asarray(list(pdf["v"]), dtype=np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            S = X @ X.T
+            ia, ib = np.nonzero(np.triu(S >= threshold, k=1))
+            a_ids, b_ids = ids[ia], ids[ib]
+            lo = np.minimum(a_ids, b_ids)
+            hi = np.maximum(a_ids, b_ids)
+            return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+        pairs = (
+            assigned.select(F.col(id_col).alias("__id"), "v", "cluster_id")
+            .groupBy("cluster_id")
+            .applyInPandas(gram_pairs, "id_a long, id_b long")
+        )
+    else:
+        # MATERIALIZE the normalized vectors before the self-join:
+        # without the barrier Catalyst re-inlines the transform/l2_norm
+        # into the join, recomputing the normalization per CANDIDATE
+        # PAIR instead of per vector (same re-inline failure mode the
+        # minhash pipeline hit — PERF.md §1).
+        normed = assigned.select(
+            F.col(id_col),
+            "cluster_id",
+            F.transform("v", lambda x: x / l2_norm(F.col("v"))).alias("nv"),
+        ).localCheckpoint()
+        a = normed.select(
+            F.col(id_col).alias("id_a"), F.col("cluster_id"), F.col("nv").alias("nv_a")
+        )
+        b = normed.select(
+            F.col(id_col).alias("id_b"), F.col("cluster_id"), F.col("nv").alias("nv_b")
+        )
+        pairs = (
+            a.join(b, "cluster_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(dot(F.col("nv_a"), F.col("nv_b")) >= F.lit(threshold))
+            .select("id_a", "id_b")
+        )
     reps = cluster_representatives(pairs, small_graph=small_graph)
     drops = reps.filter(F.col("member_id") != F.col("rep_id")).select(
         F.col("member_id").alias(id_col)

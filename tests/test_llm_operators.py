@@ -502,3 +502,17 @@ def test_semdedup_drops_twin_keeps_near_threshold(spark):
     assert set(out) == {1, 3, 4, 5}          # 2 dropped as twin of 1
     assert out[1] is True                     # survivor of a dup group
     assert out[3] is False and out[4] is False and out[5] is False
+
+
+def test_semdedup_pandas_kernel_equals_catalyst_join(spark, sf_dir):
+    """The per-cluster numpy gram-matrix kernel must produce exactly the
+    pairs (hence representatives + flags) of the pure-Catalyst cosine
+    join, on the planted-twin corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    p = set(map(tuple, S.semdedup(corpus, "vec_id", "embedding", pairwise="pandas").collect()))
+    s = set(map(tuple, S.semdedup(corpus, "vec_id", "embedding", pairwise="sql").collect()))
+    assert p == s and len(p) == emb.count()
