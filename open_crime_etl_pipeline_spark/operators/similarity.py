@@ -534,6 +534,7 @@ def semdedup(
     use_kmeans: bool = False,
     small_graph: bool = True,
     pairwise: str = "pandas",
+    assign: str = "pandas",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings, then pruning within-cluster
@@ -558,6 +559,16 @@ def semdedup(
     (measured ~4x slower at 64-dim). Per-task memory is cluster_size²,
     the knob n_clusters already bounds. ``pairwise="sql"`` keeps the
     pure-Catalyst join (used to cross-check the kernel in tests).
+
+    ``assign="pandas"`` (default) does centroid assignment the same
+    way: collect the O(k) centroid table driver-side (the MLlib
+    collect-the-small-side pattern), broadcast it into a mapInPandas
+    closure, and argmax one X @ C.T matmul per Arrow batch. Assignment
+    is the O(N·k) term — with the paper's k ∝ N it is the asymptotic
+    bottleneck, and the Catalyst crossJoin form pays ~64 array-lambda
+    ops per (vector, centroid): measured 15.8x wall at 10x corpus
+    (tools/scale_check_llm2.py) vs near-linear with the matmul.
+    ``assign="sql"`` keeps the ivf_assign crossJoin for cross-checks.
     """
     from .dedup import cluster_representatives
 
@@ -566,7 +577,30 @@ def semdedup(
         if use_kmeans
         else seed_centroids(df, n_clusters, id_col, vec_col)
     )
-    assigned = ivf_assign(df, cents, id_col, vec_col)
+    if assign == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        cent_rows = sorted(cents.collect(), key=lambda r: r.cluster_id)
+        C = np.asarray([r.cvec for r in cent_rows], dtype=np.float64)
+        Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # dim x k
+
+        def assign_batches(batches):
+            for pdf in batches:
+                X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                # np.argmax takes the FIRST max → lowest cluster_id on
+                # ties, matching ivf_assign's (aff desc, cluster_id) order
+                best = np.argmax(Xn @ Cn, axis=1)
+                yield pd.DataFrame(
+                    {"__id": pdf[id_col], "v": list(X), "cluster_id": best}
+                )
+
+        assigned = df.select(id_col, as_double_array(vec_col).alias(vec_col)).mapInPandas(
+            assign_batches, "__id long, v array<double>, cluster_id int"
+        ).withColumnRenamed("__id", id_col)
+    else:
+        assigned = ivf_assign(df, cents, id_col, vec_col)
     if pairwise == "pandas":
         import pandas as pd
 

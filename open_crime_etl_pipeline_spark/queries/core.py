@@ -579,3 +579,93 @@ def intersect_click_purchase_users(spark: SparkSession, sf_dir: str) -> DataFram
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return clicks.intersect(buys)
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+        SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+               round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l_discount AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE),
+                     6) AS promo_share
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+        GROUP BY 1
+    """,
+    doc="TPC-H Q14-shape conditional revenue share (promo %% of revenue "
+        "per ship-year): broadcast dim lookup on part, then ONE pass over "
+        "lineitem computes both the conditional and total sums — no "
+        "second scan, no second shuffle. Exact-decimal partials make the "
+        "double division engine-identical (A8/J6 [EXT]).",
+    tags=("join", "agg"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))
+    zero = F.lit(0).cast("decimal(24,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero)).alias("__promo"),
+            F.sum(disc).alias("__total"),
+        )
+        .select(
+            "ship_year",
+            F.round(
+                F.lit(100.0) * F.col("__promo").cast("double")
+                / F.col("__total").cast("double"),
+                6,
+            ).alias("promo_share"),
+        )
+    )
+
+
+@register(
+    "nested_agg_avg_order_value",
+    oracle="""
+        WITH per_order AS (
+            SELECT o_orderkey, o_orderpriority,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS order_value,
+                   count(*) AS n_lines
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderpriority
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(n_lines) AS BIGINT) AS n_lines,
+               round(CAST(sum(order_value) AS DOUBLE) / count(*), 6) AS avg_order_value
+        FROM per_order
+        GROUP BY o_orderpriority
+    """,
+    doc="Nested aggregation (aggregate of per-group aggregates): average "
+        "order VALUE per priority requires summing lines per order first "
+        "— a quantity no single-level GROUP BY can produce. Two-level "
+        "plan: partial-combined shuffle on l_orderkey, then a 5-group "
+        "re-aggregation whose input is orders-sized, not lines-sized "
+        "(A8 [EXT]).",
+    tags=("agg", "join"),
+)
+def nested_agg_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(dec2("l_extendedprice")).alias("order_value"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("n_lines").alias("n_lines"),
+        F.round(F.sum("order_value").cast("double") / F.count("*"), 6).alias(
+            "avg_order_value"
+        ),
+    )

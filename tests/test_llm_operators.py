@@ -516,3 +516,16 @@ def test_semdedup_pandas_kernel_equals_catalyst_join(spark, sf_dir):
     p = set(map(tuple, S.semdedup(corpus, "vec_id", "embedding", pairwise="pandas").collect()))
     s = set(map(tuple, S.semdedup(corpus, "vec_id", "embedding", pairwise="sql").collect()))
     assert p == s and len(p) == emb.count()
+
+
+def test_semdedup_pandas_assign_equals_catalyst_assign(spark, sf_dir):
+    """The numpy argmax matmul assignment must yield the same final
+    representatives/flags as the Catalyst crossJoin assignment."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    p = set(map(tuple, S.semdedup(corpus, "vec_id", "embedding", assign="pandas").collect()))
+    s = set(map(tuple, S.semdedup(corpus, "vec_id", "embedding", assign="sql").collect()))
+    assert p == s
