@@ -640,3 +640,54 @@ def conversion_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_user.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+        WITH user_weeks AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(date_diff('day', DATE '2024-01-01',
+                                        CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
+            FROM events
+        ), cohort AS (
+            SELECT user_id FROM user_weeks WHERE wk = 0
+        )
+        SELECT wk,
+               count(*) AS retained,
+               round(CAST(count(*) AS DOUBLE)
+                     / (SELECT count(*) FROM cohort), 6) AS retention_pct
+        FROM user_weeks
+        WHERE user_id IN (SELECT user_id FROM cohort)
+        GROUP BY wk
+    """,
+    doc="Cohort retention: of the users active in week 0, the fraction "
+        "still active in each later week. One distinct (user, week) "
+        "projection feeds both the cohort and the retention counts; the "
+        "cohort re-enters as a LEFT SEMI join and the denominator as a "
+        "broadcast scalar — events is scanned once, shuffled once on "
+        "user_id (ST10-adjacent [EXT]).",
+    tags=("events", "agg", "window"),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    user_weeks = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7.0
+        ).alias("wk"),
+    ).distinct()
+    cohort = user_weeks.filter(F.col("wk") == 0).select("user_id")
+    cohort_size = cohort.agg(F.count("*").alias("n0"))
+    retained = (
+        user_weeks.join(cohort, "user_id", "left_semi")
+        .groupBy("wk")
+        .agg(F.count("*").alias("retained"))
+    )
+    return retained.crossJoin(F.broadcast(cohort_size)).select(
+        "wk",
+        "retained",
+        F.round(F.col("retained").cast("double") / F.col("n0"), 6).alias(
+            "retention_pct"
+        ),
+    )

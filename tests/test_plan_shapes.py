@@ -115,3 +115,20 @@ def test_duplicate_ngram_fraction_shuffles_hashes_not_text(spark, sf_dir):
     plan = _plan(spark, sf_dir, "duplicate_ngram_fraction")
     assert "xxhash64" in plan
     assert "partial_count" in plan  # dfreq combines map-side
+
+
+def test_promo_share_single_pass_broadcast(spark, sf_dir):
+    """Q14 shape: part broadcasts; the conditional and total sums come
+    from ONE aggregation over lineitem (no second scan/shuffle pair)."""
+    plan = _plan(spark, sf_dir, "promo_revenue_share")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_nested_agg_second_level_is_orders_sized(spark, sf_dir):
+    """Two-level aggregation: both levels partial-aggregate before their
+    exchange — the re-aggregation input is per-order rows, never lines."""
+    plan = _plan(spark, sf_dir, "nested_agg_avg_order_value")
+    assert plan.count("partial_sum") >= 1
+    assert "partial_count" in plan

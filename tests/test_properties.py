@@ -240,3 +240,25 @@ def test_range_join_matches_brute_force(spark, points, intervals):
         if ws <= pts < we
     )
     assert got == expect
+
+
+def test_reservoir_per_group_partitioning_invariant(spark):
+    """The deterministic reservoir's selling point: membership is a pure
+    function of (id, salt), so the SAME rows come back regardless of
+    how the input is partitioned or ordered."""
+    from pyspark.sql import functions as F
+
+    from open_crime_etl_pipeline_spark.operators.sampling import reservoir_per_group
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("k")
+    )
+    outs = []
+    for arranged in (df.repartition(1), df.repartition(16, "k"),
+                     df.orderBy(F.col("k").desc())):
+        outs.append({
+            (r.g, r.k)
+            for r in reservoir_per_group(arranged, "g", "k", k=5, salt="s").collect()
+        })
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 7 * 5
