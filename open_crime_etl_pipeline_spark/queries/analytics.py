@@ -502,3 +502,139 @@ def hll_daily_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= bound * F.col("exact_users")
         ).alias("merged_ok"),
     )
+
+
+@register(
+    "gaps_islands_user_sessions",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts) > 1800
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM marked
+        )
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+               count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        FROM numbered
+        GROUP BY user_id, session_no
+    """,
+    doc="Gaps-and-islands sessionization — the manual lag + running-sum "
+        "form of session windows (30-min inactivity gap): a boundary "
+        "flag from lag(), a running sum to number islands, then a "
+        "per-island rollup. ONE shuffle on user_id serves both window "
+        "functions and the final aggregate (§2.5; the native "
+        "session_window twin is session_windows_30m).",
+    tags=("window", "events", "agg"),
+)
+def gaps_islands_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("ts").over(w)
+    new_session = (
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800)
+    ).cast("long")
+    return (
+        ev.withColumn("__new", new_session)
+        .withColumn("session_no", F.sum("__new").over(wrun))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+    )
+
+
+@register(
+    "mode_event_type_per_user_bucket",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id % 10 AS user_bucket, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_bucket, event_type AS modal_type, n AS n_events
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY user_bucket
+                       ORDER BY n DESC, event_type) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    """,
+    doc="Mode (most frequent value) per group with a deterministic "
+        "tie-break: count + argmax via ranked window over the SMALL "
+        "grouped-count table — the scan-sized data never enters the "
+        "window (§2.5/2.6).",
+    tags=("window", "agg", "events"),
+)
+def mode_event_type_per_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        (F.col("user_id") % 10).alias("user_bucket"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_bucket").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_bucket", F.col("event_type").alias("modal_type"),
+                F.col("n").alias("n_events"))
+    )
+
+
+@register(
+    "percent_of_total_revenue",
+    oracle="""
+        WITH nat AS (
+            SELECT n_name,
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name,
+               CAST(round(rev, 2) AS DOUBLE) AS revenue,
+               round(CAST(rev AS DOUBLE)
+                     / CAST(sum(rev) OVER () AS DOUBLE), 6) AS pct_of_total
+        FROM nat
+    """,
+    doc="Percent-of-total via an unpartitioned window over the ALREADY "
+        "AGGREGATED per-nation table (25 rows) — the global window is "
+        "safe exactly because aggregation shrank the data first; the "
+        "orders scan itself sees only hash-partitioned aggregation "
+        "(§2.5 ratio-to-report).",
+    tags=("window", "agg", "join"),
+)
+def percent_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec2("o_totalprice")).alias("rev"))
+    )
+    wtot = Window.partitionBy()
+    return nat.select(
+        "n_name",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wtot).cast("double"), 6
+        ).alias("pct_of_total"),
+    )
