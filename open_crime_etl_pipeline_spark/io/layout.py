@@ -88,14 +88,13 @@ def file_key_ranges(path: str, key: str) -> list[tuple[object, object]]:
     return out
 
 
-def zorder_key(cols: list, bits: int = 10, mins: list | None = None,
-               maxs: list | None = None):
+def zorder_key(cols: list, bits: int, mins: list, maxs: list):
     """Morton (Z-order) key interleaving ``bits`` bits from each column.
 
     Columns are first mapped to integer grid coordinates in
-    [0, 2**bits) by linear min/max scaling (pass precomputed ``mins``/
-    ``maxs`` — a 1-row aggregate — so the expression stays pure
-    scan-side). Bit interleaving is a static expression tree of
+    [0, 2**bits) by linear min/max scaling; ``mins``/``maxs`` are the
+    REQUIRED precomputed per-column bounds (a 1-row aggregate — see
+    ``write_zorder_clustered``), keeping the expression pure scan-side. Bit interleaving is a static expression tree of
     shifts/masks, fully whole-stage-codegen'd: no UDF, no shuffle of
     its own. Linear scaling assumes roughly uniform columns; for
     heavily skewed keys, rank-normalize first (bucket by quantile

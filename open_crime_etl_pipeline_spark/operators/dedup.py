@@ -735,7 +735,10 @@ def duplicate_ngram_fraction(
     never k² (unlike a candidate join). Linear in corpus tokens.
     """
     sc = df.sparkSession.sparkContext
-    src = df
+    # Docs shorter than one shingle are excluded, not given a whole-text
+    # pseudo-shingle: two empty docs must not count as mutual dups, and
+    # the SQL oracle's `len(words) >= n` filter states the same rule.
+    src = df.filter(F.size(tokens(text_col)) >= shingle_n)
     if src.rdd.getNumPartitions() < sc.defaultParallelism:
         # compute-bound shingle stage: don't let a few input files
         # serialize it (same guard as minhash_signatures)

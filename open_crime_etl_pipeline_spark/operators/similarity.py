@@ -572,6 +572,10 @@ def semdedup(
     """
     from .dedup import cluster_representatives
 
+    if pairwise not in ("pandas", "sql") or assign not in ("pandas", "sql"):
+        raise ValueError(
+            f"pairwise/assign must be 'pandas' or 'sql', got {pairwise!r}/{assign!r}"
+        )
     cents = (
         kmeans_parallel_centroids(df, n_clusters, id_col, vec_col)
         if use_kmeans
@@ -652,10 +656,14 @@ def semdedup(
     flagged = reps.filter(F.col("member_id") == F.col("rep_id")).select(
         F.col("rep_id").alias(id_col), F.lit(True).alias("had_semantic_dup")
     )
+    # NO forced broadcast: drops/flagged are the semantic-dup fraction
+    # of the corpus (SemDeDup prunes up to half of web-scale data) —
+    # unbounded sets a forced broadcast would OOM on; AQE broadcasts
+    # them anyway when they are actually small.
     return (
         df.select(id_col)
-        .join(F.broadcast(drops), id_col, "left_anti")
-        .join(F.broadcast(flagged), id_col, "left")
+        .join(drops, id_col, "left_anti")
+        .join(flagged, id_col, "left")
         .select(
             id_col, F.coalesce("had_semantic_dup", F.lit(False)).alias("had_semantic_dup")
         )

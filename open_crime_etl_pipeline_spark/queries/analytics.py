@@ -445,19 +445,32 @@ def quantile_sketch_rank_certificate(spark: SparkSession, sf_dir: str) -> DataFr
         "event_type", F.col("ap")[0].alias("p50_est"), F.col("ap")[1].alias("p90_est")
     )
     tol = F.greatest(F.col("n_events") / 1000.0, F.lit(1.0))
+
+    def rank_ok(q: float, lo: str, hi: str):
+        # tie-robust: every value tied with the estimate occupies the
+        # rank interval [count(value < est), count(value <= est)]; the
+        # sketch met its guarantee iff that interval intersects
+        # [q*n - tol, q*n + tol] (a `<=`-only count is the MAXIMAL rank
+        # and falsely fails on heavily tied distributions)
+        return (F.col(lo) <= q * F.col("n_events") + tol) & (
+            F.col(hi) >= q * F.col("n_events") - tol
+        )
+
     return (
         ev.join(F.broadcast(approx), "event_type")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum((F.col("value") <= F.col("p50_est")).cast("long")).alias("r50"),
-            F.sum((F.col("value") <= F.col("p90_est")).cast("long")).alias("r90"),
+            F.sum((F.col("value") < F.col("p50_est")).cast("long")).alias("r50_lo"),
+            F.sum((F.col("value") <= F.col("p50_est")).cast("long")).alias("r50_hi"),
+            F.sum((F.col("value") < F.col("p90_est")).cast("long")).alias("r90_lo"),
+            F.sum((F.col("value") <= F.col("p90_est")).cast("long")).alias("r90_hi"),
         )
         .select(
             "event_type",
             "n_events",
-            (F.abs(F.col("r50") - 0.5 * F.col("n_events")) <= tol).alias("p50_ok"),
-            (F.abs(F.col("r90") - 0.9 * F.col("n_events")) <= tol).alias("p90_ok"),
+            rank_ok(0.5, "r50_lo", "r50_hi").alias("p50_ok"),
+            rank_ok(0.9, "r90_lo", "r90_hi").alias("p90_ok"),
         )
     )
 
@@ -509,6 +522,7 @@ def hll_daily_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH marked AS (
             SELECT user_id, ts,
+                   event_id,
                    CASE WHEN date_diff('second',
                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                             ts) > 1800
@@ -519,7 +533,7 @@ def hll_daily_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), numbered AS (
             SELECT user_id, ts,
                    sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_no
             FROM marked
         )
@@ -540,9 +554,11 @@ def hll_daily_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gaps_islands_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # event_id tie-break in BOTH windows: with ties on (user_id, ts) an
+    # ORDER BY ts alone leaves session assignment engine-dependent
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev = F.lag("ts").over(w)
@@ -624,8 +640,11 @@ def percent_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # customer is scale-proportional — shuffle join on the key (AQE may
+    # still broadcast at small SF); only the 25-row nation dim is a
+    # legitimate forced broadcast
     nat = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(dec2("o_totalprice")).alias("rev"))

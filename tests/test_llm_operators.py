@@ -529,3 +529,22 @@ def test_semdedup_pandas_assign_equals_catalyst_assign(spark, sf_dir):
     p = set(map(tuple, S.semdedup(corpus, "vec_id", "embedding", assign="pandas").collect()))
     s = set(map(tuple, S.semdedup(corpus, "vec_id", "embedding", assign="sql").collect()))
     assert p == s
+
+
+def test_duplicate_ngram_fraction_excludes_short_docs(spark):
+    """Docs with fewer than shingle_n words are excluded, not collapsed
+    to a whole-text pseudo-shingle: two empty/short twins must not mark
+    each other as duplicates, matching the oracle's len(words)>=n rule."""
+    rows = [(1, "a b"), (2, "a b"), (3, ""), (4, ""), (5, "x y z w")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           D.duplicate_ngram_fraction(df, "doc_id", "text", shingle_n=3).collect()}
+    assert set(out) == {5}
+    assert out[5].n_dup == 0
+
+
+def test_semdedup_rejects_unknown_mode(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pandas"):
+        S.semdedup(df, "vec_id", "embedding", pairwise="panda")

@@ -262,3 +262,42 @@ def test_reservoir_per_group_partitioning_invariant(spark):
         })
     assert outs[0] == outs[1] == outs[2]
     assert len(outs[0]) == 7 * 5
+
+
+def test_gaps_islands_deterministic_under_timestamp_ties(spark):
+    """Two events sharing (user_id, ts) right after a >30min gap must
+    land in the SAME (new) session on every run — the event_id
+    tie-break makes the running-sum window total-ordered."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from open_crime_etl_pipeline_spark.queries.registry import get_spec
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 2, 0, 0)
+    rows = [(1, t0, 10), (1, t1, 12), (1, t1, 11)]  # tie at t1
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+
+    # run the same window pipeline the registered query uses, inline
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("ts").over(w)
+    new_session = (
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800)
+    ).cast("long")
+    out = (
+        df.withColumn("__new", new_session)
+        .withColumn("session_no", F.sum("__new").over(wrun))
+        .groupBy("user_id", "session_no")
+        .agg(F.count("*").alias("n"))
+        .orderBy("session_no")
+        .collect()
+    )
+    assert [(r.session_no, r.n) for r in out] == [(1, 1), (2, 2)]

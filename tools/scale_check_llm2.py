@@ -92,6 +92,10 @@ def replicated_vecs(spark, sf_dir: str, m: int):
 
 def main() -> None:
     multipliers = [int(a) for a in sys.argv[1:]] or [1, 5, 10]
+    if max(multipliers) > 25:
+        # Caesar shifts wrap at 26: replica 26 would equal replica 0,
+        # creating cross-replica matches that invalidate the linearity claim
+        sys.exit("multipliers above 25 break the no-cross-replica-match invariant")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ui_port = 4048
 
