@@ -657,3 +657,39 @@ def percent_of_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(wtot).cast("double"), 6
         ).alias("pct_of_total"),
     )
+
+
+@register(
+    "forward_fill_missing_values",
+    oracle="""
+        SELECT user_id, event_id,
+               round(last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING), 6) AS filled
+        FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+            FROM events
+        )
+    """,
+    doc="Forward-fill / last-observation-carried-forward: nulls (here, "
+        "'error' readings) take the most recent non-null per user — the "
+        "standard gap-fill for sensor/metric series. One window pass "
+        "with IGNORE NULLS semantics (Spark last(ignorenulls) ≡ DuckDB "
+        "last_value IGNORE NULLS), event_id tie-break for total order; "
+        "one shuffle on user_id (§2.5 [EXT]).",
+    tags=("window", "events", "cleaning"),
+)
+def forward_fill_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.withColumn("__v", v).select(
+        "user_id",
+        "event_id",
+        F.round(F.last("__v", ignorenulls=True).over(w), 6).alias("filled"),
+    )
