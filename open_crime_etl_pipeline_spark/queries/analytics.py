@@ -693,3 +693,113 @@ def forward_fill_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.last("__v", ignorenulls=True).over(w), 6).alias("filled"),
     )
+
+
+@register(
+    "interpolate_missing_values",
+    oracle="""
+        WITH pts AS (
+            SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+            FROM events
+        ), ctx AS (
+            SELECT user_id, event_id, us, v,
+                   last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                       OVER w_prev AS prev_us,
+                   first_value(v IGNORE NULLS) OVER w_next AS next_v,
+                   first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                       OVER w_next AS next_us
+            FROM pts
+            WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING),
+                   w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, event_id,
+               round(CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN prev_v IS NULL THEN next_v
+                   WHEN next_v IS NULL THEN prev_v
+                   WHEN next_us = prev_us THEN prev_v
+                   ELSE prev_v + (next_v - prev_v)
+                        * (CAST(us - prev_us AS DOUBLE)
+                           / CAST(next_us - prev_us AS DOUBLE))
+               END, 6) AS filled
+        FROM ctx
+    """,
+    doc="Linear time-interpolation of missing readings: each null takes "
+        "prev + (next-prev) * elapsed-fraction between its non-null "
+        "neighbors (edges fall back to nearest) — the pandas "
+        "interpolate(method='time') semantics as TWO window passes over "
+        "one shuffle on user_id. Microsecond epochs keep the fraction "
+        "arithmetic integer-derived, so the doubles are engine-identical "
+        "(§2.5 [EXT], pairs with forward_fill_missing_values).",
+    tags=("window", "events", "cleaning"),
+)
+def interpolate_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    base = ev.select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("us"), v.alias("v")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us_nn = F.when(F.col("v").isNotNull(), F.col("us"))
+    ctx = base.select(
+        "user_id", "event_id", "us", "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(us_nn, ignorenulls=True).over(w_prev).alias("prev_us"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(us_nn, ignorenulls=True).over(w_next).alias("next_us"),
+    )
+    frac = (F.col("us") - F.col("prev_us")).cast("double") / (
+        F.col("next_us") - F.col("prev_us")
+    ).cast("double")
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .when(F.col("next_us") == F.col("prev_us"), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return ctx.select("user_id", "event_id", F.round(filled, 6).alias("filled"))
+
+
+@register(
+    "histogram_value_width_bucket",
+    oracle="""
+        SELECT event_type,
+               CAST(CASE WHEN value < 0.0 THEN 0
+                         WHEN value >= 500.0 THEN 21
+                         ELSE floor(value / 25.0) + 1 END AS INT) AS bucket,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Equi-width histogram via width_bucket (20 bins over [0, 500), "
+        "out-of-range to the boundary buckets 0/21) — the fixed-bin "
+        "profile a column-stats collector materializes; one partial-"
+        "aggregated shuffle keyed (type, bucket). DuckDB has no "
+        "width_bucket, so the oracle states Spark's exact arithmetic: "
+        "floor(v / width) + 1 with width = (500-0)/20 = 25 exactly "
+        "representable, making the bucket ids engine-identical "
+        "(A8/F14 [EXT]).",
+    tags=("agg", "events", "stats"),
+)
+def histogram_value_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(20))
+        .cast("int")
+        .alias("bucket"),
+    ).agg(F.count("*").alias("n"))

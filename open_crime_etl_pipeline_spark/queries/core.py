@@ -669,3 +669,56 @@ def nested_agg_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_order_value"
         ),
     )
+
+
+@register(
+    "accepted_values_check",
+    oracle="""
+        SELECT o_orderstatus AS value, count(*) AS n_rows
+        FROM orders
+        WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+        GROUP BY o_orderstatus
+    """,
+    doc="dbt accepted_values test shape: rows whose status falls outside "
+        "the allowed domain, grouped for the failure report (empty = "
+        "pass). Completes the reference's dbt test quartet with "
+        "dup_key_check (unique) / not_null_check / "
+        "referential_integrity_check (A5/A6 family ≡ schema.yml).",
+    tags=("agg", "quality"),
+)
+def accepted_values_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(~F.col("o_orderstatus").isin("O", "F", "P"))
+        .groupBy(F.col("o_orderstatus").alias("value"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "referential_integrity_check",
+    oracle="""
+        SELECT count(*) AS n_orphans,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_orphan_keys
+        FROM orders o
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (
+              SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+          )
+    """,
+    doc="dbt relationships test shape: child rows whose foreign key has "
+        "no parent (orphan orders), as a LEFT ANTI join keyed on the FK "
+        "— the orphan side shuffles only keys; 0/0 = referential "
+        "integrity holds (A5/A6 family ≡ schema.yml relationships).",
+    tags=("agg", "quality", "join"),
+)
+def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    orphans = o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+    return orphans.agg(
+        F.count("*").alias("n_orphans"),
+        F.countDistinct("o_custkey").alias("n_orphan_keys"),
+    )
