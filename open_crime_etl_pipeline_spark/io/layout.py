@@ -103,6 +103,14 @@ def zorder_key(cols: list, bits: int, mins: list, maxs: list):
     from pyspark.sql import functions as F
 
     n = len(cols)
+    # Morton key lives in one signed 64-bit long: bit position i*n+j must
+    # stay <= 62, so bits*n <= 63. With the default bits=10 and 7+ columns
+    # the shift would overflow into (or past) the sign bit and silently
+    # produce a wrong key — auto-reduce bits to fit instead.
+    if bits * n > 63:
+        bits = 63 // n
+        if bits < 1:
+            raise ValueError(f"zorder_key: too many columns ({n}) for a 64-bit Morton key")
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         col = F.col(c) if isinstance(c, str) else c

@@ -217,14 +217,17 @@ def ivf_assign(
     broadcast the centroid table, score, argmax via row_number. This is
     the IVF build step — the corpus is scanned once, never shuffled by
     anything wider than (id, cluster)."""
+    # Norms eps-clamped: an all-zero vector gets affinity 0 to every
+    # centroid (ties broken to the lowest cluster_id below) instead of a
+    # DIVIDE_BY_ZERO under ANSI mode / NaN affinities otherwise.
     c = F.broadcast(
         centroids.select(
             F.col("cluster_id"), F.col("cvec"),
-        ).withColumn("cnorm", l2_norm(F.col("cvec")))
+        ).withColumn("cnorm", F.greatest(l2_norm(F.col("cvec")), F.lit(1e-12)))
     )
     v = df.select(
         F.col(id_col), as_double_array(vec_col).alias("v")
-    ).withColumn("vnorm", l2_norm(F.col("v")))
+    ).withColumn("vnorm", F.greatest(l2_norm(F.col("v")), F.lit(1e-12)))
     scored = v.crossJoin(c).select(
         id_col, "v",
         "cluster_id",
@@ -587,12 +590,16 @@ def semdedup(
 
         cent_rows = sorted(cents.collect(), key=lambda r: r.cluster_id)
         C = np.asarray([r.cvec for r in cent_rows], dtype=np.float64)
-        Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # dim x k
+        # Clamp norms: an all-zero embedding must get affinity 0 to every
+        # centroid (argmax -> cluster 0, matching the sql path's NaN-desc
+        # ordering which also lands on the lowest cluster_id), never NaN
+        # rows whose argmax is silently undefined.
+        Cn = (C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)).T  # dim x k
 
         def assign_batches(batches):
             for pdf in batches:
                 X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
                 # np.argmax takes the FIRST max → lowest cluster_id on
                 # ties, matching ivf_assign's (aff desc, cluster_id) order
                 best = np.argmax(Xn @ Cn, axis=1)
@@ -613,7 +620,10 @@ def semdedup(
 
             ids = pdf["__id"].to_numpy()
             X = np.asarray(list(pdf["v"]), dtype=np.float64)
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            # eps-clamped: a zero vector normalizes to the zero vector
+            # (sim 0 to everything -> never a near-dup pair), same as the
+            # sql path's clamped l2_norm below.
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             S = X @ X.T
             ia, ib = np.nonzero(np.triu(S >= threshold, k=1))
             a_ids, b_ids = ids[ia], ids[ib]
@@ -635,7 +645,13 @@ def semdedup(
         normed = assigned.select(
             F.col(id_col),
             "cluster_id",
-            F.transform("v", lambda x: x / l2_norm(F.col("v"))).alias("nv"),
+            # greatest(norm, eps): zero vectors normalize to zero (sim 0,
+            # never a pair) instead of NaN components — NaN compares
+            # GREATER than the threshold under Spark's NaN ordering and
+            # would fabricate pairs the pandas kernel never emits.
+            F.transform(
+                "v", lambda x: x / F.greatest(l2_norm(F.col("v")), F.lit(1e-12))
+            ).alias("nv"),
         ).localCheckpoint()
         a = normed.select(
             F.col(id_col).alias("id_a"), F.col("cluster_id"), F.col("nv").alias("nv_a")

@@ -501,10 +501,14 @@ def not_null_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q17-shape correlated scalar subquery (small-order revenue), "
         "decorrelated the way Catalyst rewrites it: per-part AVG as a "
         "grouped aggregate joined back on the correlation key, then the "
-        "range filter. The per-part aggregate is tiny relative to lineitem "
-        "and broadcast; lineitem shuffles once on l_partkey at scale. "
-        "Deterministic across engines because integral quantities make "
-        "avg() order-independent (A8/J6 [EXT]).",
+        "range filter. brand_keys and the per-part aggregate are small "
+        "relative to lineitem but SCALE-PROPORTIONAL (part grows with SF), "
+        "so no explicit broadcast hint is forced — AQE converts both joins "
+        "to broadcast at runtime when the measured shuffle size permits, "
+        "and falls back to a shuffled join keyed on l_partkey when it "
+        "doesn't (one lineitem shuffle either way). Deterministic across "
+        "engines because integral quantities make avg() order-independent "
+        "(A8/J6 [EXT]).",
     tags=("join", "subquery", "agg"),
 )
 def correlated_avg_quantity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,14 +517,18 @@ def correlated_avg_quantity_filter(spark: SparkSession, sf_dir: str) -> DataFram
     brand_keys = part.select("p_partkey")
     # avg over ALL lineitems of each brand-filtered part (semi-join first so
     # the per-part aggregate only computes groups that can survive).
+    # No F.broadcast hint: brand_keys grows with SF, and a forced hint
+    # overrides Spark's size thresholds — at 100 TB that is a mandated
+    # multi-GB broadcast and an executor OOM. AQE picks broadcast at
+    # runtime whenever the actual size is small.
     li_of_part = li.join(
-        F.broadcast(brand_keys), li.l_partkey == brand_keys.p_partkey, "left_semi"
+        brand_keys, li.l_partkey == brand_keys.p_partkey, "left_semi"
     )
     avg_qty = li_of_part.groupBy("l_partkey").agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
-        li_of_part.join(F.broadcast(avg_qty), "l_partkey")
+        li_of_part.join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             (F.round(F.sum(dec2("l_extendedprice")) / 7.0, 2))
@@ -597,7 +605,9 @@ def intersect_click_purchase_users(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY 1
     """,
     doc="TPC-H Q14-shape conditional revenue share (promo %% of revenue "
-        "per ship-year): broadcast dim lookup on part, then ONE pass over "
+        "per ship-year): dim lookup on part (2-col projection; AQE "
+        "broadcasts when small, shuffles on p_partkey when part is GBs — "
+        "it is SCALE-PROPORTIONAL, so no forced hint), then ONE pass over "
         "lineitem computes both the conditional and total sums — no "
         "second scan, no second shuffle. Exact-decimal partials make the "
         "double division engine-identical (A8/J6 [EXT]).",
@@ -609,7 +619,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))
     zero = F.lit(0).cast("decimal(24,4)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero)).alias("__promo"),

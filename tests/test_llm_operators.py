@@ -531,6 +531,30 @@ def test_semdedup_pandas_assign_equals_catalyst_assign(spark, sf_dir):
     assert p == s
 
 
+def test_semdedup_zero_vector_agrees_across_modes(spark, sf_dir):
+    """An all-zero embedding must not poison either path: norms are
+    eps-clamped so the zero vector has affinity/similarity 0 everywhere
+    — assigned to cluster 0 by BOTH the numpy argmax and the Catalyst
+    NaN-desc ordering, and never emitted as a near-dup pair (the
+    unclamped sql path would compare NaN >= threshold as TRUE under
+    Spark's NaN ordering and fabricate pairs). Tie caveat: float
+    evaluation-order differences can flip true near-tie assignments
+    between modes, so this test plants an unambiguous case (zero
+    vector), not a near-tie."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(50)
+    dim = len(emb.first().embedding)
+    zero = spark.createDataFrame(
+        [(99_000_000, [0.0] * dim)], "vec_id long, embedding array<double>"
+    ).select("vec_id", F.col("embedding").cast(emb.schema["embedding"].dataType))
+    corpus = emb.unionByName(zero)
+    for kw in ({"pairwise": "pandas", "assign": "pandas"},
+               {"pairwise": "sql", "assign": "sql"}):
+        out = {r.vec_id: r for r in
+               S.semdedup(corpus, "vec_id", "embedding", n_clusters=4, **kw).collect()}
+        assert 99_000_000 in out, f"zero vector dropped under {kw}"
+        assert not out[99_000_000].had_semantic_dup, f"zero vector flagged dup under {kw}"
+
+
 def test_duplicate_ngram_fraction_excludes_short_docs(spark):
     """Docs with fewer than shingle_n words are excluded, not collapsed
     to a whole-text pseudo-shingle: two empty/short twins must not mark

@@ -47,11 +47,20 @@ def replicated_docs(spark, sf_dir: str, m: int):
     for r in range(m):
         lo = string.ascii_lowercase
         up = string.ascii_uppercase
-        shifted = lo[r % 26:] + lo[: r % 26] + up[r % 26:] + up[: r % 26]
+        dg = string.digits
+        # Rotate letters AND digits: a shingle made only of digit/punct
+        # tokens would otherwise be byte-identical across replicas,
+        # creating cross-replica matches that break the per-replica
+        # independence the linearity claim rests on.
+        shifted = (
+            lo[r % 26:] + lo[: r % 26]
+            + up[r % 26:] + up[: r % 26]
+            + dg[r % 10:] + dg[: r % 10]
+        )
         parts.append(
             docs.select(
                 (F.col("doc_id") + r * 20_000_000).alias("doc_id"),
-                F.translate("text", ALPHA, shifted).alias("text"),
+                F.translate("text", ALPHA + dg, shifted).alias("text"),
             )
         )
     out = parts[0]
