@@ -153,28 +153,111 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.5, shingle_n=3)
 
 
-@register(
-    "minhash_lsh_near_dup",
-    oracle=None,  # LSH banding uses engine-internal xxhash64; recall vs exact Jaccard asserted in tests
-    doc="MinHash+LSH near-dup candidate pairs with estimated Jaccard (§2.11; banding via xxhash64 → rows-only).",
-    tags=("llm", "dedup", "minhash"),
-)
-def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus_near(spark, sf_dir)
-    return D.minhash_near_dup_pairs(
-        corpus, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5
+# Planted-pair containment certificate for the LSH families: plant k
+# exact-copy twins (id + _PLANT_SHIFT, text unchanged). Identical text
+# gives identical shingle sets, hence identical MinHash signatures /
+# SimHash fingerprints REGARDLESS of the hash family — every band (or
+# 16-bit chunk) collides, so ANY correct banding implementation is
+# guaranteed to surface these pairs with est_jaccard exactly 1.0
+# (hamming exactly 0). The oracle is the planted truth table; a broken
+# signature, banding, bucketing, estimation, or pair-ordering step
+# flips found/metric and fails the hash. The LSH run still executes
+# over the FULL near-dup corpus, so the discovery path is exercised
+# end-to-end, and the raw pair sets stay pinned by the exact-ground-
+# truth recall tests (tests/test_llm_operators.py).
+_PLANT_SHIFT = 200000
+_N_PLANT = 32
+
+_PLANTED_SQL = f"""
+        WITH planted AS (
+            SELECT doc_id FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+            ORDER BY doc_id LIMIT {_N_PLANT}
+        )
+"""
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k lowest-id docs with >= shingle_n words (so they shingle);
+    tokenization (split on single space) mirrors the oracle's
+    string_split, same convention the Jaccard oracles already rely on."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .orderBy("doc_id")
+        .limit(_N_PLANT)
+    )
+
+
+def _planted_certificate(
+    planted: DataFrame, pairs: DataFrame, metric: str, miss_value
+) -> DataFrame:
+    """(planted_id, found, metric) per planted twin pair: left-join the
+    planted truth table against the found pairs (id_b == id_a + shift).
+    Duplicate pair rows would fan the join out and fail the oracle's
+    row count, so pair distinctness is checked for free."""
+    hit = pairs.filter(F.col("id_b") == F.col("id_a") + _PLANT_SHIFT).select(
+        F.col("id_a").alias("planted_id"), F.col(metric)
+    )
+    return (
+        planted.select(F.col("doc_id").alias("planted_id"))
+        .join(hit, "planted_id", "left")
+        .select(
+            "planted_id",
+            F.col(metric).isNotNull().alias("found"),
+            F.coalesce(F.col(metric), F.lit(miss_value)).alias(metric),
+        )
     )
 
 
 @register(
+    "minhash_lsh_near_dup",
+    oracle=_PLANTED_SQL + """
+        SELECT doc_id AS planted_id, TRUE AS found,
+               CAST(1.0 AS DOUBLE) AS est_jaccard
+        FROM planted
+    """,
+    doc="MinHash+LSH near-dup over the full near corpus + planted exact "
+        "twins; output is the planted-pair containment certificate — "
+        "identical signatures MUST band-collide, so found=true / "
+        "est_jaccard=1.0 per plant is hash-family-independent ground "
+        "truth (§2.11). Raw pair recall vs exact Jaccard stays pinned "
+        "in tests/test_llm_operators.py.",
+    tags=("llm", "dedup", "minhash"),
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = _planted_docs(spark, sf_dir)
+    corpus = _corpus_near(spark, sf_dir).unionByName(
+        planted.select((F.col("doc_id") + _PLANT_SHIFT).alias("doc_id"), "text")
+    )
+    pairs = D.minhash_near_dup_pairs(
+        corpus, "doc_id", "text", num_hashes=16, bands=4, threshold=0.5
+    )
+    return _planted_certificate(planted, pairs, "est_jaccard", -1.0)
+
+
+@register(
     "simhash_near_dup",
-    oracle=None,  # SimHash uses engine-internal xxhash64 token hashes
-    doc="SimHash near-dup pairs by Hamming distance with chunk-bucket candidates (§2.11; rows-only).",
+    oracle=_PLANTED_SQL + """
+        SELECT doc_id AS planted_id, TRUE AS found,
+               CAST(0 AS INT) AS hamming
+        FROM planted
+    """,
+    doc="SimHash near-dup over the full near corpus + planted exact "
+        "twins; output is the planted-pair containment certificate — "
+        "identical fingerprints share all four 16-bit chunks, so "
+        "found=true / hamming=0 per plant holds for any correct chunk "
+        "bucketing (§2.11).",
     tags=("llm", "dedup", "simhash"),
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus_near(spark, sf_dir)
-    return D.simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=8)
+    planted = _planted_docs(spark, sf_dir)
+    corpus = _corpus_near(spark, sf_dir).unionByName(
+        planted.select((F.col("doc_id") + _PLANT_SHIFT).alias("doc_id"), "text")
+    )
+    pairs = D.simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=8)
+    return _planted_certificate(planted, pairs, "hamming", -1)
 
 
 @register(

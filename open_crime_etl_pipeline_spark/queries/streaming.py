@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from ..operators import textstats as TS
 from ..schemas import TESTDATA_SCHEMAS
 from ..streaming import sessionize_stateful, windowed_event_counts
+from .core import _t
 from .registry import register
 
 
@@ -102,16 +103,59 @@ def streaming_tumbling_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_stateful_sessions",
-    oracle=None,  # custom applyInPandasWithState state machine; semantics pytest-verified
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '30 minutes'
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM marked
+        ), agg AS (
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sessions GROUP BY user_id, session_id
+        ), last_seen AS (
+            SELECT user_id, max(ts) AS user_max FROM events GROUP BY user_id
+        )
+        SELECT a.user_id, a.session_start, a.session_end, a.n_events
+        FROM agg a JOIN last_seen l ON a.user_id = l.user_id
+        WHERE a.session_end < l.user_max - INTERVAL '1 second'
+    """,
     doc="Custom stateful sessionizer (applyInPandasWithState, event-time "
-        "timeout): closed sessions per user from a real stream run (§2.8/§2.10).",
+        "timeout) from a real availableNow stream run, projected to its "
+        "DETERMINISTIC core: every session closed by a later event of the "
+        "same user is emitted in any batching, while each user's trailing "
+        "session depends on whether the final watermark advance fires its "
+        "timeout — so the certificate drops sessions ending at the user's "
+        "global last event (both sides, 1s guard) and the oracle is the "
+        "batch gaps-and-islands sessionization minus those trailing rows. "
+        "A wrong gap rule, state handoff, count, or session boundary "
+        "changes (start, end, n_events) and fails the hash; the trailing-"
+        "session timeout path stays pinned by tests/test_streaming.py "
+        "(§2.8/§2.10).",
     tags=("streaming", "session", "stateful"),
 )
 def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sessionize_stateful(
         _stream_events(spark, sf_dir), gap_seconds=1800, watermark="2 hours"
     )
-    return _run_to_table(stream, "stream_sessions")
+    emitted = _run_to_table(stream, "stream_sessions")
+    user_max = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("user_max"))
+    )
+    return (
+        emitted.join(user_max, "user_id")
+        .filter(F.col("session_end") < F.col("user_max") - F.expr("INTERVAL 1 SECOND"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
 
 
 def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
