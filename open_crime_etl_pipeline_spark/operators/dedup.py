@@ -682,41 +682,51 @@ def near_dedup_incremental(
         .filter(F.col("__j") >= threshold)
         .select("id_a", "id_b", "b_is_corpus")
     )
-    # union-find with corpus-first ordering: node key (0, id) for corpus
-    # beats (1, id) for batch, so every component root is a corpus doc
-    # when one exists, else the min batch id. Pair graph ∝ dup density.
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for r in pairs.collect():
-        ka, kb = (1, r.id_a), ((0 if r.b_is_corpus else 1), r.id_b)
-        for v in (ka, kb):
-            if v not in parent:
-                parent[v] = v
-        ra, rb = find(ka), find(kb)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    dropped = [
-        m[1] for m in parent
-        if m[0] == 1 and find(m) != m
-    ]
-    b_idx.unpersist()
-    spark = batch.sparkSession
-    if not dropped:
-        return batch
-    drop_df = spark.createDataFrame(
-        [(d,) for d in dropped], batch.select(id_col).schema
+    # Corpus-always-wins needs NO graph for batch-vs-corpus edges: a
+    # batch doc with any corpus-verified pair is dropped regardless of
+    # how the rest of the graph looks, so that test is a distributed
+    # pre-aggregation — the driver NEVER sees corpus-hit edges. This
+    # matters because a boilerplate-heavy batch (one batch doc near-dup
+    # with thousands of corpus docs) multiplies batch-corpus pairs
+    # ∝ |batch| · corpus-hit-fanout; only the batch-batch residual
+    # (bounded by batch-internal dup density, never corpus fanout) may
+    # be collected, and only under an edge-count guard.
+    pairs = pairs.localCheckpoint()  # verified pair graph, reused 3×
+    corpus_hit = (
+        pairs.groupBy("id_a")
+        .agg(F.max(F.col("b_is_corpus").cast("int")).alias("__h"))
+        .filter(F.col("__h") == 1)
+        .select(F.col("id_a").alias(id_col))
     )
-    return batch.join(F.broadcast(drop_df), on=id_col, how="left_anti")
+    bb_edges = pairs.filter(~F.col("b_is_corpus")).select("id_a", "id_b")
+    # Exact driver union-find only when the RESIDUAL graph is provably
+    # small; otherwise the scale-safe min-propagation (no collect).
+    n_bb = bb_edges.count()
+    members = cluster_representatives(bb_edges, small_graph=n_bb <= 1_000_000)
+    # Transitive corpus poisoning: a batch doc connected to the corpus
+    # only THROUGH other batch docs is still dropped (its component
+    # contains a corpus doc), matching the global near_dedup rule.
+    poisoned = (
+        members.join(corpus_hit, members.member_id == corpus_hit[id_col])
+        .select("rep_id")
+        .distinct()
+    )
+    drop = (
+        corpus_hit  # direct corpus hits (incl. batch-singletons)
+        .unionByName(
+            members.join(poisoned, "rep_id")
+            .select(F.col("member_id").alias(id_col))
+        )  # whole components touching the corpus
+        .unionByName(
+            members.filter(F.col("member_id") != F.col("rep_id"))
+            .select(F.col("member_id").alias(id_col))
+        )  # non-representatives of clean batch-only components
+        .distinct()
+    )
+    out = batch.join(drop, on=id_col, how="left_anti")
+    out = out.localCheckpoint()  # detach result before releasing b_idx
+    b_idx.unpersist()
+    return out
 
 
 def duplicate_ngram_fraction(

@@ -2,12 +2,17 @@
 
 Images/audio/video are opaque ``BinaryType`` payloads with typed
 metadata structs; decode / feature-extract / resize / frame-sample run
-as Arrow-batched ``mapInPandas`` stages. The media codec libraries are
-NOT in this container, so the decode kernel is STUBBED: by default it
-raises ``NotImplementedError``; with ``fake=True`` it produces a
-deterministic byte-statistics "decode" so the Spark-side plumbing —
-schema, batch shape, partitioning, UDF signature — is real and tested
-end-to-end.
+as Arrow-batched ``mapInPandas`` stages. Two decode paths exist:
+
+- ``fake=True``: deterministic byte-statistics "decode" exercising the
+  Spark-side plumbing (schema, batch shape, partitioning, UDF
+  signature) without any codec.
+- ``fake=False``: a REAL pure-Python raster codec for uncompressed
+  24-bit BMP and binary PPM (P6) — header parse, row padding,
+  BGR order, bottom-up row flip, all implemented here and round-trip
+  oracle-checked (see queries/llm.py::multimodal_raster_roundtrip).
+  Formats that genuinely require native libraries (JPEG/PNG/audio/
+  video) still raise ``NotImplementedError`` with a clear message.
 
 Scale notes: payloads never pass through a shuffle (all per-row maps);
 ``spark.sql.files.maxPartitionBytes`` bounds scan partitions when
@@ -71,6 +76,188 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def _build_raster_codec():
+    """Factory for the pure-Python raster codec. The functions are
+    defined NESTED (locals qualname) so cloudpickle serializes them by
+    VALUE into UDF closures — workers never import this package, same
+    rule as every other kernel in this module."""
+
+    def encode_bmp24(width: int, height: int, rgb_rows: list) -> bytes:
+        """Minimal uncompressed 24-bit BMP encoder (BITMAPINFOHEADER):
+        rows stored bottom-up, pixels as BGR, each row padded to 4
+        bytes. ``rgb_rows[y][x]`` is (r, g, b) with y=0 the TOP row."""
+        import struct
+
+        row_bytes = width * 3
+        pad = (-row_bytes) % 4
+        pixel_data = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up storage
+            for x in range(width):
+                r, g, b = rgb_rows[y][x]
+                pixel_data += bytes((b, g, r))  # BGR on disk
+            pixel_data += b"\x00" * pad
+        offset = 14 + 40
+        size = offset + len(pixel_data)
+        header = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+            2835, 2835, 0, 0,
+        )
+        return header + dib + bytes(pixel_data)
+
+    def encode_ppm6(width: int, height: int, rgb_rows: list) -> bytes:
+        """Binary PPM (P6): ASCII header then raw top-down RGB triples."""
+        out = bytearray(f"P6\n{width} {height}\n255\n".encode())
+        for y in range(height):
+            for x in range(width):
+                out += bytes(rgb_rows[y][x])
+        return bytes(out)
+
+    def decode_raster(payload: bytes) -> tuple:
+        """Pure-Python decode of 24-bit BMP or binary PPM payloads to
+        (width, height, sum_r, sum_g, sum_b, row0_sum_r, fmt_code).
+
+        Channel sums are exact integers (no float rounding ambiguity
+        for the oracle); ``row0_sum_r`` is the TOP row's red sum, which
+        a decoder that forgets BMP's bottom-up storage or its 4-byte
+        row padding gets wrong — the round-trip oracle pins both.
+        fmt_code: 1 = BMP, 2 = PPM. Raises NotImplementedError for
+        formats that need native codec libraries."""
+        import struct
+
+        if payload[:2] == b"BM":
+            offset = struct.unpack_from("<I", payload, 10)[0]
+            dib_size = struct.unpack_from("<I", payload, 14)[0]
+            if dib_size < 40:
+                raise NotImplementedError("BMP with pre-BITMAPINFOHEADER DIB")
+            width, height = struct.unpack_from("<ii", payload, 18)
+            _planes, bpp = struct.unpack_from("<HH", payload, 26)
+            compression = struct.unpack_from("<I", payload, 30)[0]
+            if bpp != 24 or compression != 0:
+                raise NotImplementedError(
+                    f"only uncompressed 24-bit BMP is implemented "
+                    f"(bpp={bpp}, compression={compression})"
+                )
+            bottom_up = height > 0
+            height = abs(height)
+            row_bytes = width * 3
+            stride = row_bytes + ((-row_bytes) % 4)
+            sum_r = sum_g = sum_b = row0_r = 0
+            for stored in range(height):
+                y = (height - 1 - stored) if bottom_up else stored
+                base = offset + stored * stride
+                row = payload[base:base + row_bytes]
+                sum_b += sum(row[0::3])
+                sum_g += sum(row[1::3])
+                r = sum(row[2::3])
+                sum_r += r
+                if y == 0:
+                    row0_r = r
+            return (width, height, sum_r, sum_g, sum_b, row0_r, 1)
+        if payload[:2] == b"P6":
+            # header: magic, width, height, maxval — whitespace/comment
+            # separated per the netpbm spec
+            pos, fields = 2, []
+            while len(fields) < 3:
+                while pos < len(payload) and payload[pos] in b" \t\r\n":
+                    pos += 1
+                if payload[pos:pos + 1] == b"#":  # comment to end of line
+                    while payload[pos] not in b"\r\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(payload) and payload[pos] not in b" \t\r\n":
+                    pos += 1
+                fields.append(int(payload[start:pos]))
+            pos += 1  # exactly one whitespace byte after maxval
+            width, height, maxval = fields
+            if maxval > 255:
+                raise NotImplementedError("16-bit PPM samples")
+            sum_r = sum_g = sum_b = row0_r = 0
+            row_bytes = width * 3
+            for y in range(height):
+                row = payload[pos + y * row_bytes: pos + (y + 1) * row_bytes]
+                r = sum(row[0::3])
+                sum_r += r
+                sum_g += sum(row[1::3])
+                sum_b += sum(row[2::3])
+                if y == 0:
+                    row0_r = r
+            return (width, height, sum_r, sum_g, sum_b, row0_r, 2)
+        raise NotImplementedError(
+            "real decode implemented for uncompressed 24-bit BMP and "
+            "binary PPM only; JPEG/PNG/audio/video require native codec "
+            "libraries not present in this environment"
+        )
+
+    return encode_bmp24, encode_ppm6, decode_raster
+
+
+encode_bmp24, encode_ppm6, decode_raster = _build_raster_codec()
+
+
+
+def synthesize_raster_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL raster payloads from the documents fixture:
+    per doc, a (5 + id%4) × (4 + id%5) gradient image with
+    r = 7x + 13y + id%100, g = 5x + 11y + id%50, b = 3x + 2y + id%25
+    (all < 256 by construction, so channel sums have closed forms an
+    SQL oracle can state exactly). Even ids encode as BMP, odd as PPM,
+    covering padding (w∈{5,6,7}), bottom-up flip, and both headers.
+    Encoding runs distributed in the same Arrow-batched shape as
+    decode — payloads never touch the driver."""
+    dims = documents.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(5) + F.col("doc_id") % 4).cast("int").alias("width"),
+        (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("height"),
+    )
+
+    # closure-cell capture: the codec fns have locals qualnames, so
+    # cloudpickle ships them by value with the kernel
+    enc_bmp, enc_ppm = encode_bmp24, encode_ppm6
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for mid, w, h in zip(pdf["media_id"], pdf["width"], pdf["height"]):
+                mid, w, h = int(mid), int(w), int(h)
+                rows = [
+                    [
+                        (
+                            7 * x + 13 * y + mid % 100,
+                            5 * x + 11 * y + mid % 50,
+                            3 * x + 2 * y + mid % 25,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                enc = enc_bmp if mid % 2 == 0 else enc_ppm
+                payloads.append(enc(w, h, rows))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": "image",
+                "payload": payloads,
+                "width": pdf["width"],
+                "height": pdf["height"],
+            })
+
+    encoded = dims.mapInPandas(
+        run,
+        "media_id long, kind string, payload binary, width int, height int",
+    )
+    return encoded.select(
+        "media_id", "kind", "payload",
+        F.struct(
+            "width", "height",
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def _fake_decode(payload: bytes) -> list[float]:
     """Deterministic stand-in for a codec: cheap byte statistics."""
     if not payload:
@@ -89,13 +276,18 @@ def _fake_decode(payload: bytes) -> list[float]:
 
 
 def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
-    """mapInPandas decode+feature stage. ``fake=False`` is the real
-    codec path — intentionally unimplemented in this container."""
+    """mapInPandas decode+feature stage. ``fake=False`` runs the REAL
+    pure-Python raster codec (24-bit BMP / binary PPM); features are
+    [width, height, sum_r, sum_g, sum_b, row0_sum_r, fmt_code, 0] —
+    exact integers, so the round-trip oracle compares without
+    float-rounding ambiguity. Formats needing native libs still raise
+    NotImplementedError inside the kernel."""
 
     # The kernel is nested (not a module-global reference) so cloudpickle
     # serializes the whole closure by value — workers never need to
     # import this package (the grading driver runs from outside it).
     n_features = N_FEATURES
+    raster_decode = decode_raster  # locals-qualname fn → shipped by value
 
     def fake_decode(payload: bytes) -> list[float]:
         if not payload:
@@ -118,13 +310,14 @@ def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media codecs (PIL/ffmpeg/librosa) are not available "
-                    "in this environment; run with fake=True for the "
-                    "deterministic byte-statistics decoder"
-                )
             payloads = pdf["payload"]
+            if fake:
+                feats = payloads.map(lambda b: fake_decode(b or b""))
+            else:
+                feats = payloads.map(
+                    lambda b: [float(v) for v in raster_decode(bytes(b or b""))]
+                    + [0.0] * (n_features - 7)
+                )
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -132,7 +325,7 @@ def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
                 "checksum": payloads.map(
                     lambda b: hashlib.sha256(b or b"").hexdigest()
                 ),
-                "features": payloads.map(lambda b: fake_decode(b or b"")),
+                "features": feats,
             })
 
     return media.mapInPandas(run, FEATURE_SCHEMA)

@@ -60,3 +60,72 @@ def global_row_number(
         )
         .drop("__pid")
     )
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_col: str,
+    order_by: list[Column | str],
+    value_col: str,
+    out_col: str = "run_sum",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Running (inclusive) sum of ``value_col`` within ``group_col`` in
+    ``order_by`` order — WITHOUT serializing each group through one
+    task. ``sum() OVER (PARTITION BY group ORDER BY ...)`` puts a whole
+    group in one window task; with a low-cardinality, skewed group key
+    (e.g. a corpus where one source is 90% of the data) that is a
+    serial prefix-sum over nearly everything. Same two-pass shape as
+    :func:`global_row_number`:
+
+    1. range-repartition on (group, order...) — a giant group spans
+       MANY contiguous partitions instead of one task;
+    2. per-(partition, group) sums: O(P + G) tiny rows to the driver
+       (range contiguity: each extra group adds at most one pair),
+       prefix-summed into per-(partition, group) starting offsets;
+    3. per-partition running sum (parallel) + broadcast offset join.
+
+    ``order_by`` must be total within each group (include a unique
+    tie-break) for the same determinism reason as global_row_number.
+    """
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    tagged = (
+        df.repartitionByRange(n, F.col(group_col), *ocols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()  # pin sampled range boundaries across passes
+    )
+    part_sums = (
+        tagged.groupBy("__pid", group_col)
+        .agg(F.sum(value_col).alias("__s"))
+        .collect()
+    )
+    by_group: dict = {}
+    for r in part_sums:
+        by_group.setdefault(r[group_col], []).append((r["__pid"], r["__s"]))
+    offsets = []
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, s in sorted(lst):
+            offsets.append((pid, g, acc))
+            acc += s
+    spark = df.sparkSession
+    off_schema = (
+        tagged.select(
+            F.col("__pid").alias("__pid"),
+            F.col(group_col),
+            F.col(value_col).cast("long").alias("__off"),
+        ).schema
+    )
+    off_df = F.broadcast(spark.createDataFrame(offsets, off_schema))
+    w = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("__ps", F.sum(value_col).over(w))
+        .join(off_df, ["__pid", group_col])
+        .withColumn(out_col, (F.col("__ps") + F.col("__off")).cast("long"))
+        .drop("__pid", "__ps", "__off")
+    )

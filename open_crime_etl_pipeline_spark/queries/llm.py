@@ -1531,25 +1531,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Sequence packing for pretraining batches: concatenate-then-chunk "
         "semantics — docs in deterministic order, each assigned to the bin "
-        "its starting token offset falls in (512-token bins). Packed WITHIN "
-        "each source partition, so the running sum parallelizes across "
-        "sources instead of funneling the corpus through one global window "
-        "(§2.11 curation).",
+        "its starting token offset falls in (512-token bins). The per-source "
+        "running token sum uses the two-pass range-partition + broadcast-"
+        "offset pattern (operators/ranking.py::grouped_running_sum), NOT a "
+        "PARTITION BY source window: source is a low-cardinality skewed key, "
+        "and at 100 TB a window would serialize ~the whole corpus through "
+        "one task, while the two-pass form splits a dominant source across "
+        "many range partitions (§2.11 curation).",
     tags=("llm", "curation", "packing"),
 )
 def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.ranking import grouped_running_sum
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.size(TS.tokens("text")).cast("long").alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grouped_running_sum(
+        toks, "source", ["doc_id"], "n_tokens", out_col="cum_tokens"
     )
-    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return (
         cum.withColumn(
             "bin_id", F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 512)
@@ -1623,6 +1623,57 @@ def multimodal_dedup_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(corpus.withColumn("n_chars", F.length("text")))
     feats = M.decode_and_featurize(media)
     return feats.groupBy("checksum").agg(F.min("media_id").alias("media_id")).select("media_id")
+
+
+@register(
+    "multimodal_raster_roundtrip",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   5 + doc_id % 4 AS w,
+                   4 + doc_id % 5 AS h
+            FROM documents
+        )
+        SELECT doc_id AS media_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(h * 7 * w * (w-1) // 2 + w * 13 * h * (h-1) // 2
+                    + w * h * (doc_id % 100) AS BIGINT) AS sum_r,
+               CAST(h * 5 * w * (w-1) // 2 + w * 11 * h * (h-1) // 2
+                    + w * h * (doc_id % 50) AS BIGINT) AS sum_g,
+               CAST(h * 3 * w * (w-1) // 2 + w * 2 * h * (h-1) // 2
+                    + w * h * (doc_id % 25) AS BIGINT) AS sum_b,
+               CAST(7 * w * (w-1) // 2 + w * (doc_id % 100) AS BIGINT) AS row0_sum_r,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS fmt
+        FROM dims
+    """,
+    doc="REAL raster codec round-trip: per document, a deterministic "
+        "gradient image is ENCODED to actual BMP (even ids) or binary "
+        "PPM (odd ids) bytes and DECODED back by the pure-Python codec "
+        "(operators/multimodal.py), both as Arrow-batched mapInPandas "
+        "stages — payloads never touch the driver. The oracle states "
+        "the closed-form channel sums: a wrong header offset, row "
+        "stride/padding, BGR order, or bottom-up flip corrupts sum_* or "
+        "row0_sum_r and fails the hash. This is the first fake=False "
+        "decode path; NotImplementedError now only remains for formats "
+        "that genuinely need native libraries (§2.11 multimodal).",
+    tags=("llm", "multimodal", "codec"),
+)
+def multimodal_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = M.synthesize_raster_media(docs)
+    feats = M.decode_and_featurize(media, fake=False)
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        F.element_at(f, 1).cast("int").alias("width"),
+        F.element_at(f, 2).cast("int").alias("height"),
+        F.element_at(f, 3).cast("long").alias("sum_r"),
+        F.element_at(f, 4).cast("long").alias("sum_g"),
+        F.element_at(f, 5).cast("long").alias("sum_b"),
+        F.element_at(f, 6).cast("long").alias("row0_sum_r"),
+        F.element_at(f, 7).cast("int").alias("fmt"),
+    )
 
 
 @register(

@@ -318,8 +318,12 @@ def crime_pipeline_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ledger_status").alias("status"),
             "window_start", "window_end", "table_rows",
         )
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from temp lake
-        return out
+        rows = out.collect()  # detach from temp lake before cleanup
+        # hard bound: this is a 2-run lifecycle projection; a future edit
+        # that grows the collected set past a handful of ledger rows must
+        # fail here, not silently become a driver-side materialization
+        assert len(rows) <= 16, f"lifecycle projection grew to {len(rows)} rows"
+        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

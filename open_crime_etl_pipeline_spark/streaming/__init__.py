@@ -6,5 +6,6 @@ from .pipeline import (  # noqa: F401
     stream_crime_pages,
     stream_events,
     streaming_dedup,
+    transform_with_state_available,
     windowed_event_counts,
 )

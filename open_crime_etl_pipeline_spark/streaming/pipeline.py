@@ -195,6 +195,23 @@ def sessionize_stateful(
     )
 
 
+def transform_with_state_available() -> tuple[bool, str]:
+    """MEASURED environment probe for the transformWithStateInPandas
+    prerequisite (its Python worker speaks protobuf to the JVM state
+    server). Returns (ok, reason); recorded into the committed
+    correctness artifact's ``_env`` block so the skip is a measurement,
+    not an assumption — if the container ever gains protobuf, the twin
+    sessionizer's tests activate automatically."""
+    import importlib.util
+
+    try:
+        if importlib.util.find_spec("google.protobuf") is None:
+            return False, "google.protobuf not importable"
+    except ModuleNotFoundError:  # parent 'google' namespace absent entirely
+        return False, "google namespace package absent"
+    return True, "google.protobuf importable"
+
+
 def sessionize_transform_with_state(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -223,16 +240,11 @@ def sessionize_transform_with_state(
     (as in this test container) instead of crashing the worker at start.
     :func:`sessionize_stateful` is the everywhere-runnable equivalent.
     """
-    import importlib.util
-
-    try:
-        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:  # parent 'google' namespace absent entirely
-        has_protobuf = False
-    if not has_protobuf:
+    ok, why = transform_with_state_available()
+    if not ok:
         raise ImportError(
             "transformWithStateInPandas requires the 'protobuf' package "
-            "(pyspark.sql.streaming.proto worker protocol); use "
+            f"(pyspark.sql.streaming.proto worker protocol): {why}; use "
             "sessionize_stateful (applyInPandasWithState) instead"
         )
     from pyspark.sql.streaming.stateful_processor import (

@@ -82,11 +82,57 @@ def test_embedding_near_dup_self_consistency(spark, sf_dir):
     assert exact_copies <= found
 
 
-def test_multimodal_real_codec_path_raises(spark, sf_dir):
+def test_multimodal_real_codec_path_raises_for_non_raster(spark, sf_dir):
+    """fake=False is now a real BMP/PPM codec; payloads that are neither
+    (here: raw UTF-8 text) must still fail loudly, not decode garbage."""
     docs = load_table(spark, sf_dir, "documents").limit(5)
     media = M.synthesize_media(docs)
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
         M.decode_and_featurize(media, fake=False).collect()
+
+
+def test_raster_codec_roundtrip_exact():
+    """Driver-side: encode a known gradient to BMP and PPM, decode, and
+    check every output against hand-computed sums — including row0_sum_r,
+    which catches a decoder that ignores BMP's bottom-up storage, and a
+    padded width (w=5 → 15-byte rows padded to 16)."""
+    w, h, c = 5, 4, 9
+    rows = [[(7 * x + 13 * y + c, 5 * x + 11 * y + c, 3 * x + 2 * y + c)
+             for x in range(w)] for y in range(h)]
+    exp = (
+        w, h,
+        sum(7 * x + 13 * y + c for x in range(w) for y in range(h)),
+        sum(5 * x + 11 * y + c for x in range(w) for y in range(h)),
+        sum(3 * x + 2 * y + c for x in range(w) for y in range(h)),
+        sum(7 * x + c for x in range(w)),
+    )
+    bmp = M.encode_bmp24(w, h, rows)
+    ppm = M.encode_ppm6(w, h, rows)
+    assert bmp[:2] == b"BM" and len(bmp) == 54 + h * 16  # padded stride
+    assert ppm[:2] == b"P6"
+    assert M.decode_raster(bmp) == exp + (1,)
+    assert M.decode_raster(ppm) == exp + (2,)
+    # top-down BMP variant (negative height) must decode identically
+    import struct
+    topdown = bytearray(M.encode_bmp24(w, h, rows[::-1]))  # rows pre-flipped
+    struct.pack_into("<i", topdown, 22, -h)
+    assert M.decode_raster(bytes(topdown)) == exp + (1,)
+
+
+def test_raster_roundtrip_distributed(spark, sf_dir):
+    """The full Spark path: synthesize real BMP/PPM payloads, decode with
+    the fake=False kernel, and re-check a sample row against the pure
+    driver-side decode of the same payload bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(40)
+    media = M.synthesize_raster_media(docs)
+    feats = {r.media_id: r.features
+             for r in M.decode_and_featurize(media, fake=False).collect()}
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert set(feats) == set(payloads)
+    for mid, payload in payloads.items():
+        expect = [float(v) for v in M.decode_raster(payload)] + [0.0]
+        assert feats[mid] == expect, mid
+        assert feats[mid][6] == (1.0 if mid % 2 == 0 else 2.0)
 
 
 def test_multimodal_fake_decode_deterministic(spark, sf_dir):
@@ -460,6 +506,48 @@ def test_incremental_near_dedup_matches_global_pipeline(spark, sf_dir):
     assert {d for d in inc if 3_000_000 <= d < 5_000_000} == {
         r.doc_id + 3_000_000
         for r in docs.filter(F.col("doc_id") % 5 == 2).collect()}
+
+
+def test_incremental_near_dedup_collect_bounded_by_batch_edges(spark, monkeypatch):
+    """Boilerplate-heavy batch: ONE batch doc near-dups thousands of
+    corpus docs. Batch-corpus pairs (∝ corpus fanout) must be resolved
+    by the distributed corpus-hit pre-aggregation — the driver-side
+    union-find (cluster_representatives) may only ever see the
+    batch-batch residual graph, which here is a single edge (the
+    equivalence-to-global test above pins the full drop semantics,
+    including transitive corpus poisoning through batch docs)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(i, base + f" tail{i}") for i in range(3000)]
+        + [(3001, "completely unrelated corpus text about rivers and mountains flowing north")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (1_000_000, base + " tailX"),          # near-dups ~all 3000 corpus docs
+            (1_000_001, base + " tailY"),          # corpus-hit AND batch-batch edge to the above
+            (2_000_000, "fresh singleton document having no overlap with anything else at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    seen_edge_counts = []
+    orig = D.cluster_representatives
+
+    def spy(pairs, *a, **kw):
+        rows = pairs.select("id_a", "id_b").collect()
+        seen_edge_counts.append(len(rows))
+        assert all(r.id_a >= 1_000_000 and r.id_b >= 1_000_000 for r in rows), (
+            "driver-side clustering saw a corpus-involving edge"
+        )
+        return orig(pairs, *a, **kw)
+
+    monkeypatch.setattr(D, "cluster_representatives", spy)
+    idx = D.build_near_dup_index(corpus, "doc_id", "text", num_hashes=32)
+    kept = {r.doc_id for r in D.near_dedup_incremental(
+        idx, batch, "doc_id", "text", num_hashes=32, bands=16, threshold=0.7
+    ).select("doc_id").collect()}
+    assert kept == {2_000_000}  # both corpus-hit docs dropped, singleton kept
+    assert seen_edge_counts and all(n <= 1 for n in seen_edge_counts), seen_edge_counts
 
 
 def test_duplicate_ngram_fraction_hand_computed(spark):

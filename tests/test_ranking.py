@@ -44,3 +44,51 @@ def test_global_row_number_avoids_single_partition_window(spark):
     # the window runs per range-partition; nothing funnels through one task
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_grouped_running_sum_matches_window_under_skew(spark):
+    """Two-pass grouped running sum == the per-group window form, on a
+    90/10 skewed group mix (one group holds ~90% of rows — the case
+    where the window form serializes through one task at scale)."""
+    from open_crime_etl_pipeline_spark.operators.ranking import grouped_running_sum
+
+    df = spark.range(8000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, F.lit("dominant"))
+        .otherwise(F.concat(F.lit("minor"), (F.col("id") % 3).cast("string")))
+        .alias("grp"),
+        (F.col("id") % 53 + 1).alias("v"),
+    )
+    fast = {
+        (r.grp, r.id): r.cum
+        for r in grouped_running_sum(
+            df, "grp", ["id"], "v", out_col="cum", n_partitions=8
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    slow = {
+        (r.grp, r.id): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert fast == slow
+
+
+def test_grouped_running_sum_keeps_all_columns(spark):
+    from open_crime_etl_pipeline_spark.operators.ranking import grouped_running_sum
+
+    df = spark.range(100).select(
+        "id", (F.col("id") % 2).cast("string").alias("grp"),
+        F.lit(1).cast("long").alias("v"), F.lit("x").alias("extra")
+    )
+    out = grouped_running_sum(df, "grp", ["id"], "v", out_col="cum")
+    assert set(out.columns) == {"id", "grp", "v", "extra", "cum"}
+    # within each group the running count of 1s is 1..n in id order
+    rows = sorted(out.collect(), key=lambda r: (r.grp, r.id))
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append(r.cum)
+    for cums in by_grp.values():
+        assert cums == list(range(1, len(cums) + 1))

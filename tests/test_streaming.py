@@ -125,6 +125,28 @@ def test_sessionize_stateful_emits_closed_sessions(spark, tmp_path):
     assert key in sessions and sessions[key] == 2
 
 
+def test_transform_with_state_probe_is_measured():
+    """The protobuf gate is a MEASURED probe, not an assumption: the
+    probe's verdict must agree with an independent importlib check, and
+    its reason string names what was (or wasn't) found. The committed
+    correctness artifact records this probe under ``_env``, so if the
+    container ever gains protobuf the twin's tests activate and the
+    artifact flips — without any code change."""
+    import importlib.util
+
+    from open_crime_etl_pipeline_spark.streaming import (
+        transform_with_state_available,
+    )
+
+    ok, why = transform_with_state_available()
+    try:
+        expected = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        expected = False
+    assert ok == expected
+    assert ("importable" in why) or ("absent" in why)
+
+
 def test_sessionize_transform_with_state_gated_without_protobuf(spark, tmp_path):
     """Without google.protobuf the new-API sessionizer must fail fast
     with a clear ImportError, not crash the streaming python worker."""
