@@ -87,6 +87,14 @@ def grouped_running_sum(
 
     ``order_by`` must be total within each group (include a unique
     tie-break) for the same determinism reason as global_row_number.
+
+    Shuffle accounting: Spark can't see that the checkpointed frame is
+    already partitioned by ``__pid``, so the per-partition window adds
+    one hash exchange on (__pid, group) — the SAME shuffle volume as
+    the naive ``PARTITION BY group`` window, but hashed over
+    (partition, group) pairs, so the window tasks stay parallel
+    instead of funneling a dominant group through one task. Net cost
+    vs naive: +1 range shuffle; net win: no serial prefix-sum.
     """
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism

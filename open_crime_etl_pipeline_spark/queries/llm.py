@@ -1084,6 +1084,111 @@ def deterministic_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "cross_source_contamination_matrix",
+    oracle="""
+        WITH sh AS (
+            SELECT DISTINCT source, shingle
+            FROM (
+                SELECT source,
+                       unnest(list_distinct(
+                           [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                            for i in range(1, len(words) - 1)])) AS shingle
+                FROM (SELECT source, string_split(text, ' ') AS words
+                      FROM documents)
+                WHERE len(words) >= 3
+            )
+        ), totals AS (
+            SELECT source, count(*) AS n FROM sh GROUP BY source
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS n_shared,
+               round(CAST(count(*) AS DOUBLE)
+                     / least(ta.n, tb.n), 6) AS overlap_coeff
+        FROM sh a
+        JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        JOIN totals ta ON ta.source = a.source
+        JOIN totals tb ON tb.source = b.source
+        GROUP BY a.source, b.source, ta.n, tb.n
+    """,
+    doc="Cross-source contamination matrix: for every pair of corpus "
+        "sources, how many distinct 3-gram shingles they share and the "
+        "overlap coefficient (shared / smaller source's vocabulary) — "
+        "the corpus-level leakage diagnostic run before mixing sources "
+        "into a training set. Scale shape: shingles are deduped to "
+        "(source, shingle) FIRST, so the self-join on shingle has "
+        "per-key fanout <= #sources (a handful), never doc-frequency — "
+        "a hot stop-shingle costs ~#sources rows, not postings^2; "
+        "output is #source-pairs rows (§2.11 curation).",
+    tags=("llm", "curation", "contamination"),
+)
+def cross_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    sh = (
+        docs.filter(F.size(TS.tokens("text")) >= 3)
+        .select("source", F.explode(TS.word_shingles("text", 3)).alias("shingle"))
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = totals.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(ta, "src_a").join(tb, "src_b")
+        .select(
+            "src_a", "src_b", "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("overlap_coeff"),
+        )
+    )
+
+
+@register(
+    "deterministic_corpus_shuffle",
+    oracle="""
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || 'shuf1'), doc_id
+               ) AS BIGINT) AS shuffle_rank,
+               CAST((row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || 'shuf1'), doc_id
+               ) - 1) // 256 AS BIGINT) AS shard_id
+        FROM documents
+    """,
+    doc="Deterministic global training-order shuffle + 256-doc sharding: "
+        "order by md5(doc_id, salt) — the same permutation in every "
+        "engine, run, and partitioning (rand() promises none of those) — "
+        "then a contiguous global rank via the two-pass range-partition "
+        "row numbering (operators/ranking.py), NOT a single-task global "
+        "window: at 100 TB the sort key is range-partitioned, ranks are "
+        "per-partition + broadcast offsets, and no task ever sees more "
+        "than its slice. shard_id = (rank-1)/256 gives stable training "
+        "shards for a dataloader (§2.11 sampling).",
+    tags=("llm", "sampling", "curation"),
+)
+def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_row_number
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "__k", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("shuf1")))
+    )
+    ranked = global_row_number(keyed, ["__k", "doc_id"], out_col="shuffle_rank")
+    return ranked.select(
+        "doc_id",
+        "shuffle_rank",
+        F.floor((F.col("shuffle_rank") - 1) / 256).cast("long").alias("shard_id"),
+    )
+
+
+@register(
     "doc_chunking_overlap",
     oracle="""
         WITH t AS (
