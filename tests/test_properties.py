@@ -301,3 +301,40 @@ def test_gaps_islands_deterministic_under_timestamp_ties(spark):
         .collect()
     )
     assert [(r.session_no, r.n) for r in out] == [(1, 1), (2, 2)]
+
+
+# --- raster codec: pure-Python encode/decode roundtrip (no Spark) ---
+
+_pixel = st.tuples(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=7),
+    data=st.data(),
+)
+def test_raster_codec_roundtrip_property(w, h, data):
+    """For ANY image (every width hits a different BMP padding class,
+    w%4 ∈ {0,1,2,3}), both encoders round-trip to the exact channel
+    sums and top-row red sum the pixels imply."""
+    from open_crime_etl_pipeline_spark.operators.multimodal import (
+        decode_raster,
+        encode_bmp24,
+        encode_ppm6,
+    )
+
+    rows = [[data.draw(_pixel) for _ in range(w)] for _ in range(h)]
+    exp = (
+        w, h,
+        sum(p[0] for r in rows for p in r),
+        sum(p[1] for r in rows for p in r),
+        sum(p[2] for r in rows for p in r),
+        sum(p[0] for p in rows[0]),
+    )
+    assert decode_raster(encode_bmp24(w, h, rows)) == exp + (1,)
+    assert decode_raster(encode_ppm6(w, h, rows)) == exp + (2,)
