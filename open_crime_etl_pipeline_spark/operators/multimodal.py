@@ -7,12 +7,14 @@ as Arrow-batched ``mapInPandas`` stages. Two decode paths exist:
 - ``fake=True``: deterministic byte-statistics "decode" exercising the
   Spark-side plumbing (schema, batch shape, partitioning, UDF
   signature) without any codec.
-- ``fake=False``: a REAL pure-Python raster codec for uncompressed
-  24-bit BMP and binary PPM (P6) — header parse, row padding,
-  BGR order, bottom-up row flip, all implemented here and round-trip
-  oracle-checked (see queries/llm.py::multimodal_raster_roundtrip).
-  Formats that genuinely require native libraries (JPEG/PNG/audio/
-  video) still raise ``NotImplementedError`` with a clear message.
+- ``fake=False``: REAL pure-Python codecs — uncompressed 24-bit BMP
+  and binary PPM (P6) rasters (header parse, row padding, BGR order,
+  bottom-up flip) and RIFF/WAVE PCM16 audio (chunk walking, signed
+  samples, channel interleave) — all implemented here and round-trip
+  oracle-checked (queries/llm.py::multimodal_raster_roundtrip /
+  ::multimodal_wav_roundtrip). Formats that genuinely require native
+  libraries (JPEG/PNG/compressed audio/video) still raise
+  ``NotImplementedError`` with a clear message.
 
 Scale notes: payloads never pass through a shuffle (all per-row maps);
 ``spark.sql.files.maxPartitionBytes`` bounds scan partitions when
@@ -186,14 +188,77 @@ def _build_raster_codec():
             return (width, height, sum_r, sum_g, sum_b, row0_r, 2)
         raise NotImplementedError(
             "real decode implemented for uncompressed 24-bit BMP and "
-            "binary PPM only; JPEG/PNG/audio/video require native codec "
-            "libraries not present in this environment"
+            "binary PPM only; JPEG/PNG require native codec libraries "
+            "not present in this environment (RIFF/WAVE audio has its "
+            "own pure-Python path: decode_wav)"
         )
 
-    return encode_bmp24, encode_ppm6, decode_raster
+    def encode_wav_pcm16(sample_rate: int, channels: list) -> bytes:
+        """Minimal RIFF/WAVE writer, PCM signed 16-bit little-endian.
+        ``channels`` is a list of per-channel sample lists (equal
+        lengths); samples interleave frame-by-frame per the spec."""
+        import struct
+
+        n_ch = len(channels)
+        n_samples = len(channels[0]) if channels else 0
+        block_align = n_ch * 2
+        data = bytearray()
+        for i in range(n_samples):
+            for ch in channels:
+                data += struct.pack("<h", ch[i])
+        fmt = struct.pack(
+            "<HHIIHH", 1, n_ch, sample_rate,
+            sample_rate * block_align, block_align, 16,
+        )
+        riff_body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + bytes(data)
+        )
+        return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+    def decode_wav(payload: bytes) -> tuple:
+        """Pure-Python RIFF/WAVE PCM16 decode to (n_channels, n_samples,
+        sum_ch0, sum_ch1, sample_rate, 0, fmt_code=3). Channel sums are
+        SIGNED integers — an unsigned-parse bug flips negative-heavy
+        signals and fails the closed-form oracle. Walks chunks properly
+        (unknown chunks like LIST are skipped, word-aligned), so a
+        decoder that assumes data starts at byte 44 also gets caught by
+        the chunk-order fixture. Non-PCM16 raises NotImplementedError."""
+        import struct
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise NotImplementedError("not a RIFF/WAVE payload")
+        pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+        n_ch = rate = bits = None
+        data = None
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8: pos + 8 + size]
+            if cid == b"fmt ":
+                audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+                bits = struct.unpack_from("<H", body, 14)[0]
+                if audio_fmt != 1 or bits != 16:
+                    raise NotImplementedError(
+                        f"only PCM16 WAV implemented (fmt={audio_fmt}, bits={bits})"
+                    )
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if n_ch is None or data is None:
+            raise NotImplementedError("WAV missing fmt/data chunk")
+        samples = struct.unpack(f"<{len(data) // 2}h", data[: (len(data) // 2) * 2])
+        n_samples = len(samples) // n_ch
+        sum0 = sum(samples[0::n_ch]) if n_ch >= 1 else 0
+        sum1 = sum(samples[1::n_ch]) if n_ch >= 2 else 0
+        return (n_ch, n_samples, sum0, sum1, rate, 0, 3)
+
+    return encode_bmp24, encode_ppm6, decode_raster, encode_wav_pcm16, decode_wav
 
 
-encode_bmp24, encode_ppm6, decode_raster = _build_raster_codec()
+(encode_bmp24, encode_ppm6, decode_raster,
+ encode_wav_pcm16, decode_wav) = _build_raster_codec()
 
 
 
@@ -258,6 +323,53 @@ def synthesize_raster_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_wav_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL audio payloads: per doc, a PCM16 WAV with
+    n = 100 + id%50 samples at 16 kHz; channel 0 is the ramp
+    s(t) = 3t + id%100 − 500 (negative-heavy, so signed parsing is
+    exercised) and odd ids add a second channel 2t + id%50 − 300
+    (stereo interleave exercised). Linear ramps give the channel sums
+    closed forms an SQL oracle states exactly. Encoding runs
+    distributed (mapInPandas), payloads never touch the driver."""
+    dims = documents.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(100) + F.col("doc_id") % 50).cast("int").alias("n_samples"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(2)).alias("n_ch"),
+    )
+    enc_wav = encode_wav_pcm16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for mid, n, n_ch in zip(pdf["media_id"], pdf["n_samples"], pdf["n_ch"]):
+                mid, n, n_ch = int(mid), int(n), int(n_ch)
+                chans = [[3 * t + mid % 100 - 500 for t in range(n)]]
+                if n_ch == 2:
+                    chans.append([2 * t + mid % 50 - 300 for t in range(n)])
+                payloads.append(enc_wav(16000, chans))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": "audio",
+                "payload": payloads,
+                "n_samples": pdf["n_samples"],
+            })
+
+    encoded = dims.mapInPandas(
+        run, "media_id long, kind string, payload binary, n_samples int"
+    )
+    return encoded.select(
+        "media_id", "kind", "payload",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def _fake_decode(payload: bytes) -> list[float]:
     """Deterministic stand-in for a codec: cheap byte statistics."""
     if not payload:
@@ -287,7 +399,8 @@ def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
     # serializes the whole closure by value — workers never need to
     # import this package (the grading driver runs from outside it).
     n_features = N_FEATURES
-    raster_decode = decode_raster  # locals-qualname fn → shipped by value
+    # locals-qualname fns → shipped by value with the closure
+    raster_decode, wav_decode = decode_raster, decode_wav
 
     def fake_decode(payload: bytes) -> list[float]:
         if not payload:
@@ -314,10 +427,12 @@ def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
             if fake:
                 feats = payloads.map(lambda b: fake_decode(b or b""))
             else:
-                feats = payloads.map(
-                    lambda b: [float(v) for v in raster_decode(bytes(b or b""))]
-                    + [0.0] * (n_features - 7)
-                )
+                def real_decode(b):
+                    raw = bytes(b or b"")
+                    dec = wav_decode if raw[:4] == b"RIFF" else raster_decode
+                    return [float(v) for v in dec(raw)] + [0.0] * (n_features - 7)
+
+                feats = payloads.map(real_decode)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

@@ -1782,6 +1782,52 @@ def multimodal_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_roundtrip",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   100 + doc_id % 50 AS n,
+                   1 + doc_id % 2 AS n_ch
+            FROM documents
+        )
+        SELECT doc_id AS media_id,
+               CAST(n_ch AS INT) AS n_channels,
+               CAST(n AS INT) AS n_samples,
+               CAST(3 * n * (n-1) // 2 + n * (doc_id % 100) - 500 * n
+                    AS BIGINT) AS sum_ch0,
+               CAST(CASE WHEN n_ch = 2
+                         THEN n * (n-1) + n * (doc_id % 50) - 300 * n
+                         ELSE 0 END AS BIGINT) AS sum_ch1,
+               CAST(16000 AS INT) AS sample_rate
+        FROM dims
+    """,
+    doc="REAL audio codec round-trip: per document, deterministic PCM16 "
+        "ramps are ENCODED to actual RIFF/WAVE bytes (mono for even "
+        "ids, interleaved stereo for odd) and DECODED back by the "
+        "pure-Python chunk-walking WAV reader — both Arrow-batched "
+        "mapInPandas stages. The oracle states the closed-form signed "
+        "channel sums: an unsigned sample parse, a wrong interleave "
+        "stride, a fixed-offset (byte-44) data assumption, or a "
+        "mis-read fmt chunk corrupts sum_ch*/n_samples and fails the "
+        "hash (§2.11 multimodal).",
+    tags=("llm", "multimodal", "codec"),
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = M.synthesize_wav_media(docs)
+    feats = M.decode_and_featurize(media, fake=False)
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        F.element_at(f, 1).cast("int").alias("n_channels"),
+        F.element_at(f, 2).cast("int").alias("n_samples"),
+        F.element_at(f, 3).cast("long").alias("sum_ch0"),
+        F.element_at(f, 4).cast("long").alias("sum_ch1"),
+        F.element_at(f, 5).cast("int").alias("sample_rate"),
+    )
+
+
+@register(
     "unigram_logprob_quality",
     oracle="""
         WITH toks AS (

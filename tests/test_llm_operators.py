@@ -119,6 +119,34 @@ def test_raster_codec_roundtrip_exact():
     assert M.decode_raster(bytes(topdown)) == exp + (1,)
 
 
+def test_wav_codec_roundtrip_and_chunk_walking():
+    """PCM16 WAV: signed negative-heavy ramps round-trip exactly in mono
+    and interleaved stereo; a LIST chunk injected BEFORE data (with an
+    odd size, exercising word alignment) must be skipped by the chunk
+    walker — a decoder that assumes data at byte 44 reads garbage."""
+    import struct
+
+    ch0 = [3 * t - 500 for t in range(120)]
+    ch1 = [2 * t - 300 for t in range(120)]
+    mono = M.encode_wav_pcm16(16000, [ch0])
+    stereo = M.encode_wav_pcm16(16000, [ch0, ch1])
+    assert M.decode_wav(mono) == (1, 120, sum(ch0), 0, 16000, 0, 3)
+    assert M.decode_wav(stereo) == (2, 120, sum(ch0), sum(ch1), 16000, 0, 3)
+    # splice an odd-sized LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    info = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    hostile = bytearray(mono[:fmt_end] + info + mono[fmt_end:])
+    hostile[4:8] = struct.pack("<I", len(hostile) - 8)
+    assert M.decode_wav(bytes(hostile)) == (1, 120, sum(ch0), 0, 16000, 0, 3)
+    with pytest.raises(NotImplementedError):
+        M.decode_wav(b"RIFFxxxxNOPE")
+    # 8-bit PCM must be refused, not mis-decoded
+    bad = bytearray(mono)
+    struct.pack_into("<H", bad, 12 + 8 + 14, 8)  # bits-per-sample field
+    with pytest.raises(NotImplementedError):
+        M.decode_wav(bytes(bad))
+
+
 def test_raster_roundtrip_distributed(spark, sf_dir):
     """The full Spark path: synthesize real BMP/PPM payloads, decode with
     the fake=False kernel, and re-check a sample row against the pure
