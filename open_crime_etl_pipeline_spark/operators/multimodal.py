@@ -7,14 +7,17 @@ as Arrow-batched ``mapInPandas`` stages. Two decode paths exist:
 - ``fake=True``: deterministic byte-statistics "decode" exercising the
   Spark-side plumbing (schema, batch shape, partitioning, UDF
   signature) without any codec.
-- ``fake=False``: REAL pure-Python codecs — uncompressed 24-bit BMP
-  and binary PPM (P6) rasters (header parse, row padding, BGR order,
-  bottom-up flip) and RIFF/WAVE PCM16 audio (chunk walking, signed
-  samples, channel interleave) — all implemented here and round-trip
-  oracle-checked (queries/llm.py::multimodal_raster_roundtrip /
-  ::multimodal_wav_roundtrip). Formats that genuinely require native
-  libraries (JPEG/PNG/compressed audio/video) still raise
-  ``NotImplementedError`` with a clear message.
+- ``fake=False``: REAL pure-Python codecs for all three media kinds —
+  uncompressed 24-bit BMP and binary PPM (P6) rasters (header parse,
+  row padding, BGR order, bottom-up flip), RIFF/WAVE PCM16 audio
+  (chunk walking, signed samples, channel interleave), and YUV4MPEG2
+  (Y4M) video with genuine per-frame Y-plane extraction — all
+  implemented here and round-trip oracle-checked
+  (queries/llm.py::multimodal_raster_roundtrip /
+  ::multimodal_wav_roundtrip / ::multimodal_video_frame_luma).
+  Formats that genuinely require native libraries (JPEG/PNG/
+  compressed audio/video) still raise ``NotImplementedError`` with a
+  clear message.
 
 Scale notes: payloads never pass through a shuffle (all per-row maps);
 ``spark.sql.files.maxPartitionBytes`` bounds scan partitions when
@@ -254,11 +257,63 @@ def _build_raster_codec():
         sum1 = sum(samples[1::n_ch]) if n_ch >= 2 else 0
         return (n_ch, n_samples, sum0, sum1, rate, 0, 3)
 
-    return encode_bmp24, encode_ppm6, decode_raster, encode_wav_pcm16, decode_wav
+    def encode_y4m(width: int, height: int, luma_frames: list) -> bytes:
+        """Minimal YUV4MPEG2 (Y4M) writer, C444 non-interlaced: stream
+        header, then per frame a FRAME marker + Y plane + flat-grey U/V
+        planes (all width*height bytes in C444). ``luma_frames[t][y][x]``
+        is the luma sample of frame t."""
+        out = bytearray(
+            f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C444\n".encode()
+        )
+        grey = bytes([128]) * (width * height)
+        for frame in luma_frames:
+            out += b"FRAME\n"
+            for row in frame:
+                out += bytes(row)
+            out += grey + grey  # U, V
+        return bytes(out)
+
+    def decode_y4m(payload: bytes) -> list:
+        """Pure-Python Y4M decode: parses the stream header (W/H/C
+        tags), walks FRAME markers, and returns one (frame_idx,
+        luma_sum) pair per frame — REAL per-frame data extraction, the
+        kernel frame_sample plugs into. Only C444 (and default C420
+        refusal) is implemented; interlaced or other chroma modes raise
+        NotImplementedError."""
+        if not payload.startswith(b"YUV4MPEG2"):
+            raise NotImplementedError("not a YUV4MPEG2 payload")
+        nl = payload.index(b"\n")
+        width = height = None
+        chroma = "420"  # the Y4M default when no C tag is present
+        for tag in payload[9:nl].split():
+            t = tag.decode()
+            if t.startswith("W"):
+                width = int(t[1:])
+            elif t.startswith("H"):
+                height = int(t[1:])
+            elif t.startswith("C"):
+                chroma = t[1:]
+        if width is None or height is None:
+            raise NotImplementedError("Y4M header missing W/H")
+        if chroma != "444":
+            raise NotImplementedError(f"only C444 Y4M is implemented (C{chroma})")
+        plane = width * height
+        pos, frames = nl + 1, []
+        while pos < len(payload):
+            if payload[pos:pos + 5] != b"FRAME":
+                raise NotImplementedError("corrupt Y4M: FRAME marker expected")
+            pos = payload.index(b"\n", pos) + 1  # frame params ignored
+            y_plane = payload[pos:pos + plane]
+            frames.append((len(frames), sum(y_plane)))
+            pos += 3 * plane  # skip Y + U + V
+        return frames
+
+    return (encode_bmp24, encode_ppm6, decode_raster,
+            encode_wav_pcm16, decode_wav, encode_y4m, decode_y4m)
 
 
 (encode_bmp24, encode_ppm6, decode_raster,
- encode_wav_pcm16, decode_wav) = _build_raster_codec()
+ encode_wav_pcm16, decode_wav, encode_y4m, decode_y4m) = _build_raster_codec()
 
 
 
@@ -367,6 +422,89 @@ def synthesize_wav_media(documents: DataFrame) -> DataFrame:
             F.lit(16000).alias("sample_rate"),
             F.lit(1).alias("n_frames"),
         ).alias("meta"),
+    )
+
+
+def synthesize_y4m_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL video payloads: per doc, a (4 + id%4) ×
+    (3 + id%3) C444 Y4M stream of (3 + id%10) frames with luma
+    Y(x,y,t) = x + 2y + 5t + id%50 (< 256 by construction, so
+    per-frame luma sums have closed forms an SQL oracle states
+    exactly). Encoding runs distributed (mapInPandas)."""
+    dims = documents.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) + F.col("doc_id") % 4).cast("int").alias("width"),
+        (F.lit(3) + F.col("doc_id") % 3).cast("int").alias("height"),
+        (F.lit(3) + F.col("doc_id") % 10).cast("int").alias("n_frames"),
+    )
+    enc = encode_y4m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for mid, w, h, nf in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["n_frames"]
+            ):
+                mid, w, h, nf = int(mid), int(w), int(h), int(nf)
+                frames = [
+                    [[x + 2 * y + 5 * t + mid % 50 for x in range(w)]
+                     for y in range(h)]
+                    for t in range(nf)
+                ]
+                payloads.append(enc(w, h, frames))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": "video",
+                "payload": payloads,
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "n_frames": pdf["n_frames"],
+            })
+
+    encoded = dims.mapInPandas(
+        run,
+        "media_id long, kind string, payload binary, "
+        "width int, height int, n_frames int",
+    )
+    return encoded.select(
+        "media_id", "kind", "payload",
+        F.struct(
+            "width", "height",
+            F.lit(None).cast("int").alias("sample_rate"),
+            "n_frames",
+        ).alias("meta"),
+    )
+
+
+def frame_sample_decoded(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: decode each Y4M payload, keep every
+    ``every_n``-th frame, and emit (media_id, frame_idx, luma_sum) —
+    one row per SAMPLED frame with data actually read from the frame's
+    Y plane (contrast :func:`frame_sample`, which only plans indices
+    from metadata). Arrow-batched; the binary never passes a shuffle —
+    downstream carries 16-byte rows."""
+    y4m_decode = decode_y4m  # locals-qualname fn → shipped by value
+    k = every_n
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, s in y4m_decode(bytes(payload)):
+                    if idx % k == 0:
+                        ids.append(mid)
+                        idxs.append(idx)
+                        sums.append(s)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "luma_sum": sums}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, luma_sum long"
     )
 
 

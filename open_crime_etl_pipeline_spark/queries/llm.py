@@ -1828,6 +1828,39 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_frame_luma",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   4 + doc_id % 4 AS w,
+                   3 + doc_id % 3 AS h,
+                   3 + doc_id % 10 AS nf
+            FROM documents
+        )
+        SELECT doc_id AS media_id,
+               CAST(t.i AS INT) AS frame_idx,
+               CAST(h * (w * (w-1) // 2) + 2 * w * (h * (h-1) // 2)
+                    + w * h * (5 * t.i + doc_id % 50) AS BIGINT) AS luma_sum
+        FROM dims, unnest(range(0, nf)) AS t(i)
+        WHERE t.i % 2 = 0
+    """,
+    doc="REAL video frame sampling: per document, a deterministic C444 "
+        "Y4M stream is ENCODED to actual YUV4MPEG2 bytes, then every "
+        "2nd frame's Y plane is DECODED and summed by the pure-Python "
+        "chunk walker (operators/multimodal.py::frame_sample_decoded) — "
+        "per-frame data genuinely read from the payload, not planned "
+        "from metadata. The oracle states the closed-form luma sums; a "
+        "wrong plane stride, chroma-size assumption, or FRAME-marker "
+        "walk corrupts them (§2.11 multimodal).",
+    tags=("llm", "multimodal", "codec"),
+)
+def multimodal_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = M.synthesize_y4m_media(docs)
+    return M.frame_sample_decoded(media, every_n=2)
+
+
+@register(
     "unigram_logprob_quality",
     oracle="""
         WITH toks AS (

@@ -147,6 +147,22 @@ def test_wav_codec_roundtrip_and_chunk_walking():
         M.decode_wav(bytes(bad))
 
 
+def test_y4m_codec_roundtrip_and_gates():
+    """Y4M: encoded frames decode to exact per-frame luma sums; C420
+    (the spec default when no C tag is present) and non-Y4M payloads
+    are refused rather than mis-decoded with wrong plane sizes."""
+    frames = [[[x + 2 * y + 5 * t for x in range(5)] for y in range(4)]
+              for t in range(3)]
+    payload = M.encode_y4m(5, 4, frames)
+    exp = [(t, sum(x + 2 * y + 5 * t for x in range(5) for y in range(4)))
+           for t in range(3)]
+    assert M.decode_y4m(payload) == exp
+    with pytest.raises(NotImplementedError, match="C420"):
+        M.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1\nFRAME\n" + bytes(16 + 8))
+    with pytest.raises(NotImplementedError):
+        M.decode_y4m(b"RIFF not a y4m")
+
+
 def test_raster_roundtrip_distributed(spark, sf_dir):
     """The full Spark path: synthesize real BMP/PPM payloads, decode with
     the fake=False kernel, and re-check a sample row against the pure
