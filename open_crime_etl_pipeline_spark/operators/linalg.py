@@ -1,0 +1,120 @@
+"""Distributed dense linear algebra over embedding columns
+(SURVEY.md §2.11 [EXT]: similarity / embedding analytics).
+
+The core primitive is the Gram / covariance matrix of an
+``array<float>`` column: each partition accumulates its partial
+X^T X, column sums, and row count with one numpy matmul
+(Arrow-batched mapInPandas — the classic map-side combine for second
+moments), then a single shuffle of O(partitions · d²) tiny
+(i, j, partials) rows merges them. Nothing proportional to the row
+count N ever shuffles or reaches the driver, so the operator's cost
+at 100 TB is one scan plus a d²-row reduce — the same shape
+``corr``/``covar_samp`` use internally, generalized to all pairs at
+once.
+
+Downstream spectral steps (top eigenvector via power iteration) run
+on the driver over the d×d result — O(d²) work and memory,
+independent of N, which is the correct split at scale: data-sized
+work distributed, model-sized work local.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_pairs(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """Upper-triangle second-moment pairs of ``vec_col`` (length-d
+    arrays): returns one row per (i, j), i ≤ j, 1-based, with
+
+    - ``s_ij``  = Σ_rows x_i · x_j   (raw Gram entry)
+    - ``sum_i`` / ``sum_j`` = column sums
+    - ``n_rows`` = row count
+
+    from which callers derive covariance/correlation. Partials are
+    computed per Arrow batch with a single numpy matmul and merged by
+    one groupBy — d²/2 result rows regardless of N."""
+    dd = d
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        G = np.zeros((dd, dd))
+        colsum = np.zeros(dd)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if X.shape[1] != dd:
+                raise ValueError(f"expected dim {dd}, got {X.shape[1]}")
+            G += X.T @ X
+            colsum += X.sum(axis=0)
+            n += X.shape[0]
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(dd)
+        yield pd.DataFrame({
+            "i": (iu + 1).astype("int32"),
+            "j": (ju + 1).astype("int32"),
+            "s_ij": G[iu, ju],
+            "sum_i": colsum[iu],
+            "sum_j": colsum[ju],
+            "n_rows": np.full(len(iu), n, dtype="int64"),
+        })
+
+    partials = df.select(vec_col).mapInPandas(
+        run,
+        "i int, j int, s_ij double, sum_i double, sum_j double, n_rows long",
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum("s_ij").alias("s_ij"),
+        F.sum("sum_i").alias("sum_i"),
+        F.sum("sum_j").alias("sum_j"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def covariance_pairs(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """Sample covariance for every (i ≤ j) pair:
+    cov_ij = (S_ij − n·mean_i·mean_j) / (n − 1). Columns here are
+    near-centered embeddings, so the subtraction term is tiny and the
+    formula is numerically benign (no catastrophic cancellation)."""
+    g = gram_pairs(df, vec_col, d)
+    n = F.col("n_rows").cast("double")
+    cov = (F.col("s_ij") - (F.col("sum_i") * F.col("sum_j")) / n) / (n - 1)
+    return g.select("i", "j", cov.alias("cov"), "n_rows")
+
+
+def power_iteration_top_eig(cov_rows: list, d: int, iters: int = 200) -> tuple:
+    """Driver-side top eigenpair from collected (i, j, cov) upper-
+    triangle rows — O(d²) memory/flops, independent of N by design
+    (the distributed phase already reduced the data to d²/2 numbers).
+    Deterministic: starts from the all-ones vector. Returns
+    (eigenvalue, eigenvector ndarray)."""
+    import numpy as np
+
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        i, j, c = int(r["i"]) - 1, int(r["j"]) - 1, float(r["cov"])
+        C[i, j] = c
+        C[j, i] = c
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iters):
+        w = C @ v
+        nw = np.linalg.norm(w)
+        if nw == 0.0:
+            return 0.0, v
+        v = w / nw
+    lam = float(v @ (C @ v))
+    # sign convention: first nonzero component positive
+    nz = np.flatnonzero(np.abs(v) > 1e-12)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    return lam, v

@@ -425,12 +425,15 @@ def synthesize_wav_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_y4m_media(documents: DataFrame) -> DataFrame:
+def synthesize_y4m_media(documents: DataFrame, scene_cut: bool = False) -> DataFrame:
     """Deterministic REAL video payloads: per doc, a (4 + id%4) ×
     (3 + id%3) C444 Y4M stream of (3 + id%10) frames with luma
     Y(x,y,t) = x + 2y + 5t + id%50 (< 256 by construction, so
     per-frame luma sums have closed forms an SQL oracle states
-    exactly). Encoding runs distributed (mapInPandas)."""
+    exactly). With ``scene_cut=True``, frames at or after the cut
+    index c = 1 + id % (nf-1) add a +100 luma jump (still < 256:
+    6 + 8 + 55 + 49 + 100 = 218) — a planted scene boundary for the
+    scene-change detector. Encoding runs distributed (mapInPandas)."""
     dims = documents.select(
         F.col("doc_id").alias("media_id"),
         (F.lit(4) + F.col("doc_id") % 4).cast("int").alias("width"),
@@ -438,6 +441,7 @@ def synthesize_y4m_media(documents: DataFrame) -> DataFrame:
         (F.lit(3) + F.col("doc_id") % 10).cast("int").alias("n_frames"),
     )
     enc = encode_y4m
+    with_cut = scene_cut
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd
@@ -448,8 +452,10 @@ def synthesize_y4m_media(documents: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["width"], pdf["height"], pdf["n_frames"]
             ):
                 mid, w, h, nf = int(mid), int(w), int(h), int(nf)
+                cut = 1 + mid % (nf - 1) if with_cut else nf  # nf ≥ 3
                 frames = [
-                    [[x + 2 * y + 5 * t + mid % 50 for x in range(w)]
+                    [[x + 2 * y + 5 * t + mid % 50
+                      + (100 if t >= cut else 0) for x in range(w)]
                      for y in range(h)]
                     for t in range(nf)
                 ]
@@ -616,4 +622,268 @@ def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
         # in other engines; floor is unambiguous
         F.greatest(F.floor(w * scale).cast("int"), F.lit(1)).alias("target_width"),
         F.greatest(F.floor(h * scale).cast("int"), F.lit(1)).alias("target_height"),
+    )
+
+
+def _build_signal_kernels():
+    """Second kernel factory: per-sample / per-pixel feature extractors
+    on top of the real codecs. Nested (locals qualname) for the same
+    cloudpickle-by-value reason as ``_build_raster_codec`` — workers
+    never import this package."""
+
+    def decode_wav_samples(payload: bytes) -> tuple:
+        """RIFF/WAVE PCM16 → (n_channels, sample_rate, channels) with
+        the full per-channel sample lists (contrast :func:`decode_wav`,
+        which returns only sums). Same chunk walk: word-aligned, skips
+        unknown chunks, refuses non-PCM16."""
+        import struct
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise NotImplementedError("not a RIFF/WAVE payload")
+        pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+        n_ch = rate = None
+        data = None
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8: pos + 8 + size]
+            if cid == b"fmt ":
+                audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+                bits = struct.unpack_from("<H", body, 14)[0]
+                if audio_fmt != 1 or bits != 16:
+                    raise NotImplementedError(
+                        f"only PCM16 WAV implemented (fmt={audio_fmt}, bits={bits})"
+                    )
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        if n_ch is None or data is None:
+            raise NotImplementedError("WAV missing fmt/data chunk")
+        samples = struct.unpack(f"<{len(data) // 2}h", data[: (len(data) // 2) * 2])
+        chans = [list(samples[c::n_ch]) for c in range(n_ch)]
+        return (n_ch, rate, chans)
+
+    def audio_features_ch0(payload: bytes) -> tuple:
+        """(n_channels, n_samples, sumsq_ch0, zero_crossings_ch0,
+        peak_abs_ch0) — all EXACT integers so the oracle compares
+        without float rounding. A zero crossing is a sign-bit change
+        between consecutive samples with sign(s) := (s < 0)."""
+        n_ch, _rate, chans = decode_wav_samples(payload)
+        ch0 = chans[0] if chans else []
+        sumsq = sum(s * s for s in ch0)
+        zc = sum(
+            1 for a, b in zip(ch0, ch0[1:]) if (a < 0) != (b < 0)
+        )
+        peak = max((abs(s) for s in ch0), default=0)
+        return (n_ch, len(ch0), sumsq, zc, peak)
+
+    def decode_raster_gray(payload: bytes) -> tuple:
+        """BMP/PPM → (width, height, gray_rows) where gray = r + g + b
+        (exact int per pixel, ≤ 765). Shares header semantics with
+        decode_raster; duplicated walk kept tiny on purpose so each
+        kernel ships standalone by value."""
+        import struct
+
+        if payload[:2] == b"BM":
+            offset = struct.unpack_from("<I", payload, 10)[0]
+            width, height = struct.unpack_from("<ii", payload, 18)
+            _planes, bpp = struct.unpack_from("<HH", payload, 26)
+            compression = struct.unpack_from("<I", payload, 30)[0]
+            if bpp != 24 or compression != 0:
+                raise NotImplementedError("only uncompressed 24-bit BMP")
+            bottom_up = height > 0
+            height = abs(height)
+            row_bytes = width * 3
+            stride = row_bytes + ((-row_bytes) % 4)
+            rows = [None] * height
+            for stored in range(height):
+                y = (height - 1 - stored) if bottom_up else stored
+                base = offset + stored * stride
+                row = payload[base:base + row_bytes]
+                rows[y] = [
+                    row[3 * x] + row[3 * x + 1] + row[3 * x + 2]
+                    for x in range(width)
+                ]
+            return (width, height, rows)
+        if payload[:2] == b"P6":
+            pos, fields = 2, []
+            while len(fields) < 3:
+                while pos < len(payload) and payload[pos] in b" \t\r\n":
+                    pos += 1
+                if payload[pos:pos + 1] == b"#":
+                    while payload[pos] not in b"\r\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(payload) and payload[pos] not in b" \t\r\n":
+                    pos += 1
+                fields.append(int(payload[start:pos]))
+            pos += 1
+            width, height, maxval = fields
+            if maxval > 255:
+                raise NotImplementedError("16-bit PPM samples")
+            row_bytes = width * 3
+            rows = []
+            for y in range(height):
+                row = payload[pos + y * row_bytes: pos + (y + 1) * row_bytes]
+                rows.append([
+                    row[3 * x] + row[3 * x + 1] + row[3 * x + 2]
+                    for x in range(width)
+                ])
+            return (width, height, rows)
+        raise NotImplementedError("aHash decode: 24-bit BMP / binary PPM only")
+
+    def ahash64(payload: bytes) -> tuple:
+        """(width, height, ahash) — average-hash over the decoded gray
+        grid. Bit (y*w + x) is set iff gray(x,y) · (w·h) > Σ gray
+        (strict integer comparison — no float mean, no tie ambiguity).
+        Brightness-invariant by construction: adding a constant c to
+        every channel shifts both sides by 3c·(w·h). Images here are
+        ≤ 8×8 so the grid itself is the 64-bit code (no resampling);
+        a real-scale variant would first box-filter to 8×8 — the
+        thresholding and packing below are unchanged by that."""
+        width, height, rows = decode_raster_gray(payload)
+        if width * height > 64:
+            raise NotImplementedError(
+                "ahash64 expects a ≤8×8 grid; box-filter larger rasters first"
+            )
+        total = sum(sum(r) for r in rows)
+        wh = width * height
+        code = 0
+        for y in range(height):
+            for x in range(width):
+                if rows[y][x] * wh > total:
+                    code |= 1 << (y * width + x)
+        return (width, height, code)
+
+    return (decode_wav_samples, audio_features_ch0, decode_raster_gray, ahash64)
+
+
+(decode_wav_samples, audio_features_ch0,
+ decode_raster_gray, ahash64) = _build_signal_kernels()
+
+
+def audio_signal_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: decode each WAV payload and emit
+    (media_id, n_channels, n_samples, sumsq_ch0, zero_crossings_ch0,
+    peak_abs_ch0) — energy (sum of squares), zero-crossing count, and
+    peak amplitude of channel 0, all exact integers. Arrow-batched;
+    the binary never passes a shuffle — downstream carries fixed-width
+    rows only."""
+    kernel = audio_features_ch0
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [kernel(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_channels": [o[0] for o in out],
+                "n_samples": [o[1] for o in out],
+                "sumsq_ch0": [o[2] for o in out],
+                "zero_crossings_ch0": [o[3] for o in out],
+                "peak_abs_ch0": [o[4] for o in out],
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, n_channels int, n_samples int, "
+        "sumsq_ch0 long, zero_crossings_ch0 int, peak_abs_ch0 int",
+    )
+
+
+def raster_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual (average) hash over REAL decoded pixels: one
+    (media_id, width, height, ahash) row per raster. The hash is
+    brightness-shift-invariant, so re-encoded or exposure-shifted
+    copies land in the same bucket — group on (width, height, ahash)
+    for near-dup clustering; the binary never shuffles, only the
+    16-byte code does."""
+    kernel = ahash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = [kernel(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": [o[0] for o in out],
+                "height": [o[1] for o in out],
+                "ahash": [o[2] - (1 << 64) if o[2] >= 1 << 63 else o[2]
+                          for o in out],
+            })
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, width int, height int, ahash long"
+    )
+
+
+def scene_change_stats(media: DataFrame, mean_delta_threshold: int = 50) -> DataFrame:
+    """Scene-change detection over REAL decoded frames: per video,
+    decode every frame's Y plane (``frame_sample_decoded`` with
+    every_n=1), compute the mean-luma delta between consecutive frames
+    with a LAG window per media_id, and flag boundaries where the
+    absolute mean delta exceeds ``mean_delta_threshold``. Emits
+    (media_id, n_frames, n_scenes, first_cut_frame, max_mean_delta).
+    The window partitions by media_id (millions of small partitions at
+    scale — no low-cardinality serial key), and only 16-byte
+    (media_id, frame_idx, luma_sum) rows shuffle, never payloads."""
+    from pyspark.sql import Window
+
+    y4m_decode = decode_y4m  # shipped by value (locals qualname)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, sums, pixels = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                # W/H from the stream header the decoder itself parses —
+                # no separate metadata join (and no scale-proportional
+                # broadcast) needed downstream
+                nl = raw.index(b"\n")
+                w_px = h_px = None
+                for tag in raw[9:nl].split():
+                    t = tag.decode()
+                    if t.startswith("W"):
+                        w_px = int(t[1:])
+                    elif t.startswith("H"):
+                        h_px = int(t[1:])
+                for idx, s in y4m_decode(raw):
+                    ids.append(mid)
+                    idxs.append(idx)
+                    sums.append(s)
+                    pixels.append(w_px * h_px)
+            yield pd.DataFrame({
+                "media_id": ids, "frame_idx": idxs,
+                "luma_sum": sums, "n_pixels": pixels,
+            })
+
+    lumas = media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, luma_sum long, n_pixels int"
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    # per-frame mean delta: luma sums are divisible by w·h for any
+    # constant-gradient content; integer div keeps the oracle exact
+    per_frame = (
+        lumas
+        .withColumn("prev_luma", F.lag("luma_sum").over(w))
+        .withColumn(
+            "mean_delta",
+            F.when(
+                F.col("prev_luma").isNotNull(),
+                ((F.col("luma_sum") - F.col("prev_luma"))
+                 / F.col("n_pixels")).cast("long"),
+            ),
+        )
+    )
+    is_cut = F.abs(F.col("mean_delta")) > mean_delta_threshold
+    return per_frame.groupBy("media_id").agg(
+        (F.max("frame_idx") + 1).cast("int").alias("n_frames"),
+        (F.sum(F.when(is_cut, 1).otherwise(0)) + 1).cast("int").alias("n_scenes"),
+        F.min(F.when(is_cut, F.col("frame_idx"))).cast("int").alias("first_cut_frame"),
+        F.max("mean_delta").cast("long").alias("max_mean_delta"),
     )

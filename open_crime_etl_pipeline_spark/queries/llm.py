@@ -1984,3 +1984,305 @@ def reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select("event_type", "event_id")
     return reservoir_per_group(ev, "event_type", "event_id", k=5, salt="rsv")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: signal features over the real codecs, BPE pair
+# statistics, per-domain caps, distributed covariance, normalization dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "audio_rms_zcr_features",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   100 + doc_id % 50 AS n,
+                   1 + doc_id % 2 AS n_ch,
+                   doc_id % 100 AS c
+            FROM documents
+        ), samp AS (
+            SELECT doc_id, n, n_ch, CAST(t.i AS BIGINT) AS i,
+                   3 * t.i + c - 500 AS s,
+                   CASE WHEN t.i > 0 THEN 3 * (t.i - 1) + c - 500 END AS prev_s
+            FROM dims, unnest(range(0, n)) AS t(i)
+        )
+        SELECT doc_id AS media_id,
+               CAST(max(n_ch) AS INT) AS n_channels,
+               CAST(max(n) AS INT) AS n_samples,
+               CAST(sum(s * s) AS BIGINT) AS sumsq_ch0,
+               CAST(sum(CASE WHEN prev_s IS NOT NULL
+                             AND (prev_s < 0) != (s < 0)
+                        THEN 1 ELSE 0 END) AS INT) AS zero_crossings_ch0,
+               CAST(max(abs(s)) AS INT) AS peak_abs_ch0
+        FROM samp GROUP BY doc_id
+    """,
+    doc="REAL audio feature extraction: PCM16 WAV payloads are decoded "
+        "per-sample (chunk walk, signed parse, stereo de-interleave) and "
+        "channel 0's energy (Σs²), zero-crossing count, and peak "
+        "amplitude emitted as exact integers. The oracle restates the "
+        "ramp signal closed-form over unnest(range(n)) — a wrong "
+        "interleave stride or unsigned parse corrupts every statistic. "
+        "Payloads never shuffle; only fixed-width feature rows do "
+        "(§2.11 multimodal).",
+    tags=("llm", "multimodal", "codec"),
+)
+def audio_rms_zcr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = M.synthesize_wav_media(docs)
+    return M.audio_signal_features(media)
+
+
+@register(
+    "video_scene_change_cuts",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   3 + doc_id % 10 AS nf,
+                   1 + doc_id % (2 + doc_id % 10) AS cut
+            FROM documents
+        )
+        SELECT doc_id AS media_id,
+               CAST(nf AS INT) AS n_frames,
+               CAST(2 AS INT) AS n_scenes,
+               CAST(cut AS INT) AS first_cut_frame,
+               CAST(105 AS BIGINT) AS max_mean_delta
+        FROM dims
+    """,
+    doc="Scene-change detection over REAL decoded video: every frame's "
+        "Y plane is read from the Y4M payload, consecutive-frame mean-"
+        "luma deltas computed with a per-video LAG window, and "
+        "boundaries flagged where |Δmean| > 50. The synthesizer plants "
+        "one +100 luma cut at frame 1 + id % (nf-1); the oracle states "
+        "the planted truth (2 scenes, cut index, max delta 105 = 100 "
+        "jump + 5 gradient drift). A wrong plane stride, frame walk, or "
+        "window frame misses or mislocates cuts. The window partitions "
+        "by media_id — high-cardinality, no serial key at scale "
+        "(§2.11 multimodal).",
+    tags=("llm", "multimodal", "codec"),
+)
+def video_scene_change_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = M.synthesize_y4m_media(docs, scene_cut=True)
+    return M.scene_change_stats(media, mean_delta_threshold=50)
+
+
+@register(
+    "image_ahash_clusters",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(5 + doc_id % 4 AS INT) AS width,
+               CAST(4 + doc_id % 5 AS INT) AS height,
+               count(*) OVER (PARTITION BY doc_id % 20) AS cluster_size
+        FROM documents
+    """,
+    doc="Perceptual-hash image dedup over REAL decoded pixels: each "
+        "raster's average-hash (bit = pixel gray·w·h > Σgray, exact "
+        "integer threshold — no float mean) is computed from the "
+        "decoded BMP/PPM grid, then images cluster on (width, height, "
+        "ahash). aHash is brightness-shift-invariant, so the gradient "
+        "images — whose per-id offsets differ but whose relative "
+        "pattern depends only on (w, h) = (5+id%4, 4+id%5) — cluster "
+        "exactly by id % 20 across BOTH formats: the oracle states "
+        "those class sizes. A broken threshold, bit order, or decode "
+        "path splinters the clusters and fails the hash. Only 16-byte "
+        "codes shuffle, never payloads (§2.11 multimodal dedup).",
+    tags=("llm", "multimodal", "dedup"),
+)
+def image_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = M.synthesize_raster_media(docs)
+    hashed = M.raster_ahash(media)
+    w = Window.partitionBy("width", "height", "ahash")
+    return hashed.select(
+        "media_id", "width", "height",
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+@register(
+    "bpe_pair_merge_frequencies",
+    oracle="""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ), pairs AS (
+            SELECT substring(w, CAST(t.i AS INT), 2) AS pair
+            FROM words, unnest(range(1, length(w))) AS t(i)
+            WHERE length(w) > 1
+        ), counts AS (
+            SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+        )
+        SELECT pair, n, rnk FROM (
+            SELECT pair, n,
+                   row_number() OVER (ORDER BY n DESC, pair) AS rnk
+            FROM counts
+        ) WHERE rnk <= 20
+    """,
+    doc="First BPE merge step, corpus-wide: explode every word's "
+        "adjacent character pairs (Catalyst sequence+transform HOFs — "
+        "no Python in the hot path), count, and rank the top 20 merge "
+        "candidates under a total order (count desc, pair asc) so the "
+        "cut is deterministic on any engine. This is the inner loop of "
+        "tokenizer training expressed as one scan + one shuffle; "
+        "map-side partial aggregation bounds the shuffle by distinct "
+        "pairs (≤ alphabet², not corpus size) (§2.11 text analysis).",
+    tags=("llm", "text"),
+)
+def bpe_pair_merge_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(TS.tokens("text")).alias("w")).filter(
+        F.length("w") > 1
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 20
+    )
+
+
+@register(
+    "domain_cap_retention",
+    oracle="""
+        WITH ranked AS (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_retained,
+               CAST(sum(doc_id) AS BIGINT) AS retained_id_sum,
+               CAST(sum(n_chars) AS BIGINT) AS retained_chars
+        FROM ranked WHERE rk <= 10 GROUP BY source
+    """,
+    doc="Per-domain document cap (web-curation staple: bound any one "
+        "domain's contribution): keep the 10 docs per source that rank "
+        "first by md5(doc_id) — a deterministic, engine-portable "
+        "pseudo-random order, so the SAME docs survive on any cluster "
+        "size or engine (contrast rand(), which is neither). One hash-"
+        "partitioned window per source; at 100 TB the heavy-domain skew "
+        "this guards against is bounded by the cap itself — each "
+        "partition emits ≤ cap rows (§2.11 sampling / curation).",
+    tags=("llm", "sampling"),
+)
+def domain_cap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_retained"),
+            F.sum("doc_id").alias("retained_id_sum"),
+            F.sum("n_chars").alias("retained_chars"),
+        )
+    )
+
+
+@register(
+    "embedding_covariance_gram",
+    oracle="""
+        WITH pos AS (
+            SELECT vec_id, CAST(t.i AS INT) AS i,
+                   CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(1, 9)) AS t(i)
+        )
+        SELECT p1.i AS i, p2.i AS j,
+               round(covar_samp(p1.x, p2.x) * 1000, 6) AS cov_k
+        FROM pos p1 JOIN pos p2 USING (vec_id)
+        WHERE p1.i <= p2.i
+        GROUP BY p1.i, p2.i
+    """,
+    doc="Distributed covariance via one-pass Gram partials: each "
+        "partition computes its XᵀX + column sums with a single numpy "
+        "matmul (Arrow-batched map-side combine), one groupBy merges "
+        "O(partitions · d²) tiny rows — nothing proportional to N ever "
+        "shuffles or hits the driver, the exact shape corr/covar use "
+        "internally generalized to all pairs at once. Output here is "
+        "the 8×8 leading block (36 upper-triangle pairs, ×1000, 6dp) "
+        "checked against DuckDB's covar_samp; the full 64×64 feeds the "
+        "driver-side power-iteration eigensolver (O(d²), N-independent) "
+        "pinned against numpy in pytest (§2.11 embeddings).",
+    tags=("llm", "similarity", "stats"),
+)
+def embedding_covariance_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import linalg as LA
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = LA.covariance_pairs(emb, "embedding", d=64)
+    return cov.filter((F.col("i") <= 8) & (F.col("j") <= 8)).select(
+        "i", "j", F.round(F.col("cov") * 1000, 6).alias("cov_k")
+    )
+
+
+@register(
+    "text_normalized_dedup",
+    oracle="""
+        WITH perturbed AS (
+            SELECT doc_id,
+                   CASE doc_id % 3
+                       WHEN 0 THEN upper(text)
+                       WHEN 1 THEN text || '  !!! '
+                       ELSE regexp_replace(text, ' ', '   ', 'g')
+                   END AS ptext
+            FROM documents
+        ), normed AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(ptext),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+            FROM perturbed
+        )
+        SELECT min(doc_id) AS rep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(length(min_by(norm, doc_id)) AS BIGINT) AS norm_len
+        FROM normed GROUP BY norm
+    """,
+    doc="Normalization-based dedup (ccnet-style): documents are first "
+        "deterministically perturbed (upper-cased / punctuation "
+        "appended / whitespace doubled, by id % 3), then normalized "
+        "(lowercase, strip non-alphanumerics, collapse whitespace) and "
+        "grouped on the normalized form. Because normalization exactly "
+        "inverts every planted perturbation, groups equal the raw-text "
+        "duplicate groups — and the oracle re-derives that through "
+        "DuckDB's regex engine, differentially testing regexp_replace "
+        "semantics (global flag, class syntax) across engines. Scan-"
+        "side only; one shuffle on the normalized key (§2.11 dedup).",
+    tags=("llm", "dedup", "text"),
+)
+def text_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ptext = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper("text"))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit("  !!! ")))
+        .otherwise(F.regexp_replace("text", " ", "   "))
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(ptext), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        docs.select("doc_id", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").alias("n_docs"),
+            F.length(F.min_by("norm", "doc_id")).cast("long").alias("norm_len"),
+        )
+        .select("rep_doc_id", "n_docs", "norm_len")
+    )

@@ -704,3 +704,181 @@ def test_semdedup_rejects_unknown_mode(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="pandas"):
         S.semdedup(df, "vec_id", "embedding", pairwise="panda")
+
+
+# ---------------------------------------------------------------------------
+# Round-3: signal-feature kernels over the real codecs + linalg
+# ---------------------------------------------------------------------------
+
+def test_ahash_brightness_invariant_and_pixel_sensitive():
+    """aHash must bucket brightness-shifted copies together (the
+    perceptual property) yet split on a real pixel change."""
+    w, h = 6, 5
+    base = [[(7 * x + 13 * y, 5 * x + 11 * y, 3 * x + 2 * y)
+             for x in range(w)] for y in range(h)]
+    bright = [[(r + 40, g + 40, b + 40) for (r, g, b) in row] for row in base]
+    _, _, h_base = M.ahash64(M.encode_bmp24(w, h, base))
+    _, _, h_bright = M.ahash64(M.encode_ppm6(w, h, bright))
+    assert h_base == h_bright  # shift-invariant, format-independent
+    # flipping a dark corner pixel to max flips its threshold bit
+    changed = [row[:] for row in base]
+    changed[0][0] = (255, 255, 255)
+    _, _, h_changed = M.ahash64(M.encode_bmp24(w, h, changed))
+    assert h_changed != h_base
+    with pytest.raises(NotImplementedError, match="8.8|box-filter"):
+        M.ahash64(M.encode_ppm6(9, 8, [[(0, 0, 0)] * 9 for _ in range(8)]))
+
+
+def test_audio_features_kernel_chunk_walk_and_signs():
+    """Features must survive a LIST chunk before data (no byte-44
+    assumption) and count sign changes exactly."""
+    import struct
+
+    sig = [5, -3, -2, 7, 0, -1]  # crossings at 1, 3, 5 → 3
+    wav = M.encode_wav_pcm16(8000, [sig])
+    n_ch, n, sumsq, zc, peak = M.audio_features_ch0(wav)
+    assert (n_ch, n, peak) == (1, 6, 7)
+    assert sumsq == sum(s * s for s in sig)
+    assert zc == 3
+    # splice an unknown LIST chunk between fmt and data
+    pos = wav.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"  # odd→padded
+    spliced = wav[:pos] + extra + wav[pos:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert M.audio_features_ch0(spliced) == (n_ch, n, sumsq, zc, peak)
+
+
+def test_scene_change_stats_finds_planted_cut(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").limit(40)
+    media = M.synthesize_y4m_media(docs, scene_cut=True)
+    out = M.scene_change_stats(media, mean_delta_threshold=50).collect()
+    assert len(out) == 40
+    for r in out:
+        mid = r["media_id"]
+        nf = 3 + mid % 10
+        assert r["n_frames"] == nf
+        assert r["n_scenes"] == 2
+        assert r["first_cut_frame"] == 1 + mid % (nf - 1)
+        assert r["max_mean_delta"] == 105
+    # without a cut: one scene, no boundary, drift-only deltas
+    flat = M.scene_change_stats(
+        M.synthesize_y4m_media(docs, scene_cut=False), mean_delta_threshold=50
+    ).collect()
+    assert all(r["n_scenes"] == 1 and r["first_cut_frame"] is None for r in flat)
+
+
+def test_gram_covariance_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from open_crime_etl_pipeline_spark.operators import linalg as LA
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = LA.covariance_pairs(emb, "embedding", d=64).collect()
+    X = np.stack([r["embedding"] for r in emb.collect()]).astype(np.float64)
+    ref = np.cov(X, rowvar=False, ddof=1)
+    assert len(rows) == 64 * 65 // 2
+    for r in rows[:500]:
+        assert abs(r["cov"] - ref[r["i"] - 1, r["j"] - 1]) < 1e-10
+
+
+def test_power_iteration_matches_eigh(spark, sf_dir):
+    import numpy as np
+
+    from open_crime_etl_pipeline_spark.operators import linalg as LA
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = [r.asDict() for r in LA.covariance_pairs(emb, "embedding", d=64).collect()]
+    lam, v = LA.power_iteration_top_eig(rows, d=64)
+    X = np.stack([r["embedding"] for r in emb.collect()]).astype(np.float64)
+    C = np.cov(X, rowvar=False, ddof=1)
+    w, V = np.linalg.eigh(C)
+    lam_ref, v_ref = w[-1], V[:, -1]
+    if v_ref[np.flatnonzero(np.abs(v_ref) > 1e-12)[0]] < 0:
+        v_ref = -v_ref
+    assert abs(lam - lam_ref) / lam_ref < 1e-6
+    assert np.abs(v - v_ref).max() < 1e-4
+
+
+def test_domain_cap_is_deterministic_across_partitionings(spark, sf_dir):
+    from tests.conftest import SF_DIR_MID
+
+    from open_crime_etl_pipeline_spark.queries.registry import get_spec
+
+    spec = get_spec("domain_cap_retention")
+    a = {tuple(r) for r in spec.fn(spark, SF_DIR_MID).collect()}
+    docs = spark.read.parquet(f"{SF_DIR_MID}/documents.parquet")
+    assert all(r[1] <= 10 for r in a)  # n_retained ≤ cap
+    # same answer when the input arrives in 1 partition vs many
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        SF.md5(SF.col("doc_id").cast("string")), SF.col("doc_id")
+    )
+    b = {
+        tuple(r)
+        for r in docs.repartition(1)
+        .select("source", "doc_id", "n_chars")
+        .withColumn("rk", SF.row_number().over(w))
+        .filter(SF.col("rk") <= 10)
+        .groupBy("source")
+        .agg(
+            SF.count("*").alias("n_retained"),
+            SF.sum("doc_id").alias("retained_id_sum"),
+            SF.sum("n_chars").alias("retained_chars"),
+        )
+        .collect()
+    }
+    assert a == b
+
+
+def test_bpe_pairs_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "abab cd"), (2, "abc a")], ["doc_id", "text"]
+    )
+    docs.createOrReplaceTempView("_bpe_docs")
+    from pyspark.sql import functions as SF
+
+    from open_crime_etl_pipeline_spark.operators import textstats as TSx
+
+    words = docs.select(SF.explode(TSx.tokens("text")).alias("w")).filter(
+        SF.length("w") > 1
+    )
+    pairs = (
+        words.select(
+            SF.explode(
+                SF.expr(
+                    "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .count()
+        .collect()
+    )
+    got = {r["pair"]: r["count"] for r in pairs}
+    # abab → ab, ba, ab ; cd → cd ; abc → ab, bc ; 'a' filtered
+    assert got == {"ab": 3, "ba": 1, "cd": 1, "bc": 1}
+
+
+def test_normalization_inverts_planted_perturbations(spark, sf_dir):
+    """norm(perturb(text)) == norm(text) for every planted perturbation,
+    so normalized dedup groups equal raw-text groups."""
+    from pyspark.sql import functions as SF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def norm(col):
+        return SF.trim(
+            SF.regexp_replace(
+                SF.regexp_replace(SF.lower(col), "[^a-z0-9 ]", " "), " +", " "
+            )
+        )
+
+    ptext = (
+        SF.when(SF.col("doc_id") % 3 == 0, SF.upper("text"))
+        .when(SF.col("doc_id") % 3 == 1, SF.concat(SF.col("text"), SF.lit("  !!! ")))
+        .otherwise(SF.regexp_replace("text", " ", "   "))
+    )
+    diff = docs.filter(norm(ptext) != norm(SF.col("text"))).count()
+    assert diff == 0
