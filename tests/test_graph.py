@@ -1,0 +1,77 @@
+"""Iterative PageRank + triangle counting (SURVEY §2 [EXT] graph)."""
+
+from __future__ import annotations
+
+import pytest
+
+from open_crime_etl_pipeline_spark.operators import graph as G
+
+
+def test_pagerank_matches_numpy_matrix_power(spark):
+    import numpy as np
+
+    edges = [
+        ("a", "b", 1.0), ("a", "c", 3.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("d", "a", 2.0), ("b", "d", 1.0),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    got = {r["node"]: r["rank"] for r in G.pagerank(df, 0.85, iters=10).collect()}
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    outw = {}
+    for s, d, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    for s, d, w in edges:
+        P[idx[d], idx[s]] += w / outw[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = (1 - 0.85) / n + 0.85 * (P @ r)
+    for name, i in idx.items():
+        assert got[name] == pytest.approx(r[i], abs=1e-12)
+
+
+def test_pagerank_oracle_sql_matches_operator(spark):
+    import duckdb
+
+    edges = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("a", "c", 1.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    got = {
+        r["node"]: round(r["rank"] * 1000, 6)
+        for r in G.pagerank(df, 0.85, iters=10).collect()
+    }
+    cte = """
+        edges AS (
+            SELECT * FROM (VALUES
+                ('a', 'b', 1.0), ('b', 'c', 2.0),
+                ('c', 'a', 1.0), ('a', 'c', 1.0)
+            ) AS t(src, dst, weight)
+        )"""
+    sql = G.pagerank_oracle_sql(cte, 0.85, iters=10)
+    ref = {n: v for n, v in duckdb.connect().execute(sql).fetchall()}
+    assert set(got) == set(ref)
+    for k in got:
+        assert got[k] == pytest.approx(ref[k], abs=1e-6)
+
+
+def test_triangle_count_hand_built(spark):
+    # K4 on 1-4 (4 triangles) + pendant edge + duplicate/reversed/self edges
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # K4
+        (4, 5),                                            # pendant
+        (2, 1), (3, 1),                                    # reversed dups
+        (5, 5),                                            # self loop
+        (1, 2),                                            # exact dup
+    ]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    row = G.triangle_count(df).collect()[0]
+    assert row["n_edges"] == 7
+    assert row["n_triangles"] == 4
+
+
+def test_triangle_count_empty_and_triangle_free(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])  # path
+    row = G.triangle_count(df).collect()[0]
+    assert (row["n_edges"], row["n_triangles"]) == (3, 0)
