@@ -64,6 +64,11 @@ def main() -> None:
         "asof_join_last_purchase",    # as-of join via union + window carry
         "duplicate_ngram_fraction",   # inverted-index cross-corpus dup signal
         "semdedup_embedding_prune",   # cluster + per-cluster gram-matrix prune
+        # r3 new-family entries (same rule as r2: every new operator
+        # family gets a permanently measured headline representative)
+        "triangle_count_copurchase",  # graph: degree-ordered wedge join
+        "embedding_covariance_gram",  # linalg: numpy partials + d^2 reduce
+        "image_ahash_clusters",       # codec: encode+decode+hash 5k rasters
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not
@@ -155,6 +160,26 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
     time.sleep(1.0)
 
+    # --- machine-speed canary -------------------------------------------
+    # Headline totals are only comparable across rounds when the VM is
+    # comparable: boots land on different (sometimes 2x slower) hosts.
+    # Two fixed-work probes give the reader a normalization denominator:
+    # a pure-Python single-core loop and a fixed JVM shuffle+agg. Both
+    # run AFTER warm-up and OUTSIDE the per-query timers.
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    py_canary = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    (
+        spark.range(20_000_000)
+        .groupBy((F.col("id") % 1000).alias("k"))
+        .count()
+        .count()
+    )
+    jvm_canary = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = specs[name].fn
@@ -181,6 +206,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # fixed-work probes for cross-boot comparability (see comment
+        # above): py = 1e7-iteration single-core loop, jvm = 2e7-row
+        # shuffle+agg. Compare rounds as value/canary, not raw value.
+        "canary": {"py_loop_sec": py_canary, "jvm_shuffle_sec": jvm_canary,
+                   "cpus": int(cpus)},
     }))
     spark.stop()
 
