@@ -149,3 +149,33 @@ def test_nested_agg_second_level_is_orders_sized(spark, sf_dir):
     plan = _plan(spark, sf_dir, "nested_agg_avg_order_value")
     assert plan.count("partial_sum") >= 1
     assert "partial_count" in plan
+
+
+def test_covariance_gram_single_exchange_no_row_shuffle(spark, sf_dir):
+    """The Gram reduce must shuffle only the d²-row partials (one
+    Exchange for the groupBy(i,j)), never anything row-proportional:
+    no Sort/Window/row-level join may appear before the aggregation."""
+    plan = _plan(spark, sf_dir, "embedding_covariance_gram")
+    import re
+
+    # exactly one hashpartitioning exchange (i, j) + possibly AQE reads
+    assert len(re.findall(r"Exchange hashpartitioning\(i", plan)) == 1
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_triangle_count_reuses_cached_oriented_edges(spark, sf_dir):
+    """The oriented edge list must be built once (InMemoryRelation) and
+    reused by all three wedge-join branches — rebuilding it per branch
+    triples the 6-way edge-build join at scale."""
+    df = all_specs()["triangle_count_copurchase"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_scene_change_window_partitions_by_media_id(spark, sf_dir):
+    """The LAG window must partition by media_id (high cardinality) —
+    a global or low-cardinality window serializes every frame row
+    through a handful of tasks at scale."""
+    plan = _plan(spark, sf_dir, "video_scene_change_cuts")
+    assert "partitionBy=[media_id" in plan.replace(" ", "").replace("#", "#") or \
+        "hashpartitioning(media_id" in plan
