@@ -82,3 +82,46 @@ def reservoir_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def md5_uniform(col, salt: str = "") -> Column:
+    """Deterministic uniform in (0, 1] from md5(id + salt): the first
+    13 hex chars are a 52-bit integer — exactly representable as a
+    double — divided by 2^52. Bit-identical on any engine that has md5
+    and IEEE doubles (DuckDB: ``CAST('0x' || substring(md5(..),1,13) AS
+    UBIGINT) / 2^52``), unlike rand(seed), which is engine- and
+    partitioning-specific. The +1 offset avoids u = 0 (ln(0) below)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 13), 16, 10
+    )
+    return (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 52))
+
+
+def weighted_sample_per_group(
+    df: DataFrame, group_col: str, id_col: str, weight_col: str, k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group, via the
+    Efraimidis–Spirakis A-ES scheme: rank each row by
+    key = -ln(u) / w (u = :func:`md5_uniform`, w = its weight) and keep
+    the k smallest per group — inclusion probability proportional to
+    weight, exactly the one-pass reservoir scheme, but DETERMINISTIC
+    (u is a pure function of id+salt) so the same k rows come back on
+    any engine, run, or cluster size.
+
+    Cross-engine note: ln() may differ in the last ulp across libms —
+    a rank flip needs two keys within ~2 ulp, probability ≈ n²·1e-16
+    per group, negligible for any real group size; ties then break on
+    id. Scale shape: one shuffle on the group key (same as
+    :func:`reservoir_per_group`)."""
+    u = md5_uniform(id_col, salt)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__aes_key", key)
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(group_col).orderBy(F.col("__aes_key").asc(), F.col(id_col))
+        ))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__aes_key")
+    )

@@ -2286,3 +2286,101 @@ def text_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("rep_doc_id", "n_docs", "norm_len")
     )
+
+
+@register(
+    "weighted_sample_aes",
+    oracle="""
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars,
+                   -ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                             || 'aes'), 1, 13) AS UBIGINT) + 1.0)
+                       / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE) AS aes_key
+            FROM documents
+        ), ranked AS (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY aes_key, doc_id
+                   ) AS rk
+            FROM keyed
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_sampled,
+               CAST(sum(doc_id) AS BIGINT) AS sampled_id_sum,
+               CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        FROM ranked WHERE rk <= 8 GROUP BY source
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis–Spirakis "
+        "A-ES), 8 docs per source with inclusion probability ∝ n_chars: "
+        "rank by -ln(u)/w where u is an md5-derived 52-bit uniform — "
+        "exactly representable as a double, so u is bit-identical "
+        "across engines and the sample is reproducible on any run, "
+        "engine, or cluster size (rand()-based weighted sampling is "
+        "none of those). The oracle recomputes the identical keys in "
+        "DuckDB — a differential test of the whole chain (md5, hex "
+        "parse, ln, division, window rank). One shuffle on the group "
+        "key (§2.11 sampling).",
+    tags=("llm", "sampling"),
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    picked = weighted_sample_per_group(
+        docs, "source", "doc_id", "n_chars", k=8, salt="aes"
+    )
+    return picked.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("doc_id").alias("sampled_id_sum"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+
+
+@register(
+    "iqr_outlier_length_filter",
+    oracle="""
+        WITH q AS (
+            SELECT source,
+                   quantile_cont(n_chars, 0.25) AS q1,
+                   quantile_cont(n_chars, 0.75) AS q3
+            FROM documents GROUP BY source
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN d.n_chars >= q.q1 - 1.5 * (q.q3 - q.q1)
+                              AND d.n_chars <= q.q3 + 1.5 * (q.q3 - q.q1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               round(q.q1, 6) AS q1, round(q.q3, 6) AS q3
+        FROM documents d JOIN q ON q.source = d.source
+        GROUP BY d.source, q.q1, q.q3
+    """,
+    doc="IQR outlier filter (curation staple: drop length outliers "
+        "before training): exact interpolated quartiles of n_chars per "
+        "source, Tukey fences at 1.5·IQR, per-source retention counts. "
+        "Spark's percentile() and DuckDB's quantile_cont share the "
+        "linear-interpolation definition, so the fences match exactly. "
+        "Per-source aggregation then a broadcast-sized fence join — "
+        "the quartile state is one row per source, never "
+        "row-proportional (§2.11 quality filtering).",
+    tags=("llm", "quality"),
+)
+def iqr_outlier_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    q = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    joined = docs.join(q, "source")
+    return joined.groupBy("source", "q1", "q3").agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when((F.col("n_chars") >= lo) & (F.col("n_chars") <= hi), 1)
+            .otherwise(0)
+        ).alias("n_retained"),
+    ).select(
+        "source", "n_total", "n_retained",
+        F.round("q1", 6).alias("q1"), F.round("q3", 6).alias("q3"),
+    )

@@ -393,3 +393,49 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current",
     )
+
+
+@register(
+    "merge_schema_evolution",
+    oracle=_MERGE_SCENARIO_SQL + """
+        , evolved_source AS (
+            SELECT o_orderkey, o_orderstatus, total_price,
+                   'online' AS channel
+            FROM source
+        ), merged AS (
+            SELECT o_orderkey, o_orderstatus, total_price, channel
+            FROM evolved_source
+            UNION ALL
+            SELECT t.o_orderkey, t.o_orderstatus, t.total_price,
+                   CAST(NULL AS VARCHAR) AS channel
+            FROM target t
+            WHERE NOT EXISTS (SELECT 1 FROM evolved_source s
+                              WHERE s.o_orderkey = t.o_orderkey)
+        )
+        SELECT coalesce(channel, '<null>') AS channel,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(round(sum(CAST(total_price AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS total_value
+        FROM merged GROUP BY coalesce(channel, '<null>')
+    """,
+    doc="MERGE WITH SCHEMA EVOLUTION (lakehouse-SQL behavior): the "
+        "batch adds a `channel` column absent from the target; "
+        "`allow_schema_evolution=True` widens the result and backfills "
+        "surviving target rows with NULL — exactly unionByName("
+        "allowMissingColumns). The strict default raises at plan time "
+        "instead (pinned in test_merge.py). Same one-anti-join shape as "
+        "J1 — the target still never shuffles (§2.3 J1 extension).",
+    tags=("merge", "join"),
+)
+def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, source = _merge_scenario(spark, sf_dir)
+    evolved = source.withColumn("channel", F.lit("online"))
+    merged = merge_upsert(
+        target, evolved, keys=["o_orderkey"], allow_schema_evolution=True
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("channel"), F.lit("<null>")).alias("channel")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(dec2("total_price")), 2).cast("double").alias("total_value"),
+    )

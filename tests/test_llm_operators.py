@@ -882,3 +882,55 @@ def test_normalization_inverts_planted_perturbations(spark, sf_dir):
     )
     diff = docs.filter(norm(ptext) != norm(SF.col("text"))).count()
     assert diff == 0
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    """A-ES property: with weights 100 vs 1, the heavy rows dominate
+    the sample. 200 rows per class, k=50: heavy expected ≈ all."""
+    from pyspark.sql import functions as SF
+
+    from open_crime_etl_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = spark.range(400).select(
+        SF.lit("g").alias("grp"),
+        SF.col("id").alias("rid"),
+        SF.when(SF.col("id") < 200, SF.lit(100.0)).otherwise(SF.lit(1.0)).alias("w"),
+    )
+    picked = weighted_sample_per_group(rows, "grp", "rid", "w", k=50).collect()
+    assert len(picked) == 50
+    heavy = sum(1 for r in picked if r["rid"] < 200)
+    assert heavy >= 45  # P[this few heavy] is astronomically small
+
+    # determinism across partitionings
+    again = {
+        r["rid"]
+        for r in weighted_sample_per_group(
+            rows.repartition(13), "grp", "rid", "w", k=50
+        ).collect()
+    }
+    assert again == {r["rid"] for r in picked}
+
+
+def test_iqr_filter_hand_computed(spark):
+    from pyspark.sql import functions as SF
+
+    from open_crime_etl_pipeline_spark.queries.registry import get_spec
+
+    # n_chars 1..8 plus outlier 1000: q1=3, q3=7 (interpolated over 9
+    # values: q1 = 25th pct of sorted [1..8,1000])
+    import numpy as np
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 1000]
+    q1, q3 = np.percentile(vals, 25), np.percentile(vals, 75)
+    df = spark.createDataFrame([("s", v) for v in vals], ["source", "n_chars"])
+    got = (
+        df.groupBy("source").agg(
+            SF.expr("percentile(n_chars, 0.25)").alias("q1"),
+            SF.expr("percentile(n_chars, 0.75)").alias("q3"),
+        ).collect()[0]
+    )
+    assert got["q1"] == q1 and got["q3"] == q3
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    assert sum(1 for v in vals if lo <= v <= hi) == 8  # 1000 is fenced out

@@ -93,3 +93,22 @@ def test_merge_schema_evolution_adds_and_omits_columns(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):  # strict default refuses the widened batch
         merge_upsert(target, widened, keys=["id"]).collect()
+
+
+def test_merge_strict_schema_raises_and_evolution_widens(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from open_crime_etl_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    source = spark.createDataFrame([(2, "B", "x")], ["k", "v", "extra"])
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="UNION|column|resolve|NUM_COLUMNS"):
+        merge_upsert(target, source, keys=["k"]).collect()
+
+    out = merge_upsert(
+        target, source, keys=["k"], allow_schema_evolution=True
+    ).collect()
+    rows = {r["k"]: (r["v"], r["extra"]) for r in out}
+    assert rows == {1: ("a", None), 2: ("B", "x")}
