@@ -732,3 +732,119 @@ def referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orphans"),
         F.countDistinct("o_custkey").alias("n_orphan_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3/Q5 shapes — multi-way join breadth (§2.3 J6 [EXT]).
+# ---------------------------------------------------------------------------
+
+@register(
+    "shipping_priority_top10",
+    oracle="""
+        SELECT l.l_orderkey AS order_key,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS revenue,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               o.o_orderpriority AS order_priority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, order_key LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): segment-filtered customer "
+        "⋈ orders ⋈ lineitem with opposing date predicates, revenue per "
+        "order, top-10 under a total order (revenue desc, key asc). "
+        "Both date filters reach the parquet scans (PushedFilters); the "
+        "top-10 runs as TakeOrderedAndProject — per-partition heaps, no "
+        "global sort. Exact-decimal revenue per the engine's money "
+        "convention (§2.3 J6, §2.6 O3).",
+    tags=("join", "topk", "tpch"),
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy(
+        F.col("l_orderkey").alias("order_key"),
+        fmt_date("o_orderdate").alias("order_date"),
+        F.col("o_orderpriority").alias("order_priority"),
+    ).agg(
+        F.round(F.sum(dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))), 2)
+        .cast("double").alias("revenue"),
+    )
+    return agg.select(
+        "order_key", "revenue", "order_date", "order_priority"
+    ).orderBy(F.col("revenue").desc(), F.col("order_key")).limit(10)
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): the 6-way join with "
+        "the c_nationkey = s_nationkey locality constraint — revenue "
+        "per ASIA nation for one order-year. nation/region are "
+        "fixed-size dims (forced broadcast is legitimate); customer/"
+        "supplier joins stay unhinted for AQE. The year predicate is "
+        "pushed to the orders scan (§2.3 J6).",
+    tags=("join", "agg", "tpch"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(asia_nations, supp.s_nationkey == F.col("n_nationkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))), 2)
+        .cast("double").alias("revenue"),
+    )

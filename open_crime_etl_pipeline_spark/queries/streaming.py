@@ -252,3 +252,30 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("secs_to_purchase"),
     )
     return _run_to_table(out, "stream_ij")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark "
+        "keyed on (user_id, event_type) over a watermarked real stream — "
+        "unlike plain dropDuplicates (state grows with distinct keys "
+        "forever), state here is evicted once the watermark passes a "
+        "key's last-seen event time, which is what makes streaming dedup "
+        "viable on an unbounded 100 TB/day feed. Emitted columns are "
+        "exactly the dedup key, so despite arrival-order-dependent row "
+        "selection the RESULT SET is deterministic and the oracle is "
+        "SELECT DISTINCT (§2.8 ST10 + §2.11 dedup).",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_table(ev, "stream_ddww")

@@ -179,3 +179,9 @@ def test_scene_change_window_partitions_by_media_id(spark, sf_dir):
     plan = _plan(spark, sf_dir, "video_scene_change_cuts")
     assert "partitionBy=[media_id" in plan.replace(" ", "").replace("#", "#") or \
         "hashpartitioning(media_id" in plan
+
+
+def test_q3_topk_avoids_global_sort_and_pushes_dates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "shipping_priority_top10")
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, no Sort+Exchange
+    assert "PushedFilters" in plan and "l_shipdate" in plan
