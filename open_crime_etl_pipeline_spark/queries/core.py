@@ -848,3 +848,52 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(dec2("l_extendedprice") * dec2(1 - F.col("l_discount"))), 2)
         .cast("double").alias("revenue"),
     )
+
+
+@register(
+    "sql_api_ansi_parity",
+    oracle="""
+        SELECT l_returnflag AS return_flag,
+               count(DISTINCT l_orderkey) AS n_orders,
+               CAST(round(sum(CASE WHEN l_discount > 0.05
+                                   THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                   ELSE CAST(0 AS DECIMAL(12,2)) END), 2)
+                    AS DOUBLE) AS discounted_revenue,
+               round(CAST(sum(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(*), 6) AS avg_tax
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_returnflag
+        HAVING count(*) > 100
+    """,
+    doc="The SQL API surface: this query is executed through "
+        "spark.sql() over views the engine registers (io/catalog.py "
+        "bootstrap, D1-D3) — the IDENTICAL ANSI text DuckDB runs as the "
+        "oracle (only the view name differs), demonstrating that a "
+        "reference user's SQL moves over verbatim: CASE, COUNT "
+        "(DISTINCT), HAVING, decimal money arithmetic, timestamp "
+        "literals. Views are (re)registered per call so a stale "
+        "sf_dir can never leak across driver invocations (§2.9 D3 + "
+        "SQL front-end).",
+    tags=("sql-api", "agg"),
+)
+def sql_api_ansi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table
+
+    # createOrReplace (not create-if-absent): the driver calls queries
+    # at several sf_dirs in one session; a cached view must never win.
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sqlapi_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag AS return_flag,
+               count(DISTINCT l_orderkey) AS n_orders,
+               CAST(round(sum(CASE WHEN l_discount > 0.05
+                                   THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                   ELSE CAST(0 AS DECIMAL(12,2)) END), 2)
+                    AS DOUBLE) AS discounted_revenue,
+               round(CAST(sum(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE)
+                     / count(*), 6) AS avg_tax
+        FROM sqlapi_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_returnflag
+        HAVING count(*) > 100
+    """)

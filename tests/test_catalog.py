@@ -25,3 +25,17 @@ def test_catalog_scan_reflects_drop(spark, sf_dir):
     # bootstrap restores it
     ensure_views(spark, sf_dir, ["supplier"])
     assert "supplier" in list_table_names(spark)
+
+
+def test_sql_api_views_do_not_leak_across_sf_dirs(spark):
+    """The SQL-API query re-registers its views per call, so invoking
+    it at one sf_dir then another returns the second dir's data — a
+    create-if-absent view here would silently serve stale data."""
+    from open_crime_etl_pipeline_spark.queries.registry import get_spec
+
+    spec = get_spec("sql_api_ansi_parity")
+    small = spec.fn(spark, "/root/testdata/sf0.001").collect()
+    big = spec.fn(spark, "/root/testdata/sf0.01").collect()
+    n_small = sum(r["n_orders"] for r in small)
+    n_big = sum(r["n_orders"] for r in big)
+    assert n_big > n_small  # stale view would make these equal
