@@ -822,8 +822,9 @@ def raster_ahash(media: DataFrame) -> DataFrame:
 
 def scene_change_stats(media: DataFrame, mean_delta_threshold: int = 50) -> DataFrame:
     """Scene-change detection over REAL decoded frames: per video,
-    decode every frame's Y plane (``frame_sample_decoded`` with
-    every_n=1), compute the mean-luma delta between consecutive frames
+    decode every frame's Y plane (inline kernel that also reads W/H
+    from the stream header — no metadata join, no scale-proportional
+    broadcast), compute the mean-luma delta between consecutive frames
     with a LAG window per media_id, and flag boundaries where the
     absolute mean delta exceeds ``mean_delta_threshold``. Emits
     (media_id, n_frames, n_scenes, first_cut_frame, max_mean_delta).
