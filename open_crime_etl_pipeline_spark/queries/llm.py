@@ -2169,22 +2169,21 @@ def bpe_pair_merge_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain's contribution): keep the 10 docs per source that rank "
         "first by md5(doc_id) — a deterministic, engine-portable "
         "pseudo-random order, so the SAME docs survive on any cluster "
-        "size or engine (contrast rand(), which is neither). One hash-"
-        "partitioned window per source; at 100 TB the heavy-domain skew "
-        "this guards against is bounded by the cap itself — each "
-        "partition emits ≤ cap rows (§2.11 sampling / curation).",
+        "size or engine (contrast rand(), which is neither). Runs "
+        "through capped_topk_by_hash: a hash-threshold prefilter with "
+        "a deterministic survivor-count certificate cuts each group to "
+        "O(k) rows BEFORE the window, so a domain holding 30% of a "
+        "100 TB crawl never serializes through one sort task — exact "
+        "same output as the naive window, pinned by "
+        "test_capped_topk_equals_naive_window (§2.11 sampling).",
     tags=("llm", "sampling"),
 )
 def domain_cap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.sampling import capped_topk_by_hash
 
     docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
     return (
-        docs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        capped_topk_by_hash(docs, "source", "doc_id", k=10)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_retained"),
@@ -2362,7 +2361,11 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "linear-interpolation definition, so the fences match exactly. "
         "Per-source aggregation then a broadcast-sized fence join — "
         "the quartile state is one row per source, never "
-        "row-proportional (§2.11 quality filtering).",
+        "row-proportional. Scale note: exact percentile() keeps a "
+        "per-group value-frequency map (fine for bounded-domain ints "
+        "like n_chars); for unbounded-domain columns at 100 TB swap in "
+        "approx_percentile(·, ·, accuracy) — same query shape, "
+        "constant-size sketch state (§2.11 quality filtering).",
     tags=("llm", "quality"),
 )
 def iqr_outlier_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
