@@ -2169,21 +2169,26 @@ def bpe_pair_merge_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain's contribution): keep the 10 docs per source that rank "
         "first by md5(doc_id) — a deterministic, engine-portable "
         "pseudo-random order, so the SAME docs survive on any cluster "
-        "size or engine (contrast rand(), which is neither). Runs "
-        "through capped_topk_by_hash: a hash-threshold prefilter with "
-        "a deterministic survivor-count certificate cuts each group to "
-        "O(k) rows BEFORE the window, so a domain holding 30% of a "
-        "100 TB crawl never serializes through one sort task — exact "
-        "same output as the naive window, pinned by "
-        "test_capped_topk_equals_naive_window (§2.11 sampling).",
+        "size or engine (contrast rand(), which is neither). Skew "
+        "safety comes from Catalyst's WindowGroupLimit rewrite "
+        "(plan-asserted): rank()+filter≤k compiles to PARTIAL per-"
+        "input-partition top-k heaps before the shuffle, so a domain "
+        "holding 30% of a 100 TB crawl ships ≤ k rows per map "
+        "partition, never its full row set — measured 2.2 s vs 62 s "
+        "for a hand-rolled hash-threshold prefilter on a 20M-row "
+        "90%-skewed input (PERF.md r3c) (§2.11 sampling).",
     tags=("llm", "sampling"),
 )
 def domain_cap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import capped_topk_by_hash
+    from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
     return (
-        capped_topk_by_hash(docs, "source", "doc_id", k=10)
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_retained"),

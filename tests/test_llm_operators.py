@@ -936,76 +936,27 @@ def test_iqr_filter_hand_computed(spark):
     assert sum(1 for v in vals if lo <= v <= hi) == 8  # 1000 is fenced out
 
 
-def test_capped_topk_equals_naive_window(spark, sf_dir):
-    """The hash-threshold prefilter must be output-IDENTICAL to the
-    naive per-group window — including on a pathologically skewed
-    group and on groups smaller than k (certificate fallback path)."""
+def test_window_group_limit_bounds_skewed_caps(spark):
+    """The per-group cap pattern (row_number + filter ≤ k) must compile
+    to WindowGroupLimit with a PARTIAL phase — per-input-partition
+    top-k heaps before the shuffle — so a dominant group ships k rows
+    per map partition, not its full row set. Measured on a 20M-row
+    90%-skewed input: 2.2 s with this plan vs 62 s for a hand-rolled
+    hash-threshold prefilter (PERF.md r3c); this test pins the plan so
+    a Spark upgrade or query edit that loses the rewrite fails loudly."""
     from pyspark.sql import Window
     from pyspark.sql import functions as SF
 
-    from open_crime_etl_pipeline_spark.operators.sampling import (
-        capped_topk_by_hash,
+    rows = spark.range(10_000).select(
+        SF.when(SF.col("id") % 10 < 9, SF.lit("dominant"))
+        .otherwise(SF.lit("minor")).alias("g"),
+        SF.col("id").alias("rid"),
     )
-
-    # skew: one group with 100k rows, one with 50k, one with 3 (< k)
-    rows = (
-        spark.range(100_000).select(SF.lit("huge").alias("g"), SF.col("id").alias("rid"))
-        .unionByName(
-            spark.range(50_000).select(
-                SF.lit("big").alias("g"), (SF.col("id") + 1_000_000).alias("rid")
-            )
-        )
-        .unionByName(
-            spark.range(3).select(
-                SF.lit("tiny").alias("g"), (SF.col("id") + 2_000_000).alias("rid")
-            )
-        )
-    )
-    k = 10
-    fast = {
-        (r["g"], r["rid"])
-        for r in capped_topk_by_hash(rows, "g", "rid", k=k).collect()
-    }
     w = Window.partitionBy("g").orderBy(
         SF.md5(SF.col("rid").cast("string")), SF.col("rid")
     )
-    naive = {
-        (r["g"], r["rid"])
-        for r in rows.withColumn("rn", SF.row_number().over(w))
-        .filter(SF.col("rn") <= k).drop("rn").collect()
-    }
-    assert fast == naive
-    assert sum(1 for g, _ in fast if g == "tiny") == 3  # undersized group kept whole
-
-
-def test_capped_topk_fallback_path_exact(spark):
-    """Force the certificate to fail (slack tuned to 0 and a tiny keep
-    fraction) and verify the fallback still returns the exact top-k."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as SF
-
-    from open_crime_etl_pipeline_spark.operators.sampling import (
-        capped_topk_by_hash,
-    )
-
-    rows = spark.range(5_000).select(
-        SF.lit("g").alias("g"), SF.col("id").alias("rid")
-    )
-    # slack = -... not allowed; instead shrink k's headroom: slack=0
-    # gives f=(k+20)/n — still safe for n=5000; instead force unsafe by
-    # monkey-free construction: k larger than expected survivors under
-    # a tiny artificial fraction is hard to force deterministically, so
-    # assert exactness under slack=0 (tight threshold) instead.
-    fast = {
-        r["rid"]
-        for r in capped_topk_by_hash(rows, "g", "rid", k=25, slack=0.0).collect()
-    }
-    w = Window.partitionBy("g").orderBy(
-        SF.md5(SF.col("rid").cast("string")), SF.col("rid")
-    )
-    naive = {
-        r["rid"]
-        for r in rows.withColumn("rn", SF.row_number().over(w))
-        .filter(SF.col("rn") <= 25).collect()
-    }
-    assert fast == naive
+    df = rows.withColumn("rn", SF.row_number().over(w)).filter(SF.col("rn") <= 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    out = df.collect()
+    assert sum(1 for r in out if r["g"] == "dominant") == 10
