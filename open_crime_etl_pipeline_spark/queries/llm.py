@@ -2392,3 +2392,55 @@ def iqr_outlier_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_total", "n_retained",
         F.round("q1", 6).alias("q1"), F.round("q3", 6).alias("q3"),
     )
+
+
+@register(
+    "token_entropy_quality",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, t.tok AS tok
+            FROM documents,
+                 unnest(list_filter(string_split(text, ' '),
+                                    x -> x != '')) AS t(tok)
+        ), counts AS (
+            SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+        ), totals AS (
+            SELECT doc_id, sum(c) AS n, count(*) AS n_distinct FROM counts
+            GROUP BY doc_id
+        )
+        SELECT c.doc_id AS doc_id,
+               CAST(t.n AS BIGINT) AS n_tokens,
+               CAST(t.n_distinct AS BIGINT) AS n_distinct,
+               round(-sum((c.c / CAST(t.n AS DOUBLE))
+                          * ln(c.c / CAST(t.n AS DOUBLE))), 6) AS token_entropy
+        FROM counts c JOIN totals t ON t.doc_id = c.doc_id
+        GROUP BY c.doc_id, t.n, t.n_distinct
+    """,
+    doc="Token-level Shannon entropy per document — the information-"
+        "theoretic repetition signal (low entropy ⇒ boilerplate/spam; "
+        "complements the Gopher repetition ratios): explode → per-"
+        "(doc, token) counts → -Σ p·ln p. All Catalyst (two partial-agg "
+        "groupBys keyed by doc_id — entropy state never leaves the "
+        "doc's partition chain); ln() cross-engine ulp noise is absorbed "
+        "by 6dp rounding on an O(1)-magnitude result (§2.11 quality).",
+    tags=("llm", "quality", "text"),
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TS.tokens("text")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "n_distinct",
+            "token_entropy",
+        )
+    )

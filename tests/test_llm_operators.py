@@ -960,3 +960,29 @@ def test_window_group_limit_bounds_skewed_caps(spark):
     assert "WindowGroupLimit" in plan and "Partial" in plan
     out = df.collect()
     assert sum(1 for r in out if r["g"] == "dominant") == 10
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    from pyspark.sql import functions as SF
+
+    from open_crime_etl_pipeline_spark.operators import textstats as TSx
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        ["doc_id", "text"],
+    )
+    toks = docs.select("doc_id", SF.explode(TSx.tokens("text")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(SF.count("*").alias("c"))
+    totals = counts.groupBy("doc_id").agg(SF.sum("c").alias("n"))
+    p = SF.col("c") / SF.col("n").cast("double")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in counts.join(totals, "doc_id")
+        .groupBy("doc_id").agg(SF.round(-SF.sum(p * SF.log(p)), 6).alias("h"))
+        .collect()
+    }
+    assert got[1] == 0.0                         # all same token
+    assert got[2] == round(math.log(4), 6)       # uniform over 4
+    assert got[3] == round(math.log(2), 6)       # uniform over 2
