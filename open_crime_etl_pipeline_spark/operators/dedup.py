@@ -25,7 +25,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import HASH_MOD, fold_hash, tokens, word_shingles
+from .textstats import HASH_MOD, tokens, word_shingles
 
 # Mersenne prime 2^31-1: minhash mixing stays below 2^62, so the affine
 # mixes are safe under ANSI arithmetic (no silent/throwing overflow).

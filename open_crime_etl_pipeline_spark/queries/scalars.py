@@ -16,10 +16,10 @@ Dialect parity notes baked in:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .core import _t, davg, dec2, fmt_date
+from .core import _t, fmt_date
 from .registry import register
 
 
