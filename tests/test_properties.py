@@ -338,3 +338,70 @@ def test_raster_codec_roundtrip_property(w, h, data):
     )
     assert decode_raster(encode_bmp24(w, h, rows)) == exp + (1,)
     assert decode_raster(encode_ppm6(w, h, rows)) == exp + (2,)
+
+
+# ---------------------------------------------------------------------------
+# Graph operators vs brute force (r3)
+# ---------------------------------------------------------------------------
+
+edge = st.tuples(
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=0, max_value=7),
+)
+edge_lists = st.lists(edge, min_size=0, max_size=20)
+
+
+@SLOW
+@given(edges=edge_lists)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from open_crime_etl_pipeline_spark.operators.graph import triangle_count
+
+    df = (
+        spark.createDataFrame(edges, "a long, b long")
+        if edges else spark.createDataFrame([], "a long, b long")
+    )
+    got = triangle_count(df).collect()[0]
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    brute = sum(
+        1 for trio in combinations(sorted(nodes), 3)
+        if all(frozenset(p) in und for p in combinations(trio, 2))
+    )
+    assert got["n_edges"] == len(und)
+    assert got["n_triangles"] == brute
+
+
+@SLOW
+@given(edges=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=1, max_value=4),
+    ),
+    min_size=1, max_size=12,
+))
+def test_pagerank_matches_numpy_on_random_graphs(spark, edges):
+    import numpy as np
+
+    from open_crime_etl_pipeline_spark.operators.graph import pagerank
+
+    rows = [(f"n{s}", f"n{d}", float(w)) for s, d, w in edges]
+    df = spark.createDataFrame(rows, "src string, dst string, weight double")
+    got = {r["node"]: r["rank"] for r in pagerank(df, 0.85, iters=6).collect()}
+
+    nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outw: dict = {}
+    for s, d, w in rows:
+        outw[s] = outw.get(s, 0.0) + w
+    P = np.zeros((n, n))
+    for s, d, w in rows:
+        P[idx[d], idx[s]] += w / outw[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(6):
+        r = 0.15 / n + 0.85 * (P @ r)
+    for name, i in idx.items():
+        assert abs(got[name] - r[i]) < 1e-10
