@@ -405,3 +405,73 @@ def test_pagerank_matches_numpy_on_random_graphs(spark, edges):
         r = 0.15 / n + 0.85 * (P @ r)
     for name, i in idx.items():
         assert abs(got[name] - r[i]) < 1e-10
+
+
+@SLOW
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(min_value=-2.0, max_value=2.0,
+                           allow_nan=False, allow_infinity=False,
+                           width=32),
+                 min_size=4, max_size=4),
+        min_size=2, max_size=12,
+    )
+)
+def test_covariance_pairs_matches_numpy(spark, vecs):
+    import numpy as np
+
+    from open_crime_etl_pipeline_spark.operators.linalg import covariance_pairs
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    rows = covariance_pairs(df, "embedding", d=4).collect()
+    X = np.array(vecs, dtype=np.float32).astype(np.float64)
+    ref = np.cov(X, rowvar=False, ddof=1)
+    for r in rows:
+        assert abs(r["cov"] - ref[r["i"] - 1, r["j"] - 1]) < 1e-9
+
+
+@SLOW
+@given(
+    ch0=st.lists(st.integers(min_value=-32768, max_value=32767),
+                 min_size=1, max_size=40),
+    stereo=st.booleans(),
+)
+def test_audio_kernel_roundtrip_random_pcm(ch0, stereo):
+    from open_crime_etl_pipeline_spark.operators.multimodal import (
+        audio_features_ch0,
+        encode_wav_pcm16,
+    )
+
+    chans = [ch0] + ([[(s // 2) for s in ch0]] if stereo else [])
+    wav = encode_wav_pcm16(8000, chans)
+    n_ch, n, sumsq, zc, peak = audio_features_ch0(wav)
+    assert (n_ch, n) == (len(chans), len(ch0))
+    assert sumsq == sum(s * s for s in ch0)
+    assert zc == sum(1 for a, b in zip(ch0, ch0[1:]) if (a < 0) != (b < 0))
+    assert peak == max(abs(s) for s in ch0)
+
+
+@SLOW
+@given(
+    w=st.integers(min_value=2, max_value=8),
+    h=st.integers(min_value=2, max_value=8),
+    seed=st.integers(min_value=0, max_value=10_000),
+    shift=st.integers(min_value=1, max_value=40),
+)
+def test_ahash_brightness_invariance_random_images(w, h, seed, shift):
+    from open_crime_etl_pipeline_spark.operators.multimodal import (
+        ahash64,
+        encode_bmp24,
+        encode_ppm6,
+    )
+
+    rng = __import__("random").Random(seed)
+    base = [[(rng.randrange(200), rng.randrange(200), rng.randrange(200))
+             for _ in range(w)] for _ in range(h)]
+    bright = [[(r + shift, g + shift, b + shift) for (r, g, b) in row]
+              for row in base]
+    hb = ahash64(encode_bmp24(w, h, base))
+    hp = ahash64(encode_ppm6(w, h, bright))
+    assert hb == hp  # format- and brightness-invariant
