@@ -691,3 +691,53 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_pct"
         ),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n_transitions,
+               round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY prev_type)
+                     AS DOUBLE), 6) AS p_transition
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+        "sequences (funnel/journey analytics): LAG per (user, time) "
+        "gives consecutive pairs, grouped into counts and row-"
+        "normalized transition probabilities with a windowed total. "
+        "The sequence window partitions by user_id (high cardinality); "
+        "the probability window partitions by prev_type over the "
+        "already-aggregated matrix (|event_types|² rows, trivial at "
+        "any scale). Ordering ties on ts break by event_id so the "
+        "sequence is total and engine-identical (§2.5 windows + §2.8 "
+        "event analytics).",
+    tags=("events", "window", "markov"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(seq))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type", "next_type", "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(norm).cast("double"), 6
+        ).alias("p_transition"),
+    )
