@@ -51,6 +51,7 @@ def pagerank(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .cache()  # joined every round — uncached it re-scans edges 10×
     )
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_weight"))
     probs = (
@@ -59,7 +60,7 @@ def pagerank(
         .repartition("src")
         .cache()
     )
-    n_verts = verts.count()  # also materializes verts for reuse
+    n_verts = verts.count()  # also materializes the vertex cache
     teleport = (1.0 - damping) / n_verts
 
     ranks = verts.select("node", F.lit(1.0 / n_verts).alias("rank"))
