@@ -136,6 +136,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # deliberately NOT cached although it is referenced 3× while
+        # building `oriented`: measured A/B at sf0.1 (294k edges), the
+        # cached form is ~60% SLOWER (4.8–6.1 s vs 3.0–3.7 s) — the
+        # block-store round-trip costs more than recomputing the cheap
+        # self-join, and the cache boundary blocks codegen fusion
     )
     deg = (
         und.select(F.col("u").alias("node"))
