@@ -81,6 +81,13 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
+    # Detach the result from the iteration caches before returning:
+    # eagerly checkpointing the final ranks (O(V) rows) lets verts/probs
+    # be unpersisted immediately instead of leaking cached blocks into
+    # the caller's session until LRU eviction.
+    ranks = ranks.localCheckpoint(eager=True)
+    verts.unpersist()
+    probs.unpersist()
     return ranks
 
 
@@ -117,6 +124,89 @@ def pagerank_oracle_sql(edges_cte: str, damping: float = 0.85, iters: int = 10) 
         )""")
     parts.append(f"""
         SELECT node, round(rank * 1000, 6) AS rank_k FROM r{iters}""")
+    return "WITH " + "".join(parts)
+
+
+def connected_components(
+    edges: DataFrame, iters: int = 8, checkpoint_every: int = 3
+) -> DataFrame:
+    """Connected-components labels by min-label propagation over an
+    undirected graph given as (a, b) pairs: after k rounds each node's
+    label is the minimum node id within k hops — at convergence, the
+    component's global minimum id. ``iters`` is FIXED (not
+    run-to-convergence) so the result is a deterministic function of
+    the graph for any engine stating the same recurrence, which is
+    what lets an unrolled-SQL oracle pin it exactly (same device as
+    :func:`pagerank`).
+
+    Scale shape: the doubled adjacency (+ self-loops, so isolated-ish
+    nodes and converged labels are fixpoints of the min) is built once,
+    hash-partitioned on ``dst`` and cached; each round shuffles O(V)
+    label rows into that partitioning, aggregates min per src — edge
+    rows never reshuffle. Lineage is truncated with eager
+    localCheckpoints. Min-propagation costs O(diameter) rounds — the
+    right default for the short-diameter similarity/co-occurrence
+    graphs this engine builds (same propagation the near-dup
+    clusterer uses for its scale-safe path, operators/dedup.py); for
+    adversarially long paths at 100 TB the large-star/small-star
+    variant halves distances per round, at the cost of a non-SQL
+    recurrence.
+    """
+    und = (
+        edges.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    verts = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .unionByName(verts.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .repartition("dst")
+        .cache()
+    )
+    adj.count()  # materialize once; every round reuses the cached partitioning
+    labels = verts.select("node", F.col("node").alias("label"))
+    for i in range(iters):
+        labels = (
+            adj.join(labels, adj["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "node")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    adj.unpersist()
+    return labels
+
+
+def connected_components_oracle_sql(und_cte: str, iters: int = 8) -> str:
+    """Unrolled-SQL min-label propagation: the identical recurrence as
+    :func:`connected_components` as chained CTEs (DuckDB disallows
+    aggregation in recursive CTE terms). ``und_cte`` must define
+    ``und(u, v)`` — deduplicated undirected edges, u < v. Yields
+    ``l{iters}(node, label)``; the caller appends the final SELECT."""
+    parts = [und_cte.rstrip().rstrip(","), """,
+        verts AS (
+            SELECT u AS node FROM und UNION SELECT v FROM und
+        ), adj AS (
+            SELECT u AS src, v AS dst FROM und
+            UNION ALL SELECT v, u FROM und
+            UNION ALL SELECT node, node FROM verts
+        ),
+        l0 AS (SELECT node, node AS label FROM verts)"""]
+    for i in range(iters):
+        parts.append(f""",
+        l{i + 1} AS (
+            SELECT a.src AS node, min(l.label) AS label
+            FROM adj a JOIN l{i} l ON l.node = a.dst
+            GROUP BY a.src
+        )""")
     return "WITH " + "".join(parts)
 
 
@@ -168,6 +258,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
     e3 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    return oriented.agg(F.count("*").alias("n_edges")).crossJoin(
+    out = oriented.agg(F.count("*").alias("n_edges")).crossJoin(
         tri.agg(F.count("*").alias("n_triangles"))
     )
+    # Single-row result: checkpoint it eagerly so `oriented`'s cached
+    # blocks can be released now rather than lingering in the session.
+    out = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    return out

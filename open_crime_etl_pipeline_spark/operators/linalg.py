@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def gram_pairs(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+def gram_pairs(
+    df: DataFrame, vec_col: str, d: int, shift=None
+) -> DataFrame:
     """Upper-triangle second-moment pairs of ``vec_col`` (length-d
     arrays): returns one row per (i, j), i ≤ j, 1-based, with
 
@@ -38,22 +40,46 @@ def gram_pairs(df: DataFrame, vec_col: str, d: int) -> DataFrame:
 
     from which callers derive covariance/correlation. Partials are
     computed per Arrow batch with a single numpy matmul and merged by
-    one groupBy — d²/2 result rows regardless of N."""
+    one groupBy — d²/2 result rows regardless of N.
+
+    ``shift`` (length-d sequence, optional) subtracts a constant vector
+    from every row before accumulating — the "shifted Gram" trick: with
+    shift ≈ the column means, downstream covariance derivation has
+    bounded cancellation instead of S_ij − n·μ_i·μ_j losing digits as
+    N grows. The default (no shift) keeps raw second moments."""
     dd = d
+    shift_list = None if shift is None else [float(s) for s in shift]
+    if shift_list is not None and len(shift_list) != dd:
+        raise ValueError(f"shift has dim {len(shift_list)}, expected {dd}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         import pandas as pd
 
+        a = None if shift_list is None else np.asarray(shift_list)
         G = np.zeros((dd, dd))
         colsum = np.zeros(dd)
         n = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if X.shape[1] != dd:
-                raise ValueError(f"expected dim {dd}, got {X.shape[1]}")
+            col = pdf[vec_col]
+            if col.isna().any():
+                raise ValueError(
+                    f"gram_pairs: null embedding in column '{vec_col}' — "
+                    "drop or impute null vectors before the Gram pass"
+                )
+            try:
+                X = np.stack(col.to_numpy()).astype(np.float64)
+            except ValueError as e:
+                raise ValueError(
+                    f"gram_pairs: ragged embeddings in column '{vec_col}' "
+                    f"(expected uniform dim {dd}): {e}"
+                ) from None
+            if X.ndim != 2 or X.shape[1] != dd:
+                raise ValueError(f"expected dim {dd}, got {X.shape[1:]}")
+            if a is not None:
+                X = X - a
             G += X.T @ X
             colsum += X.sum(axis=0)
             n += X.shape[0]
@@ -83,10 +109,27 @@ def gram_pairs(df: DataFrame, vec_col: str, d: int) -> DataFrame:
 
 def covariance_pairs(df: DataFrame, vec_col: str, d: int) -> DataFrame:
     """Sample covariance for every (i ≤ j) pair:
-    cov_ij = (S_ij − n·mean_i·mean_j) / (n − 1). Columns here are
-    near-centered embeddings, so the subtraction term is tiny and the
-    formula is numerically benign (no catastrophic cancellation)."""
-    g = gram_pairs(df, vec_col, d)
+    cov_ij = (S'_ij − n·m'_i·m'_j) / (n − 1), accumulated over rows
+    SHIFTED by an approximate mean vector (shifted-Gram form).
+
+    Why the shift: the raw Gram-minus-means formula loses ~N·eps
+    relative precision as N grows (catastrophic cancellation once
+    S_ij ≫ cov_ij), which would eventually hash-mismatch a fixed-dp
+    oracle pin even with both engines "correct". Shifting by a ≈ μ
+    makes S'_ij itself O(n·cov), so the subtraction is benign at any
+    N — the standard single-full-pass stabilization. The shift
+    estimate comes from a bounded 1024-row prefix (one tiny job);
+    covariance is exactly shift-invariant in exact arithmetic, so any
+    estimate is CORRECT — a better estimate only tightens rounding."""
+    head = df.select(vec_col).limit(1024).collect()
+    shift = None
+    if head:
+        import numpy as np
+
+        vecs = [r[0] for r in head if r[0] is not None and len(r[0]) == d]
+        if vecs:
+            shift = np.asarray(vecs, dtype=np.float64).mean(axis=0)
+    g = gram_pairs(df, vec_col, d, shift=shift)
     n = F.col("n_rows").cast("double")
     cov = (F.col("s_ij") - (F.col("sum_i") * F.col("sum_j")) / n) / (n - 1)
     return g.select("i", "j", cov.alias("cov"), "n_rows")

@@ -116,9 +116,24 @@ def weighted_sample_per_group(
     per group, negligible for any real group size; ties then break on
     id. Scale shape: same WindowGroupLimit partial top-k as
     :func:`reservoir_per_group` — the rank+filter(≤k) pattern ships
-    only k rows per map partition regardless of group skew."""
+    only k rows per map partition regardless of group skew.
+
+    Weights must be strictly positive (the Efraimidis–Spirakis
+    precondition): w = 0 would give key = inf and w < 0 a negative
+    key that sorts FIRST, silently guaranteeing inclusion of the
+    invalid row — so non-positive weights raise at execution time."""
     u = md5_uniform(id_col, salt)
-    key = -F.log(u) / F.col(weight_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    # Guard inside the key expression itself (not a droppable side
+    # column, which column pruning could eliminate): any non-positive
+    # weight fails the job loudly instead of skewing the sample.
+    w_checked = F.when(w > 0.0, w).otherwise(
+        F.raise_error(F.concat(
+            F.lit("weighted_sample_per_group: non-positive weight "),
+            w.cast("string"),
+        ))
+    )
+    key = -F.log(u) / w_checked
     return (
         df.withColumn("__aes_key", key)
         .withColumn("__rn", F.row_number().over(

@@ -26,3 +26,4 @@ from . import pipeline  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401

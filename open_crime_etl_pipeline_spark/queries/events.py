@@ -741,3 +741,40 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(norm).cast("double"), 6
         ).alias("p_transition"),
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="VariantType semi-structured path (Spark 4, §2.7 F14 [EXT]): "
+        "props JSON is parsed ONCE into an open-schema VARIANT with "
+        "parse_json and fields are extracted with typed variant_get — "
+        "the engine's native semi-structured storage (binary-encoded, "
+        "shredded access) rather than per-extraction string re-parsing "
+        "(from_json with a closed schema is the sibling path, "
+        "from_json_typed_struct). Aggregates are integer-exact so no "
+        "decimal rounding is needed; DuckDB states the same extraction "
+        "with json_extract_string.",
+    tags=("events", "json", "variant"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )

@@ -128,6 +128,14 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    return G.triangle_count(edges)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-purchase pairs: parts on consecutive lineitems of the
+    same order (the organic graph both triangle counting and
+    connected components run on)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_linenumber"
     )
@@ -141,5 +149,46 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("b"),
         (F.col("l_linenumber") - 1).alias("ln"),
     )
-    edges = a.join(b, ["ok", "ln"]).filter(F.col("a") != F.col("b")).select("a", "b")
-    return G.triangle_count(edges)
+    return a.join(b, ["ok", "ln"]).filter(F.col("a") != F.col("b")).select("a", "b")
+
+
+_COPURCHASE_UND_CTE = """
+        und AS (
+            SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                            greatest(a.l_partkey, b.l_partkey) AS v
+            FROM lineitem a
+            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                           AND b.l_linenumber = a.l_linenumber + 1
+            WHERE a.l_partkey != b.l_partkey
+        )"""
+
+
+@register(
+    "connected_components_copurchase",
+    oracle=G.connected_components_oracle_sql(_COPURCHASE_UND_CTE, iters=8)
+    + """
+        SELECT label AS component, count(*) AS n_nodes
+        FROM l8 GROUP BY label
+    """,
+    doc="Connected components by min-label propagation (8 fixed "
+        "rounds) over the part co-purchase graph: component sizes "
+        "keyed by each component's minimum part id. The doubled "
+        "adjacency (+ self-loops) is built and hash-partitioned on "
+        "dst ONCE (cached); each round shuffles only O(V) label rows "
+        "and re-aggregates min per node — edges never reshuffle, and "
+        "eager localCheckpoints keep round 8's plan as small as round "
+        "1's. Fixed iteration count makes the label function "
+        "deterministic whether or not propagation has converged, so "
+        "the unrolled-CTE oracle states the identical recurrence "
+        "(§2 [EXT] iterative; same device as pagerank_nation_trade). "
+        "This is also exactly the scale-safe clustering path the "
+        "near-dup dedup family uses (operators/dedup.py "
+        "min-propagation), surfaced as a first-class graph query.",
+    tags=("graph", "iterative"),
+)
+def connected_components_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = G.connected_components(edges, iters=8)
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("n_nodes")
+    )

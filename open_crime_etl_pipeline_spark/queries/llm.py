@@ -2444,3 +2444,128 @@ def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_entropy",
         )
     )
+
+
+@register(
+    "udtf_word_bigrams",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents
+        ), b AS (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+            FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        )
+        SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 40
+    """,
+    doc="Python UDTF surface (§2.10, Spark 4): a lateral table function "
+        "expanding each document into word bigrams, consumed via "
+        "`FROM docs, LATERAL word_bigrams(text)` and re-aggregated to "
+        "the top-40 corpus bigrams (total order: count desc, bigram "
+        "asc). This query exists to exercise the UDTF API path — "
+        "per-row Python expansion is the engine's SLOW path, and the "
+        "equivalent Catalyst form (explode over arrays_zip/slice, used "
+        "by token_stats_top_terms and the shingle pipelines) is what "
+        "the hot paths use; the oracle proves the UDTF emits exactly "
+        "the declarative result. Top-40 executes as "
+        "TakeOrderedAndProject over the grouped counts.",
+    tags=("llm", "text", "udtf"),
+)
+def udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram string")
+    class WordBigrams:
+        def eval(self, text):
+            if text is None:
+                return
+            toks = [t for t in text.split(" ") if t]
+            for i in range(len(toks) - 1):
+                yield (toks[i] + " " + toks[i + 1],)
+
+    spark.udtf.register("word_bigrams", WordBigrams)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql("""
+        SELECT b.bigram, count(*) AS n, count(DISTINCT d.doc_id) AS n_docs
+        FROM udtf_docs_v d, LATERAL word_bigrams(d.text) b
+        GROUP BY b.bigram ORDER BY n DESC, b.bigram LIMIT 40
+    """)
+
+
+@register(
+    "temperature_resampled_mixture",
+    oracle="""
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   sum(sqrt(CAST(n_docs AS DOUBLE))) AS z
+            FROM per_src
+        ), w AS (
+            SELECT source, n_docs,
+                   sqrt(CAST(n_docs AS DOUBLE)) / z AS p,
+                   least(1.0, (sqrt(CAST(n_docs AS DOUBLE)) / z)
+                              * CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS keep_rate
+            FROM per_src, tot
+        ), kept AS (
+            SELECT d.source, count(*) AS n_kept
+            FROM documents d JOIN w ON w.source = d.source
+            WHERE (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 13)
+                        AS UBIGINT) + 1) / 4503599627370496.0 <= w.keep_rate
+            GROUP BY d.source
+        )
+        SELECT w.source AS source, w.n_docs AS n_docs,
+               round(w.p, 6) AS sample_prob,
+               round(w.keep_rate, 6) AS keep_rate,
+               coalesce(kept.n_kept, 0) AS n_kept
+        FROM w LEFT JOIN kept ON kept.source = w.source
+    """,
+    doc="Temperature-based mixture resampling (the multinomial "
+        "alpha-smoothing used to rebalance training mixtures, alpha = "
+        "0.5): per-source sampling probability p_s proportional to "
+        "sqrt(n_s), per-document keep rate min(1, p_s*N/n_s), and the "
+        "realized kept count under the engine's deterministic "
+        "md5-uniform (same u = (52-bit md5 prefix + 1)/2^52 convention "
+        "as the split/sampling family — bit-identical on any engine, "
+        "unlike rand(seed)). Head sources thin (keep < 1), tail "
+        "sources report the >1 repeat factor capped at 1 for the "
+        "without-replacement pass. One partial agg per source + a "
+        "1-row broadcast + a scan-side filter: no wide shuffle at any "
+        "corpus size (§2.11 sampling/curation).",
+    tags=("llm", "sampling", "curation"),
+)
+def temperature_resampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import md5_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
+    )
+    p = F.sqrt(F.col("n_docs").cast("double")) / F.col("z")
+    w = per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", p.alias("p"),
+        F.least(
+            F.lit(1.0),
+            p * F.col("total").cast("double") / F.col("n_docs").cast("double"),
+        ).alias("keep_rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(w), "source")
+        .filter(md5_uniform("doc_id", "temp") <= F.col("keep_rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        w.join(kept, "source", "left")
+        .select(
+            "source", "n_docs",
+            F.round("p", 6).alias("sample_prob"),
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -54,7 +54,18 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(*[f.name for f in schema.fields])
 
 
-def _run_to_table(stream: DataFrame, prefix: str) -> DataFrame:
+def _run_to_table(
+    stream: DataFrame, prefix: str, expect_single_batch: bool = False
+) -> DataFrame:
+    """Run ``stream`` to completion (availableNow) into a memory sink.
+
+    ``expect_single_batch=True`` makes a query's single-micro-batch
+    assumption STRUCTURAL: some oracles (notably SELECT DISTINCT for
+    ``dropDuplicatesWithinWatermark``) are only valid when all input
+    arrives in one micro-batch — the operator re-emits a key whose
+    duplicates arrive > watermark-delay apart across batches. Asserting
+    it here means a future multi-file fixture or maxFilesPerTrigger
+    change fails loudly instead of hash-mismatching."""
     import shutil
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
@@ -68,6 +79,14 @@ def _run_to_table(stream: DataFrame, prefix: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    if expect_single_batch:
+        nonempty = [p for p in q.recentProgress if p.numInputRows > 0]
+        if len(nonempty) != 1:
+            raise AssertionError(
+                f"{prefix}: oracle assumes ONE input micro-batch, the run "
+                f"produced {len(nonempty)} non-empty batches — the fixture "
+                "or trigger configuration changed; re-derive the oracle"
+            )
     # the memory-sink table holds the results; the checkpoint is
     # one-shot scratch — don't leak a dir per invocation
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -267,7 +286,11 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "viable on an unbounded 100 TB/day feed. Emitted columns are "
         "exactly the dedup key, so despite arrival-order-dependent row "
         "selection the RESULT SET is deterministic and the oracle is "
-        "SELECT DISTINCT (§2.8 ST10 + §2.11 dedup).",
+        "SELECT DISTINCT (§2.8 ST10 + §2.11 dedup). The DISTINCT oracle "
+        "additionally assumes ALL input lands in one micro-batch (the "
+        "operator re-emits keys whose duplicates arrive > 2h event-time "
+        "apart across batches); that assumption is asserted structurally "
+        "from the query progress, so a multi-batch run fails loudly.",
     tags=("streaming", "dedup"),
 )
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,4 +301,4 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _run_to_table(ev, "stream_ddww")
+    return _run_to_table(ev, "stream_ddww", expect_single_batch=True)

@@ -986,3 +986,54 @@ def test_token_entropy_hand_computed(spark):
     assert got[1] == 0.0                         # all same token
     assert got[2] == round(math.log(4), 6)       # uniform over 4
     assert got[3] == round(math.log(2), 6)       # uniform over 2
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+    from open_crime_etl_pipeline_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = spark.createDataFrame(
+        [("g", 1, 2.0), ("g", 2, 0.0), ("g", 3, 1.0)], ["grp", "rid", "w"]
+    )
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException, Exception)) as ei:
+        weighted_sample_per_group(rows, "grp", "rid", "w", k=2).collect()
+    assert "non-positive weight" in str(ei.value)
+    neg = spark.createDataFrame([("g", 1, 1.0), ("g", 2, -3.0)], ["grp", "rid", "w"])
+    with pytest.raises(Exception, match="non-positive weight"):
+        weighted_sample_per_group(neg, "grp", "rid", "w", k=1).collect()
+
+
+def test_gram_pairs_clear_errors_on_null_and_ragged(spark):
+    from open_crime_etl_pipeline_spark.operators import linalg as LA
+
+    null_vec = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="null embedding"):
+        LA.gram_pairs(null_vec, "embedding", d=2).collect()
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="ragged|expected dim"):
+        LA.gram_pairs(ragged, "embedding", d=2).collect()
+
+
+def test_gram_pairs_shift_invariance_exact_small_case(spark):
+    """covariance_pairs' shifted-Gram path must equal the raw formula
+    on a small exact case (shift-invariance of covariance)."""
+    import numpy as np
+    from open_crime_etl_pipeline_spark.operators import linalg as LA
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(5.0, 2.0, size=(40, 3))  # deliberately NOT centered
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "id long, embedding array<double>",
+    )
+    rows = LA.covariance_pairs(df, "embedding", d=3).collect()
+    C = np.cov(X, rowvar=False)
+    for r in rows:
+        assert r["cov"] == pytest.approx(C[r["i"] - 1, r["j"] - 1], rel=1e-9)

@@ -469,3 +469,27 @@ def test_windowed_counts_update_mode_emits_revisions(spark, tmp_path):
     out = [(r.window_start, r.n_events) for r in spark.table("upd_counts").collect()]
     # batch 1 emits (window, 1); batch 2 revises the SAME window to 2
     assert (BASE, 1) in out and (BASE, 2) in out and len(out) == 2
+
+
+def test_run_to_table_single_batch_assertion_trips_on_multi_batch(spark, tmp_path):
+    """ADVICE r3: the SELECT DISTINCT oracle for
+    streaming_dedup_within_watermark is only valid when the whole input
+    lands in ONE micro-batch. The assumption is structural now — a
+    multi-batch run must fail loudly, not hash-mismatch."""
+    from open_crime_etl_pipeline_spark.queries.streaming import _run_to_table
+
+    src = tmp_path / "src"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    df.limit(1).write.parquet(str(src / "f1.parquet"))
+    df.write.parquet(str(src / "f2.parquet"))
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    with pytest.raises(AssertionError, match="ONE input micro-batch"):
+        _run_to_table(stream, "multi_batch_guard", expect_single_batch=True)
+    # single-batch run passes the same guard
+    single = spark.readStream.schema("k long, v string").parquet(str(src) + "/*")
+    out = _run_to_table(single, "single_batch_ok", expect_single_batch=True)
+    assert out.count() == 3
