@@ -69,6 +69,9 @@ def main() -> None:
         "triangle_count_copurchase",  # graph: degree-ordered wedge join
         "embedding_covariance_gram",  # linalg: numpy partials + d^2 reduce
         "image_ahash_clusters",       # codec: encode+decode+hash 5k rasters
+        # r4 new-family entries
+        "product_profit_q9",          # TPC-H completion: LIKE dim + 4-way join
+        "connected_components_copurchase",  # iterative min-label propagation
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not
@@ -164,6 +167,11 @@ def main() -> None:
         (F.col("id") % 200).alias("a"), ((F.col("id") * 7 + 1) % 200).alias("b")
     )
     triangle_count(warm_edges).count()
+    # Warm the label-propagation loop's codegen (adjacency union +
+    # per-round join/min-agg + localCheckpoint machinery).
+    from open_crime_etl_pipeline_spark.operators.graph import connected_components
+
+    connected_components(warm_edges, iters=4).count()
     # The warm corpus churns several GB of young-gen; collect it now so
     # a major GC pause doesn't land inside a timed query (observed: a
     # one-off 12.5s exact_dedup spike right after warm-up, 2.8s clean).

@@ -128,7 +128,14 @@ class CrimePipeline:
             merged = merge_upsert(
                 target, batch, keys=["crime_id"], order_by=["source_updated_on"]
             )
+            # In-pass accounting (validate_sync's row counts without its
+            # re-query): the Observation rides the commit's write pass,
+            # so table_rows costs no second scan of the table.
+            from .io.metrics import observe_batch
+
+            merged, obs = observe_batch(merged, name="publish", key="crime_id")
             self._overwrite_table(merged, action=f"merge:{mode}")
+            metrics = obs.get
             self.ledger.finish_run(run_id, load_date, "SUCCESS")
             status = "SUCCESS"
         except Exception:
@@ -137,7 +144,8 @@ class CrimePipeline:
         return {
             "run_id": run_id, "mode": mode, "status": status,
             "window": (start.isoformat(), end.isoformat()),
-            "table_rows": self.crime_table().count(),
+            "table_rows": metrics["n_rows"],
+            "null_keys": metrics["null_keys"],
         }
 
     # -- reconciliation (ST9) -----------------------------------------

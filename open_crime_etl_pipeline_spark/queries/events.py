@@ -778,3 +778,73 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+@register(
+    "session_windows_dynamic_gap",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN event_type IN ('click', 'view')
+                        THEN INTERVAL '15 minutes'
+                        ELSE INTERVAL '45 minutes' END AS gap
+            FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+        ), marked AS (
+            SELECT user_id, ts, value, gap,
+                   CASE WHEN max(ts + gap) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL
+                        OR ts >= max(ts + gap) OVER (
+                            PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ev
+        ), sessions AS (
+            SELECT user_id, ts, value, gap,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts + gap) AS session_end,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    doc="Session windows with a DYNAMIC per-event gap (15 min for "
+        "click/view, 45 min otherwise) — session_window(ts, gap_col), "
+        "the semantics static-gap sessionization can't express: each "
+        "event extends its session to ts + its own gap, and windows "
+        "merge transitively. The oracle derives the same merge with "
+        "gaps-and-islands generalized to variable gaps: an event opens "
+        "a new session iff its ts >= the running max of (ts + gap) "
+        "over all earlier events of that user (the cumulative max is "
+        "monotone, so the check against the GLOBAL running max equals "
+        "the check against the current session's end — the proof the "
+        "doc relies on). Scale shape identical to the static form: one "
+        "shuffle per user, sort within partition (§2.8 ST10).",
+    tags=("events", "window-time", "session"),
+)
+def session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("15 minutes")
+    ).otherwise(F.lit("45 minutes"))
+    return (
+        ev.filter(F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec2("value")), 2).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

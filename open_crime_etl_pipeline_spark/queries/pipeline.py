@@ -439,3 +439,65 @@ def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.round(F.sum(dec2("total_price")), 2).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "replica_content_checksums",
+    oracle="""
+        WITH rows_hashed AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST('0x' || substring(md5(
+                        CAST(o_orderkey AS VARCHAR) || '|' ||
+                        CAST(o_custkey AS VARCHAR) || '|' ||
+                        o_orderstatus || '|' || o_orderpriority || '|' ||
+                        strftime(o_orderdate, '%Y-%m-%d')
+                   ), 1, 13) AS BIGINT) AS h
+            FROM orders
+        )
+        SELECT month,
+               count(*) AS n_rows,
+               CAST(sum(h) AS BIGINT) AS content_checksum
+        FROM rows_hashed GROUP BY month
+    """,
+    doc="Content-level replica reconciliation (ST9 hardened): per-month "
+        "order-insensitive content checksum = SUM of a 52-bit md5 "
+        "prefix over each row's key columns. The reference's "
+        "validate_sync compares ROW COUNTS per load date "
+        "(crime_etl.py:377-408) — counts can match while contents "
+        "diverge (a lost update paired with a duplicate insert); a "
+        "commutative content checksum catches that with the same "
+        "one-scan-per-replica cost, and months whose checksums differ "
+        "become the RECOVERY work list exactly like the date diff. "
+        "md5 is engine-portable (unlike xxhash64) so either replica — "
+        "or a non-Spark warehouse — can compute its side; the 52-bit "
+        "prefix keeps the BIGINT sum far from overflow at any month "
+        "size. Scale shape: scan-side hash, partial sum per month, "
+        "one tiny exchange (§2.8 ST9, §2.4).",
+    tags=("incremental", "checksum"),
+)
+def replica_content_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+                fmt_date("o_orderdate"),
+            )),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"), h.alias("h")
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("h").cast("bigint").alias("content_checksum"),
+        )
+    )

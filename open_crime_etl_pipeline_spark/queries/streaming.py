@@ -302,3 +302,60 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .select("user_id", "event_type")
     )
     return _run_to_table(ev, "stream_ddww", expect_single_batch=True)
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               e.event_type AS event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    doc="Stream-static join (ST10): the events readStream enriched "
+        "against the static customer dim inside the streaming plan — "
+        "the standard fact-stream x dimension pattern. The static side "
+        "needs no watermark or state (it is re-read per micro-batch, "
+        "broadcast by AQE when dim-sized); an append-mode inner "
+        "stream-static join emits exactly the batch join, so the "
+        "oracle is the plain join+agg SQL. Aggregation runs on the "
+        "post-enrichment stream in the same availableNow run "
+        "(complete-mode global agg over the single batch).",
+    tags=("streaming", "join"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table
+
+    ev = _stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "segment", "event_type", "value"
+    )
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double").alias("total_value"),
+    )
+    # complete-mode memory sink: the single availableNow batch emits the
+    # final aggregate once
+    import shutil
+    import tempfile
+    import uuid
+
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)

@@ -131,7 +131,10 @@ def test_graph_operators_leave_no_cached_blocks(spark):
     # (localCheckpoint blocks are different: ContextCleaner reclaims
     # them once the result RDD is garbage collected.)
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
-    assert cache_mgr.isEmpty(), "test needs a cache-clean session"
+    # shared test session: other tests may legitimately hold caches —
+    # start from a clean slate so emptiness-after is attributable
+    spark.catalog.clearCache()
+    assert cache_mgr.isEmpty()
     edges_w = spark.createDataFrame(
         [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0)],
         ["src", "dst", "weight"],
@@ -141,3 +144,22 @@ def test_graph_operators_leave_no_cached_blocks(spark):
     G.triangle_count(pairs).collect()
     G.connected_components(pairs, iters=4).collect()
     assert cache_mgr.isEmpty(), "graph operator left cached DataFrames behind"
+
+
+def test_connected_components_converged_equals_fixed_iters(spark):
+    """Run-to-fixpoint labels must equal the fixed-round labels once
+    rounds >= diameter, and rounds_used must be the true convergence
+    round count (+1 detection round)."""
+    # 6-node path: diameter 5 → converges when no label changes
+    edges = [(i, i + 1) for i in range(1, 6)] + [(20, 21)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    labels, rounds = G.connected_components_converged(df, max_iters=50)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    fixed = {
+        r["node"]: r["label"]
+        for r in G.connected_components(df, iters=10).collect()
+    }
+    assert got == fixed
+    assert got[6] == 1 and got[21] == 20
+    # path needs 5 propagation rounds; detection costs one no-change round
+    assert rounds == 6

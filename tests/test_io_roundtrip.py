@@ -89,3 +89,23 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     # explicit schema is what makes old pipelines immune to new columns
     pinned = spark.read.schema("id long, v long").parquet(f"{base}/batch=2")
     assert set(pinned.columns) == {"id", "v"} and pinned.count() == 10
+
+
+def test_observe_batch_metrics_ride_the_write_pass(spark, tmp_path):
+    """Observation metrics must equal the written rows' true stats
+    without any second scan (the validate_sync accounting, in-pass)."""
+    from open_crime_etl_pipeline_spark.io.metrics import observe_batch
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    inst, obs = observe_batch(df, name="t", key="k")
+    inst.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    m = obs.get
+    assert m["n_rows"] == 1000
+    assert m["null_keys"] == 10
+    # approx distinct within 5% of the 990 true distinct keys
+    assert abs(m["approx_distinct_keys"] - 990) <= 50

@@ -475,3 +475,42 @@ def test_ahash_brightness_invariance_random_images(w, h, seed, shift):
     hb = ahash64(encode_bmp24(w, h, base))
     hp = ahash64(encode_ppm6(w, h, bright))
     assert hb == hp  # format- and brightness-invariant
+
+
+@SLOW
+@given(edges=edge_lists)
+def test_connected_components_matches_bruteforce(spark, edges):
+    """8 fixed rounds >= any component's diameter on <=8 nodes, so the
+    operator's labels must equal true component minima from a
+    brute-force union-find."""
+    from open_crime_etl_pipeline_spark.operators.graph import connected_components
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    df = spark.createDataFrame(clean, "a long, b long")
+    got = {r["node"]: r["label"] for r in connected_components(df, iters=8).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in clean:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want = {}
+    for n in parent:
+        root = find(n)
+        want.setdefault(root, []).append(n)
+    expected = {}
+    for members in want.values():
+        lo = min(members)
+        for n in members:
+            expected[n] = lo
+    assert got == expected

@@ -66,7 +66,7 @@ def run_sf(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     args = sys.argv[1:]
-    out_path = "CORRECTNESS_LOCAL_r03.json"
+    out_path = "CORRECTNESS_LOCAL_r04.json"
     if args and args[0] == "--out":
         out_path = args[1]
         args = args[2:]
