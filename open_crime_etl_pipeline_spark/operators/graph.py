@@ -389,3 +389,89 @@ def connected_components_converged(
             break
     adj.unpersist()
     return labels, rounds
+
+
+def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> tuple:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    whose degree in the surviving induced subgraph is < k, until no
+    node drops. Returns (core_nodes, rounds_used) — the unique maximal
+    subgraph with all induced degrees >= k.
+
+    Fixpoint detection is FREE here: the survivor set shrinks
+    monotonically, so set equality ⟺ count equality, and each round's
+    count rides the eager checkpoint via an Observation — no
+    comparison join, no extra job (contrast
+    :func:`connected_components_converged`, where labels change
+    without the node set changing and a prev-join is required).
+
+    Scale shape: the edge list is materialized once (checkpoint
+    barrier) and each round is two semi-joins of edges against the
+    current node set (shrinking; AQE broadcasts it when small) plus
+    one degree aggregation — O(E_surviving) per round, nothing
+    quadratic. Peeling takes O(max-degree) rounds worst-case; the
+    registered query's oracle unrolls with measured margin and the
+    query asserts rounds stay inside it.
+    """
+    from pyspark.sql import Observation
+
+    und = (
+        edges.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = cur.count()
+    rounds = 0
+    for i in range(max_iters):
+        au = cur.select(F.col("node").alias("u"))
+        av = cur.select(F.col("node").alias("v"))
+        surv = und.join(au, "u", "left_semi").join(av, "v", "left_semi")
+        deg = (
+            surv.select(F.col("u").alias("node"))
+            .unionByName(surv.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        obs = Observation(f"kcore_round_{i}")
+        inst = deg.observe(obs, F.count(F.lit(1)).alias("n"))
+        cur = inst.localCheckpoint(eager=True)
+        rounds += 1
+        n = obs.get["n"]
+        if n == prev_n:
+            break
+        prev_n = n
+    return cur, rounds
+
+
+def kcore_oracle_sql(und_cte: str, k: int, iters: int) -> str:
+    """Unrolled-SQL k-core peel: ``iters`` MATERIALIZED rounds of the
+    identical recurrence (MATERIALIZED is load-bearing — each round
+    references the previous one twice, so DuckDB's default CTE
+    inlining would expand the chain exponentially). ``und_cte`` must
+    define ``und(u, v)``; yields ``n{iters}(node)`` for the caller's
+    final SELECT."""
+    head = und_cte.rstrip().rstrip(",").replace(
+        "und AS (", "und AS MATERIALIZED (", 1
+    )
+    parts = [head, """,
+        n0 AS MATERIALIZED (SELECT u AS node FROM und UNION SELECT v FROM und)"""]
+    for i in range(iters):
+        parts.append(f""",
+        n{i + 1} AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT e.u AS node FROM und e
+                JOIN n{i} a ON a.node = e.u JOIN n{i} b ON b.node = e.v
+                UNION ALL
+                SELECT e.v FROM und e
+                JOIN n{i} a ON a.node = e.u JOIN n{i} b ON b.node = e.v
+            ) GROUP BY node HAVING count(*) >= {k}
+        )""")
+    return "WITH " + "".join(parts)

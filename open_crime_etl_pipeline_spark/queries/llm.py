@@ -2569,3 +2569,162 @@ def temperature_resampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+@register(
+    "knn_label_classification",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec,
+                   label AS true_label
+            FROM embeddings WHERE vec_id < 20
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+                   list_dot_product(q.qvec, e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.qvec, q.qvec)) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS raw_sim
+            FROM q, embeddings e
+            WHERE e.vec_id != q.query_id
+        ), topk AS (
+            SELECT query_id, neighbor_id, label FROM (
+                SELECT query_id, neighbor_id, label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY raw_sim DESC, neighbor_id) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        ), votes AS (
+            SELECT query_id, label, count(*) AS c
+            FROM topk GROUP BY query_id, label
+        ), best AS (
+            SELECT query_id, label AS predicted_label, c,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, label) AS rn
+            FROM votes
+        )
+        SELECT b.query_id, b.predicted_label,
+               CAST(b.c AS BIGINT) AS vote_count,
+               q.true_label,
+               (b.predicted_label = q.true_label) AS correct
+        FROM best b JOIN q ON q.query_id = b.query_id
+        WHERE b.rn = 1
+    """,
+    doc="kNN label classification — the similarity-search family "
+        "applied to an actual task: each of 20 query vectors is "
+        "classified by majority label among its 10 nearest cosine "
+        "neighbors (self excluded; ties break count-desc then "
+        "label-asc, a total order). Reuses the exact cosine top-k "
+        "operator (broadcast queries, HOF dot products in double — "
+        "bit-identical to DuckDB's list_dot_product fold, the same "
+        "determinism argument as cosine_topk_exact) plus one small "
+        "label join and a per-query vote aggregation over k·|Q| rows. "
+        "At scale the brute-force scorer swaps for the IVF/LSH "
+        "variants with identical downstream voting (§2.11 "
+        "similarity).",
+    tags=("llm", "similarity", "classification"),
+)
+def knn_label_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = S.cosine_topk(emb, queries, k=10)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("label"))
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return best.join(truth, "query_id").select(
+        "query_id",
+        F.col("label").alias("predicted_label"),
+        F.col("c").cast("bigint").alias("vote_count"),
+        "true_label",
+        (F.col("label") == F.col("true_label")).alias("correct"),
+    )
+
+
+@register(
+    "bigram_lm_logprob_quality",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents
+        ), bigrams AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        ), bg AS (
+            SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY w1, w2
+        ), ug AS (
+            SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1
+        ), vocab AS (
+            SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
+                SELECT unnest(toks) AS tok FROM t
+            )
+        )
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(ln((CAST(bg.c2 AS DOUBLE) + 0.5)
+                            / (CAST(ug.c1 AS DOUBLE) + 0.5 * vocab.v))), 6)
+                   AS avg_bigram_logprob
+        FROM bigrams b
+        JOIN bg ON bg.w1 = b.w1 AND bg.w2 = b.w2
+        JOIN ug ON ug.w1 = b.w1, vocab
+        GROUP BY b.doc_id
+    """,
+    doc="Bigram language-model quality score — the next step up from "
+        "the unigram perplexity proxy: per-document mean "
+        "ln P(w_i | w_(i-1)) under add-0.5-smoothed corpus bigram "
+        "statistics (alpha-smoothing over the corpus vocabulary V, so "
+        "unseen continuations are well-defined). Sequential structure "
+        "is what unigram scoring cannot see: shuffled word salad "
+        "scores near the unigram bound while natural n-gram order "
+        "scores higher. Scale shape: bigram expansion via zipped "
+        "array slices (Catalyst HOFs, no UDF), dictionary-sized "
+        "bigram/unigram count tables joined back on the bigram key — "
+        "shuffles carry (w1, w2) pairs and counts, never documents; "
+        "one partial agg per doc. ln() ulp noise absorbed by 6dp "
+        "rounding on an O(10) result, same argument as "
+        "token_entropy_quality (§2.11 quality).",
+    tags=("llm", "text", "quality"),
+)
+def bigram_lm_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TS.tokens("text").alias("toks"))
+    n = F.size("toks")
+    bigrams = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1).alias("w1"),
+                    F.slice("toks", 2, n - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ug = bigrams.groupBy(F.col("w1").alias("u_w1")).agg(F.count("*").alias("c1"))
+    vocab = float(
+        toks.select(F.explode("toks").alias("tok")).select("tok").distinct().count()
+    )
+    lp = F.log(
+        (F.col("c2").cast("double") + F.lit(0.5))
+        / (F.col("c1").cast("double") + F.lit(0.5) * F.lit(vocab))
+    )
+    return (
+        bigrams.join(bg, ["w1", "w2"])
+        .join(ug, bigrams["w1"] == F.col("u_w1"))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_bigram_logprob"),
+        )
+    )

@@ -163,3 +163,35 @@ def test_connected_components_converged_equals_fixed_iters(spark):
     assert got[6] == 1 and got[21] == 20
     # path needs 5 propagation rounds; detection costs one no-change round
     assert rounds == 6
+
+
+def test_kcore_hand_built(spark):
+    """K5 + a pendant chain: 3-core = exactly the K5; 5-core empty."""
+    from itertools import combinations
+
+    k5 = list(combinations(range(1, 6), 2))
+    chain = [(5, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k5 + chain, ["a", "b"])
+    core, rounds = G.kcore(df, k=3, max_iters=20)
+    assert sorted(r["node"] for r in core.collect()) == [1, 2, 3, 4, 5]
+    assert rounds >= 2  # chain peels over multiple rounds, then fixpoint
+    empty, _ = G.kcore(df, k=5, max_iters=20)
+    assert empty.count() == 0
+
+
+def test_kcore_oracle_sql_matches_operator(spark):
+    import duckdb
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 4), (1, 4)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    core, _ = G.kcore(df, k=2, max_iters=20)
+    got = sorted(r["node"] for r in core.collect())
+    cte = """
+        und AS (
+            SELECT * FROM (VALUES
+                (1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 4), (1, 4)
+            ) AS t(u, v)
+        )"""
+    sql = G.kcore_oracle_sql(cte, k=2, iters=10) + " SELECT node FROM n10 ORDER BY node"
+    ref = [r[0] for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == ref == [1, 2, 3, 4]
