@@ -2728,3 +2728,130 @@ def bigram_lm_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 6).alias("avg_bigram_logprob"),
         )
     )
+
+
+@register(
+    "embedding_centroids_by_label",
+    oracle="""
+        WITH t AS (
+            SELECT label, embedding FROM embeddings
+        ), unnested AS (
+            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+            FROM t, unnest(generate_series(1, len(embedding))) AS u(i)
+        )
+        SELECT label, CAST(pos AS INT) AS pos,
+               count(*) AS n_vecs,
+               round(avg(val), 6) AS centroid_val
+        FROM unnested GROUP BY label, pos
+    """,
+    doc="Distributed per-label centroids (class prototypes / cluster "
+        "means over an embedding column) in LONG form: explode each "
+        "vector to (label, position, value) and average per (label, "
+        "position). This is the scale-correct shape for element-wise "
+        "vector aggregation — a collect_list-then-average form would "
+        "ship whole vectors to one reducer per label; the explode form "
+        "partial-aggregates every (label, pos) cell map-side and "
+        "shuffles only |labels|·d running sums. Long output also "
+        "sidesteps array-ordering hash hazards. posexplode is "
+        "shifted to 1-based to match the SQL side's array indexing "
+        "(§2.11 embeddings).",
+    tags=("llm", "embeddings", "aggregate"),
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return cells.groupBy("label", "pos").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("val"), 6).alias("centroid_val"),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec,
+                   label AS true_label
+            FROM embeddings WHERE vec_id < 20
+        ), scored AS (
+            SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id,
+                   e.label AS neighbor_label,
+                   list_dot_product(q.qvec, e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.qvec, q.qvec)) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS raw_sim
+            FROM q, embeddings e
+            WHERE e.vec_id != q.query_id AND e.label != q.true_label
+        )
+        SELECT query_id, true_label, neighbor_id AS hard_negative_id,
+               neighbor_label AS negative_label,
+               round(raw_sim, 6) AS sim, rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY raw_sim DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """,
+    doc="Hard-negative mining — the contrastive-training data op: for "
+        "each query vector, the top-3 most-similar vectors with a "
+        "DIFFERENT label (the negatives most likely to confuse a "
+        "model, the ones worth training on). Same exact-cosine scorer "
+        "and determinism argument as cosine_topk_exact (double HOF dot "
+        "products, bit-identical to DuckDB's list_dot_product fold), "
+        "with the label-mismatch predicate pushed into the scoring "
+        "pass so same-label pairs are never ranked. At scale the "
+        "scorer swaps for the IVF/LSH variants; the mining projection "
+        "is identical (§2.11 similarity/curation).",
+    tags=("llm", "similarity", "curation"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("true_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qvec").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(c).cast("array<double>"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("true_label"))
+        )
+        .select(
+            "query_id", "true_label",
+            F.col("vec_id").alias("hard_negative_id"),
+            F.col("label").alias("negative_label"),
+            (dot / (norm("qvec") * norm("embedding"))).alias("raw_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_sim").desc(), F.col("hard_negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "true_label", "hard_negative_id", "negative_label",
+            F.round("raw_sim", 6).alias("sim"), "rank",
+        )
+    )

@@ -359,3 +359,72 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "streaming_interval_join_left_outer",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+            -- global watermark = min over BOTH input streams' max event
+            -- time, minus the 2h delay (Spark's multiple-watermark
+            -- min policy), ms-truncated
+            SELECT date_trunc('milliseconds',
+                   least((SELECT max(ts) FROM clicks),
+                         (SELECT max(ts) FROM purchases)))
+                   - INTERVAL '2 hours' AS w
+            FROM (VALUES (1))
+        ), matched AS (
+            SELECT c.user_id AS user_id, c.event_id AS click_id,
+                   p.event_id AS purchase_id
+            FROM clicks c JOIN purchases p
+              ON p.user_id = c.user_id
+             AND p.ts > c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        )
+        SELECT user_id, click_id, purchase_id, TRUE AS matched FROM matched
+        UNION ALL
+        SELECT c.user_id, c.event_id AS click_id,
+               CAST(NULL AS BIGINT) AS purchase_id, FALSE AS matched
+        FROM clicks c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+          AND c.ts < wm.w - INTERVAL 30 MINUTE
+    """,
+    doc="Watermarked stream-stream LEFT OUTER interval join (ST10): "
+        "clicks with no purchase within 30 min emit a null row — but "
+        "only once the join state can prove no future match exists. "
+        "The oracle states the engine's actual emission rule, derived "
+        "empirically and then from the state-eviction math: the GLOBAL "
+        "watermark is min over BOTH streams' max event time minus the "
+        "delay (multiple-watermark min policy — the purchase stream's "
+        "slower clock holds back null emission for clicks), and a left "
+        "row is evictable (hence null-emitted) when its ts < watermark "
+        "- upper bound, i.e. no purchase with p_ts > watermark can "
+        "still satisfy p_ts <= c_ts + 30min. Matched pairs emit "
+        "unconditionally in append mode. This is the operator whose "
+        "semantics differ MOST from the batch left join — the batch "
+        "result is the limit as the watermark passes everything — so "
+        "pinning the finalized subset is the honest check (cf. "
+        "streaming_tumbling_finalized).",
+    tags=("streaming", "join", "interval", "outer"),
+)
+def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    from ..streaming.pipeline import stream_interval_join
+
+    joined = stream_interval_join(
+        clicks, purchases, on="user_id", upper="30 minutes",
+        left_prefix="c_", right_prefix="p_", how="leftOuter",
+    )
+    out = joined.select(
+        F.col("c_user_id").alias("user_id"),
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("p_event_id").isNotNull().alias("matched"),
+    )
+    return _run_to_table(out, "stream_ij_louter")

@@ -418,6 +418,7 @@ def stream_interval_join(
     watermark: str = "2 hours",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (ST10): right-side events within
     ``(left_ts, left_ts + upper]`` of a left event with the same key —
@@ -425,6 +426,11 @@ def stream_interval_join(
     and the time-range condition bounds join state: rows older than
     watermark − upper are evicted (without the range condition a
     stream-stream join's state grows forever).
+
+    ``how="leftOuter"`` additionally emits null-padded left rows once
+    state eviction proves no future match can arrive — i.e. when the
+    global watermark (min across both streams) passes
+    left_ts + upper.
     """
     l = left.withWatermark(left_ts, watermark).select(
         *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]
@@ -438,4 +444,4 @@ def stream_interval_join(
         & (rts > lts)
         & (rts <= lts + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
