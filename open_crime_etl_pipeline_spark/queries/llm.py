@@ -2855,3 +2855,376 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("raw_sim", 6).alias("sim"), "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: CCNet-style segment dedup, BM25 retrieval, SymSpell linkage,
+# broadcast-model batch inference
+# ---------------------------------------------------------------------------
+
+_CCNET_HEADER = "shared header line for every document in corpus "
+
+
+@register(
+    "line_level_dedup_ccnet",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id,
+                   'shared header line for every document in corpus ' || text AS text
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+            FROM corpus
+        ), segs AS (
+            SELECT doc_id, i AS seg_idx,
+                   array_to_string(list_slice(toks, 8*i+1, 8*i+8), ' ') AS seg
+            FROM toks,
+                 unnest(generate_series(0, CAST(ceil(len(toks)/8.0) AS INT) - 1)) AS u(i)
+        ), seg_df AS (
+            SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+        ), flagged AS (
+            SELECT s.doc_id, s.seg_idx, s.seg, d.df >= 3 AS is_bp
+            FROM segs s JOIN seg_df d USING (seg)
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               md5(coalesce(string_agg(CASE WHEN NOT is_bp THEN seg END,
+                                       ' ' ORDER BY seg_idx), '')) AS retained_md5
+        FROM flagged GROUP BY doc_id
+    """,
+    doc="CCNet/C4-style line-level dedup: boilerplate SEGMENTS (fixed "
+        "8-word chunks standing in for lines — the corpus has no "
+        "newlines) that recur in >= 3 distinct documents are removed "
+        "from every document, and each doc is reassembled from its "
+        "surviving segments in order (md5 receipt). A shared header "
+        "is prepended to every doc so the operator has guaranteed "
+        "work; the natural corpus adds more (identical docs whose "
+        "every segment goes boilerplate). Shape: explode segments -> "
+        "distinct-doc count per segment -> join back by segment -> "
+        "per-doc ordered reassembly via array_sort(collect_list("
+        "struct(idx, seg))). The segment-frequency side is NOT "
+        "broadcast: at 100 TB the segment dictionary is corpus-sized, "
+        "so it stays a shuffle equi-join on the segment key (the same "
+        "inverted-index discipline as duplicate_ngram_fraction); "
+        "collect_list is bounded by single-doc size. Cf. CCNet "
+        "(Wenzek et al.) paragraph dedup; reference has no analog "
+        "(mandated [EXT] §2.11 dedup).",
+    tags=("llm", "dedup", "text"),
+)
+def line_level_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id", F.concat(F.lit(_CCNET_HEADER), F.col("text")).alias("text")
+    )
+    toks = corpus.select("doc_id", TS.tokens("text").alias("toks"))
+    # Every doc has >= 8 tokens (header), so sequence(0, n_seg-1) is
+    # always ascending; an empty doc would need a guard here.
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("toks") / F.lit(8.0)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(F.slice(F.col("toks"), i * 8 + 1, 8), " "),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    seg_df = segs.groupBy("seg").agg(F.count_distinct("doc_id").alias("df"))
+    flagged = segs.join(seg_df, "seg").withColumn("is_bp", F.col("df") >= 3)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_bp"),
+                                F.struct(F.col("seg_idx"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("retained_md5"),
+    )
+
+
+_BM25_TERMS = ("spark", "join", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_retrieval_topk",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+        ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+            WHERE term IN ('spark','join','filter') GROUP BY doc_id, term
+        ), idf AS (
+            SELECT term, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+            FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+                 stats s
+        ), contrib AS (
+            SELECT tf.doc_id, tf.term,
+                   idf.idf * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats s
+        ), scored AS (
+            -- fixed-order sum over the 3 query terms (each per-term sum
+            -- has <= 1 element), so the float add order is identical in
+            -- both engines
+            SELECT doc_id,
+                   coalesce(sum(CASE WHEN term = 'spark'  THEN c END), 0)
+                 + coalesce(sum(CASE WHEN term = 'join'   THEN c END), 0)
+                 + coalesce(sum(CASE WHEN term = 'filter' THEN c END), 0) AS score,
+                   CAST(count(*) AS BIGINT) AS n_terms_matched
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, round(score, 6) AS score, n_terms_matched,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM scored QUALIFY rank <= 10
+    """,
+    doc="BM25 retrieval (k1=1.2, b=0.75): top-10 documents for the fixed "
+        "query {spark, join, filter}. Inverted-index shape: token "
+        "explode filtered to query terms BEFORE the tf groupBy (the "
+        "posting list never includes non-query terms), df/idf computed "
+        "from the postings and broadcast back (|query| rows), avgdl "
+        "from an exact integer sum so the double division is "
+        "bit-identical cross-engine. The per-doc score adds the <= 3 "
+        "per-term contributions in a FIXED literal order via "
+        "conditional aggregation — a bare SUM over doubles would be "
+        "order-nondeterministic across engines and could flip a "
+        "round-to-6dp boundary. Global top-10 = TakeOrderedAndProject "
+        "(no full sort); rank window runs over 10 rows. Cf. Robertson "
+        "& Zaragoza BM25; §2.11 text/similarity.",
+    tags=("llm", "text", "retrieval"),
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TS.tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    agg = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+    n_docs, avgdl = float(agg["n"]), agg["s"] / agg["n"]
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(F.count("*").cast("double").alias("df")).select(
+        "term",
+        F.log(
+            F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id", "term",
+            (
+                F.col("idf") * F.col("tf") * F.lit(_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(_BM25_K1)
+                    * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("c"),
+        )
+    )
+    per_term = [
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0))
+        for t in _BM25_TERMS
+    ]
+    score = per_term[0] + per_term[1] + per_term[2]
+    scored = contrib.groupBy("doc_id").agg(
+        score.alias("score"), F.count("*").alias("n_terms_matched")
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", F.round("score", 6).alias("score"), "n_terms_matched", "rank"
+    )
+
+
+@register(
+    "blocked_fuzzy_join_symspell",
+    oracle="""
+        WITH corpus AS (
+            SELECT c_custkey AS id, 'base' AS side, c_name AS name FROM customer
+            UNION ALL
+            SELECT c_custkey + 1000000 AS id, 'dirty' AS side,
+                   substr(c_name, 1, 9 + CAST(c_custkey % 9 AS INT)) || 'x' ||
+                   substr(c_name, 11 + CAST(c_custkey % 9 AS INT)) AS name
+            FROM customer
+        ), variants AS (
+            SELECT id, side, name,
+                   substr(name, 1, CAST(i AS INT) - 1) ||
+                   substr(name, CAST(i AS INT) + 1) AS var
+            FROM corpus, unnest(generate_series(1, length(name))) AS u(i)
+        ), cand AS (
+            SELECT DISTINCT d.id AS dirty_id, d.name AS d_name,
+                   b.id AS match_custkey, b.name AS b_name
+            FROM variants d JOIN variants b ON d.var = b.var
+            WHERE d.side = 'dirty' AND b.side = 'base'
+        )
+        SELECT dirty_id, match_custkey,
+               CAST(levenshtein(d_name, b_name) AS INT) AS dist
+        FROM cand WHERE levenshtein(d_name, b_name) <= 1
+    """,
+    doc="Entity resolution via 1-deletion-neighborhood blocking "
+        "(SymSpell-style): a dirty replica of every customer name (one "
+        "digit replaced by 'x' at a key-dependent position) is linked "
+        "back to the clean side by edit distance <= 1 — WITHOUT an "
+        "all-pairs levenshtein. Each name emits its |name| "
+        "delete-one-char variants; two names at substitution distance "
+        "1 necessarily share the variant deleting the differing "
+        "position, so an equi-join on the variant string is a "
+        "complete blocking scheme (provable recall), and candidate "
+        "blocks are tiny (names sharing a deletion). levenshtein runs "
+        "only on distinct candidate pairs. The deterministic truth "
+        "set includes same-decade cousins (a dirty name whose mutated "
+        "digit is the one digit distinguishing two base names matches "
+        "both). Scale: linear |corpus|x|name| variant inflation and "
+        "an equi-join — the standard trade replacing the quadratic "
+        "similarity join; cf. SymSpell / Norvig spell-correction "
+        "indexing (§2.11 dedup/linkage).",
+    tags=("llm", "linkage", "dedup"),
+)
+def blocked_fuzzy_join_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    k = (F.col("id") % 9).cast("int")
+    dirty = cust.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(
+            F.substr(F.col("name"), F.lit(1), F.lit(9) + k),
+            F.lit("x"),
+            F.substr(F.col("name"), F.lit(11) + k),
+        ).alias("name"),
+    )
+    corpus = cust.withColumn("side", F.lit("base")).unionByName(
+        dirty.withColumn("side", F.lit("dirty"))
+    )
+    variants = corpus.select(
+        "id", "side", "name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("name")),
+                lambda i: F.concat(
+                    F.substr(F.col("name"), F.lit(1), i - 1),
+                    F.substr(F.col("name"), i + 1),
+                ),
+            )
+        ).alias("var"),
+    )
+    d = variants.filter(F.col("side") == "dirty").select(
+        F.col("id").alias("dirty_id"), F.col("name").alias("d_name"), "var"
+    )
+    b = variants.filter(F.col("side") == "base").select(
+        F.col("id").alias("match_custkey"), F.col("name").alias("b_name"), "var"
+    )
+    cand = d.join(b, "var").select(
+        "dirty_id", "d_name", "match_custkey", "b_name"
+    ).distinct()
+    return cand.filter(F.levenshtein("d_name", "b_name") <= 1).select(
+        "dirty_id", "match_custkey",
+        F.levenshtein("d_name", "b_name").cast("int").alias("dist"),
+    )
+
+
+_CLASSIFIER_WEIGHTS = (
+    ("spark", "2.50"), ("data", "1.20"), ("slow", "-3.00"),
+    ("the", "-0.80"), ("query", "1.70"), ("batch", "0.90"),
+)
+_CLASSIFIER_BIAS = -0.2
+
+
+@register(
+    "linear_classifier_inference",
+    oracle="""
+        WITH w(term, wt) AS (VALUES
+            ('spark', CAST(2.50 AS DECIMAL(4,2))), ('data', CAST(1.20 AS DECIMAL(4,2))),
+            ('slow', CAST(-3.00 AS DECIMAL(4,2))), ('the', CAST(-0.80 AS DECIMAL(4,2))),
+            ('query', CAST(1.70 AS DECIMAL(4,2))), ('batch', CAST(0.90 AS DECIMAL(4,2)))
+        ), toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+        ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+            GROUP BY doc_id, term
+        ), dot AS (
+            SELECT tf.doc_id, sum(w.wt * tf.tf) AS dot_dec
+            FROM tf JOIN w USING (term) GROUP BY tf.doc_id
+        ), z AS (
+            SELECT dl.doc_id,
+                   -0.2 + coalesce(CAST(dot.dot_dec AS DOUBLE), 0.0) / dl.dl AS z
+            FROM dl LEFT JOIN dot ON dl.doc_id = dot.doc_id
+        )
+        SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS prob,
+               1.0 / (1.0 + exp(-z)) > 0.5 AS quality_pass
+        FROM z
+    """,
+    doc="Broadcast-model batch inference: a fasttext-style linear "
+        "quality classifier (term weights + bias, features = tf/dl) "
+        "scored over every document with a sigmoid. The model is a "
+        "6-row broadcast table — the canonical 100 TB inference shape "
+        "(model ships to executors; the corpus never moves beyond its "
+        "tf groupBy). Weighted dot product accumulates in DECIMAL "
+        "(exact, order-independent) and converts to DOUBLE once "
+        "before the division/sigmoid, so the cross-engine float "
+        "story has no sum-order hazard (the repo's DECIMAL-sum "
+        "discipline applied to a model dot product). Docs matching "
+        "no model term still score (bias-only) via the left join. "
+        "Cf. fastText/CCNet LM quality filtering (§2.11 text).",
+    tags=("llm", "text", "inference"),
+)
+def linear_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weights = spark.createDataFrame(
+        [(t, w) for t, w in _CLASSIFIER_WEIGHTS], "term string, wt string"
+    ).select("term", F.col("wt").cast("decimal(4,2)").alias("wt"))
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TS.tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dot = (
+        tf.join(F.broadcast(weights), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wt") * F.col("tf")).alias("dot_dec"))
+    )
+    z = dl.join(dot, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.lit(_CLASSIFIER_BIAS)
+            + F.coalesce(F.col("dot_dec").cast("double"), F.lit(0.0)) / F.col("dl")
+        ).alias("z"),
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    return z.select(
+        "doc_id", F.round(prob, 6).alias("prob"), (prob > 0.5).alias("quality_pass")
+    )
