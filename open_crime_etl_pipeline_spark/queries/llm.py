@@ -3228,3 +3228,239 @@ def linear_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select(
         "doc_id", F.round(prob, 6).alias("prob"), (prob > 0.5).alias("quality_pass")
     )
+
+
+@register(
+    "cdc_chunk_dedup_stats",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t != '') AS toks
+            FROM documents
+        ), b AS (
+            SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n,
+                CASE WHEN len(toks) >= 4 THEN
+                  list_filter(generate_series(CAST(4 AS BIGINT), CAST(len(toks) AS BIGINT)), i ->
+                    list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      list_transform(
+                        string_split(array_to_string(list_slice(toks, i-3, i), ' '), ''),
+                        c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, x) -> (acc*31 + x) % 1000003) % 8 = 0)
+                ELSE [] END AS bounds
+            FROM toks
+        ), bp AS (
+            SELECT doc_id, source, toks,
+                   list_concat(list_concat([CAST(0 AS BIGINT)], bounds),
+                               CASE WHEN len(bounds) > 0 AND bounds[-1] = n
+                                    THEN [] ELSE [n] END) AS bps
+            FROM b
+        ), chunks AS (
+            SELECT doc_id, source,
+                   array_to_string(
+                       list_slice(toks, bps[CAST(j AS INT)]+1, bps[CAST(j AS INT)+1]),
+                       ' ') AS chunk,
+                   bps[CAST(j AS INT)+1] - bps[CAST(j AS INT)] AS chunk_tokens
+            FROM bp, unnest(generate_series(1, len(bps)-1)) AS u(j)
+        ), cdf AS (
+            SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(DISTINCT c.chunk) AS BIGINT) AS n_distinct_chunks,
+               CAST(sum(CASE WHEN cdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_shared,
+               round(CAST(sum(chunk_tokens) AS DOUBLE) / count(*), 6) AS avg_chunk_tokens
+        FROM chunks c JOIN cdf USING (chunk)
+        GROUP BY source
+    """,
+    doc="Content-defined chunking (FastCDC-style) + chunk-level dedup "
+        "stats: a 4-token rolling window hashed with the portable fold "
+        "hash declares a chunk boundary where hash % 8 == 0, so chunk "
+        "boundaries are CONTENT-anchored — an insertion early in a doc "
+        "shifts fixed-size chunk grids everywhere but re-synchronizes "
+        "CDC chunks after one window, which is why CDC is the "
+        "storage/training-corpus dedup standard. Per doc the boundary "
+        "scan is pure Catalyst HOFs (filter over sequence; O(n·k) "
+        "window hashes, no UDF); chunks then explode and dedup "
+        "globally (distinct-doc frequency per chunk content) with a "
+        "per-source rollup. Docs shorter than the window become one "
+        "chunk. Scale: everything before the chunk groupBy is "
+        "scan-side and per-row; the shuffle carries chunk strings "
+        "once (at 100 TB you'd shuffle xxhash64(chunk) fingerprints "
+        "instead — same plan shape). Cf. FastCDC (Xia et al.); "
+        "§2.11 dedup.",
+    tags=("llm", "dedup", "chunking"),
+)
+def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", TS.tokens("text").alias("toks"))
+    n = F.size("toks").cast("long")
+    window_hash = lambda i: TS.fold_hash(  # noqa: E731
+        F.array_join(F.slice(F.col("toks"), (i - 3).cast("int"), 4), " "), 7
+    )
+    bounded = toks.select(
+        "doc_id", "source", "toks", n.alias("n"),
+        F.when(
+            n >= 4,
+            F.filter(
+                F.sequence(F.lit(4).cast("long"), n),
+                lambda i: window_hash(i) % 8 == 0,
+            ),
+        ).otherwise(F.expr("array()").cast("array<long>")).alias("bounds"),
+    )
+    bps = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.col("bounds"),
+        F.when(
+            (F.size("bounds") > 0) & (F.element_at("bounds", -1) == F.col("n")),
+            F.expr("array()").cast("array<long>"),
+        ).otherwise(F.array(F.col("n"))),
+    )
+    with_bps = bounded.withColumn("bps", bps)
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), F.size("bps") - 1),
+        lambda j: F.struct(
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    (F.element_at("bps", j) + 1).cast("int"),
+                    (F.element_at("bps", j + 1) - F.element_at("bps", j)).cast("int"),
+                ),
+                " ",
+            ).alias("chunk"),
+            (F.element_at("bps", j + 1) - F.element_at("bps", j)).alias("chunk_tokens"),
+        ),
+    )
+    chunks = with_bps.select(
+        "doc_id", "source", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", "source", F.col("c.chunk").alias("chunk"),
+             F.col("c.chunk_tokens").alias("chunk_tokens"))
+    cdf = chunks.groupBy("chunk").agg(F.count_distinct("doc_id").alias("df"))
+    return chunks.join(cdf, "chunk").groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_distinct("chunk").alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long").alias("n_in_shared"),
+        F.round(
+            F.sum("chunk_tokens").cast("double") / F.count("*"), 6
+        ).alias("avg_chunk_tokens"),
+    )
+
+
+@register(
+    "pmi_collocations_topk",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents
+        ), bigrams AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        ), n AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_bg FROM bigrams
+        ), bg AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM bigrams GROUP BY w1, w2
+        ), lc AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bigrams GROUP BY w1
+        ), rc AS (
+            SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bigrams GROUP BY w2
+        ), scored AS (
+            SELECT bg.w1, bg.w2, bg.c12,
+                   ln(bg.c12 * n.n_bg / (lc.c1 * rc.c2)) AS pmi
+            FROM bg JOIN lc USING (w1) JOIN rc USING (w2), n
+            WHERE bg.c12 >= 5
+        )
+        SELECT w1, w2, c12, round(pmi, 6) AS pmi,
+               CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
+        FROM scored QUALIFY rank <= 20
+    """,
+    doc="PMI collocation mining: top-20 bigrams by pointwise mutual "
+        "information ln(c12·N / (c1·c2)) with a min-count-5 support "
+        "floor (raw PMI overweights hapaxes). Left/right marginal "
+        "dictionaries join back broadcast (vocab-sized); all ln inputs "
+        "are exact integer ratios so the only float op is one ln, "
+        "absorbed by 6dp rounding; ties break on (w1, w2). Global "
+        "top-20 via TakeOrderedAndProject. Collocation extraction is "
+        "the phrase-vocabulary step of tokenizer/corpus pipelines "
+        "(cf. word2vec phrase mining, Mikolov et al.); §2.11 text.",
+    tags=("llm", "text", "collocations"),
+)
+def pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TS.tokens("text").alias("toks"))
+    n_col = F.size("toks")
+    bigrams = (
+        toks.filter(n_col >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n_col - 1).alias("w1"),
+                    F.slice("toks", 2, n_col - 1).alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    n_bg = float(bigrams.count())
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    lc = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    rc = bigrams.groupBy("w2").agg(F.count("*").alias("c2"))
+    scored = (
+        bg.filter(F.col("c12") >= 5)
+        .join(F.broadcast(lc), "w1")
+        .join(F.broadcast(rc), "w2")
+        .select(
+            "w1", "w2", "c12",
+            F.log(
+                F.col("c12") * F.lit(n_bg) / (F.col("c1") * F.col("c2"))
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(20)
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "w1", "w2", "c12", F.round("pmi", 6).alias("pmi"), "rank"
+    )
+
+
+@register(
+    "k_anonymity_generalization",
+    oracle="""
+        WITH g AS (
+            SELECT c_nationkey, c_mktsegment, count(*) AS n
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+        ), gen AS (
+            SELECT c.c_nationkey,
+                   CASE WHEN g.n >= 10 THEN c.c_mktsegment ELSE '*' END AS segment
+            FROM customer c
+            JOIN g ON g.c_nationkey = c.c_nationkey
+                  AND g.c_mktsegment = c.c_mktsegment
+        )
+        SELECT c_nationkey AS nationkey, segment,
+               CAST(count(*) AS BIGINT) AS group_size,
+               count(*) >= 10 AS anonymous
+        FROM gen GROUP BY c_nationkey, segment
+    """,
+    doc="k-anonymity audit with one generalization step (k=10) over the "
+        "quasi-identifier (nation, market segment): groups below k get "
+        "their segment suppressed to '*' and merge at the nation "
+        "level; the output reports every post-generalization group "
+        "with its size and whether it now satisfies k. The group-size "
+        "table is quasi-identifier-sized (|nations|x|segments|) and "
+        "broadcasts back onto the row stream, so the rows shuffle "
+        "once for the final count — the privacy-release analog of the "
+        "PII-redaction scan (pii_redaction_scrub). Cf. Sweeney "
+        "k-anonymity; §2.11 governance.",
+    tags=("llm", "governance", "privacy"),
+)
+def k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+    gen = cust.join(F.broadcast(g), ["c_nationkey", "c_mktsegment"]).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.when(F.col("n") >= 10, F.col("c_mktsegment")).otherwise(F.lit("*")).alias("segment"),
+    )
+    return gen.groupBy("nationkey", "segment").agg(
+        F.count("*").alias("group_size"),
+        (F.count("*") >= 10).alias("anonymous"),
+    )
