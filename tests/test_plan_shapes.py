@@ -297,3 +297,46 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_broadcasts_idf_and_heap_topk(spark, sf_dir):
+    """BM25's idf side is |query|-sized (3 rows) and must broadcast; the
+    global top-10 must be a per-partition heap merge, not a full sort."""
+    plan = _plan(spark, sf_dir, "bm25_retrieval_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_symspell_blocking_never_goes_all_pairs(spark, sf_dir):
+    """The deletion-neighborhood join must stay an equi-join on the
+    variant string — a nested-loop or cartesian fallback means the
+    blocking scheme silently degenerated to all-pairs levenshtein."""
+    plan = _plan(spark, sf_dir, "blocked_fuzzy_join_symspell")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_and_line_dedup_stay_jvm_side(spark, sf_dir):
+    """The rolling-hash boundary scan and the segment explode are pure
+    Catalyst HOFs; a BatchEvalPython appearing here means a Python UDF
+    crept into the per-token hot path (10-100x slower at scale)."""
+    for name in ("cdc_chunk_dedup_stats", "line_level_dedup_ccnet"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_classifier_model_broadcasts(spark, sf_dir):
+    """The 6-row model table must ship to executors, never shuffle the
+    token stream against it."""
+    plan = _plan(spark, sf_dir, "linear_classifier_inference")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_k_anonymity_group_sizes_broadcast(spark, sf_dir):
+    """The QI group-size table (|nations|x|segments|) broadcasts back
+    onto the row stream."""
+    plan = _plan(spark, sf_dir, "k_anonymity_generalization")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
