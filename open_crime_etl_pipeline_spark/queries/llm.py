@@ -3464,3 +3464,117 @@ def k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("group_size"),
         (F.count("*") >= 10).alias("anonymous"),
     )
+
+
+@register(
+    "ols_trend_per_source",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sx,
+                   CAST(sum(n_chars) AS BIGINT) AS sy,
+                   CAST(sum(doc_id * n_chars) AS BIGINT) AS sxy,
+                   CAST(sum(doc_id * doc_id) AS BIGINT) AS sxx
+            FROM documents GROUP BY source
+        )
+        SELECT source, n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx), 9) AS slope,
+               round((sy - (CAST(n * sxy - sx * sy AS DOUBLE)
+                            / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+        FROM s
+    """,
+    doc="Grouped OLS (per-source linear trend of document length over "
+        "corpus position): closed-form slope/intercept from the five "
+        "classic sufficient statistics (n, Σx, Σy, Σxy, Σx²) — ALL "
+        "integer-exact, so the only float ops are the two final "
+        "divisions and the result is bit-deterministic cross-engine "
+        "with no Welford/accumulator divergence (why the oracle states "
+        "the closed form rather than DuckDB's regr_slope). One "
+        "partial-agg shuffle of 5 longs per (source) group — the "
+        "distributed-regression shape that scales to any group count; "
+        "per-group state is O(1). §2.11 analytics/monitoring (drift "
+        "trend per corpus source).",
+    tags=("llm", "analytics", "regression"),
+)
+def ols_trend_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sx"),
+        F.sum("n_chars").alias("sy"),
+        F.sum(F.col("doc_id") * F.col("n_chars")).alias("sxy"),
+        F.sum(F.col("doc_id") * F.col("doc_id")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.select(
+        "source", "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    )
+
+
+def _jl_signs(dim_in: int, j: int) -> list[float]:
+    """Deterministic ±1 Achlioptas-style signs for output dim j, derived
+    from md5 so the SQL oracle can re-derive the identical matrix with
+    its own md5()."""
+    import hashlib
+
+    return [
+        1.0 if ord(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0]) % 2 == 0 else -1.0
+        for i in range(1, dim_in + 1)
+    ]
+
+
+_JL_DIM_IN = 64
+_JL_DIM_OUT = 8
+
+
+def _jl_oracle() -> str:
+    cols = ",\n               ".join(
+        f"""round(list_reduce(list_transform(generate_series(1, {_JL_DIM_IN}), i ->
+                   CAST(embedding[i] AS DOUBLE) *
+                   (CASE WHEN ascii(substr(md5(CAST(i AS VARCHAR) || '_' || '{j}'), 1, 1)) % 2 = 0
+                         THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b)
+                   / sqrt(8.0), 6) AS p{j}"""
+        for j in range(1, _JL_DIM_OUT + 1)
+    )
+    return f"""
+        SELECT vec_id,
+               {cols}
+        FROM embeddings
+    """
+
+
+@register(
+    "jl_random_projection",
+    oracle=_jl_oracle(),
+    doc="Johnson-Lindenstrauss random projection 64→8: a deterministic "
+        "±1 sign matrix (md5-derived, so both engines own the identical "
+        "matrix — Spark embeds it as literal arrays, the model-as-"
+        "broadcast-constant shape; the oracle re-derives it with SQL "
+        "md5) projects every embedding via y_j = Σ x_i·s_ij / √8. Each "
+        "dot product is a FIXED-ORDER sequential fold (F.aggregate "
+        "from 0.0 ≡ DuckDB list_reduce from x₁ since 0.0+x₁ is exact), "
+        "so no float add-order hazard. Pure scan-side map — zero "
+        "shuffles, the cheap-ANN preprocessing step (project, then "
+        "bucket in 8-d). Cf. Achlioptas database-friendly random "
+        "projections; §2.11 embeddings.",
+    tags=("llm", "embeddings", "projection"),
+)
+def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    cols = [F.col("vec_id")]
+    for j in range(1, _JL_DIM_OUT + 1):
+        w = F.array(*[F.lit(s) for s in _jl_signs(_JL_DIM_IN, j)])
+        dot = F.aggregate(
+            F.zip_with(x, w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.round(dot / F.sqrt(F.lit(8.0)), 6).alias(f"p{j}"))
+    return emb.select(*cols)
