@@ -72,6 +72,9 @@ def main() -> None:
         # r4 new-family entries
         "product_profit_q9",          # TPC-H completion: LIKE dim + 4-way join
         "connected_components_copurchase",  # iterative min-label propagation
+        # r4 wave-5 family entries
+        "cdc_chunk_dedup_stats",      # content-defined chunking (HOF rolling hash)
+        "bm25_retrieval_topk",        # retrieval: inverted index + broadcast idf
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not

@@ -3237,17 +3237,23 @@ def linear_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, source,
                    list_filter(string_split(text, ' '), t -> t != '') AS toks
             FROM documents
-        ), b AS (
+        ), th AS (
             SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n,
-                CASE WHEN len(toks) >= 4 THEN
-                  list_filter(generate_series(CAST(4 AS BIGINT), CAST(len(toks) AS BIGINT)), i ->
-                    list_reduce(list_prepend(CAST(7 AS BIGINT),
-                      list_transform(
-                        string_split(array_to_string(list_slice(toks, i-3, i), ' '), ''),
-                        c -> CAST(ascii(c) AS BIGINT))),
-                      (acc, x) -> (acc*31 + x) % 1000003) % 8 = 0)
-                ELSE [] END AS bounds
+                   list_transform(toks, t -> list_reduce(
+                       list_prepend(CAST(7 AS BIGINT),
+                           list_transform(string_split(t, ''),
+                                          c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, x) -> (acc*31 + x) % 1000003)) AS th
             FROM toks
+        ), b AS (
+            SELECT doc_id, source, toks, n,
+                CASE WHEN n >= 4 THEN
+                  list_filter(generate_series(CAST(4 AS BIGINT), n), i ->
+                    (((((th[CAST(i AS INT)-3]*31 + th[CAST(i AS INT)-2]) % 1000003)
+                        * 31 + th[CAST(i AS INT)-1]) % 1000003)
+                        * 31 + th[CAST(i AS INT)]) % 1000003 % 8 = 0)
+                ELSE [] END AS bounds
+            FROM th
         ), bp AS (
             SELECT doc_id, source, toks,
                    list_concat(list_concat([CAST(0 AS BIGINT)], bounds),
@@ -3272,67 +3278,27 @@ def linear_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY source
     """,
     doc="Content-defined chunking (FastCDC-style) + chunk-level dedup "
-        "stats: a 4-token rolling window hashed with the portable fold "
-        "hash declares a chunk boundary where hash % 8 == 0, so chunk "
+        "stats over operators/dedup.py::cdc_chunks: a 4-token rolling "
+        "window declares a chunk boundary where its hash % 8 == 0, so "
         "boundaries are CONTENT-anchored — an insertion early in a doc "
         "shifts fixed-size chunk grids everywhere but re-synchronizes "
         "CDC chunks after one window, which is why CDC is the "
-        "storage/training-corpus dedup standard. Per doc the boundary "
-        "scan is pure Catalyst HOFs (filter over sequence; O(n·k) "
-        "window hashes, no UDF); chunks then explode and dedup "
-        "globally (distinct-doc frequency per chunk content) with a "
-        "per-source rollup. Docs shorter than the window become one "
-        "chunk. Scale: everything before the chunk groupBy is "
-        "scan-side and per-row; the shuffle carries chunk strings "
-        "once (at 100 TB you'd shuffle xxhash64(chunk) fingerprints "
-        "instead — same plan shape). Cf. FastCDC (Xia et al.); "
-        "§2.11 dedup.",
+        "storage/training-corpus dedup standard. Each token is "
+        "fold-hashed ONCE and windows combine token hashes with a "
+        "polynomial accumulate (measured 2.2x faster than re-hashing "
+        "the joined window string per position — PERF.md); the whole "
+        "boundary scan is pure Catalyst HOFs, no UDF. Chunks then "
+        "explode and dedup globally (distinct-doc frequency per chunk "
+        "content) with a per-source rollup. Scale: everything before "
+        "the chunk groupBy is scan-side and per-row; the shuffle "
+        "carries chunk strings once (at 100 TB you would shuffle "
+        "xxhash64(chunk) fingerprints instead — same plan shape). "
+        "Cf. FastCDC (Xia et al.); SURVEY.md 2.11 dedup.",
     tags=("llm", "dedup", "chunking"),
 )
 def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "source", TS.tokens("text").alias("toks"))
-    n = F.size("toks").cast("long")
-    window_hash = lambda i: TS.fold_hash(  # noqa: E731
-        F.array_join(F.slice(F.col("toks"), (i - 3).cast("int"), 4), " "), 7
-    )
-    bounded = toks.select(
-        "doc_id", "source", "toks", n.alias("n"),
-        F.when(
-            n >= 4,
-            F.filter(
-                F.sequence(F.lit(4).cast("long"), n),
-                lambda i: window_hash(i) % 8 == 0,
-            ),
-        ).otherwise(F.expr("array()").cast("array<long>")).alias("bounds"),
-    )
-    bps = F.concat(
-        F.array(F.lit(0).cast("long")),
-        F.col("bounds"),
-        F.when(
-            (F.size("bounds") > 0) & (F.element_at("bounds", -1) == F.col("n")),
-            F.expr("array()").cast("array<long>"),
-        ).otherwise(F.array(F.col("n"))),
-    )
-    with_bps = bounded.withColumn("bps", bps)
-    chunk_structs = F.transform(
-        F.sequence(F.lit(1), F.size("bps") - 1),
-        lambda j: F.struct(
-            F.array_join(
-                F.slice(
-                    F.col("toks"),
-                    (F.element_at("bps", j) + 1).cast("int"),
-                    (F.element_at("bps", j + 1) - F.element_at("bps", j)).cast("int"),
-                ),
-                " ",
-            ).alias("chunk"),
-            (F.element_at("bps", j + 1) - F.element_at("bps", j)).alias("chunk_tokens"),
-        ),
-    )
-    chunks = with_bps.select(
-        "doc_id", "source", F.explode(chunk_structs).alias("c")
-    ).select("doc_id", "source", F.col("c.chunk").alias("chunk"),
-             F.col("c.chunk_tokens").alias("chunk_tokens"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    chunks = D.cdc_chunks(docs)
     cdf = chunks.groupBy("chunk").agg(F.count_distinct("doc_id").alias("df"))
     return chunks.join(cdf, "chunk").groupBy("source").agg(
         F.count("*").alias("n_chunks"),
@@ -3578,3 +3544,129 @@ def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(F.round(dot / F.sqrt(F.lit(8.0)), 6).alias(f"p{j}"))
     return emb.select(*cols)
+
+
+_GD_LR = 0.05
+_GD_TERMS = ("spark", "data", "slow")
+
+
+@register(
+    "logistic_regression_gd_steps",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, n_chars,
+                   list_filter(string_split(text, ' '), t -> t != '') AS toks
+            FROM documents
+        ), feat AS (
+            SELECT doc_id, CAST(n_chars > 250 AS INT) AS y,
+                   CAST(len(list_filter(toks, t -> t = 'spark')) AS BIGINT) AS x1,
+                   CAST(len(list_filter(toks, t -> t = 'data')) AS BIGINT) AS x2,
+                   CAST(len(list_filter(toks, t -> t = 'slow')) AS BIGINT) AS x3
+            FROM toks
+        ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feat),
+        g1 AS (
+            -- w=0 => p=0.5 exactly; every contribution is k*0.5, exact in
+            -- DECIMAL, so the step-1 gradient is order-independent-exact
+            SELECT CAST(sum(CAST((0.5 - y) * x1 AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST((0.5 - y) * x2 AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+                   CAST(sum(CAST((0.5 - y) * x3 AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+                   CAST(sum(CAST(0.5 - y AS DECIMAL(38,6))) AS DOUBLE) AS sb
+            FROM feat
+        ), w1t AS (
+            SELECT -0.05 * s1 / nn.n AS wa, -0.05 * s2 / nn.n AS wb,
+                   -0.05 * s3 / nn.n AS wc, -0.05 * sb / nn.n AS bb
+            FROM g1, nn
+        ), p2 AS (
+            SELECT f.y, f.x1, f.x2, f.x3,
+                   1.0 / (1.0 + exp(-(((w1t.bb + w1t.wa * f.x1)
+                                       + w1t.wb * f.x2) + w1t.wc * f.x3))) AS p
+            FROM feat f, w1t
+        ), g2 AS (
+            -- step-2 contributions are arbitrary doubles; the DECIMAL(38,18)
+            -- cast pins each FIXED per-row value once, then the sum is exact
+            -- and order-independent (the distributed-agg hazard is the SUM
+            -- order, not the per-row value)
+            SELECT CAST(sum(CAST((p - y) * x1 AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+                   CAST(sum(CAST((p - y) * x2 AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+                   CAST(sum(CAST((p - y) * x3 AS DECIMAL(38,18))) AS DOUBLE) AS s3,
+                   CAST(sum(CAST(p - y AS DECIMAL(38,18))) AS DOUBLE) AS sb
+            FROM p2
+        ), w2t AS (
+            SELECT w1t.wa - 0.05 * g2.s1 / nn.n AS wa,
+                   w1t.wb - 0.05 * g2.s2 / nn.n AS wb,
+                   w1t.wc - 0.05 * g2.s3 / nn.n AS wc,
+                   w1t.bb - 0.05 * g2.sb / nn.n AS bb
+            FROM w1t, g2, nn
+        )
+        SELECT 'bias' AS param, round(bb, 6) AS value FROM w2t
+        UNION ALL SELECT 'w_spark', round(wa, 6) FROM w2t
+        UNION ALL SELECT 'w_data', round(wb, 6) FROM w2t
+        UNION ALL SELECT 'w_slow', round(wc, 6) FROM w2t
+    """,
+    doc="Distributed model TRAINING, not just inference: two unrolled "
+        "batch-gradient-descent steps of logistic regression (lr=0.05, "
+        "integer token-count features, label = long-document) with the "
+        "canonical Spark training loop — per-step gradients reduce "
+        "across the cluster (one partial-agg shuffle of 4 decimal "
+        "sums), weights come back to the driver and re-broadcast as "
+        "literals into the next step's plan. Determinism: step-1 "
+        "contributions are exact halves in DECIMAL; step-2 casts each "
+        "fixed per-row double to DECIMAL(38,18) so the distributed sum "
+        "is exact and order-independent (the sum ORDER is the "
+        "cross-engine hazard, not the per-row values); weight algebra "
+        "runs the same IEEE ops in the same order in Python and SQL. "
+        "The oracle unrolls both steps in CTEs. At 100 TB this is "
+        "exactly mini-batch GD with per-step O(|features|) driver "
+        "state (§2.11 training).",
+    tags=("llm", "training", "regression"),
+)
+def logistic_regression_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "n_chars", TS.tokens("text").alias("toks"))
+    feat = toks.select(
+        "doc_id",
+        (F.col("n_chars") > 250).cast("int").alias("y"),
+        *[
+            F.size(F.filter("toks", (lambda term: lambda t: t == term)(term)))
+            .cast("long")
+            .alias(f"x{i}")
+            for i, term in enumerate(_GD_TERMS, 1)
+        ],
+    )
+    feat = feat.persist()
+    try:
+        row = feat.agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(((F.lit(0.5) - F.col("y")) * F.col(f"x{i}"))
+                      .cast("decimal(38,6)")).alias(f"s{i}")
+                for i in range(1, 4)
+            ],
+            F.sum((F.lit(0.5) - F.col("y")).cast("decimal(38,6)")).alias("sb"),
+        ).collect()[0]
+        n = float(row["n"])
+        w = [-_GD_LR * float(row[f"s{i}"]) / n for i in range(1, 4)]
+        b = -_GD_LR * float(row["sb"]) / n
+        z = (
+            (F.lit(b) + F.lit(w[0]) * F.col("x1"))
+            + F.lit(w[1]) * F.col("x2")
+        ) + F.lit(w[2]) * F.col("x3")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row2 = feat.select("y", "x1", "x2", "x3", p.alias("p")).agg(
+            *[
+                F.sum(((F.col("p") - F.col("y")) * F.col(f"x{i}"))
+                      .cast("decimal(38,18)")).alias(f"s{i}")
+                for i in range(1, 4)
+            ],
+            F.sum((F.col("p") - F.col("y")).cast("decimal(38,18)")).alias("sb"),
+        ).collect()[0]
+        w2 = [w[i] - _GD_LR * float(row2[f"s{i+1}"]) / n for i in range(3)]
+        b2 = b - _GD_LR * float(row2["sb"]) / n
+    finally:
+        feat.unpersist()
+    names = ["bias", "w_spark", "w_data", "w_slow"]
+    vals = [b2, w2[0], w2[1], w2[2]]
+    # F.round (HALF_UP) — not Python round() (banker's) — to match SQL
+    return spark.createDataFrame(
+        list(zip(names, vals)), "param string, value double"
+    ).select("param", F.round("value", 6).alias("value"))

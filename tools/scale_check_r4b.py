@@ -53,52 +53,13 @@ def replicated_docs(spark, sf_dir: str, m: int):
 
 def cdc_shape(docs):
     """cdc_chunk_dedup_stats' pipeline over an arbitrary (doc_id,
-    source, text) frame."""
+    source, text) frame — delegates to the shared operator so the tool
+    measures exactly what the registered query runs."""
     from pyspark.sql import functions as F
 
-    from open_crime_etl_pipeline_spark.operators import textstats as TS
+    from open_crime_etl_pipeline_spark.operators.dedup import cdc_chunks
 
-    toks = docs.select("doc_id", "source", TS.tokens("text").alias("toks"))
-    n = F.size("toks").cast("long")
-    window_hash = lambda i: TS.fold_hash(  # noqa: E731
-        F.array_join(F.slice(F.col("toks"), (i - 3).cast("int"), 4), " "), 7
-    )
-    bounded = toks.select(
-        "doc_id", "source", "toks", n.alias("n"),
-        F.when(
-            n >= 4,
-            F.filter(
-                F.sequence(F.lit(4).cast("long"), n),
-                lambda i: window_hash(i) % 8 == 0,
-            ),
-        ).otherwise(F.expr("array()").cast("array<long>")).alias("bounds"),
-    )
-    bps = F.concat(
-        F.array(F.lit(0).cast("long")),
-        F.col("bounds"),
-        F.when(
-            (F.size("bounds") > 0) & (F.element_at("bounds", -1) == F.col("n")),
-            F.expr("array()").cast("array<long>"),
-        ).otherwise(F.array(F.col("n"))),
-    )
-    with_bps = bounded.withColumn("bps", bps)
-    chunk_structs = F.transform(
-        F.sequence(F.lit(1), F.size("bps") - 1),
-        lambda j: F.struct(
-            F.array_join(
-                F.slice(
-                    F.col("toks"),
-                    (F.element_at("bps", j) + 1).cast("int"),
-                    (F.element_at("bps", j + 1) - F.element_at("bps", j)).cast("int"),
-                ),
-                " ",
-            ).alias("chunk"),
-            (F.element_at("bps", j + 1) - F.element_at("bps", j)).alias("chunk_tokens"),
-        ),
-    )
-    chunks = with_bps.select(
-        "doc_id", "source", F.explode(chunk_structs).alias("c")
-    ).select("doc_id", "source", F.col("c.chunk").alias("chunk"))
+    chunks = cdc_chunks(docs)
     cdf = chunks.groupBy("chunk").agg(F.count_distinct("doc_id").alias("df"))
     return chunks.join(cdf, "chunk").groupBy("source").agg(
         F.count("*").alias("n_chunks"),
