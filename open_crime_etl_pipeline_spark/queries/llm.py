@@ -3670,3 +3670,62 @@ def logistic_regression_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         list(zip(names, vals)), "param string, value double"
     ).select("param", F.round("value", 6).alias("value"))
+
+
+@register(
+    "udtf_polymorphic_ngrams",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents
+        ), g AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+            FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        )
+        SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY w1, w2, w3
+        ORDER BY n DESC, w1, w2, w3 LIMIT 15
+    """,
+    doc="POLYMORPHIC Python UDTF (§2.10, Spark 4's analyze() protocol): "
+        "the output schema (w1..wn columns) is computed at PLAN time "
+        "from the constant n argument — analyze() receives "
+        "AnalyzeArgument metadata, asserts n is a foldable literal, "
+        "and returns the n-column AnalyzeResult; the same registration "
+        "serves any n. Called with n=3 via LATERAL and re-aggregated "
+        "to the top-15 corpus trigrams. Like udtf_word_bigrams this "
+        "exists to exercise the API path (per-row Python is the slow "
+        "path — the hot-path equivalent is the arrays_zip/slice "
+        "explode); the oracle proves the dynamic schema carries "
+        "exactly the declarative result.",
+    tags=("llm", "text", "udtf"),
+)
+def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NGramColumns:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression or n.value is None:
+                raise ValueError("n must be a constant literal")
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"w{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            if text is None:
+                return
+            toks = [t for t in text.split(" ") if t]
+            for i in range(len(toks) - n + 1):
+                yield tuple(toks[i : i + n])
+
+    spark.udtf.register("ngram_columns", udtf(NGramColumns))
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_poly_docs_v")
+    return spark.sql("""
+        SELECT g.w1, g.w2, g.w3, count(*) AS n
+        FROM udtf_poly_docs_v d, LATERAL ngram_columns(d.text, 3) g
+        GROUP BY g.w1, g.w2, g.w3 ORDER BY n DESC, g.w1, g.w2, g.w3 LIMIT 15
+    """)
