@@ -428,3 +428,78 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
         F.col("p_event_id").isNotNull().alias("matched"),
     )
     return _run_to_table(out, "stream_ij_louter")
+
+
+@register(
+    "streaming_interval_join_full_outer",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+            SELECT date_trunc('milliseconds',
+                   least((SELECT max(ts) FROM clicks),
+                         (SELECT max(ts) FROM purchases)))
+                   - INTERVAL '2 hours' AS w
+            FROM (VALUES (1))
+        ), matched AS (
+            SELECT c.user_id AS user_id, c.event_id AS click_id,
+                   p.event_id AS purchase_id
+            FROM clicks c JOIN purchases p
+              ON p.user_id = c.user_id
+             AND p.ts > c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        )
+        SELECT user_id, click_id, purchase_id, 'matched' AS match_type
+        FROM matched
+        UNION ALL
+        SELECT c.user_id, c.event_id AS click_id,
+               CAST(NULL AS BIGINT) AS purchase_id, 'left_only' AS match_type
+        FROM clicks c, wm
+        WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+          AND c.ts < wm.w - INTERVAL 30 MINUTE
+        UNION ALL
+        SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id,
+               p.event_id AS purchase_id, 'right_only' AS match_type
+        FROM purchases p, wm
+        WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.purchase_id = p.event_id)
+          AND p.ts < wm.w
+    """,
+    doc="Watermarked stream-stream FULL OUTER interval join (ST10): "
+        "both sides emit null-padded rows once eviction proves no "
+        "future match. The two sides have DIFFERENT emission "
+        "boundaries, both stated by the oracle and pinned empirically "
+        "(1952/1952 unmatched purchases at the exact boundary, zero "
+        "stragglers either side): a LEFT row (click) is evictable "
+        "when c_ts < wm − upper (a purchase with p_ts > wm could "
+        "still land in (c_ts, c_ts+30m] otherwise), while a RIGHT "
+        "row (purchase) is evictable as soon as p_ts < wm — its "
+        "candidate clicks lie in [p_ts−30m, p_ts), all below the "
+        "watermark already. wm = min over both streams' max event "
+        "time − 2h (multiple-watermark min policy), ms-truncated. "
+        "Matched pairs emit unconditionally in append mode. Cf. "
+        "streaming_interval_join_left_outer for the one-sided rule.",
+    tags=("streaming", "join", "interval", "outer"),
+)
+def streaming_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    from ..streaming.pipeline import stream_interval_join
+
+    joined = stream_interval_join(
+        clicks, purchases, on="user_id", upper="30 minutes",
+        left_prefix="c_", right_prefix="p_", how="fullOuter",
+    )
+    out = joined.select(
+        F.coalesce(F.col("c_user_id"), F.col("p_user_id")).alias("user_id"),
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.when(
+            F.col("c_event_id").isNotNull() & F.col("p_event_id").isNotNull(),
+            F.lit("matched"),
+        ).when(F.col("p_event_id").isNull(), F.lit("left_only"))
+         .otherwise(F.lit("right_only")).alias("match_type"),
+    )
+    return _run_to_table(out, "stream_ij_fouter")
