@@ -3729,3 +3729,115 @@ def udtf_polymorphic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_poly_docs_v d, LATERAL ngram_columns(d.text, 3) g
         GROUP BY g.w1, g.w2, g.w3 ORDER BY n DESC, g.w1, g.w2, g.w3 LIMIT 15
     """)
+
+
+_ALS_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _als_item_factors() -> list[list[float]]:
+    """Fixed 3-dim item factors for the 5 event types — exact dyadic
+    rationals, so V, V^T V and V^T r are all exact in double."""
+    return [
+        [1.0 + 0.25 * t, 0.5 - 0.25 * (t % 2), 0.125 * t]
+        for t in range(len(_ALS_TYPES))
+    ]
+
+
+def _als_ainv() -> list[list[float]]:
+    """(V^T V + 0.5 I)^{-1} via the closed-form 3x3 inverse. The nine
+    doubles are embedded as repr() literals in BOTH the Spark plan and
+    the SQL oracle, so the two engines share the identical matrix."""
+    V = _als_item_factors()
+    A = [[sum(V[t][i] * V[t][j] for t in range(len(V))) + (0.5 if i == j else 0.0)
+          for j in range(3)] for i in range(3)]
+    (a, b, c), (d, e, f), (g, h, i) = A
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    cof = [
+        [e * i - f * h, c * h - b * i, b * f - c * e],
+        [f * g - d * i, a * i - c * g, c * d - a * f],
+        [d * h - e * g, b * g - a * h, a * e - b * d],
+    ]
+    return [[cof[r][s] / det for s in range(3)] for r in range(3)]
+
+
+def _als_oracle() -> str:
+    V = _als_item_factors()
+    inv = _als_ainv()
+    counts = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS c{k}"
+        for k, t in enumerate(_ALS_TYPES)
+    )
+    bs = ",\n                   ".join(
+        "("
+        + " + ".join(f"c{t} * {V[t][j]!r}" for t in range(len(_ALS_TYPES)))
+        + f") AS b{j}"
+        for j in range(3)
+    )
+    us = ",\n               ".join(
+        f"round(({inv[i][0]!r} * b0 + {inv[i][1]!r} * b1 + {inv[i][2]!r} * b2), 6)"
+        f" AS f{i + 1}"
+        for i in range(3)
+    )
+    return f"""
+        WITH r AS (
+            SELECT user_id, {counts}
+            FROM events GROUP BY user_id
+        ), b AS (
+            SELECT user_id,
+                   {bs}
+            FROM r
+        )
+        SELECT user_id,
+               {us}
+        FROM b
+    """
+
+
+@register(
+    "als_user_factors_update",
+    oracle=_als_oracle(),
+    doc="One ALS half-step of a recommender (user-factor ridge update "
+        "against fixed item factors): with V (5 event-type items x 3 "
+        "dims, exact dyadic literals) held fixed, every user's factors "
+        "solve (V'V + lambda*I) u = V' r_u in closed form. The normal "
+        "matrix inverse is computed ONCE and broadcast as nine shared "
+        "literals (repr-roundtripped into both the Spark plan and the "
+        "SQL oracle); the distributed work is exactly one partial-agg "
+        "shuffle of 5 per-user counts — the canonical ALS data "
+        "movement (ratings shuffle once per half-step, the small "
+        "side's Gram matrix rides the closure). Per-user arithmetic "
+        "is fixed-order over exact integers and dyadic rationals, so "
+        "factors are bit-deterministic. Cf. Hu-Koren-Volinsky "
+        "implicit-feedback ALS; SURVEY.md 2.11 training.",
+    tags=("llm", "training", "recommender"),
+)
+def als_user_factors_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    V = _als_item_factors()
+    inv = _als_ainv()
+    ev = _t(spark, sf_dir, "events")
+    r = ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{k}")
+            for k, t in enumerate(_ALS_TYPES)
+        ]
+    )
+    def bj(j):
+        expr = F.col("c0") * F.lit(V[0][j])
+        for t in range(1, len(_ALS_TYPES)):
+            expr = expr + F.col(f"c{t}") * F.lit(V[t][j])
+        return expr
+    b = r.select("user_id", *[bj(j).alias(f"b{j}") for j in range(3)])
+    return b.select(
+        "user_id",
+        *[
+            F.round(
+                F.lit(inv[i][0]) * F.col("b0")
+                + F.lit(inv[i][1]) * F.col("b1")
+                + F.lit(inv[i][2]) * F.col("b2"),
+                6,
+            ).alias(f"f{i + 1}")
+            for i in range(3)
+        ],
+    )
