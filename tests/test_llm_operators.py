@@ -1037,3 +1037,34 @@ def test_gram_pairs_shift_invariance_exact_small_case(spark):
     C = np.cov(X, rowvar=False)
     for r in rows:
         assert r["cov"] == pytest.approx(C[r["i"] - 1, r["j"] - 1], rel=1e-9)
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """THE content-defined-chunking property: inserting a token early
+    in a document changes only a bounded prefix of its chunks — the
+    boundary positions are content-anchored, so chunking
+    re-synchronizes once the rolling window clears the edit, and the
+    (identical) suffix content yields byte-identical chunks again. A
+    fixed-size grid would shift every chunk after the edit."""
+    from open_crime_etl_pipeline_spark.operators.dedup import cdc_chunks
+
+    base_words = [f"w{i % 37}x{(i * 7) % 11}" for i in range(400)]
+    edited_words = base_words[:5] + ["INSERTED"] + base_words[5:]
+    df = spark.createDataFrame(
+        [(1, "src", " ".join(base_words)), (2, "src", " ".join(edited_words))],
+        "doc_id long, source string, text string",
+    )
+    rows = cdc_chunks(df).collect()
+    base = [r["chunk"] for r in rows if r["doc_id"] == 1]
+    edited = [r["chunk"] for r in rows if r["doc_id"] == 2]
+    # the edit lands in the first chunk(s); after re-sync the chunk
+    # streams must share a long identical suffix
+    k = 0
+    while k < min(len(base), len(edited)) and base[-1 - k] == edited[-1 - k]:
+        k += 1
+    assert k >= len(base) - 3, (
+        f"only {k} trailing chunks survived an edit at position 5 "
+        f"(of {len(base)} base chunks) — boundaries are not content-anchored"
+    )
+    # and the differing prefix must actually contain the insertion
+    assert any("INSERTED" in c for c in edited[: len(edited) - k])
