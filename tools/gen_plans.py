@@ -41,6 +41,13 @@ NOTES = {
     "disjunctive_predicate_revenue_q19": "Q19 shape: Catalyst factors the OR-of-conjunctions — part scan gets the brand/size disjunction pushed, lineitem scan gets the quantity disjunction, cross-side residual stays above the join; no nested loop",
     "waiting_orders_suppliers_q21": "Q21 EXISTS/NOT-EXISTS decorrelated to per-order distinct counts: two orderkey shuffles, no correlated self-joins, no cartesian",
     "connected_components_copurchase": "iterative: undirected edge list materialized ONCE (localCheckpoint barrier — upstream join otherwise executes 4x); adjacency cached/partitioned once; each round one O(V) label shuffle + min agg",
+    "cdc_chunk_dedup_stats": "rolling-hash boundary scan is pure HOF projection (no BatchEvalPython, no shuffle); the one chunk-keyed exchange carries chunk postings with partial_count below it",
+    "bm25_retrieval_topk": "postings filtered to the 3 query terms BEFORE the tf groupBy; idf side BroadcastHashJoin; global top-10 = TakeOrderedAndProject",
+    "blocked_fuzzy_join_symspell": "deletion-variant equi-join (hash join on the variant string) — no CartesianProduct/BroadcastNestedLoopJoin anywhere; levenshtein only above the distinct candidates",
+    "line_level_dedup_ccnet": "segment df join stays a shuffle equi-join (dictionary is corpus-sized at scale — deliberately NOT broadcast); per-doc reassembly via collect_list bounded by doc size",
+    "linear_classifier_inference": "6-row model BroadcastHashJoin onto the token stream; docs re-keyed only by doc_id for the dot-product agg; no Python in the plan",
+    "als_user_factors_update": "ratings shuffle once (partial_sum conditional counts per user); the 3x3 normal-matrix inverse rides the plan as nine literals — zero additional exchanges",
+    "jl_random_projection": "zero-shuffle scan-side projection: 8 fixed-order HOF folds against literal sign arrays; single parquet scan, 2-column ReadSchema",
 }
 
 HEADER = """# PLANS — physical-plan receipts for the scale-critical queries
