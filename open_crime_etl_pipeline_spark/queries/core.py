@@ -897,3 +897,58 @@ def sql_api_ansi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         HAVING count(*) > 100
     """)
+
+
+@register(
+    "incremental_mv_maintenance",
+    oracle="""
+        SELECT date_trunc('month', o_orderdate) AS order_month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS total_revenue,
+               CAST(round(max(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                   AS max_price
+        FROM orders
+        GROUP BY date_trunc('month', o_orderdate)
+    """,
+    doc="Incremental materialized-view maintenance: the monthly-revenue "
+        "MV is NOT recomputed from scratch — the 'stored' MV partials "
+        "(aggregated over the historical slice, o_orderkey % 10 != 0) "
+        "merge with the delta batch's partials (the remaining tenth) "
+        "by re-aggregating the mergeable state: count+=count, "
+        "sum(decimal)+=sum, max=max. The oracle IS the full "
+        "recompute, so the check proves the self-maintainability "
+        "identity agg(all) == merge(agg(hist), agg(delta)) — exactly "
+        "because the partials are kept in exact DECIMAL (float "
+        "partials would make the identity order-dependent). This is "
+        "the foreachBatch-refreshed-dashboard shape at 100 TB: the "
+        "delta shuffle is delta-sized, the stored MV is "
+        "|groups|-sized, the base table is never re-read. Distinct "
+        "counts are deliberately absent (not mergeable from partials "
+        "— hll_daily_rollup_merge covers the sketch-merge path). Cf. "
+        "self-maintainable aggregates (Gupta-Mumick); S7/ST8 "
+        "incremental family.",
+    tags=("incremental", "agg", "mv"),
+)
+def incremental_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+
+    def partials(df):
+        return df.groupBy(month).agg(
+            F.count("*").alias("p_count"),
+            F.sum(dec2("o_totalprice")).alias("p_sum"),
+            F.max(dec2("o_totalprice")).alias("p_max"),
+        )
+
+    stored = partials(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = partials(orders.filter(F.col("o_orderkey") % 10 == 0))
+    return (
+        stored.unionByName(delta)
+        .groupBy("order_month")
+        .agg(
+            F.sum("p_count").cast("long").alias("n_orders"),
+            F.round(F.sum("p_sum"), 2).cast("double").alias("total_revenue"),
+            F.round(F.max("p_max"), 2).cast("double").alias("max_price"),
+        )
+    )

@@ -3841,3 +3841,74 @@ def als_user_factors_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(3)
         ],
     )
+
+
+@register(
+    "mad_anomaly_lengths",
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, source, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, source, n_chars * 6 AS n_chars
+            FROM documents WHERE doc_id % 7 = 0
+        ), med AS (
+            SELECT source, median(n_chars) AS med FROM corpus GROUP BY source
+        ), dev AS (
+            SELECT c.source, abs(c.n_chars - m.med) AS dev
+            FROM corpus c JOIN med m USING (source)
+        ), mad AS (
+            SELECT source, median(dev) AS mad FROM dev GROUP BY source
+        )
+        SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(any_value(m.med), 6) AS med,
+               round(any_value(a.mad), 6) AS mad,
+               CAST(sum(CASE WHEN abs(c.n_chars - m.med) > 3 * a.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        FROM corpus c JOIN med m USING (source) JOIN mad a USING (source)
+        GROUP BY c.source
+    """,
+    doc="Robust anomaly detection (median/MAD, the outlier-resistant "
+        "dual of z-scores): per-source exact median doc length, median "
+        "absolute deviation, and the count of 3-MAD outliers — over a "
+        "corpus with planted 6x-length outliers (doc_id % 7, coprime "
+        "with the source count so every source gets some). Exact "
+        "interpolated percentiles agree cross-engine (established by "
+        "iqr_outlier_length_filter's quartile pins); the med/mad "
+        "tables are |sources|-sized and broadcast back onto the row "
+        "stream — two grouped-percentile shuffles of (source, value) "
+        "pairs total, the same robust-statistics shape at any scale. "
+        "MAD flags the planted tail that a mean/stddev fence would "
+        "drag toward itself (cf. Leys et al. on MAD vs stddev; "
+        "SURVEY.md 2.11 quality/monitoring).",
+    tags=("llm", "quality", "robust-stats"),
+)
+def mad_anomaly_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "source",
+        (F.col("n_chars") * 6).alias("n_chars"),
+    )
+    corpus = docs.unionByName(planted)
+    med = corpus.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med")
+    )
+    dev = corpus.join(F.broadcast(med), "source").withColumn(
+        "dev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    return (
+        corpus.join(F.broadcast(med), "source")
+        .join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n_chars") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_anomalies"),
+        )
+    )
