@@ -952,3 +952,61 @@ def incremental_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("p_max"), 2).cast("double").alias("max_price"),
         )
     )
+
+
+@register(
+    "cdf_version_diff",
+    oracle="""
+        WITH k AS (SELECT o_orderkey, o_orderstatus FROM orders)
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               'insert' AS _change
+        FROM k WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 != 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, 'delete' AS _change
+        FROM k WHERE o_orderkey % 7 != 0 AND o_orderkey % 11 = 0
+        UNION ALL
+        SELECT o_orderkey, 'X' AS o_orderstatus, 'update_postimage' AS _change
+        FROM k WHERE o_orderkey % 7 != 0 AND o_orderkey % 11 != 0
+                 AND o_orderkey % 5 = 0
+    """,
+    doc="Change-data-feed between two committed versions of the "
+        "transactional parquet table (D6/D7 family, "
+        "io/table.py::VersionedParquetTable.diff): v1 = orders sans "
+        "the %7 keys, v2 = inserts those, deletes the %11 keys, and "
+        "flips status to 'X' for the %5 keys — the query commits both "
+        "versions to a scratch table, diffs them AFTER the fact (no "
+        "write-time change log: snapshot-complete versioning lets any "
+        "retained version pair be diffed as two keyed full-outer "
+        "passes), localCheckpoints the result to detach from the "
+        "scratch files, and removes them. The oracle restates the "
+        "three change classes closed-form. Deletes carry the "
+        "pre-image. At scale the diff is two hash joins on the key — "
+        "never a scan of a change log that had to be captured "
+        "eagerly.",
+    tags=("incremental", "cdf", "versioned"),
+)
+def cdf_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..io.table import VersionedParquetTable
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    v1 = orders.filter(F.col("o_orderkey") % 7 != 0)
+    v2 = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    root = tempfile.mkdtemp(prefix=f"cdf_{uuid.uuid4().hex[:8]}_")
+    try:
+        tbl = VersionedParquetTable(spark, root)
+        va = tbl.commit(v1)
+        vb = tbl.commit(v2)
+        return tbl.diff(["o_orderkey"], v_from=va, v_to=vb).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
