@@ -281,3 +281,91 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.agg(F.count("*").alias("n_core_nodes")).crossJoin(
         surv.agg(F.count("*").cast("bigint").alias("n_core_edges"))
     )
+
+
+@register(
+    "label_propagation_communities",
+    oracle="""
+        WITH RECURSIVE """ + _COPURCHASE_UND_CTE.lstrip() + """,
+        adj AS MATERIALIZED (
+            SELECT u AS node, v AS nbr FROM und
+            UNION ALL
+            SELECT v AS node, u AS nbr FROM und
+        ),
+        r0 AS MATERIALIZED (
+            SELECT DISTINCT node, node AS label FROM adj
+        ),
+        r1 AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT a.node, l.label, count(*) AS c,
+                       row_number() OVER (PARTITION BY a.node
+                                          ORDER BY count(*) DESC, l.label) AS rn
+                FROM adj a JOIN r0 l ON a.nbr = l.node
+                GROUP BY a.node, l.label
+            ) WHERE rn = 1
+        ),
+        r2 AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT a.node, l.label, count(*) AS c,
+                       row_number() OVER (PARTITION BY a.node
+                                          ORDER BY count(*) DESC, l.label) AS rn
+                FROM adj a JOIN r1 l ON a.nbr = l.node
+                GROUP BY a.node, l.label
+            ) WHERE rn = 1
+        ),
+        r3 AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT a.node, l.label, count(*) AS c,
+                       row_number() OVER (PARTITION BY a.node
+                                          ORDER BY count(*) DESC, l.label) AS rn
+                FROM adj a JOIN r2 l ON a.nbr = l.node
+                GROUP BY a.node, l.label
+            ) WHERE rn = 1
+        )
+        SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM r3 GROUP BY label
+    """,
+    doc="Synchronous label propagation (3 rounds) — community "
+        "detection, the mode-of-neighbors dual of connected "
+        "components' min-of-neighbors: each round every node adopts "
+        "its neighbors' most frequent label (tie -> smallest label, "
+        "which makes synchronous LPA fully deterministic). Communities "
+        "differ from components: LPA splits a connected graph along "
+        "density boundaries. Per round: one (node, label)-keyed "
+        "partial-agg shuffle + a per-node WindowGroupLimit-style "
+        "rank-1 pick — O(E) per round like CC, never materializing "
+        "neighbor label multisets. The symmetrized adjacency is "
+        "localCheckpointed ONCE (the und self-join would otherwise "
+        "re-execute every round — same lesson as "
+        "connected_components). Oracle = 3 unrolled MATERIALIZED CTE "
+        "rounds (materialization load-bearing vs exponential "
+        "re-inlining, same as kcore). Cf. Raghavan et al. "
+        "near-linear-time LPA; SURVEY.md 2.12 graph.",
+    tags=("graph", "iterative", "communities"),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    edges = _copurchase_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        ).distinct()
+    )
+    adj = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    ).localCheckpoint(eager=True)
+    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(3):
+        labels = (
+            adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_nodes")
+    )
