@@ -106,19 +106,30 @@ class VersionedParquetTable:
 
     # -- write ---------------------------------------------------------
     def commit(self, df: DataFrame, action: str = "overwrite",
-               max_retries: int = 5) -> int:
+               max_retries: int = 5, rows_fn=None) -> int:
         """Write ``df`` as the next version; atomic, never in place.
 
         Safe even when ``df``'s plan reads this table's current
         snapshot (the merge case): the new snapshot directory is fresh,
         so the scan's input files are untouched while it runs.
+
+        ``rows_fn`` (optional, no-arg callable → int) supplies the
+        ledger row count without re-reading the written snapshot — it
+        is invoked AFTER the snapshot write completes, so a caller can
+        pass an ``Observation`` getter that rode the write pass and the
+        commit costs exactly one scan of ``df``. Without it the count
+        comes from the written files (never a recompute of the input
+        plan, but one extra snapshot read).
         """
         os.makedirs(self._log_path, exist_ok=True)
         snap_id = f"snap-{uuid.uuid4().hex}"
         snap_path = os.path.join(self.root, _DATA_DIR, snap_id)
         df.write.mode("error").parquet(snap_path)
-        # count from the written files, not the input plan (no recompute)
-        rows = self.spark.read.parquet(snap_path).count()
+        if rows_fn is not None:
+            rows = int(rows_fn())
+        else:
+            # count from the written files, not the input plan (no recompute)
+            rows = self.spark.read.parquet(snap_path).count()
         for _ in range(max_retries):
             version = (self.latest_version() or 0) + 1
             entry = {

@@ -781,11 +781,13 @@ def cdc_chunks(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 4,
-    boundary_mask: int = 8,
+    boundary_modulus: int = 8,
 ) -> DataFrame:
     """Content-defined chunking (FastCDC-style) over a document frame:
     split each doc's token stream at positions where a rolling
-    ``window``-token hash ≡ 0 (mod ``boundary_mask``), yielding
+    ``window``-token hash ≡ 0 (mod ``boundary_modulus`` — a true
+    modulus, not a FastCDC bitmask: any positive value works, though a
+    power of 2 reproduces the mask semantics exactly), yielding
     ``(…passthrough cols, chunk, chunk_tokens)`` with one row per
     chunk. Boundaries are CONTENT-anchored, so an insertion early in a
     doc re-synchronizes chunking after one window — the property that
@@ -818,7 +820,7 @@ def cdc_chunks(
             n >= window,
             F.filter(
                 F.sequence(F.lit(window).cast("long"), n),
-                lambda i: window_hash(i) % boundary_mask == 0,
+                lambda i: window_hash(i) % boundary_modulus == 0,
             ),
         ).otherwise(F.expr("array()").cast("array<long>")).alias("bounds"),
     )

@@ -118,10 +118,22 @@ def covariance_pairs(df: DataFrame, vec_col: str, d: int) -> DataFrame:
     oracle pin even with both engines "correct". Shifting by a ≈ μ
     makes S'_ij itself O(n·cov), so the subtraction is benign at any
     N — the standard single-full-pass stabilization. The shift
-    estimate comes from a bounded 1024-row prefix (one tiny job);
-    covariance is exactly shift-invariant in exact arithmetic, so any
-    estimate is CORRECT — a better estimate only tightens rounding."""
-    head = df.select(vec_col).limit(1024).collect()
+    estimate is a bounded 1024-row sample chosen by ordering on
+    xxhash64 of the vector bytes — a pure function of the DATA, not of
+    partitioning or scan order (a bare limit() would pick whichever
+    rows the scheduler reached first, re-introducing run-to-run
+    last-ulp drift); TakeOrderedAndProject keeps it a per-partition
+    top-k heap, no full sort shuffle. Covariance is exactly
+    shift-invariant in exact arithmetic, so any estimate is CORRECT —
+    a better estimate only tightens rounding; callers at 100 TB who
+    want to skip the extra scan can precompute and pass
+    :func:`gram_pairs` an explicit shift."""
+    head = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>")))
+        .limit(1024)
+        .collect()
+    )
     shift = None
     if head:
         import numpy as np

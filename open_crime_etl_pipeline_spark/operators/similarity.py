@@ -68,14 +68,21 @@ def cosine_topk(
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 6
-        ).alias("sim"),
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
+         ).alias("raw_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    # Rank on the UNROUNDED similarity (round only in the projection):
+    # ranking on a 6dp-rounded sim would let two neighbors whose raw
+    # sims differ by <1e-6 be ordered by the neighbor_id tiebreak while
+    # a raw-sim ranker (every oracle, hard_negative_mining) orders them
+    # by sim — a data-dependent top-k divergence hazard.
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_sim").desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("raw_sim", 6).alias("sim"), "rank")
     )
 
 

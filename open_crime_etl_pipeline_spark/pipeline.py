@@ -78,8 +78,9 @@ class CrimePipeline:
     def crime_table(self) -> DataFrame:
         return self.table.read()
 
-    def _overwrite_table(self, df: DataFrame, action: str) -> None:
-        self.table.commit(df, action=action)
+    def _overwrite_table(self, df: DataFrame, action: str,
+                         rows_fn=None) -> None:
+        self.table.commit(df, action=action, rows_fn=rows_fn)
         # retain the previous snapshot for rollback/time travel; older
         # ones (and orphans from crashed commits) are reclaimed eagerly
         self.table.vacuum(keep_last=2)
@@ -130,11 +131,16 @@ class CrimePipeline:
             )
             # In-pass accounting (validate_sync's row counts without its
             # re-query): the Observation rides the commit's write pass,
-            # so table_rows costs no second scan of the table.
+            # and feeding its n_rows into the ledger via rows_fn drops
+            # the snapshot re-count too — one scan total for write +
+            # ledger + metrics.
             from .io.metrics import observe_batch
 
             merged, obs = observe_batch(merged, name="publish", key="crime_id")
-            self._overwrite_table(merged, action=f"merge:{mode}")
+            self._overwrite_table(
+                merged, action=f"merge:{mode}",
+                rows_fn=lambda: obs.get["n_rows"],
+            )
             metrics = obs.get
             self.ledger.finish_run(run_id, load_date, "SUCCESS")
             status = "SUCCESS"

@@ -344,15 +344,22 @@ def returned_items_topk_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT part_key, CAST(round(value, 2) AS DOUBLE) AS part_value
         FROM pv
-        WHERE CAST(value AS DOUBLE) > 0.0008 * (
+        WHERE CAST(value AS DOUBLE) > 1.5 * (
             SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
             FROM lineitem)
+            / (SELECT count(DISTINCT l_partkey) FROM lineitem)
     """,
     doc="TPC-H Q11 shape (important stock): per-part value with a "
         "HAVING threshold that is a fraction of a GLOBAL scalar "
         "subquery. No partsupp table, so value = lineitem extended "
         "price per part — the group-agg + scalar-subquery-threshold "
-        "shape is intact. Spark computes the scalar as a 1-row agg "
+        "shape is intact. The threshold is SCALE-FREE — 1.5× the mean "
+        "per-part value (grand total / distinct parts), the same "
+        "device as literal Q11's 0.0001/SF fraction — so the query "
+        "returns a non-empty tail at EVERY scale factor (a fixed "
+        "fraction of the grand total empties as SF grows, which made "
+        "the sf0.1 hash check vacuous in r4; 29 rows at sf0.01, 252 "
+        "at sf0.1 now). Spark computes both scalars in ONE 1-row agg "
         "crossJoined (broadcast) onto the grouped rows: two passes "
         "over a map-side-combined aggregate, zero driver collects. "
         "Both sides exact decimal; one double multiply at the "
@@ -364,10 +371,13 @@ def important_parts_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
         F.sum(dec2("l_extendedprice")).alias("value"))
     total = li.agg(
-        F.sum(dec2("l_extendedprice")).cast("double").alias("grand_total"))
+        F.sum(dec2("l_extendedprice")).cast("double").alias("grand_total"),
+        F.count_distinct("l_partkey").alias("n_parts"))
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("value").cast("double") > 0.0008 * F.col("grand_total"))
+        .filter(
+            F.col("value").cast("double")
+            > 1.5 * F.col("grand_total") / F.col("n_parts"))
         .select("part_key", F.round("value", 2).cast("double").alias("part_value"))
     )
 
