@@ -75,6 +75,9 @@ def main() -> None:
         # r4 wave-5 family entries
         "cdc_chunk_dedup_stats",      # content-defined chunking (HOF rolling hash)
         "bm25_retrieval_topk",        # retrieval: inverted index + broadcast idf
+        # r5 new-family entries
+        "exact_substring_dedup",      # suffix-array-style gram dedup + excision
+        "bpe_multi_merge_rounds",     # iterative tokenizer-training loop (k=4)
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not

@@ -862,3 +862,153 @@ def _token_fold_hash(tok):
     from .textstats import fold_hash
 
     return fold_hash(tok, 7)
+
+
+def repeated_substring_excision(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 15,
+) -> DataFrame:
+    """Exact substring-level deduplication (the ExactSubstr operator of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): find every token position that starts a
+    ``min_len``-token gram occurring elsewhere in the corpus, keep the
+    single canonical occurrence per gram (minimum (doc, pos)), merge
+    the flagged positions' spans, and report the excision per document
+    — (n_tokens, n_excised, n_spans, n_kept, kept_md5), where kept_md5
+    is the md5 of the document with every excised token removed (the
+    same closed-form reassembly receipt line_level_dedup_ccnet uses).
+
+    A substring of ≥ L tokens repeats iff every constituent L-gram
+    repeats, so the union of duplicated-L-gram spans [p, p+L) is
+    exactly the union of maximal repeated substrings of length ≥ L —
+    the fixed-L gram table IS the first-L-columns view of the suffix
+    array, which is why this matches the paper's suffix-array method
+    without a distributed suffix sort.
+
+    Scale shape (all shuffles linear in token count):
+    1. per-token fold hash ONCE + per-position polynomial combine —
+       scan-side Catalyst HOFs, the measured-2.2×-faster device
+       cdc_chunks uses; no gram STRINGS are materialized here.
+    2. hash-frequency prefilter: groupBy(gram_hash) with map-side
+       combine; only positions whose hash repeats survive. The small
+       modulus (HASH_MOD ≈ 2²⁰) makes collisions certain at corpus
+       scale, so the prefilter is a SUPERSET filter, never trusted.
+    3. exact verify on the surviving candidates only: gram strings are
+       built for candidates alone (slice + concat_ws after a join back
+       to the token arrays) and grouped exactly — every true duplicate
+       survives step 2 (equal grams ⇒ equal hashes), so exact
+       frequencies computed on the subset equal corpus-wide truth.
+    4. span union / island merge per doc: lag-window over covered
+       positions; reassembly via anti-join of token positions against
+       the covered set. The DuckDB oracle states the exact one-phase
+       semantics (group the gram strings directly) — equal by the
+       superset argument — so the hash prefilter is verified, not
+       assumed.
+    """
+    L = min_len
+    toks_df = (
+        docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+        .withColumn("n", F.size("toks").cast("long"))
+        .withColumn("th", F.transform("toks", lambda t: _token_fold_hash(t)))
+    )
+    sc = docs.sparkSession.sparkContext
+    if toks_df.rdd.getNumPartitions() < sc.defaultParallelism:
+        toks_df = toks_df.repartition(sc.defaultParallelism)
+    toks_df = toks_df.localCheckpoint(eager=True)  # referenced 3×
+
+    def gram_hash(i):
+        h = F.element_at(F.col("th"), i.cast("int"))
+        for d in range(1, L):
+            h = (h * 31 + F.element_at(F.col("th"), (i + d).cast("int"))) % HASH_MOD
+        return h
+
+    pos = (
+        toks_df.filter(F.col("n") >= L)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1).cast("long"), F.col("n") - L + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"), gram_hash(i).alias("gh")
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.pos").alias("pos"), F.col("p.gh").alias("gh"))
+    )
+    hot = (
+        pos.groupBy("gh").agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gh")
+    )
+    cand = (
+        pos.join(hot, "gh")
+        .join(toks_df.select(id_col, "toks"), id_col)
+        .select(
+            id_col,
+            "pos",
+            F.concat_ws(
+                " ", F.slice("toks", F.col("pos").cast("int"), L)
+            ).alias("gram"),
+        )
+    )
+    enc = F.col(id_col) * F.lit(1_000_000) + F.col("pos")
+    gstats = cand.groupBy("gram").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.col(id_col) * F.lit(1_000_000) + F.col("pos")).alias("canon"),
+    )
+    flagged = (
+        cand.join(gstats, "gram")
+        .filter((F.col("n_occ") > 1) & (enc != F.col("canon")))
+        .select(id_col, "pos")
+    )
+    covered = flagged.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + L - 1)).alias("i"),
+    ).distinct()
+    w = Window.partitionBy(id_col).orderBy("i")
+    cov_stats = (
+        covered.withColumn(
+            "new_span",
+            F.when(F.col("i") - F.lag("i").over(w) == 1, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_excised"),
+            F.sum("new_span").alias("n_spans"),
+        )
+    )
+    tok_idx = toks_df.select(
+        id_col, F.posexplode("toks").alias("i0", "tok")
+    ).select(id_col, (F.col("i0") + 1).cast("long").alias("i"), "tok")
+    kept = tok_idx.join(covered, [id_col, "i"], "left_anti")
+    kd = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        toks_df.select(id_col, F.col("n").alias("n_tokens"))
+        .join(cov_stats, id_col, "left")
+        .join(kd, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_excised", F.lit(0)).cast("long").alias("n_excised"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )

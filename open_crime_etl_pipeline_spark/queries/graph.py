@@ -236,6 +236,45 @@ def connected_components_converged(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "connected_components_star",
+    oracle=G.connected_components_oracle_sql(_COPURCHASE_UND_CTE, iters=12)
+    + """
+        SELECT label AS component, count(*) AS n_nodes
+        FROM l12 GROUP BY label
+    """,
+    doc="Connected components by alternating large-star/small-star "
+        "contraction (Kiveris et al., SoCC 2014) — the adversarial-"
+        "diameter variant: each round rewires every node toward its "
+        "neighborhood minimum, so distances-to-min HALVE per round and "
+        "convergence is O(log d) rounds instead of min-propagation's "
+        "O(d). On the short-diameter co-purchase graph both variants "
+        "cost similar wall-clock; on a planted diameter-2000 path "
+        "graph star converges in 12 rounds where min-propagation "
+        "needs 2000 (tools/scale_check_r5.py measures the gap). At "
+        "the fixpoint labels are the per-component minima — a pure "
+        "function of the graph — so the SAME unrolled min-propagation "
+        "oracle as connected_components_converged states the result "
+        "(12 rounds ≥ measured diameter 5 at both SFs, and that "
+        "sibling query raises if convergence ever nears the unroll "
+        "depth). The query also asserts the star fixpoint was reached "
+        "inside its own round budget rather than returning a partial "
+        "contraction (§2 [EXT] iterative).",
+    tags=("graph", "iterative"),
+)
+def connected_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    labels, rounds = G.connected_components_star(edges, max_iters=30)
+    if rounds >= 30:
+        raise AssertionError(
+            f"star contraction hit the {rounds}-round budget without a "
+            "fixpoint — raise max_iters"
+        )
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
+@register(
     "kcore_copurchase",
     oracle=G.kcore_oracle_sql(_COPURCHASE_UND_CTE, k=20, iters=26)
     + """

@@ -2148,6 +2148,123 @@ def bpe_pair_merge_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(k: int) -> str:
+    """Unrolled-SQL oracle for ``bpe_multi_merge_rounds``: k chained
+    (pair-count → argmax → replace) rounds over the sep-joined symbol
+    representation. MATERIALIZED is load-bearing — each round's rep is
+    referenced by both the next count and the next replace, and the
+    replace chain would otherwise re-inline exponentially."""
+    parts = ["""
+        WITH words AS MATERIALIZED (
+            SELECT w FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE w != '' AND length(w) > 1
+        ),
+        r0 AS MATERIALIZED (
+            SELECT chr(31) || array_to_string(string_split(w, ''), chr(31))
+                   || chr(31) AS rep
+            FROM words
+        )"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+        p{i} AS (
+            SELECT syms[CAST(j AS INT)] AS w1,
+                   syms[CAST(j + 1 AS INT)] AS w2, count(*) AS n
+            FROM (
+                SELECT list_filter(string_split(rep, chr(31)), x -> x != '')
+                       AS syms
+                FROM r{i - 1}
+            ), unnest(generate_series(1, len(syms) - 1)) u(j)
+            GROUP BY 1, 2
+        ),
+        m{i} AS MATERIALIZED (
+            SELECT w1, w2, n FROM p{i} ORDER BY n DESC, w1, w2 LIMIT 1
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT replace(rep,
+                           chr(31) || m.w1 || chr(31) || m.w2 || chr(31),
+                           chr(31) || m.w1 || m.w2 || chr(31)) AS rep
+            FROM r{i - 1}, m{i} m
+        )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS round, w1, w2, w1 || w2 AS merged, "
+        f"CAST(n AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + f" SELECT * FROM ({selects}) ORDER BY round"
+
+
+_BPE_SEP = "\x1f"
+
+
+@register(
+    "bpe_multi_merge_rounds",
+    oracle=_bpe_oracle(4),
+    doc="BPE tokenizer training, k=4 UNROLLED merge rounds — the "
+        "actual iterative loop bpe_pair_merge_frequencies (round 1 "
+        "only) is the first step of: count adjacent symbol pairs "
+        "corpus-wide, adopt the argmax pair (count desc, then "
+        "(w1, w2) lexicographic — a total order, so the trajectory is "
+        "deterministic on any engine), rewrite every word, repeat. "
+        "Words are sep-joined symbol strings (chr(31) guards symbol "
+        "boundaries) and a merge is ONE engine-native replace() — "
+        "both Spark and DuckDB scan left-to-right without re-matching "
+        "into the replacement, which reproduces greedy "
+        "non-overlapping BPE application exactly (verified on the "
+        "'aaa' overlap case). Spark loop shape: the symbol corpus is "
+        "cached and eagerly checkpointed per round (k chained "
+        "replaces would otherwise re-execute the whole prefix each "
+        "round — O(k²) scans), each round is one pair-explode + "
+        "map-side-combined groupBy (shuffle bounded by distinct "
+        "pairs, not corpus size) and an O(1) argmax collect — "
+        "exactly the model-state-to-driver, data-stays-distributed "
+        "split of the GD training loop. Oracle: k unrolled "
+        "MATERIALIZED CTE rounds (§2.11 text/training).",
+    tags=("llm", "text", "training", "iterative"),
+)
+def bpe_multi_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 4
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(TS.tokens("text")).alias("w")).filter(
+        F.length("w") > 1
+    )
+    sep = F.lit(_BPE_SEP)
+    rep = words.select(
+        F.concat(sep, F.array_join(F.split("w", ""), _BPE_SEP), sep).alias("rep")
+    ).localCheckpoint(eager=True)
+    merges = []
+    for i in range(1, k + 1):
+        syms = F.filter(F.split("rep", _BPE_SEP), lambda x: x != F.lit(""))
+        pairs = rep.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    (lambda s: lambda j: F.struct(
+                        F.element_at(s, j).alias("w1"),
+                        F.element_at(s, (j + 1).cast("int")).alias("w2"),
+                    ))(syms),
+                )
+            ).alias("p")
+        ).select("p.w1", "p.w2")
+        top = (
+            pairs.groupBy("w1", "w2")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "w1", "w2")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((i, top["w1"], top["w2"], top["w1"] + top["w2"], top["n"]))
+        if i < k:
+            pat = F.concat(sep, F.lit(top["w1"]), sep, F.lit(top["w2"]), sep)
+            new = F.concat(sep, F.lit(top["w1"] + top["w2"]), sep)
+            rep = rep.select(
+                F.replace(F.col("rep"), pat, new).alias("rep")
+            ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, w1 string, w2 string, merged string, pair_count long"
+    ).orderBy("round")
+
+
 @register(
     "domain_cap_retention",
     oracle="""
@@ -2866,6 +2983,91 @@ _CCNET_HEADER = "shared header line for every document in corpus "
 
 
 @register(
+    "exact_substring_dedup",
+    oracle="""
+        WITH tn AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS toks,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                        AS BIGINT) AS n
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(toks[CAST(i AS INT):CAST(i + 14 AS INT)],
+                                   ' ') AS gram
+            FROM tn, unnest(generate_series(1, n - 14)) u(i)
+            WHERE n >= 15
+        ), g AS (
+            SELECT gram, count(*) AS n_occ,
+                   min(doc_id * 1000000 + pos) AS canon
+            FROM pos GROUP BY gram
+        ), flagged AS (
+            SELECT p.doc_id, p.pos
+            FROM pos p JOIN g USING (gram)
+            WHERE g.n_occ > 1 AND p.doc_id * 1000000 + p.pos != g.canon
+        ), covered AS (
+            SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS i
+            FROM flagged, unnest(generate_series(pos, pos + 14)) v(j)
+        ), cov_stats AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_excised,
+                   CAST(sum(new_span) AS BIGINT) AS n_spans
+            FROM (
+                SELECT doc_id, i,
+                       CASE WHEN i - lag(i) OVER (PARTITION BY doc_id
+                                                  ORDER BY i) = 1
+                            THEN 0 ELSE 1 END AS new_span
+                FROM covered
+            ) GROUP BY doc_id
+        ), tok_idx AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS i, toks[CAST(i AS INT)] AS tok
+            FROM tn, unnest(generate_series(1, n)) u(i)
+        ), kept AS (
+            SELECT ti.doc_id, ti.i, ti.tok
+            FROM tok_idx ti ANTI JOIN covered c
+              ON ti.doc_id = c.doc_id AND ti.i = c.i
+        ), kd AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY i)) AS kept_md5
+            FROM kept GROUP BY doc_id
+        )
+        SELECT tn.doc_id, tn.n AS n_tokens,
+               coalesce(cs.n_excised, 0) AS n_excised,
+               coalesce(cs.n_spans, 0) AS n_spans,
+               coalesce(kd.n_kept, 0) AS n_kept,
+               coalesce(kd.kept_md5, md5('')) AS kept_md5
+        FROM tn
+        LEFT JOIN cov_stats cs USING (doc_id)
+        LEFT JOIN kd USING (doc_id)
+    """,
+    doc="Exact substring-level dedup (ExactSubstr, Lee et al. ACL "
+        "2022) at L=15 tokens: every position starting a 15-gram that "
+        "occurs elsewhere in the corpus is excised unless it is the "
+        "gram's canonical (minimum (doc,pos)) occurrence; overlapping "
+        "excisions merge into maximal spans. Per doc: token count, "
+        "excised-token count, merged-span count, and the md5 of the "
+        "document reassembled WITHOUT the excised tokens — a "
+        "closed-form receipt that the span union, not just counts, is "
+        "identical cross-engine. The union of duplicated-15-gram "
+        "spans equals the union of maximal repeated substrings >= 15 "
+        "tokens (every long repeat is a chain of repeated 15-grams), "
+        "which is why the fixed-L gram table reproduces the paper's "
+        "suffix-array semantics without a distributed suffix sort. "
+        "Spark plan: per-token fold hash once + per-position "
+        "polynomial combine (cdc_chunks' measured device), "
+        "hash-frequency PREFILTER (superset — the small modulus "
+        "collides at scale by design), then exact gram-string verify "
+        "on candidates only; the oracle states the one-phase exact "
+        "semantics, proving the prefilter lossless. All shuffles "
+        "linear in token count (§2.11 dedup; "
+        "operators/dedup.py::repeated_substring_excision).",
+    tags=("llm", "dedup", "text"),
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.repeated_substring_excision(docs, min_len=15)
+
+
+@register(
     "line_level_dedup_ccnet",
     oracle="""
         WITH corpus AS (
@@ -3015,9 +3217,15 @@ _BM25_B = 0.75
     tags=("llm", "text", "retrieval"),
 )
 def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_over(_t(spark, sf_dir, "documents"))
+
+
+def bm25_over(docs: DataFrame) -> DataFrame:
+    """bm25_retrieval_topk's full pipeline over an arbitrary
+    (doc_id, text) frame — shared with tools/scale_check_r5.py so the
+    scale proof measures exactly what the registered query runs."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", TS.tokens("text").alias("toks"))
     dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
     agg = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
@@ -3621,7 +3829,15 @@ _GD_TERMS = ("spark", "data", "slow")
     tags=("llm", "training", "regression"),
 )
 def logistic_regression_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    return logistic_gd_over(_t(spark, sf_dir, "documents"))
+
+
+def logistic_gd_over(docs: DataFrame) -> DataFrame:
+    """logistic_regression_gd_steps' full two-step training loop over
+    an arbitrary (doc_id, n_chars, text) frame — shared with
+    tools/scale_check_r5.py so the scale proof measures exactly what
+    the registered query runs."""
+    spark = docs.sparkSession
     toks = docs.select("doc_id", "n_chars", TS.tokens("text").alias("toks"))
     feat = toks.select(
         "doc_id",

@@ -195,3 +195,46 @@ def test_kcore_oracle_sql_matches_operator(spark):
     sql = G.kcore_oracle_sql(cte, k=2, iters=10) + " SELECT node FROM n10 ORDER BY node"
     ref = [r[0] for r in duckdb.connect().execute(sql).fetchall()]
     assert got == ref == [1, 2, 3, 4]
+
+
+def test_star_cc_equals_minprop_on_random_graph(spark):
+    """Large-star/small-star labels must equal the min-propagation
+    fixpoint exactly (both are the per-component minima)."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    star, _ = G.connected_components_star(df)
+    conv, _ = G.connected_components_converged(df, max_iters=50)
+    assert {(r.node, r.label) for r in star.collect()} == {
+        (r.node, r.label) for r in conv.collect()
+    }
+
+
+def test_star_cc_logarithmic_rounds_on_path(spark):
+    """A diameter-63 path costs min-propagation 63 rounds; star
+    contraction must converge in O(log d) — the property the variant
+    exists for (graph.py's 100-TB adversarial-diameter answer)."""
+    from pyspark.sql import functions as F
+
+    path = spark.range(63).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    labels, rounds = G.connected_components_star(path)
+    rows = labels.collect()
+    assert len(rows) == 64
+    assert all(r.label == 0 for r in rows)
+    assert rounds <= 10  # log2(63) ≈ 6; measured 7 incl. detection
+
+
+def test_star_cc_handles_duplicates_selfloops_orientation(spark):
+    """Same input-normalization contract as the other CC variants:
+    duplicates, both orientations, and self-loops are cleaned."""
+    df = spark.createDataFrame(
+        [(2, 3), (3, 2), (3, 3), (2, 3), (4, 3), (9, 5)], ["a", "b"]
+    )
+    labels, _ = G.connected_components_star(df)
+    assert sorted((r.node, r.label) for r in labels.collect()) == [
+        (2, 2), (3, 2), (4, 2), (5, 5), (9, 5)
+    ]

@@ -1068,3 +1068,65 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):
     )
     # and the differing prefix must actually contain the insertion
     assert any("INSERTED" in c for c in edited[: len(edited) - k])
+
+
+def test_repeated_substring_excision_planted_passage(spark):
+    """Plant a 20-token passage shared by two docs: the canonical
+    (lower (doc,pos)) occurrence survives, the other doc excises
+    exactly the passage (one merged span), and kept_md5 equals the
+    hand-computed reassembly."""
+    import hashlib
+
+    from open_crime_etl_pipeline_spark.operators.dedup import (
+        repeated_substring_excision,
+    )
+
+    a = [f"a{i}" for i in range(40)]
+    u = [f"u{i}" for i in range(10)]
+    v = [f"v{i}" for i in range(10)]
+    shared = a[5:25]  # 20 tokens, doc1 positions 6..25 (1-based)
+    rows = [
+        (1, " ".join(a)),
+        (2, " ".join(u + shared + v)),  # shared at positions 11..30
+        (3, "short doc below the gram length"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repeated_substring_excision(df, min_len=15).collect()
+    }
+    assert got[1]["n_excised"] == 0 and got[1]["n_spans"] == 0
+    assert got[1]["n_kept"] == 40
+    assert got[1]["kept_md5"] == hashlib.md5(" ".join(a).encode()).hexdigest()
+    assert got[2]["n_excised"] == 20 and got[2]["n_spans"] == 1
+    assert got[2]["n_kept"] == 20
+    assert got[2]["kept_md5"] == hashlib.md5(
+        " ".join(u + v).encode()
+    ).hexdigest()
+    assert got[3]["n_excised"] == 0 and got[3]["n_kept"] == 6
+
+
+def test_repeated_substring_excision_disjoint_spans_merge(spark):
+    """Two separated repeats in one doc yield TWO merged spans; an
+    overlapping chain of repeated grams yields one."""
+    from open_crime_etl_pipeline_spark.operators.dedup import (
+        repeated_substring_excision,
+    )
+
+    p = [f"p{i}" for i in range(15)]
+    q = [f"q{i}" for i in range(15)]
+    mid = [f"m{i}" for i in range(5)]
+    rows = [
+        (1, " ".join(p + ["x1", "x2"] + q)),
+        (2, " ".join(["y1"] + p + mid + q + ["y2"])),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repeated_substring_excision(df, min_len=15).collect()
+    }
+    # doc 1 is canonical for both passages (positions 1 and 18)
+    assert got[1]["n_excised"] == 0
+    # doc 2 excises p (positions 2..16) and q (22..36): two spans
+    assert got[2]["n_excised"] == 30 and got[2]["n_spans"] == 2
+    assert got[2]["n_kept"] == 7  # y1, m0..m4, y2
