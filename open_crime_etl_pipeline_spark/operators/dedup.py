@@ -983,7 +983,13 @@ def repeated_substring_excision(
             F.sum("new_span").alias("n_spans"),
         )
     )
-    tok_idx = toks_df.select(
+    # Reassembly cost must be proportional to the DUPLICATES, not the
+    # corpus: only docs with covered positions explode/anti-join/regroup
+    # (a few % organically); untouched docs take md5 of the unmodified
+    # token join straight off the array — same value, zero shuffle.
+    touched_ids = covered.select(id_col).distinct()
+    touched = toks_df.join(touched_ids, id_col, "left_semi")
+    tok_idx = touched.select(
         id_col, F.posexplode("toks").alias("i0", "tok")
     ).select(id_col, (F.col("i0") + 1).cast("long").alias("i"), "tok")
     kept = tok_idx.join(covered, [id_col, "i"], "left_anti")
@@ -1000,7 +1006,7 @@ def repeated_substring_excision(
         ).alias("kept_md5"),
     )
     return (
-        toks_df.select(id_col, F.col("n").alias("n_tokens"))
+        toks_df.select(id_col, F.col("n").alias("n_tokens"), "toks")
         .join(cov_stats, id_col, "left")
         .join(kd, id_col, "left")
         .select(
@@ -1008,7 +1014,132 @@ def repeated_substring_excision(
             "n_tokens",
             F.coalesce("n_excised", F.lit(0)).cast("long").alias("n_excised"),
             F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+            F.when(F.col("n_excised").isNull(), F.col("n_tokens"))
+            .otherwise(F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.when(
+                F.col("n_excised").isNull(),
+                F.md5(F.concat_ws(" ", F.col("toks"))),
+            )
+            .otherwise(F.coalesce("kept_md5", F.md5(F.lit(""))))
+            .alias("kept_md5"),
+        )
+    )
+
+
+def gram_contamination(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_col: str = "is_test",
+    min_len: int = 10,
+) -> DataFrame:
+    """Substring-level train/test contamination audit: for every TEST
+    document, count the positions whose ``min_len``-token gram also
+    occurs in ANY train document — the n-gram decontamination check
+    run before every serious eval (cf. the 13-gram GPT-3 and
+    PaLM-style audits; Lee et al. ACL'22 §6.2 measure the same leak
+    with the ExactSubstr machinery this reuses). Returns one row per
+    test doc: (id, n_tokens, n_contaminated_positions,
+    n_distinct_contaminated_grams, max_train_docs_per_gram,
+    contaminated).
+
+    Scale shape mirrors :func:`repeated_substring_excision`: per-token
+    fold hash + per-position polynomial combine (scan-side HOFs, no
+    gram strings), then a hash-group prefilter keeping only hashes
+    seen on BOTH sides (a superset of true cross-split grams — the
+    small modulus collides by design and is never trusted), then the
+    exact gram-string verify on that small candidate set. Test-side
+    positions join train-side distinct-doc counts per exact gram —
+    every shuffle is linear in token count, and the expensive string
+    comparison touches only candidate grams.
+    """
+    L = min_len
+    toks_df = (
+        docs.select(
+            F.col(id_col),
+            F.col(test_col).cast("boolean").alias("__t"),
+            tokens(text_col).alias("toks"),
+        )
+        .withColumn("n", F.size("toks").cast("long"))
+        .withColumn("th", F.transform("toks", lambda t: _token_fold_hash(t)))
+    )
+    sc = docs.sparkSession.sparkContext
+    if toks_df.rdd.getNumPartitions() < sc.defaultParallelism:
+        toks_df = toks_df.repartition(sc.defaultParallelism)
+    toks_df = toks_df.localCheckpoint(eager=True)
+
+    def gram_hash(i):
+        h = F.element_at(F.col("th"), i.cast("int"))
+        for d in range(1, L):
+            h = (h * 31 + F.element_at(F.col("th"), (i + d).cast("int"))) % HASH_MOD
+        return h
+
+    pos = (
+        toks_df.filter(F.col("n") >= L)
+        .select(
+            id_col,
+            "__t",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1).cast("long"), F.col("n") - L + 1),
+                    lambda i: F.struct(i.alias("pos"), gram_hash(i).alias("gh")),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "__t", F.col("p.pos").alias("pos"), F.col("p.gh").alias("gh"))
+    )
+    both = (
+        pos.groupBy("gh")
+        .agg(
+            F.max(F.col("__t").cast("int")).alias("has_t"),
+            F.min(F.col("__t").cast("int")).alias("all_t"),
+        )
+        .filter((F.col("has_t") == 1) & (F.col("all_t") == 0))
+        .select("gh")
+    )
+    cand = (
+        pos.join(both, "gh")
+        .join(toks_df.select(id_col, "toks"), id_col)
+        .select(
+            id_col,
+            "__t",
+            "pos",
+            F.concat_ws(" ", F.slice("toks", F.col("pos").cast("int"), L)).alias(
+                "gram"
+            ),
+        )
+    )
+    train_grams = (
+        cand.filter(~F.col("__t"))
+        .groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_train_docs"))
+    )
+    hits = cand.filter(F.col("__t")).join(train_grams, "gram")
+    per_doc = hits.groupBy(id_col).agg(
+        F.count("*").alias("n_contaminated_positions"),
+        F.count_distinct("gram").alias("n_distinct_contaminated_grams"),
+        F.max("n_train_docs").alias("max_train_docs_per_gram"),
+    )
+    return (
+        toks_df.filter(F.col("__t"))
+        .select(id_col, F.col("n").alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_contaminated_positions", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_positions"),
+            F.coalesce("n_distinct_contaminated_grams", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_contaminated_grams"),
+            F.coalesce("max_train_docs_per_gram", F.lit(0))
+            .cast("long")
+            .alias("max_train_docs_per_gram"),
+            (F.coalesce("n_contaminated_positions", F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
         )
     )

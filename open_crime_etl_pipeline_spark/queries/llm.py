@@ -2148,20 +2148,27 @@ def bpe_pair_merge_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(k: int) -> str:
-    """Unrolled-SQL oracle for ``bpe_multi_merge_rounds``: k chained
+def _bpe_oracle(k: int, mode: str = "merges") -> str:
+    """Unrolled-SQL oracle for the BPE queries: k chained
     (pair-count → argmax → replace) rounds over the sep-joined symbol
     representation. MATERIALIZED is load-bearing — each round's rep is
     referenced by both the next count and the next replace, and the
-    replace chain would otherwise re-inline exponentially."""
+    replace chain would otherwise re-inline exponentially.
+    ``mode="merges"`` emits the k adopted merges;
+    ``mode="compression"`` emits per-source symbol-count compression
+    after applying all k merges (r{k} carries source + the initial
+    symbol count as pass-through columns; pair counts stay corpus-wide
+    and source-blind, so both modes learn the identical trajectory)."""
     parts = ["""
         WITH words AS MATERIALIZED (
-            SELECT w FROM (
-                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            SELECT source, w FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS w
+                FROM documents
             ) WHERE w != '' AND length(w) > 1
         ),
         r0 AS MATERIALIZED (
-            SELECT chr(31) || array_to_string(string_split(w, ''), chr(31))
+            SELECT source, CAST(length(w) AS BIGINT) AS n0,
+                   chr(31) || array_to_string(string_split(w, ''), chr(31))
                    || chr(31) AS rep
             FROM words
         )"""]
@@ -2181,11 +2188,23 @@ def _bpe_oracle(k: int) -> str:
             SELECT w1, w2, n FROM p{i} ORDER BY n DESC, w1, w2 LIMIT 1
         ),
         r{i} AS MATERIALIZED (
-            SELECT replace(rep,
+            SELECT source, n0,
+                   replace(rep,
                            chr(31) || m.w1 || chr(31) || m.w2 || chr(31),
                            chr(31) || m.w1 || m.w2 || chr(31)) AS rep
             FROM r{i - 1}, m{i} m
         )""")
+    if mode == "compression":
+        return "".join(parts) + f"""
+        SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n0) AS BIGINT) AS n_symbols_before,
+               CAST(sum(len(list_filter(string_split(rep, chr(31)),
+                                        x -> x != ''))) AS BIGINT)
+                   AS n_symbols_after,
+               round(CAST(sum(len(list_filter(string_split(rep, chr(31)),
+                                              x -> x != ''))) AS DOUBLE)
+                     / sum(n0), 6) AS compression
+        FROM r{k} GROUP BY source"""
     selects = " UNION ALL ".join(
         f"SELECT {i} AS round, w1, w2, w1 || w2 AS merged, "
         f"CAST(n AS BIGINT) AS pair_count FROM m{i}"
@@ -2195,6 +2214,61 @@ def _bpe_oracle(k: int) -> str:
 
 
 _BPE_SEP = "\x1f"
+
+
+def _bpe_symbol_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n0, rep): one row per >1-char word, rep = sep-joined
+    character symbols, n0 = initial symbol count."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("source", F.explode(TS.tokens("text")).alias("w")).filter(
+        F.length("w") > 1
+    )
+    sep = F.lit(_BPE_SEP)
+    return words.select(
+        "source",
+        F.length("w").cast("long").alias("n0"),
+        F.concat(sep, F.array_join(F.split("w", ""), _BPE_SEP), sep).alias("rep"),
+    ).localCheckpoint(eager=True)
+
+
+def _bpe_merge_loop(rep: DataFrame, k: int):
+    """Run k BPE merge rounds over ``rep`` (any frame with a ``rep``
+    column; other columns pass through untouched). Returns
+    (merges, rep_after): the adopted (round, w1, w2, merged, n) tuples
+    and the corpus with ALL k merges applied. Eager checkpoint per
+    round — k chained replaces would otherwise re-execute the whole
+    prefix at every round's count (O(k²) scans)."""
+    passthrough = [c for c in rep.columns if c != "rep"]
+    sep = F.lit(_BPE_SEP)
+    merges = []
+    for i in range(1, k + 1):
+        syms = F.filter(F.split("rep", _BPE_SEP), lambda x: x != F.lit(""))
+        pairs = rep.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    (lambda s: lambda j: F.struct(
+                        F.element_at(s, j).alias("w1"),
+                        F.element_at(s, (j + 1).cast("int")).alias("w2"),
+                    ))(syms),
+                )
+            ).alias("p")
+        ).select("p.w1", "p.w2")
+        top = (
+            pairs.groupBy("w1", "w2")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "w1", "w2")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((i, top["w1"], top["w2"], top["w1"] + top["w2"], top["n"]))
+        pat = F.concat(sep, F.lit(top["w1"]), sep, F.lit(top["w2"]), sep)
+        new = F.concat(sep, F.lit(top["w1"] + top["w2"]), sep)
+        rep = rep.select(
+            *passthrough, F.replace(F.col("rep"), pat, new).alias("rep")
+        ).localCheckpoint(eager=True)
+    return merges, rep
+
 
 
 @register(
@@ -2223,46 +2297,44 @@ _BPE_SEP = "\x1f"
     tags=("llm", "text", "training", "iterative"),
 )
 def bpe_multi_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = 4
-    docs = _t(spark, sf_dir, "documents")
-    words = docs.select(F.explode(TS.tokens("text")).alias("w")).filter(
-        F.length("w") > 1
+    merges, _ = _bpe_merge_loop(
+        _bpe_symbol_corpus(spark, sf_dir).select("rep"), k=4
     )
-    sep = F.lit(_BPE_SEP)
-    rep = words.select(
-        F.concat(sep, F.array_join(F.split("w", ""), _BPE_SEP), sep).alias("rep")
-    ).localCheckpoint(eager=True)
-    merges = []
-    for i in range(1, k + 1):
-        syms = F.filter(F.split("rep", _BPE_SEP), lambda x: x != F.lit(""))
-        pairs = rep.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(syms) - 1),
-                    (lambda s: lambda j: F.struct(
-                        F.element_at(s, j).alias("w1"),
-                        F.element_at(s, (j + 1).cast("int")).alias("w2"),
-                    ))(syms),
-                )
-            ).alias("p")
-        ).select("p.w1", "p.w2")
-        top = (
-            pairs.groupBy("w1", "w2")
-            .agg(F.count("*").alias("n"))
-            .orderBy(F.col("n").desc(), "w1", "w2")
-            .limit(1)
-            .collect()[0]
-        )
-        merges.append((i, top["w1"], top["w2"], top["w1"] + top["w2"], top["n"]))
-        if i < k:
-            pat = F.concat(sep, F.lit(top["w1"]), sep, F.lit(top["w2"]), sep)
-            new = F.concat(sep, F.lit(top["w1"] + top["w2"]), sep)
-            rep = rep.select(
-                F.replace(F.col("rep"), pat, new).alias("rep")
-            ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "round int, w1 string, w2 string, merged string, pair_count long"
     ).orderBy("round")
+
+
+@register(
+    "bpe_vocab_compression",
+    oracle=_bpe_oracle(4, mode="compression"),
+    doc="BPE train→APPLY: after learning the same 4 corpus-wide "
+        "merges as bpe_multi_merge_rounds (identical trajectory — "
+        "pair counts are source-blind), every word is re-tokenized "
+        "with all 4 merges applied and the per-source symbol-count "
+        "compression is reported (words, symbols before/after, "
+        "after/before ratio) — the measure a tokenizer-training run "
+        "actually optimizes. The application pass is k engine-native "
+        "replace() projections over the checkpointed symbol corpus "
+        "(scan-side, zero extra shuffles beyond the per-round pair "
+        "counts); the final rollup is one tiny per-source aggregate. "
+        "Oracle: the same unrolled MATERIALIZED chain with source and "
+        "initial symbol count as pass-through columns (§2.11 "
+        "text/training).",
+    tags=("llm", "text", "training", "iterative"),
+)
+def bpe_vocab_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rep0 = _bpe_symbol_corpus(spark, sf_dir)
+    _, rep = _bpe_merge_loop(rep0, k=4)
+    n_after = F.size(F.filter(F.split("rep", _BPE_SEP), lambda x: x != F.lit("")))
+    return rep.groupBy("source").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n0").alias("n_symbols_before"),
+        F.sum(n_after.cast("long")).alias("n_symbols_after"),
+        F.round(
+            F.sum(n_after.cast("double")) / F.sum(F.col("n0").cast("double")), 6
+        ).alias("compression"),
+    )
 
 
 @register(
@@ -3065,6 +3137,67 @@ _CCNET_HEADER = "shared header line for every document in corpus "
 def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.repeated_substring_excision(docs, min_len=15)
+
+
+@register(
+    "gram_contamination_traintest",
+    oracle="""
+        WITH tn AS (
+            SELECT doc_id, (doc_id % 20 = 0) AS t,
+                   list_filter(string_split(text, ' '), x -> x != '') AS toks,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x != '')) AS BIGINT) AS n
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, t, CAST(i AS BIGINT) AS pos,
+                   array_to_string(toks[CAST(i AS INT):CAST(i + 9 AS INT)],
+                                   ' ') AS gram
+            FROM tn, unnest(generate_series(1, n - 9)) u(i)
+            WHERE n >= 10
+        ), tg AS (
+            SELECT gram, count(DISTINCT doc_id) AS n_train_docs
+            FROM pos WHERE NOT t GROUP BY gram
+        ), hits AS (
+            SELECT p.doc_id, p.gram, tg.n_train_docs
+            FROM pos p JOIN tg USING (gram) WHERE p.t
+        ), pd AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_contaminated_positions,
+                   CAST(count(DISTINCT gram) AS BIGINT)
+                       AS n_distinct_contaminated_grams,
+                   CAST(max(n_train_docs) AS BIGINT) AS max_train_docs_per_gram
+            FROM hits GROUP BY doc_id
+        )
+        SELECT tn.doc_id, tn.n AS n_tokens,
+               coalesce(pd.n_contaminated_positions, 0)
+                   AS n_contaminated_positions,
+               coalesce(pd.n_distinct_contaminated_grams, 0)
+                   AS n_distinct_contaminated_grams,
+               coalesce(pd.max_train_docs_per_gram, 0)
+                   AS max_train_docs_per_gram,
+               coalesce(pd.n_contaminated_positions, 0) > 0 AS contaminated
+        FROM tn LEFT JOIN pd USING (doc_id) WHERE tn.t
+    """,
+    doc="Substring-level train/test contamination audit at L=10 "
+        "tokens (deterministic 5% holdout: doc_id % 20 = 0): for each "
+        "test document, the positions whose 10-gram also occurs in "
+        "ANY train document, the distinct leaked grams, and the "
+        "widest train-side spread — the n-gram decontamination check "
+        "run before every serious eval (GPT-3/PaLM-style audits; Lee "
+        "et al. ACL'22 §6.2). Reuses the ExactSubstr machinery: "
+        "scan-side gram hashing, a both-sides hash prefilter "
+        "(superset, never trusted), exact gram-string verify on the "
+        "candidate set only, then test positions join per-gram train "
+        "document counts. The oracle states the one-phase exact "
+        "cross-side semantics, proving the prefilter lossless (§2.11 "
+        "dedup/curation; operators/dedup.py::gram_contamination).",
+    tags=("llm", "dedup", "curation"),
+)
+def gram_contamination_traintest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_test", F.col("doc_id") % 20 == 0
+    )
+    return D.gram_contamination(docs, min_len=10)
 
 
 @register(

@@ -1130,3 +1130,33 @@ def test_repeated_substring_excision_disjoint_spans_merge(spark):
     # doc 2 excises p (positions 2..16) and q (22..36): two spans
     assert got[2]["n_excised"] == 30 and got[2]["n_spans"] == 2
     assert got[2]["n_kept"] == 7  # y1, m0..m4, y2
+
+
+def test_gram_contamination_planted_leak(spark):
+    """A test doc sharing a 10-token passage with two train docs is
+    flagged with the right position/gram/spread counts; a clean test
+    doc and a too-short doc report zeros."""
+    from open_crime_etl_pipeline_spark.operators.dedup import gram_contamination
+
+    leak = [f"l{i}" for i in range(10)]
+    rows = [
+        (1, False, " ".join([f"a{i}" for i in range(5)] + leak)),
+        (2, False, " ".join(leak + [f"b{i}" for i in range(5)])),
+        (3, True, " ".join([f"c{i}" for i in range(3)] + leak + ["c9"])),
+        (4, True, " ".join(f"d{i}" for i in range(20))),
+        (5, True, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "is_test", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gram_contamination(df, min_len=10).collect()
+    }
+    assert set(got) == {3, 4, 5}
+    # doc 3: exactly one 10-gram (positions 4..13) matches, present in
+    # BOTH train docs
+    assert got[3]["n_contaminated_positions"] == 1
+    assert got[3]["n_distinct_contaminated_grams"] == 1
+    assert got[3]["max_train_docs_per_gram"] == 2
+    assert got[3]["contaminated"] is True
+    assert got[4]["contaminated"] is False and got[4]["n_contaminated_positions"] == 0
+    assert got[5]["n_tokens"] == 2 and got[5]["contaminated"] is False

@@ -51,6 +51,7 @@ NOTES = {
     "exact_substring_dedup": "phase-1 gram hashing is pure HOF projection (no gram strings materialized); hash-frequency prefilter with partial_count below its exchange; gram strings built ONLY for surviving candidates; covered-span lag-window partitions by doc_id; reassembly = left-anti join on (doc, pos)",
     "bpe_multi_merge_rounds": "per-round pair groupBy has partial_count (shuffle bounded by distinct pairs, not corpus); argmax = TakeOrderedAndProject(limit=1); eager per-round checkpoint keeps round-4's plan equal to round-1's (no O(k^2) replay)",
     "connected_components_star": "each star phase = ONE groupBy(node) min + a co-partitioned join back to the neighbor list — no collect_list of neighborhoods anywhere; eager checkpoint per round; exact fixpoint test via count + left-anti join",
+    "gram_contamination_traintest": "both-sides hash prefilter (partial agg under one gh exchange) before any gram STRING exists; exact verify joins only candidate grams; per-test-doc rollup is the final small aggregate",
 }
 
 HEADER = """# PLANS — physical-plan receipts for the scale-critical queries
