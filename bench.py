@@ -78,6 +78,9 @@ def main() -> None:
         # r5 new-family entries
         "exact_substring_dedup",      # suffix-array-style gram dedup + excision
         "bpe_multi_merge_rounds",     # iterative tokenizer-training loop (k=4)
+        "pca_top_component_projection",   # distributed PCA: gram + eigensolve + apply
+        "quality_classifier_train_apply", # train->apply loop: GD + literal-weight scoring
+        "near_dedup_star_components",     # LSH verify pairs + star-contraction clustering
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not

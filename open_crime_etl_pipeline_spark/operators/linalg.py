@@ -144,7 +144,41 @@ def covariance_pairs(df: DataFrame, vec_col: str, d: int) -> DataFrame:
     g = gram_pairs(df, vec_col, d, shift=shift)
     n = F.col("n_rows").cast("double")
     cov = (F.col("s_ij") - (F.col("sum_i") * F.col("sum_j")) / n) / (n - 1)
-    return g.select("i", "j", cov.alias("cov"), "n_rows")
+    # True column mean of dimension i, recovered from the SHIFTED sums:
+    # mean_i = shift_i + sum'_i / n. Free to emit (the sums are already
+    # in the partial rows), and it saves downstream consumers (PCA
+    # projection centering) a second scan of the data.
+    if shift is None:
+        mean_i = F.col("sum_i") / n
+    else:
+        mean_i = (
+            F.element_at(F.lit([float(s) for s in shift]), F.col("i"))
+            + F.col("sum_i") / n
+        )
+    return g.select("i", "j", cov.alias("cov"), "n_rows", mean_i.alias("mean_i"))
+
+
+def project_expr(vec_col, mean, component):
+    """Scan-side projection of an ``array<float>`` column onto a fixed
+    direction after centering: Σ_i (x_i − mean_i)·component_i.
+
+    ``mean`` and ``component`` are length-d Python sequences embedded
+    as ARRAY LITERALS in the plan (model state broadcast as constants —
+    the scale-right pattern for applying a driver-fitted model): the
+    whole expression is Catalyst HOFs (two zip_with + one aggregate
+    left-fold), no shuffle, no Python, embarrassingly parallel over the
+    scan. The fold adds terms in index order, so the floating-point
+    summation order is pinned and identical on every executor."""
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.lit([float(m) for m in mean]),
+        lambda x, m: x - m,
+    )
+    return F.aggregate(
+        F.zip_with(centered, F.lit([float(c) for c in component]), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
 
 
 def power_iteration_top_eig(cov_rows: list, d: int, iters: int = 200) -> tuple:

@@ -260,9 +260,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planted_certificate(planted, pairs, "hamming", -1)
 
 
-@register(
-    "near_dedup_representatives",
-    oracle=_CORPUS_SQL_NEAR + """
+# Shared CTE block for the near-dedup family: 3-word shingles → exact
+# pairwise Jaccard (decorrelated grouped join) → verified pair graph
+# (symmetric edges). near_dedup_representatives appends bounded
+# min-propagation rounds; near_dedup_star_components appends a
+# converged recursive closure — same candidate graph, two clusterers.
+_NEAR_PAIRS_SQL = """
         , shingle_lists AS (
             SELECT doc_id,
                    list_distinct([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
@@ -288,13 +291,20 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE CAST(n_inter AS DOUBLE) /
                   CAST(sa.n_shingles + sb.n_shingles - n_inter AS DOUBLE) >= 0.7
         ), edges AS MATERIALIZED (
-            -- MATERIALIZED throughout: r1..r5 each reference the prior
-            -- round twice; inlined CTEs would re-evaluate the whole
-            -- pair pipeline 2^5 times (observed: hung at sf0.1)
+            -- MATERIALIZED throughout: propagation rounds reference the
+            -- prior round twice; inlined CTEs would re-evaluate the whole
+            -- pair pipeline exponentially (observed: hung at sf0.1)
             SELECT id_a AS s, id_b AS d FROM pairs
             UNION
             SELECT id_b AS s, id_a AS d FROM pairs
-        ), r0 AS MATERIALIZED (
+        )
+"""
+
+
+@register(
+    "near_dedup_representatives",
+    oracle=_CORPUS_SQL_NEAR + _NEAR_PAIRS_SQL + """
+        , r0 AS MATERIALIZED (
             SELECT DISTINCT s AS m, s AS rep FROM edges
         )
         , r1 AS MATERIALIZED (
@@ -360,6 +370,64 @@ def near_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         small_graph=True,
     )
     return kept.select("doc_id")
+
+
+@register(
+    "near_dedup_star_components",
+    oracle=_CORPUS_SQL_NEAR.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + _NEAR_PAIRS_SQL + """
+        , reach AS (
+            -- CONVERGED transitive closure (recursive set semantics:
+            -- UNION dedups, fixpoint when no new (node, reachable)
+            -- rows appear) — round-count-free ground truth, unlike the
+            -- bounded unrolled propagation near_dedup_representatives
+            -- pins. Fine for the oracle: duplicate clusters are tiny.
+            SELECT s AS m, s AS r FROM edges
+            UNION
+            SELECT e.s AS m, rc.r AS r
+            FROM edges e JOIN reach rc ON rc.m = e.d
+        ), lab AS (
+            SELECT m AS doc_id, min(r) AS rep_id FROM reach GROUP BY m
+        )
+        SELECT l.doc_id, l.rep_id, c.n_members
+        FROM lab l
+        JOIN (SELECT rep_id, CAST(count(*) AS BIGINT) AS n_members
+              FROM lab GROUP BY rep_id) c USING (rep_id)
+    """,
+    doc="The 100-TB near-dedup clustering path, integrated end to end: "
+        "minhash LSH candidates → exact-Jaccard verify (≥0.7, same "
+        "pair graph as near_dedup_representatives) → alternating "
+        "large-star/small-star contraction (Kiveris et al. SoCC'14, "
+        "operators/graph.py::connected_components_star) instead of the "
+        "guarded driver union-find or O(diameter) min-propagation — "
+        "O(log d) rounds of O(E)-shuffle groupBy+join, no driver "
+        "collection, no round-count tuning, so a filament-shaped "
+        "duplicate cluster (chained paraphrases A~B~C~…) can't blow "
+        "the round budget. Output is the full component map (member, "
+        "min-id representative, component size). The oracle clusters "
+        "the SAME verified pair graph with a converged recursive "
+        "transitive closure — star contraction's fixpoint labels must "
+        "equal true-component ground truth exactly, making this both "
+        "an integration test of the scale path and a convergence "
+        "proof (§2.11 dedup).",
+    tags=("llm", "dedup", "minhash", "graph"),
+)
+def near_dedup_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph as G
+
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=32, bands=16, threshold=0.7, verify_exact=True,
+    )
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    labels, _rounds = G.connected_components_star(edges)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("rep_id"),
+        "n_members",
+    )
 
 
 _INCR_BATCH_SQL = """
@@ -2424,6 +2492,94 @@ def embedding_covariance_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pca_top_component_projection",
+    oracle="""
+        WITH RECURSIVE flat AS (
+            SELECT vec_id, u.i AS i, u.x AS x
+            FROM (SELECT vec_id, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings) u(vec_id, x, i)
+        ), mu AS (
+            SELECT i, avg(x) AS m FROM flat GROUP BY i
+        ), cent AS MATERIALIZED (
+            SELECT f.vec_id, f.i, f.x - mu.m AS x
+            FROM flat f JOIN mu USING (i)
+        ), cov AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j, sum(a.x * b.x) / (max(cnt.n) - 1) AS c
+            FROM cent a JOIN cent b USING (vec_id)
+            CROSS JOIN (SELECT count(*) AS n FROM embeddings) cnt
+            GROUP BY a.i, b.i
+        ), pi AS (
+            -- deterministic power iteration, identical to the engine's
+            -- driver-side loop: v0 = 1/sqrt(d), 200 matvec+normalize steps
+            SELECT 0 AS it, i.i AS i, 1.0 / sqrt(64) AS v
+            FROM (SELECT DISTINCT i FROM mu) i
+            UNION ALL
+            SELECT it + 1, i, w / sqrt(sum(w * w) OVER ()) AS v
+            FROM (
+                SELECT p.it AS it, cov.i AS i, sum(cov.c * p.v) AS w
+                FROM pi p JOIN cov ON cov.j = p.i
+                WHERE p.it < 200
+                GROUP BY p.it, cov.i
+            )
+        ), vfin AS (
+            SELECT i, v FROM pi WHERE it = 200
+        ), sgn AS (
+            -- engine's sign convention: first nonzero component positive
+            SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+            FROM vfin WHERE abs(v) > 1e-12 ORDER BY i LIMIT 1
+        ), proj AS (
+            SELECT c.vec_id, sum(c.x * vf.v) AS p
+            FROM cent c JOIN vfin vf ON vf.i = c.i
+            GROUP BY c.vec_id
+        )
+        SELECT e.vec_id, e.label, round(p.p * sgn.s, 6) AS pc1
+        FROM proj p JOIN embeddings e USING (vec_id) CROSS JOIN sgn
+    """,
+    doc="Distributed PCA, end to end: the covariance matrix reduces "
+        "across the cluster as one-pass Gram partials (O(partitions·d²) "
+        "shuffle rows, nothing proportional to N — see "
+        "embedding_covariance_gram), the d×d result collects to the "
+        "driver (2080 rows, N-independent), 200 deterministic power-"
+        "iteration steps extract the top eigenvector (O(d²) flops, "
+        "driver-local — data-sized work distributed, model-sized work "
+        "local), and the component + mean vectors re-enter the plan as "
+        "ARRAY LITERALS for a scan-side centered projection (zip_with/"
+        "aggregate HOFs, no shuffle, no Python — the broadcast-model-"
+        "apply pattern). The iterate after a FIXED 200 steps is a pure "
+        "function of the covariance matrix even where the eigengap is "
+        "small, so the oracle — covariance by centered self-join, the "
+        "SAME 200 matvec+normalize steps as a recursive CTE, the same "
+        "first-nonzero-positive sign convention — must reproduce every "
+        "per-row projection to 6dp. Embedding-space decorrelation / "
+        "whitening is a standard curation preprocessing step (SemDeDup "
+        "and friends operate in this space) (§2.11 embeddings/training).",
+    tags=("llm", "similarity", "training"),
+)
+def pca_top_component_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_projection_over(_t(spark, sf_dir, "embeddings"))
+
+
+def pca_projection_over(emb: DataFrame) -> DataFrame:
+    """pca_top_component_projection's full pipeline over an arbitrary
+    (vec_id, embedding, label) frame — shared with
+    tools/scale_check_r5b.py so the scale proof measures exactly what
+    the registered query runs."""
+    from ..operators import linalg as LA
+
+    cov = LA.covariance_pairs(emb, "embedding", d=64)
+    # bounded collect: d(d+1)/2 = 2080 rows regardless of N
+    rows = [r.asDict() for r in cov.collect()]
+    _, v = LA.power_iteration_top_eig(rows, d=64, iters=200)
+    mu = [0.0] * 64
+    for r in rows:
+        if r["i"] == r["j"]:
+            mu[r["i"] - 1] = float(r["mean_i"])
+    proj = LA.project_expr("embedding", mu, [float(x) for x in v])
+    return emb.select("vec_id", "label", F.round(proj, 6).alias("pc1"))
+
+
+@register(
     "text_normalized_dedup",
     oracle="""
         WITH perturbed AS (
@@ -3890,10 +4046,12 @@ def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GD_LR = 0.05
 _GD_TERMS = ("spark", "data", "slow")
 
-
-@register(
-    "logistic_regression_gd_steps",
-    oracle="""
+# Shared CTE prefix for the GD family: features → exact step-1 gradient
+# → step-2 sigmoid gradient → trained weights (w2t). Both the training
+# query (reports the weights) and the train→apply query (scores every
+# document with them) append their own final SELECT, so the two oracles
+# can never drift apart.
+_GD_ORACLE_CTES = """
         WITH toks AS (
             SELECT doc_id, n_chars,
                    list_filter(string_split(text, ' '), t -> t != '') AS toks
@@ -3939,6 +4097,12 @@ _GD_TERMS = ("spark", "data", "slow")
                    w1t.bb - 0.05 * g2.sb / nn.n AS bb
             FROM w1t, g2, nn
         )
+"""
+
+
+@register(
+    "logistic_regression_gd_steps",
+    oracle=_GD_ORACLE_CTES + """
         SELECT 'bias' AS param, round(bb, 6) AS value FROM w2t
         UNION ALL SELECT 'w_spark', round(wa, 6) FROM w2t
         UNION ALL SELECT 'w_data', round(wb, 6) FROM w2t
@@ -3965,14 +4129,11 @@ def logistic_regression_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logistic_gd_over(_t(spark, sf_dir, "documents"))
 
 
-def logistic_gd_over(docs: DataFrame) -> DataFrame:
-    """logistic_regression_gd_steps' full two-step training loop over
-    an arbitrary (doc_id, n_chars, text) frame — shared with
-    tools/scale_check_r5.py so the scale proof measures exactly what
-    the registered query runs."""
-    spark = docs.sparkSession
+def _gd_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, x1..x3) training frame: label = long-document,
+    features = integer token counts of the three probe terms."""
     toks = docs.select("doc_id", "n_chars", TS.tokens("text").alias("toks"))
-    feat = toks.select(
+    return toks.select(
         "doc_id",
         (F.col("n_chars") > 250).cast("int").alias("y"),
         *[
@@ -3982,7 +4143,30 @@ def logistic_gd_over(docs: DataFrame) -> DataFrame:
             for i, term in enumerate(_GD_TERMS, 1)
         ],
     )
-    feat = feat.persist()
+
+
+def logistic_gd_over(docs: DataFrame) -> DataFrame:
+    """logistic_regression_gd_steps' full two-step training loop over
+    an arbitrary (doc_id, n_chars, text) frame — shared with
+    tools/scale_check_r5.py so the scale proof measures exactly what
+    the registered query runs."""
+    spark = docs.sparkSession
+    w2, b2 = _gd_train_params(docs)
+    names = ["bias", "w_spark", "w_data", "w_slow"]
+    vals = [b2, w2[0], w2[1], w2[2]]
+    # F.round (HALF_UP) — not Python round() (banker's) — to match SQL
+    return spark.createDataFrame(
+        list(zip(names, vals)), "param string, value double"
+    ).select("param", F.round("value", 6).alias("value"))
+
+
+def _gd_train_params(docs: DataFrame) -> tuple:
+    """The two unrolled GD steps; returns (w2 list-of-3, b2) as plain
+    Python floats, so apply-side queries can embed the trained model as
+    plan literals. The weight algebra runs the same IEEE ops in the
+    same order as the SQL oracle's CTEs — the floats are cross-engine
+    reproducible (see logistic_regression_gd_steps' doc)."""
+    feat = _gd_features(docs).persist()
     try:
         row = feat.agg(
             F.count("*").alias("n"),
@@ -4013,12 +4197,53 @@ def logistic_gd_over(docs: DataFrame) -> DataFrame:
         b2 = b - _GD_LR * float(row2["sb"]) / n
     finally:
         feat.unpersist()
-    names = ["bias", "w_spark", "w_data", "w_slow"]
-    vals = [b2, w2[0], w2[1], w2[2]]
-    # F.round (HALF_UP) — not Python round() (banker's) — to match SQL
-    return spark.createDataFrame(
-        list(zip(names, vals)), "param string, value double"
-    ).select("param", F.round("value", 6).alias("value"))
+    return w2, b2
+
+
+@register(
+    "quality_classifier_train_apply",
+    oracle=_GD_ORACLE_CTES + """
+        SELECT f.doc_id AS doc_id,
+               CAST(f.y AS INT) AS label_long_doc,
+               round(1.0 / (1.0 + exp(-(((w2t.bb + w2t.wa * f.x1)
+                     + w2t.wb * f.x2) + w2t.wc * f.x3))), 6) AS quality_p,
+               (1.0 / (1.0 + exp(-(((w2t.bb + w2t.wa * f.x1)
+                     + w2t.wb * f.x2) + w2t.wc * f.x3)))) >= 0.5 AS keep
+        FROM feat f, w2t
+    """,
+    doc="The quality-filter training LOOP closed end to end (the "
+        "fineweb/CCNet curation shape): train the logistic model with "
+        "the two distributed GD steps of logistic_regression_gd_steps "
+        "(per-step gradient = one partial-agg shuffle of 4 decimal "
+        "sums), then re-broadcast the trained weights as plan LITERALS "
+        "and score EVERY document scan-side — sigmoid over the same "
+        "token-count features, keep = p ≥ 0.5. Train and apply read "
+        "the same feature frame; apply is shuffle-free (model state is "
+        "O(|features|) driver constants, the broadcast-model-apply "
+        "pattern that scales to 100 TB corpora unchanged). The oracle "
+        "appends a per-document scoring SELECT to the SAME weight CTEs "
+        "the training oracle uses, so every per-doc probability (6dp) "
+        "and keep decision must match across engines — differentially "
+        "testing exp() parity and the pinned IEEE weight algebra "
+        "(§2.11 training/quality).",
+    tags=("llm", "training", "quality"),
+)
+def quality_classifier_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w, b = _gd_train_params(docs)
+    feat = _gd_features(docs)
+    # identical association order to the oracle's scoring expression
+    z = (
+        (F.lit(b) + F.lit(w[0]) * F.col("x1"))
+        + F.lit(w[1]) * F.col("x2")
+    ) + F.lit(w[2]) * F.col("x3")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feat.select(
+        "doc_id",
+        F.col("y").cast("int").alias("label_long_doc"),
+        F.round(p, 6).alias("quality_p"),
+        (p >= F.lit(0.5)).alias("keep"),
+    )
 
 
 @register(

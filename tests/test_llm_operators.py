@@ -1160,3 +1160,114 @@ def test_gram_contamination_planted_leak(spark):
     assert got[3]["contaminated"] is True
     assert got[4]["contaminated"] is False and got[4]["n_contaminated_positions"] == 0
     assert got[5]["n_tokens"] == 2 and got[5]["contaminated"] is False
+
+
+def test_covariance_pairs_mean_i_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from open_crime_etl_pipeline_spark.operators import linalg as LA
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = LA.covariance_pairs(emb, "embedding", d=64).collect()
+    X = np.stack([r["embedding"] for r in emb.collect()]).astype(np.float64)
+    mu = X.mean(axis=0)
+    # mean_i is exposed on every (i, j) row; check the diagonal set
+    diag = {r["i"]: r["mean_i"] for r in rows if r["i"] == r["j"]}
+    assert len(diag) == 64
+    for i, m in diag.items():
+        assert abs(m - mu[i - 1]) < 1e-12
+
+
+def test_pca_projection_query_matches_numpy(spark, sf_dir):
+    """The registered PCA query's per-row projections equal a numpy
+    re-derivation of the SAME fixed algorithm (exact covariance, 200
+    power-iteration steps from 1/sqrt(d), first-nonzero-positive sign,
+    centered dot product) — pinning that the distributed Gram +
+    driver eigensolver + literal-array scan projection compose without
+    loss."""
+    import numpy as np
+
+    from open_crime_etl_pipeline_spark.queries import all_specs
+
+    got = {
+        r["vec_id"]: r["pc1"]
+        for r in all_specs()["pca_top_component_projection"].fn(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = [r["vec_id"] for r in emb]
+    X = np.stack([r["embedding"] for r in emb]).astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    C = (Xc.T @ Xc) / (len(X) - 1)
+    v = np.ones(64) / 8.0
+    for _ in range(200):
+        w = C @ v
+        v = w / np.linalg.norm(w)
+    nz = np.flatnonzero(np.abs(v) > 1e-12)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    proj = Xc @ v
+    assert len(got) == len(ids)
+    for vid, p in zip(ids, proj):
+        assert abs(got[vid] - p) < 1e-6
+
+
+def test_quality_classifier_train_apply_consistent(spark, sf_dir):
+    """The registered train→apply query's per-doc probabilities equal a
+    driver-side sigmoid over the SAME trained params and features, in
+    the same IEEE association order — pinning that embedding the model
+    as plan literals loses nothing."""
+    import math
+
+    from open_crime_etl_pipeline_spark.queries import all_specs
+    from open_crime_etl_pipeline_spark.queries.llm import (
+        _gd_features,
+        _gd_train_params,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w, b = _gd_train_params(docs)
+    feats = {r["doc_id"]: r for r in _gd_features(docs).collect()}
+    got = all_specs()["quality_classifier_train_apply"].fn(spark, sf_dir).collect()
+    assert len(got) == len(feats)
+    n_keep = 0
+    for r in got:
+        f = feats[r["doc_id"]]
+        z = ((b + w[0] * f["x1"]) + w[1] * f["x2"]) + w[2] * f["x3"]
+        p = 1.0 / (1.0 + math.exp(-z))
+        # quality_p is rounded to 6dp in the query output
+        assert abs(r["quality_p"] - p) < 5.001e-7
+        assert r["keep"] == (p >= 0.5)
+        assert r["label_long_doc"] == f["y"]
+        n_keep += int(r["keep"])
+    # two GD steps from zero weights move gently — keep may be all-true
+    # at tiny SF — but the scores must genuinely spread
+    ps = [r["quality_p"] for r in got]
+    assert max(ps) - min(ps) > 0.01
+    assert n_keep > 0
+
+
+def test_near_dedup_star_components_consistent_with_representatives(spark, sf_dir):
+    """The star-contraction clustering path and the bounded
+    min-propagation path must induce the same keep/drop partition on
+    the same verified pair graph: docs dropped by
+    near_dedup_representatives == docs whose star component rep is not
+    themselves."""
+    from open_crime_etl_pipeline_spark.queries import all_specs
+    from open_crime_etl_pipeline_spark.queries.llm import _corpus_near
+
+    star = all_specs()["near_dedup_star_components"].fn(spark, sf_dir).collect()
+    kept = {
+        r["doc_id"]
+        for r in all_specs()["near_dedup_representatives"].fn(spark, sf_dir).collect()
+    }
+    corpus_ids = {r["doc_id"] for r in _corpus_near(spark, sf_dir).select("doc_id").collect()}
+    dropped_star = {r["doc_id"] for r in star if r["rep_id"] != r["doc_id"]}
+    assert dropped_star == corpus_ids - kept
+    # component invariants: rep is the member minimum and a member itself
+    by_rep = {}
+    for r in star:
+        by_rep.setdefault(r["rep_id"], []).append(r)
+    for rep, members in by_rep.items():
+        ids = [m["doc_id"] for m in members]
+        assert rep == min(ids) and rep in ids
+        assert all(m["n_members"] == len(ids) for m in members)

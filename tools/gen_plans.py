@@ -52,6 +52,9 @@ NOTES = {
     "bpe_multi_merge_rounds": "per-round pair groupBy has partial_count (shuffle bounded by distinct pairs, not corpus); argmax = TakeOrderedAndProject(limit=1); eager per-round checkpoint keeps round-4's plan equal to round-1's (no O(k^2) replay)",
     "connected_components_star": "each star phase = ONE groupBy(node) min + a co-partitioned join back to the neighbor list — no collect_list of neighborhoods anywhere; eager checkpoint per round; exact fixpoint test via count + left-anti join",
     "gram_contamination_traintest": "both-sides hash prefilter (partial agg under one gh exchange) before any gram STRING exists; exact verify joins only candidate grams; per-test-doc rollup is the final small aggregate",
+    "pca_top_component_projection": "gram partials reduce to ONE d^2-row exchange independent of N; trained component + mean re-enter as 64-double array literals; the projection itself is a zero-shuffle HOF fold over the scan (no Python, no join)",
+    "quality_classifier_train_apply": "train = two partial-agg gradient reduces of 4 decimal sums each; the APPLY plan is shuffle-free — trained weights are plan literals, sigmoid scoring rides the token-count projection scan-side",
+    "near_dedup_star_components": "verified pair graph (LSH band equi-join + exact verify) is orders smaller than the corpus; each star round = groupBy-min + co-partitioned join with eager checkpoint; component sizes join O(components) rows",
 }
 
 HEADER = """# PLANS — physical-plan receipts for the scale-critical queries
