@@ -81,6 +81,7 @@ def main() -> None:
         "pca_top_component_projection",   # distributed PCA: gram + eigensolve + apply
         "quality_classifier_train_apply", # train->apply loop: GD + literal-weight scoring
         "near_dedup_star_components",     # LSH verify pairs + star-contraction clustering
+        "pq_adc_topk",                    # PQ codebook train + encode + ADC search
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not

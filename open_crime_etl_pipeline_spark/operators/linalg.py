@@ -207,3 +207,41 @@ def power_iteration_top_eig(cov_rows: list, d: int, iters: int = 200) -> tuple:
     if len(nz) and v[nz[0]] < 0:
         v = -v
     return lam, v
+
+
+def power_iteration_components(
+    cov_rows: list, d: int, n_components: int = 2, iters: int = 200
+) -> list:
+    """Top-k eigenpairs by power iteration + Hotelling deflation,
+    driver-side over the collected d² covariance (O(k·d²) flops,
+    independent of N — the distributed Gram phase already reduced the
+    data). Deterministic: every component starts from 1/sqrt(d),
+    runs a FIXED `iters` matvec+normalize steps (a pure function of
+    the matrix — ulp perturbations decay toward the same fixpoint,
+    which is what makes the recursive-CTE oracle reproducible), takes
+    the Rayleigh eigenvalue BEFORE the sign fix (deflation is
+    sign-invariant), then pins the first nonzero component positive.
+    Returns [(eigenvalue, eigenvector ndarray), ...]."""
+    import numpy as np
+
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        i, j, c = int(r["i"]) - 1, int(r["j"]) - 1, float(r["cov"])
+        C[i, j] = c
+        C[j, i] = c
+    out = []
+    for _ in range(n_components):
+        v = np.ones(d) / np.sqrt(d)
+        for _ in range(iters):
+            w = C @ v
+            nw = np.linalg.norm(w)
+            if nw == 0.0:
+                break
+            v = w / nw
+        lam = float(v @ (C @ v))
+        C = C - lam * np.outer(v, v)
+        nz = np.flatnonzero(np.abs(v) > 1e-12)
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        out.append((lam, v))
+    return out

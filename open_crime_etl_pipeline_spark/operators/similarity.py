@@ -691,3 +691,154 @@ def semdedup(
             id_col, F.coalesce("had_semantic_dup", F.lit(False)).alias("had_semantic_dup")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid — TPAMI 2011)
+# ---------------------------------------------------------------------------
+#
+# PQ is the ANN-compression half that scalar int8 quantization
+# (quantize_int8) lacks: split each d-dim vector into m contiguous
+# sub-vectors, vector-quantize each subspace against its own k-entry
+# codebook, and store only the m codes (m bytes/vector for k<=256 —
+# 32x smaller than float32 at d=64/m=8). Query-time asymmetric
+# distance (ADC) never decodes: per query, precompute the |Q|*m*k
+# table of exact query-subvector-to-centroid squared distances, then a
+# candidate's distance is just m table lookups summed.
+#
+# Scale shape (the reason every 100 TB vector store uses this):
+#   - training: distance argmin is a map-side partial groupBy-min over
+#     the (row, subspace, centroid) product with a BROADCAST codebook
+#     (m*k rows) — shuffle is O(N*m) best-code rows, never O(N*m*k);
+#     centroid means reduce in long (s, cid, pos) form exactly like
+#     embedding_centroids_by_label (|codebook|*dsub running sums).
+#   - encode: broadcast join + scan, shuffle O(N*m) code rows.
+#   - search: the corpus is scanned as CODES (m small ints/row); the
+#     per-query lookup table is O(|Q|*m*k) and broadcast. Nothing
+#     query-dependent ever shuffles the corpus.
+#
+# Determinism for the cross-engine oracle: every squared distance is a
+# pinned LEFT-FOLD over sub-vector positions (F.aggregate — matches a
+# left-associative `t1 + t2 + ...` SQL chain exactly in IEEE order),
+# argmin ties break on centroid id via lexicographic struct-min, Lloyd
+# means are rounded to 6dp (the repo-wide float-agg pin), and the ADC
+# sum over the m per-subspace terms is an explicit pivot + fixed-order
+# add chain, not an order-unspecified SUM over doubles.
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a pinned left fold: the summation order
+    is element order on every executor AND in the SQL-oracle's
+    left-associative chain, so cross-engine results are bit-equal."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+
+
+def pq_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, dsub: int,
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """(id, s, sub): split vec_col (length m*dsub) into m contiguous
+    dsub-length double sub-vectors — one scan, no shuffle."""
+    slices = F.array(*[
+        F.slice(as_double_array(vec_col), s * dsub + 1, dsub) for s in range(m)
+    ])
+    return df.select(
+        F.col(id_col).alias(out_id), F.posexplode(slices).alias("s", "sub")
+    )
+
+
+def pq_assign(subs: DataFrame, codebook: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid code per (row, subspace): (id, s, cid, d2).
+
+    Broadcast the m*k codebook, compute the pinned-fold distance
+    scan-side, and take the argmin as a lexicographic struct-min
+    (ties -> smallest cid) under ONE partial-aggregating groupBy —
+    map-side combine collapses the m*k candidates to one row per
+    (id, s) before any shuffle."""
+    j = subs.join(F.broadcast(codebook), "s")
+    best = (
+        j.select(
+            id_col, "s",
+            F.struct(
+                sq_dist(F.col("sub"), F.col("cvec")).alias("d2"),
+                F.col("cid").alias("cid"),
+            ).alias("cand"),
+        )
+        .groupBy(id_col, "s")
+        .agg(F.min("cand").alias("best"))
+    )
+    return best.select(
+        id_col, "s", F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2")
+    )
+
+
+def pq_train_codebook(
+    subs: DataFrame, init: DataFrame, rounds: int = 1, id_col: str = "vec_id"
+) -> DataFrame:
+    """Lloyd-refine an initial (s, cid, cvec) codebook for `rounds`
+    iterations: assign (broadcast argmin) -> per-(s, cid, pos) mean in
+    long form (the scale-correct element-wise aggregate — shuffles
+    |codebook|*dsub running sums, not vectors) -> rebuild arrays.
+    Means are rounded to 6dp (repo float-agg pin); centroids that
+    attract no members are dropped (both engines mirror this)."""
+    cb = init
+    for _ in range(rounds):
+        assigned = pq_assign(subs, cb, id_col).select(id_col, "s", "cid")
+        cells = assigned.join(subs, [id_col, "s"]).select(
+            "s", "cid", F.posexplode("sub").alias("pos", "val")
+        )
+        means = cells.groupBy("s", "cid", "pos").agg(
+            F.round(F.avg("val"), 6).alias("mval")
+        )
+        cb = means.groupBy("s", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda st: st["mval"],
+            ).alias("cvec")
+        )
+    return cb
+
+
+def pq_adc_topk(
+    codes: DataFrame, codebook: DataFrame, query_subs: DataFrame,
+    m: int, k: int = 5, exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k: (query_id, neighbor_id, adc_dist2, rank).
+
+    `codes` is the compressed corpus (vec_id, s, cid); `query_subs`
+    is (query_id, s, sub) for the (small) query set. The per-query
+    distance table (query_id, s, cid, pd) has |Q|*m*|codebook| rows
+    and is broadcast; the corpus side is scanned once and reduced by
+    a partial-agg pivot. The final distance is an explicit
+    left-associative chain over the m pivoted columns — fixed FP
+    order, no order-unspecified double SUM."""
+    from functools import reduce as _reduce
+
+    pd = query_subs.join(codebook, "s").select(
+        "query_id", "s", "cid",
+        sq_dist(F.col("sub"), F.col("cvec")).alias("pd"),
+    )
+    j = codes.join(F.broadcast(pd), ["s", "cid"])
+    if exclude_self:
+        j = j.filter(F.col("vec_id") != F.col("query_id"))
+    pivoted = j.groupBy("query_id", F.col("vec_id").alias("neighbor_id")).agg(
+        *[F.max(F.when(F.col("s") == i, F.col("pd"))).alias(f"_d{i}")
+          for i in range(m)]
+    )
+    adc = _reduce(lambda a, b: a + b, [F.col(f"_d{i}") for i in range(m)])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pivoted.select("query_id", "neighbor_id", adc.alias("adc"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("adc", 6).alias("adc_dist2"), "rank",
+        )
+    )

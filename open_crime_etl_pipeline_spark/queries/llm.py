@@ -1562,6 +1562,131 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Product quantization (PQ/ADC) oracle, generated ----------------------
+# Determinism contract (mirrors operators/similarity.py PQ notes): every
+# squared distance is a LEFT-ASSOCIATIVE 8-term chain (bit-equal to the
+# engine's pinned F.aggregate fold, since IEEE 0.0+t == t), argmin ties
+# break on cid, Lloyd means round to 6dp, and the ADC total is an
+# explicit pivot chain — no order-unspecified double SUM anywhere.
+_PQ_M, _PQ_DSUB, _PQ_K0 = 8, 8, 16
+
+_PQ_SUB_LIST = "[" + ", ".join(
+    f"CAST(embedding[t.s * {_PQ_DSUB} + {i}] AS DOUBLE)" for i in range(1, _PQ_DSUB + 1)
+) + "]"
+
+
+def _pq_d2_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+
+
+_PQ_ADC_CHAIN = " + ".join(
+    f"max(CASE WHEN p.s = {i} THEN p.pd END)" for i in range(_PQ_M)
+)
+
+_PQ_ORACLE = f"""
+        WITH sub AS (
+            SELECT vec_id, t.s AS s, {_PQ_SUB_LIST} AS sub
+            FROM embeddings,
+                 (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) t
+        ), cb0 AS (
+            SELECT s, vec_id AS cid, sub AS cvec FROM sub WHERE vec_id < {_PQ_K0}
+        ), a0 AS (
+            SELECT vec_id, s, cid, sub FROM (
+                SELECT a.vec_id, a.s, c.cid, a.sub,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id, a.s
+                           ORDER BY {_pq_d2_sql('a.sub', 'c.cvec')} ASC, c.cid ASC
+                       ) AS rk
+                FROM sub a JOIN cb0 c ON c.s = a.s
+            ) WHERE rk = 1
+        ), mean_cells AS (
+            SELECT s, cid, k.pos AS pos, round(avg(sub[k.pos]), 6) AS mval
+            FROM a0, (SELECT unnest(generate_series(1, {_PQ_DSUB})) AS pos) k
+            GROUP BY s, cid, k.pos
+        ), cb1 AS MATERIALIZED (
+            SELECT s, cid, list(mval ORDER BY pos) AS cvec
+            FROM mean_cells GROUP BY s, cid
+        ), codes AS (
+            SELECT vec_id, s, cid FROM (
+                SELECT a.vec_id, a.s, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id, a.s
+                           ORDER BY {_pq_d2_sql('a.sub', 'c.cvec')} ASC, c.cid ASC
+                       ) AS rk
+                FROM sub a JOIN cb1 c ON c.s = a.s
+            ) WHERE rk = 1
+        ), pd AS (
+            SELECT q.vec_id AS query_id, c.s, c.cid,
+                   {_pq_d2_sql('q.sub', 'c.cvec')} AS pd
+            FROM sub q JOIN cb1 c ON c.s = q.s
+            WHERE q.vec_id < 5
+        ), adc AS (
+            SELECT p.query_id, x.vec_id AS neighbor_id, {_PQ_ADC_CHAIN} AS adc
+            FROM codes x JOIN pd p ON p.s = x.s AND p.cid = x.cid
+            WHERE x.vec_id != p.query_id
+            GROUP BY p.query_id, x.vec_id
+        )
+        SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist2, rank
+        FROM (
+            SELECT query_id, neighbor_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc ASC, neighbor_id ASC) AS rank
+            FROM adc
+        ) WHERE rank <= 5
+"""
+
+
+@register(
+    "pq_adc_topk",
+    oracle=_PQ_ORACLE,
+    doc="Product quantization + asymmetric-distance search (Jégou et "
+        "al., TPAMI 2011) — the vector-COMPRESSION half of the ANN "
+        "surface that scalar int8 (embedding_quantize_int8) lacks: "
+        "d=64 vectors split into m=8 sub-vectors, each Lloyd-quantized "
+        "against a per-subspace k=16 codebook (init = sub-vectors of "
+        "the 16 smallest vec_ids, one refinement round), so the corpus "
+        "stores 8 small codes per vector (32x smaller than float32). "
+        "Query-time ADC never decodes: a broadcast |Q|*m*k exact "
+        "distance table + m lookups per candidate, summed by an "
+        "explicit fixed-order pivot chain. Scale shape: training/"
+        "encode shuffle O(N*m) best-code rows (argmin is a map-side "
+        "struct-min partial agg under a broadcast codebook), search "
+        "scans codes only — nothing query-dependent shuffles the "
+        "corpus. The oracle replays the IDENTICAL algorithm (left-"
+        "assoc distance chains bit-equal to the engine's pinned HOF "
+        "folds, 6dp Lloyd means, cid tie-breaks) so every ADC "
+        "distance and rank must match exactly; recall vs exact L2 and "
+        "Lloyd SSE-monotonicity are pytest-asserted (§2.11 "
+        "similarity/quantize).",
+    tags=("llm", "similarity", "quantize"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_over(emb)
+
+
+def pq_adc_over(emb: DataFrame) -> DataFrame:
+    """pq_adc_topk's full pipeline over an arbitrary (vec_id,
+    embedding) frame — shared with the scale tool so the proof
+    measures exactly what the registered query runs."""
+    subs = S.pq_subvectors(emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
+    init = subs.filter(F.col("vec_id") < _PQ_K0).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
+    )
+    # 128-row codebook feeds BOTH the encode join and the ADC table:
+    # materialize once (driver-local barrier on an O(m*k) frame) so the
+    # Lloyd job doesn't replay per consumer.
+    cb = S.pq_train_codebook(subs, init, rounds=1).localCheckpoint()
+    codes = S.pq_assign(subs, cb).select("vec_id", "s", "cid")
+    qsubs = subs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "s", "sub"
+    )
+    return S.pq_adc_topk(codes, cb, qsubs, m=_PQ_M, k=5)
+
+
 @register(
     "curation_pipeline_summary",
     oracle="""
@@ -2577,6 +2702,132 @@ def pca_projection_over(emb: DataFrame) -> DataFrame:
             mu[r["i"] - 1] = float(r["mean_i"])
     proj = LA.project_expr("embedding", mu, [float(x) for x in v])
     return emb.select("vec_id", "label", F.round(proj, 6).alias("pc1"))
+
+
+@register(
+    "pca_whitening_top2",
+    oracle="""
+        WITH RECURSIVE flat AS (
+            SELECT vec_id, u.i AS i, u.x AS x
+            FROM (SELECT vec_id, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings) u(vec_id, x, i)
+        ), mu AS (
+            SELECT i, avg(x) AS m FROM flat GROUP BY i
+        ), cent AS MATERIALIZED (
+            SELECT f.vec_id, f.i, f.x - mu.m AS x
+            FROM flat f JOIN mu USING (i)
+        ), cov AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j, sum(a.x * b.x) / (max(cnt.n) - 1) AS c
+            FROM cent a JOIN cent b USING (vec_id)
+            CROSS JOIN (SELECT count(*) AS n FROM embeddings) cnt
+            GROUP BY a.i, b.i
+        ), pi AS (
+            SELECT 0 AS it, i.i AS i, 1.0 / sqrt(64) AS v
+            FROM (SELECT DISTINCT i FROM mu) i
+            UNION ALL
+            SELECT it + 1, i, w / sqrt(sum(w * w) OVER ()) AS v
+            FROM (
+                SELECT p.it AS it, cov.i AS i, sum(cov.c * p.v) AS w
+                FROM pi p JOIN cov ON cov.j = p.i
+                WHERE p.it < 200
+                GROUP BY p.it, cov.i
+            )
+        ), v1 AS MATERIALIZED (
+            SELECT i, v FROM pi WHERE it = 200
+        ), lam1 AS (
+            -- Rayleigh BEFORE the sign fix (deflation is sign-invariant),
+            -- exactly like power_iteration_components
+            SELECT sum(va.v * c.c * vb.v) AS l
+            FROM cov c JOIN v1 va ON va.i = c.i JOIN v1 vb ON vb.i = c.j
+        ), cov2 AS MATERIALIZED (
+            -- Hotelling deflation: C2 = C - lam1 * v1 v1^T
+            SELECT c.i AS i, c.j AS j, c.c - lam1.l * va.v * vb.v AS c
+            FROM cov c JOIN v1 va ON va.i = c.i JOIN v1 vb ON vb.i = c.j
+            CROSS JOIN lam1
+        ), pi2 AS (
+            SELECT 0 AS it, i.i AS i, 1.0 / sqrt(64) AS v
+            FROM (SELECT DISTINCT i FROM mu) i
+            UNION ALL
+            SELECT it + 1, i, w / sqrt(sum(w * w) OVER ()) AS v
+            FROM (
+                SELECT p.it AS it, cov2.i AS i, sum(cov2.c * p.v) AS w
+                FROM pi2 p JOIN cov2 ON cov2.j = p.i
+                WHERE p.it < 200
+                GROUP BY p.it, cov2.i
+            )
+        ), v2 AS MATERIALIZED (
+            SELECT i, v FROM pi2 WHERE it = 200
+        ), lam2 AS (
+            SELECT sum(va.v * c.c * vb.v) AS l
+            FROM cov2 c JOIN v2 va ON va.i = c.i JOIN v2 vb ON vb.i = c.j
+        ), sgn1 AS (
+            SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+            FROM v1 WHERE abs(v) > 1e-12 ORDER BY i LIMIT 1
+        ), sgn2 AS (
+            SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+            FROM v2 WHERE abs(v) > 1e-12 ORDER BY i LIMIT 1
+        ), tr AS (
+            SELECT sum(c) AS t FROM cov WHERE i = j
+        ), p1 AS (
+            SELECT c.vec_id, sum(c.x * v.v) AS p
+            FROM cent c JOIN v1 v ON v.i = c.i GROUP BY c.vec_id
+        ), p2 AS (
+            SELECT c.vec_id, sum(c.x * v.v) AS p
+            FROM cent c JOIN v2 v ON v.i = c.i GROUP BY c.vec_id
+        )
+        SELECT e.vec_id, e.label,
+               round(p1.p * sgn1.s / sqrt(lam1.l), 6) AS z1,
+               round(p2.p * sgn2.s / sqrt(lam2.l), 6) AS z2,
+               round(lam1.l / tr.t, 6) AS evr1,
+               round(lam2.l / tr.t, 6) AS evr2
+        FROM p1 JOIN p2 USING (vec_id) JOIN embeddings e USING (vec_id)
+        CROSS JOIN sgn1 CROSS JOIN sgn2
+        CROSS JOIN lam1 CROSS JOIN lam2 CROSS JOIN tr
+    """,
+    doc="PCA WHITENING to the top-2 subspace — the decorrelate-and-"
+        "rescale preprocessing SemDeDup-style embedding curation "
+        "assumes: same one-pass Gram reduce as "
+        "pca_top_component_projection (d²-row shuffle independent of "
+        "N, O(k·d²) driver eigensolve), extended to a SECOND component "
+        "by Hotelling deflation (C2 = C − λ1·v1v1ᵀ, sign-invariant "
+        "Rayleigh λ taken before the sign pin) and another fixed-200-"
+        "step power iteration. Both components + the mean re-enter "
+        "the plan as array literals; each whitened coordinate zj = "
+        "(x−μ)·vj / √λj is a shuffle-free pinned HOF fold over the "
+        "scan, and the explained-variance ratios λj/tr(C) ride along "
+        "as literals. A fixed iteration count is a pure function of "
+        "the covariance (ulp noise decays toward the same fixpoint), "
+        "so the oracle — the SAME deflation and second recursive-CTE "
+        "power iteration — must reproduce every 6dp coordinate "
+        "(§2.11 embeddings/training).",
+    tags=("llm", "embeddings", "training"),
+)
+def pca_whitening_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators import linalg as LA
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = LA.covariance_pairs(emb, "embedding", d=64)
+    rows = [r.asDict() for r in cov.collect()]  # bounded: d(d+1)/2 rows
+    (l1, v1), (l2, v2) = LA.power_iteration_components(
+        rows, d=64, n_components=2, iters=200
+    )
+    diag = {r["i"]: (float(r["cov"]), float(r["mean_i"]))
+            for r in rows if r["i"] == r["j"]}
+    # index-ordered driver sum: deterministic across runs/partitionings
+    trace = sum(c for _, (c, _) in sorted(diag.items()))
+    mu = [diag[i + 1][1] for i in range(64)]
+    z1 = LA.project_expr("embedding", mu, [float(x) for x in v1]) / math.sqrt(l1)
+    z2 = LA.project_expr("embedding", mu, [float(x) for x in v2]) / math.sqrt(l2)
+    return emb.select(
+        "vec_id", "label",
+        F.round(z1, 6).alias("z1"),
+        F.round(z2, 6).alias("z2"),
+        F.round(F.lit(l1 / trace), 6).alias("evr1"),
+        F.round(F.lit(l2 / trace), 6).alias("evr2"),
+    )
 
 
 @register(

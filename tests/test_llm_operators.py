@@ -1271,3 +1271,141 @@ def test_near_dedup_star_components_consistent_with_representatives(spark, sf_di
         ids = [m["doc_id"] for m in members]
         assert rep == min(ids) and rep in ids
         assert all(m["n_members"] == len(ids) for m in members)
+
+
+def _pq_numpy_pipeline(X):
+    """Mirror of the registered PQ pipeline (init = first 16 rows'
+    sub-vectors, one Lloyd round with 6dp means, cid tie-breaks,
+    ADC top-5 excluding self) in numpy."""
+    import numpy as np
+
+    n, m, dsub = len(X), 8, 8
+    subs = X.reshape(n, m, dsub).astype(np.float64)
+    cb = {s: {cid: subs[cid, s].copy() for cid in range(16)} for s in range(m)}
+
+    def assign(cbm):
+        codes = np.zeros((n, m), dtype=int)
+        for s in range(m):
+            cids = sorted(cbm[s])
+            C = np.stack([cbm[s][c] for c in cids])
+            # pinned left-fold == plain sum here: exactness not needed
+            # for the test, numpy float64 matches to well under 1e-9
+            d2 = ((subs[:, s, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = [cids[j] for j in d2.argmin(axis=1)]
+        return codes
+
+    codes0 = assign(cb)
+    cb1 = {s: {} for s in range(m)}
+    for s in range(m):
+        for cid in set(codes0[:, s]):
+            members = subs[codes0[:, s] == cid, s]
+            cb1[s][cid] = np.round(members.mean(axis=0), 6)
+    codes1 = assign(cb1)
+    out = {}
+    for q in range(5):
+        d = np.zeros(n)
+        for s in range(m):
+            qc = {cid: ((subs[q, s] - v) ** 2).sum() for cid, v in cb1[s].items()}
+            d += np.array([qc[c] for c in codes1[:, s]])
+        order = sorted((dist, i) for i, dist in enumerate(d) if i != q)[:5]
+        out[q] = order
+    return cb, cb1, codes0, codes1, out
+
+
+def test_pq_adc_matches_numpy(spark, sf_dir):
+    """The registered PQ query's ADC distances and ranks equal a numpy
+    re-derivation of the same fixed algorithm — pinning that the
+    broadcast-codebook argmin, long-form Lloyd means, and pivot-chain
+    ADC compose without loss."""
+    import numpy as np
+
+    from open_crime_etl_pipeline_spark.queries import all_specs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id").collect()
+    X = np.stack([r["embedding"] for r in emb])
+    ids = [r["vec_id"] for r in emb]
+    assert ids == list(range(len(ids)))  # vec_id IS the row index
+    *_, expect = _pq_numpy_pipeline(X)
+    got = all_specs()["pq_adc_topk"].fn(spark, sf_dir).collect()
+    assert len(got) == 25
+    for r in got:
+        ed, ei = expect[r["query_id"]][r["rank"] - 1]
+        assert ei == r["neighbor_id"]
+        assert abs(ed - r["adc_dist2"]) < 1e-6
+
+
+def test_pq_lloyd_sse_monotone_and_recall(spark, sf_dir):
+    """Two strict PQ invariants: (a) one Lloyd round never increases
+    total quantization SSE (means minimize within-cluster SSE,
+    reassignment only lowers it); (b) ADC top-5 overlaps exact-L2
+    top-5 — the compressed index finds real neighbors, not noise."""
+    import numpy as np
+
+    from open_crime_etl_pipeline_spark.queries import all_specs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id").collect()
+    X = np.stack([r["embedding"] for r in emb])
+    n, m, dsub = len(X), 8, 8
+    subs = X.reshape(n, m, dsub).astype(np.float64)
+    cb0, cb1, codes0, codes1, _ = _pq_numpy_pipeline(X)
+
+    def sse(cbm, codes):
+        return sum(
+            ((subs[i, s] - cbm[s][codes[i, s]]) ** 2).sum()
+            for i in range(n) for s in range(m)
+        )
+
+    assert sse(cb1, codes1) <= sse(cb0, codes0) + 1e-9
+    assert codes1.max() < 16 and codes1.shape == (n, 8)  # 8 uint8-able codes/vector
+
+    got = all_specs()["pq_adc_topk"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for q in range(5):
+        d = ((X.astype(np.float64) - X[q].astype(np.float64)) ** 2).sum(axis=1)
+        exact = {i for i in np.argsort(d, kind="stable") if i != q}
+        exact = set(list(sorted(exact, key=lambda i: (d[i], i)))[:5])
+        hits += len(by_q[q] & exact)
+        total += 5
+    # k=16 codebooks are coarse; genuine-signal floor, not a tight pin
+    assert hits / total >= 0.2, f"ADC recall@5 collapsed: {hits}/{total}"
+
+
+def test_pca_whitening_top2_properties(spark, sf_dir):
+    """Numpy re-derivation parity for the top-2 whitening query, plus
+    the whitening contract itself: each whitened coordinate has unit
+    sample variance (ddof=1) because λj IS that variance, components
+    are orthogonal, and explained-variance ratios are ordered."""
+    import numpy as np
+
+    from open_crime_etl_pipeline_spark.operators.linalg import (
+        power_iteration_components,
+    )
+    from open_crime_etl_pipeline_spark.queries import all_specs
+
+    got = {r["vec_id"]: r
+           for r in all_specs()["pca_whitening_top2"].fn(spark, sf_dir).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id").collect()
+    X = np.stack([r["embedding"] for r in emb]).astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    C = (Xc.T @ Xc) / (len(X) - 1)
+    rows = [
+        {"i": i + 1, "j": j + 1, "cov": C[i, j]}
+        for i in range(64) for j in range(i, 64)
+    ]
+    (l1, v1), (l2, v2) = power_iteration_components(rows, d=64, n_components=2)
+    # orthogonal to within the fixed-200-step convergence residual
+    assert abs(float(v1 @ v2)) < 1e-5
+    assert l1 >= l2 > 0
+    z1 = (Xc @ v1) / np.sqrt(l1)
+    z2 = (Xc @ v2) / np.sqrt(l2)
+    assert abs(z1.var(ddof=1) - 1.0) < 1e-9                # λ1 IS var(Xc·v1)
+    assert abs(z2.var(ddof=1) - 1.0) < 1e-5                # λ2 off by λ1(v1·v2)²
+    tr = float(np.trace(C))
+    for r, ez1, ez2 in zip(emb, z1, z2):
+        g = got[r["vec_id"]]
+        assert abs(g["z1"] - ez1) < 1e-5 and abs(g["z2"] - ez2) < 1e-5
+        assert abs(g["evr1"] - l1 / tr) < 1e-5 and abs(g["evr2"] - l2 / tr) < 1e-5
+    assert all(g["evr1"] >= g["evr2"] > 0 for g in got.values())

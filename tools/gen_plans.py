@@ -55,6 +55,8 @@ NOTES = {
     "pca_top_component_projection": "gram partials reduce to ONE d^2-row exchange independent of N; trained component + mean re-enter as 64-double array literals; the projection itself is a zero-shuffle HOF fold over the scan (no Python, no join)",
     "quality_classifier_train_apply": "train = two partial-agg gradient reduces of 4 decimal sums each; the APPLY plan is shuffle-free — trained weights are plan literals, sigmoid scoring rides the token-count projection scan-side",
     "near_dedup_star_components": "verified pair graph (LSH band equi-join + exact verify) is orders smaller than the corpus; each star round = groupBy-min + co-partitioned join with eager checkpoint; component sizes join O(components) rows",
+    "pq_adc_topk": "codebook (m*k rows) BROADCAST into every distance join; argmin = map-side struct-min partial agg (shuffle O(N*m) best-code rows, never the N*m*k candidate product); Lloyd means reduce in long (s,cid,pos) form; ADC scans CODES with a broadcast |Q|*m*k lookup table — corpus never shuffles on the query",
+    "pca_whitening_top2": "same one-pass Gram reduce as the PCA projection (d^2-row exchange independent of N); TWO shuffle-free literal-array HOF folds project both whitened coordinates in a single scan; eigensolve + deflation are driver-local O(k*d^2)",
 }
 
 HEADER = """# PLANS — physical-plan receipts for the scale-critical queries
