@@ -82,6 +82,7 @@ def main() -> None:
         "quality_classifier_train_apply", # train->apply loop: GD + literal-weight scoring
         "near_dedup_star_components",     # LSH verify pairs + star-contraction clustering
         "pq_adc_topk",                    # PQ codebook train + encode + ADC search
+        "ivfpq_residual_adc_topk",        # IVFADC: coarse cells + residual PQ + probes
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not

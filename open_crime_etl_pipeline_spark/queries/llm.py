@@ -1152,6 +1152,66 @@ def deterministic_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "training_shard_manifest",
+    oracle="""
+        SELECT shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id,
+               CAST(sum(CAST('0x' || substring(h, 1, 8) AS BIGINT)) AS BIGINT)
+                   AS checksum_lo,
+               CAST(sum(CAST('0x' || substring(h, 9, 8) AS BIGINT)) AS BIGINT)
+                   AS checksum_hi
+        FROM (
+            SELECT doc_id, text,
+                   md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h,
+                   CAST(CAST('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 8)
+                       AS BIGINT) % 16 AS INT) AS shard_id
+            FROM documents
+        )
+        GROUP BY shard_id
+    """,
+    doc="Training-shard manifest — the reproducible data-delivery "
+        "receipt a 100 TB handoff needs: every document is assigned "
+        "to one of 16 shards by the same engine-portable md5 bucket "
+        "deterministic_split_documents uses, and each shard row "
+        "carries doc count, total whitespace tokens, id range, and an "
+        "ORDER-FREE additive content checksum (per-doc "
+        "md5(doc_id:text) split into two 32-bit halves, summed — "
+        "commutative, so it partial-aggregates map-side and never "
+        "needs the sorted-concat digest that would collect a shard's "
+        "doc list; int64 headroom holds to ~2e9 docs/shard, and "
+        "shards bound cardinality by construction). Any re-run, "
+        "re-partitioning, or engine swap must reproduce the manifest "
+        "bit-for-bit — which is exactly what the DuckDB oracle "
+        "checks (§2.11 curation/packing).",
+    tags=("llm", "curation", "sampling"),
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")))
+    with_h = docs.select(
+        hash_bucket("doc_id", 16, "shard").alias("shard_id"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("lo"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("hi"),
+    )
+    return with_h.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("lo").alias("checksum_lo"),
+        F.sum("hi").alias("checksum_hi"),
+    )
+
+
+@register(
     "cross_source_contamination_matrix",
     oracle="""
         WITH sh AS (
@@ -1685,6 +1745,254 @@ def pq_adc_over(emb: DataFrame) -> DataFrame:
         F.col("vec_id").alias("query_id"), "s", "sub"
     )
     return S.pq_adc_topk(codes, cb, qsubs, m=_PQ_M, k=5)
+
+
+# --- IVF-PQ residual index (FAISS IVFADC shape), oracle generated ---------
+# Coarse quantizer = the SAME PQ machinery with one 64-dim "subspace"
+# (kc=8 cells, init = the 8 smallest ids' vectors, one Lloyd round);
+# residual r = x − cell_centroid is a scan-side zip_with; the residual
+# PQ codebooks, codes, probes and ADC reuse pq_adc_topk's determinism
+# contract (pinned left-fold distances == left-assoc SQL chains, 6dp
+# Lloyd means, cid tie-breaks, pivot-chain ADC sums).
+_IVF_KC, _IVF_NPROBE = 8, 2
+
+_IVFPQ_FULL_LIST = "[" + ", ".join(
+    f"CAST(embedding[{k}] AS DOUBLE)" for k in range(1, 65)
+) + "]"
+_IVFPQ_RESID_LIST = lambda a, c: "[" + ", ".join(  # noqa: E731
+    f"{a}.fv[{k}] - {c}.cv[{k}]" for k in range(1, 65)
+) + "]"
+_IVFPQ_RSUB_LIST = "[" + ", ".join(
+    f"rv[t.s * {_PQ_DSUB} + {i}]" for i in range(1, _PQ_DSUB + 1)
+) + "]"
+
+
+def _d2_chain_sql(a: str, b: str, n: int) -> str:
+    return " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, n + 1)
+    )
+
+
+_IVFPQ_ORACLE = f"""
+        WITH fvec AS (
+            SELECT vec_id, {_IVFPQ_FULL_LIST} AS fv FROM embeddings
+        ), ccb0 AS (
+            SELECT vec_id AS cid, fv AS cv FROM fvec WHERE vec_id < {_IVF_KC}
+        ), ca0 AS (
+            SELECT vec_id, cid, fv FROM (
+                SELECT a.vec_id, c.cid, a.fv,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_d2_chain_sql('a.fv', 'c.cv', 64)} ASC, c.cid ASC
+                       ) AS rk
+                FROM fvec a, ccb0 c
+            ) WHERE rk = 1
+        ), cmean AS (
+            SELECT cid, k.pos AS pos, round(avg(fv[k.pos]), 6) AS mval
+            FROM ca0, (SELECT unnest(generate_series(1, 64)) AS pos) k
+            GROUP BY cid, k.pos
+        ), ccb1 AS MATERIALIZED (
+            SELECT cid, list(mval ORDER BY pos) AS cv FROM cmean GROUP BY cid
+        ), ca1 AS (
+            SELECT vec_id, cid AS ccid, fv FROM (
+                SELECT a.vec_id, c.cid, a.fv,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_d2_chain_sql('a.fv', 'c.cv', 64)} ASC, c.cid ASC
+                       ) AS rk
+                FROM fvec a, ccb1 c
+            ) WHERE rk = 1
+        ), resid AS MATERIALIZED (
+            SELECT a.vec_id, a.ccid, {_IVFPQ_RESID_LIST('a', 'c')} AS rv
+            FROM ca1 a JOIN ccb1 c ON c.cid = a.ccid
+        ), rsub AS (
+            SELECT vec_id, ccid, t.s AS s, {_IVFPQ_RSUB_LIST} AS sub
+            FROM resid, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) t
+        ), rcb0 AS (
+            SELECT s, vec_id AS cid, sub AS cvec FROM rsub WHERE vec_id < {_PQ_K0}
+        ), ra0 AS (
+            SELECT vec_id, s, cid, sub FROM (
+                SELECT a.vec_id, a.s, c.cid, a.sub,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id, a.s
+                           ORDER BY {_d2_chain_sql('a.sub', 'c.cvec', _PQ_DSUB)} ASC, c.cid ASC
+                       ) AS rk
+                FROM rsub a JOIN rcb0 c ON c.s = a.s
+            ) WHERE rk = 1
+        ), rmean AS (
+            SELECT s, cid, k.pos AS pos, round(avg(sub[k.pos]), 6) AS mval
+            FROM ra0, (SELECT unnest(generate_series(1, {_PQ_DSUB})) AS pos) k
+            GROUP BY s, cid, k.pos
+        ), rcb1 AS MATERIALIZED (
+            SELECT s, cid, list(mval ORDER BY pos) AS cvec
+            FROM rmean GROUP BY s, cid
+        ), codes AS (
+            SELECT vec_id, ccid, s, cid FROM (
+                SELECT a.vec_id, a.ccid, a.s, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id, a.s
+                           ORDER BY {_d2_chain_sql('a.sub', 'c.cvec', _PQ_DSUB)} ASC, c.cid ASC
+                       ) AS rk
+                FROM rsub a JOIN rcb1 c ON c.s = a.s
+            ) WHERE rk = 1
+        ), probes AS (
+            SELECT query_id, ccid FROM (
+                SELECT a.vec_id AS query_id, c.cid AS ccid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_d2_chain_sql('a.fv', 'c.cv', 64)} ASC, c.cid ASC
+                       ) AS pr
+                FROM fvec a, ccb1 c WHERE a.vec_id < 5
+            ) WHERE pr <= {_IVF_NPROBE}
+        ), qres AS (
+            SELECT p.query_id, p.ccid, {_IVFPQ_RESID_LIST('q', 'c')} AS rv
+            FROM probes p
+            JOIN fvec q ON q.vec_id = p.query_id
+            JOIN ccb1 c ON c.cid = p.ccid
+        ), qrsub AS (
+            SELECT query_id, ccid, t.s AS s, {_IVFPQ_RSUB_LIST} AS sub
+            FROM qres, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) t
+        ), pd AS (
+            SELECT q.query_id, q.ccid, c.s, c.cid,
+                   {_d2_chain_sql('q.sub', 'c.cvec', _PQ_DSUB)} AS pd
+            FROM qrsub q JOIN rcb1 c ON c.s = q.s
+        ), adc AS (
+            SELECT p.query_id, x.vec_id AS neighbor_id, {_PQ_ADC_CHAIN} AS adc
+            FROM codes x
+            JOIN pd p ON p.ccid = x.ccid AND p.s = x.s AND p.cid = x.cid
+            WHERE x.vec_id != p.query_id
+            GROUP BY p.query_id, x.vec_id
+        )
+        SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist2, rank
+        FROM (
+            SELECT query_id, neighbor_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc ASC, neighbor_id ASC) AS rank
+            FROM adc
+        ) WHERE rank <= 5
+"""
+
+
+@register(
+    "ivfpq_residual_adc_topk",
+    oracle=_IVFPQ_ORACLE,
+    doc="The full IVF-PQ index (the FAISS IVFADC shape every "
+        "billion-vector store runs): a kc=8 coarse quantizer — the "
+        "SAME PQ machinery with one 64-dim subspace — partitions the "
+        "corpus into cells, each vector stores only its cell id plus "
+        "8 residual PQ codes (r = x − cell_centroid, a scan-side "
+        "zip_with), and a query probes its nprobe=2 nearest cells, "
+        "scoring ONLY those cells' codes against a per-(query, cell) "
+        "residual ADC lookup table. Scale shape: the probe predicate "
+        "is an equi-join on ccid — the index prunes 1−nprobe/kc of "
+        "the corpus BEFORE any distance work, on top of pq_adc_topk's "
+        "properties (broadcast codebooks, O(N·m) code shuffles, "
+        "pivot-chain ADC, corpus never shuffles on the query). The "
+        "oracle replays the identical two-level algorithm (64-term "
+        "and 8-term left-assoc distance chains bit-equal to the "
+        "pinned HOF folds, 6dp Lloyd means, cid tie-breaks), so every "
+        "ADC distance and rank must match exactly; cell-pruning "
+        "candidate accounting is pytest-asserted (§2.11 similarity/"
+        "quantize).",
+    tags=("llm", "similarity", "quantize"),
+)
+def ivfpq_residual_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_adc_over(_t(spark, sf_dir, "embeddings"))
+
+
+def ivfpq_adc_over(
+    emb: DataFrame, k: int = 5, exclude_self: bool = True
+) -> DataFrame:
+    """ivfpq_residual_adc_topk's full two-level pipeline over an
+    arbitrary (vec_id, embedding) frame — shared with the scale tool
+    so the proof measures exactly what the registered query runs."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import Window
+
+    # coarse quantizer: PQ machinery, one 64-dim subspace
+    full = S.pq_subvectors(emb, "vec_id", "embedding", m=1, dsub=64)
+    cinit = full.filter(F.col("vec_id") < _IVF_KC).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
+    )
+    ccb = S.pq_train_codebook(full, cinit, rounds=1).localCheckpoint()
+    cass = S.pq_assign(full, ccb).select("vec_id", F.col("cid").alias("ccid"))
+    cells = ccb.select(F.col("cid").alias("ccid"), F.col("cvec").alias("ccvec"))
+    resid = (
+        emb.join(cass, "vec_id")
+        .join(F.broadcast(cells), "ccid")
+        .select(
+            "vec_id", "ccid",
+            F.zip_with(
+                S.as_double_array("embedding"), F.col("ccvec"), lambda x, c: x - c
+            ).alias("rvec"),
+        )
+    )
+    rsubs = S.pq_subvectors(resid, "vec_id", "rvec", m=_PQ_M, dsub=_PQ_DSUB)
+    rinit = rsubs.filter(F.col("vec_id") < _PQ_K0).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
+    )
+    rcb = S.pq_train_codebook(rsubs, rinit, rounds=1).localCheckpoint()
+    codes = (
+        S.pq_assign(rsubs, rcb).select("vec_id", "s", "cid").join(cass, "vec_id")
+    )
+    # nprobe nearest cells per query
+    qd = (
+        full.filter(F.col("vec_id") < 5)
+        .join(F.broadcast(ccb), "s")
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("cid").alias("ccid"),
+            S.sq_dist(F.col("sub"), F.col("cvec")).alias("d2"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("ccid").asc()
+    )
+    probes = (
+        qd.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= _IVF_NPROBE)
+        .select("query_id", "ccid")
+    )
+    qres = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .join(probes, "query_id")
+        .join(F.broadcast(cells), "ccid")
+        .select(
+            "query_id", "ccid",
+            F.zip_with(
+                S.as_double_array("embedding"), F.col("ccvec"), lambda x, c: x - c
+            ).alias("qrv"),
+        )
+    )
+    qslices = F.array(*[
+        F.slice("qrv", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)
+    ])
+    qrsubs = qres.select("query_id", "ccid", F.posexplode(qslices).alias("s", "sub"))
+    pdist = qrsubs.join(rcb, "s").select(
+        "query_id", "ccid", "s", "cid",
+        S.sq_dist(F.col("sub"), F.col("cvec")).alias("pd"),
+    )
+    j = codes.join(F.broadcast(pdist), ["ccid", "s", "cid"])
+    if exclude_self:
+        j = j.filter(F.col("vec_id") != F.col("query_id"))
+    pivoted = j.groupBy("query_id", F.col("vec_id").alias("neighbor_id")).agg(
+        *[F.max(F.when(F.col("s") == i, F.col("pd"))).alias(f"_d{i}")
+          for i in range(_PQ_M)]
+    )
+    adc = _reduce(lambda a, b: a + b, [F.col(f"_d{i}") for i in range(_PQ_M)])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pivoted.select("query_id", "neighbor_id", adc.alias("adc"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("adc", 6).alias("adc_dist2"), "rank",
+        )
+    )
 
 
 @register(

@@ -1409,3 +1409,112 @@ def test_pca_whitening_top2_properties(spark, sf_dir):
         assert abs(g["z1"] - ez1) < 1e-5 and abs(g["z2"] - ez2) < 1e-5
         assert abs(g["evr1"] - l1 / tr) < 1e-5 and abs(g["evr2"] - l2 / tr) < 1e-5
     assert all(g["evr1"] >= g["evr2"] > 0 for g in got.values())
+
+
+def test_ivfpq_matches_numpy_and_prunes(spark, sf_dir):
+    """Numpy mirror of the full two-level IVF-PQ pipeline (coarse
+    Lloyd cells -> residual PQ -> nprobe=2 ADC) must reproduce the
+    registered query's ranks and distances, and the probe predicate
+    must genuinely prune: every returned neighbor lives in one of the
+    query's 2 probed cells out of 8."""
+    import numpy as np
+
+    from open_crime_etl_pipeline_spark.queries import all_specs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id").collect()
+    X = np.stack([r["embedding"] for r in emb]).astype(np.float64)
+    n = len(X)
+
+    def assign_full(cbm):
+        cids = sorted(cbm)
+        C = np.stack([cbm[c] for c in cids])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return np.array([cids[j] for j in d2.argmin(axis=1)])
+
+    cb0 = {c: X[c].copy() for c in range(8)}
+    a0 = assign_full(cb0)
+    cb1 = {c: np.round(X[a0 == c].mean(axis=0), 6) for c in set(a0)}
+    cells = assign_full(cb1)
+    R = X - np.stack([cb1[c] for c in cells])
+    subs = R.reshape(n, 8, 8)
+
+    def assign_sub(cbm):
+        codes = np.zeros((n, 8), dtype=int)
+        for s in range(8):
+            cids = sorted(cbm[s])
+            C = np.stack([cbm[s][c] for c in cids])
+            d2 = ((subs[:, s, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = [cids[j] for j in d2.argmin(axis=1)]
+        return codes
+
+    rcb0 = {s: {cid: subs[cid, s].copy() for cid in range(16)} for s in range(8)}
+    r0 = assign_sub(rcb0)
+    rcb1 = {
+        s: {cid: np.round(subs[r0[:, s] == cid, s].mean(axis=0), 6)
+            for cid in set(r0[:, s])}
+        for s in range(8)
+    }
+    codes = assign_sub(rcb1)
+
+    got = all_specs()["ivfpq_residual_adc_topk"].fn(spark, sf_dir).collect()
+    assert len(got) == 25
+    n_candidates = 0
+    by_q = {q: sorted((r for r in got if r["query_id"] == q),
+                      key=lambda r: r["rank"]) for q in range(5)}
+    for q in range(5):
+        cc = sorted(cb1)
+        dc = sorted((((X[q] - cb1[c]) ** 2).sum(), c) for c in cc)
+        probed = {c for _, c in dc[:2]}
+        cand = [i for i in range(n) if cells[i] in probed and i != q]
+        n_candidates += len(cand)
+        qr = {c: (X[q] - cb1[c]).reshape(8, 8) for c in probed}
+        scored = sorted(
+            (sum(((qr[cells[i]][s] - rcb1[s][codes[i, s]]) ** 2).sum()
+                 for s in range(8)), i)
+            for i in cand
+        )[:5]
+        for (ed, ei), r in zip(scored, by_q[q]):
+            assert ei == r["neighbor_id"]
+            assert abs(ed - r["adc_dist2"]) < 1e-6
+            assert cells[ei] in probed  # pruning contract
+    # nprobe=2 of kc=8 cells: the index must skip most of the corpus
+    assert n_candidates < 5 * n * 0.6, f"no real pruning: {n_candidates}/{5 * n}"
+
+
+def test_training_shard_manifest_repartition_invariant(spark, sf_dir):
+    """The manifest is a data-delivery receipt: it must be identical
+    under any physical layout. Run the same aggregation over a
+    64-partition reshuffle of the corpus and require bit-equality,
+    plus global accounting (shard doc counts sum to the corpus)."""
+    from open_crime_etl_pipeline_spark.operators.sampling import hash_bucket
+    from open_crime_etl_pipeline_spark.queries import all_specs
+
+    import pyspark.sql.functions as F
+
+    base = {r["shard_id"]: r.asDict()
+            for r in all_specs()["training_shard_manifest"].fn(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")))
+    rep = (
+        docs.select(
+            hash_bucket("doc_id", 16, "shard").alias("shard_id"),
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("lo"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("hi"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("lo").alias("checksum_lo"),
+            F.sum("hi").alias("checksum_hi"),
+        )
+        .collect()
+    )
+    assert len(rep) == len(base) == 16
+    for r in rep:
+        assert r.asDict() == base[r["shard_id"]]
+    assert sum(r["n_docs"] for r in rep) == docs.count()

@@ -24,7 +24,7 @@ Scale claims measured alongside:
   - the ADC search side scans CODES and broadcasts the O(|Q|·m·k)
     lookup table — nothing query-dependent shuffles the corpus.
 
-Usage: python tools/scale_check_r5c.py
+Usage: python tools/scale_check_r5c.py [part ...]  parts: pq ivfpq
 """
 
 from __future__ import annotations
@@ -62,7 +62,7 @@ def _spark():
     return spark
 
 
-def main() -> None:
+def part_pq(spark, sf_dir: str) -> None:
     from pyspark.sql import functions as F
 
     from open_crime_etl_pipeline_spark.operators import similarity as S
@@ -73,8 +73,6 @@ def main() -> None:
         pq_adc_over,
     )
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = _spark()
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
         "vec_id", "embedding"
     )
@@ -128,6 +126,73 @@ def main() -> None:
             f"shuffle={shuf / 1e6:7.1f}MB mismatch={mismatch}/25",
             flush=True,
         )
+
+
+def part_ivfpq(spark, sf_dir: str) -> None:
+    """Same replication-merge device for the two-level IVF-PQ index.
+
+    Replication leaves BOTH codebook levels invariant (coarse Lloyd
+    means and residual Lloyd means each see every member m times), so
+    replica cells/codes equal their base row's and the probe set per
+    query is unchanged. The base-corpus generator here is the probed-
+    cell-restricted FULL ADC table (k=corpus, exclude_self=False):
+    the replicated engine run's top-5 must equal its exact merge
+    (neighbor images at +r*OFF; the query's own replicas appear at
+    q's self-quantization error — they live in q's own probed cell)."""
+    from pyspark.sql import functions as F
+
+    from open_crime_etl_pipeline_spark.queries.llm import ivfpq_adc_over
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    n_base = emb.count()
+    base_adc = {}  # query_id -> {neighbor_id: adc} over probed-cell members ONLY
+    for r in ivfpq_adc_over(emb, k=10 ** 9, exclude_self=False).collect():
+        base_adc.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["adc_dist2"]
+    n_cand = sum(len(v) for v in base_adc.values())
+    # nprobe=2 of kc=8: candidates must be a strict minority of 5*N
+    assert n_cand < 5 * n_base * 0.6, f"no pruning: {n_cand}/{5 * n_base}"
+
+    for m in (1, 5, 10):
+        parts = [
+            emb.withColumn("vec_id", F.col("vec_id") + r * _OFF) for r in range(m)
+        ]
+        rep = parts[0]
+        for p in parts[1:]:
+            rep = rep.unionByName(p)
+        s0, t0 = shuffle_bytes(_UI_PORT)[0], time.time()
+        got = ivfpq_adc_over(rep).collect()
+        wall, shuf = time.time() - t0, shuffle_bytes(_UI_PORT)[0] - s0
+        assert len(got) == 25, len(got)
+        mismatch = 0
+        for q in range(5):
+            cand = []
+            for j, d in base_adc[q].items():
+                first = 1 if j == q else 0
+                cand.extend((d, j + r * _OFF) for r in range(first, m))
+            expect = sorted(cand)[:5]
+            rows = sorted(
+                (r for r in got if r["query_id"] == q), key=lambda r: r["rank"]
+            )
+            for (ed, ei), r in zip(expect, rows):
+                if ei != r["neighbor_id"] or abs(ed - r["adc_dist2"]) > 5e-5:
+                    mismatch += 1
+        assert mismatch <= 1, f"m={m}: {mismatch}/25 rows off the exact merge"
+        print(
+            f"  ivfpq m={m:2d}: rows={n_base * m:6d} cand={n_cand:6d}/{5 * n_base} "
+            f"wall={wall:5.1f}s shuffle={shuf / 1e6:7.1f}MB mismatch={mismatch}/25",
+            flush=True,
+        )
+
+
+def main() -> None:
+    parts = sys.argv[1:] or ["pq", "ivfpq"]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = _spark()
+    for p in parts:
+        print(f"=== {p} ===", flush=True)
+        {"pq": part_pq, "ivfpq": part_ivfpq}[p](spark, sf_dir)
     print("scale_check_r5c: all invariants held")
 
 
