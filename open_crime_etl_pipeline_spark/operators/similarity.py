@@ -751,28 +751,35 @@ def pq_subvectors(
     )
 
 
-def pq_assign(subs: DataFrame, codebook: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Nearest-centroid code per (row, subspace): (id, s, cid, d2).
+def pq_assign(
+    subs: DataFrame, codebook: DataFrame, id_col: str = "vec_id",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Nearest-centroid code per (row, subspace): (id, *carry, s, cid, d2).
 
     Broadcast the m*k codebook, compute the pinned-fold distance
     scan-side, and take the argmin as a lexicographic struct-min
     (ties -> smallest cid) under ONE partial-aggregating groupBy —
     map-side combine collapses the m*k candidates to one row per
-    (id, s) before any shuffle."""
+    (id, s) before any shuffle. `carry_cols` are columns functionally
+    dependent on the id (e.g. an IVF cell id) carried through the
+    group key — same cardinality, and it saves the caller an O(N)
+    rejoin to recover them."""
     j = subs.join(F.broadcast(codebook), "s")
     best = (
         j.select(
-            id_col, "s",
+            id_col, *carry_cols, "s",
             F.struct(
                 sq_dist(F.col("sub"), F.col("cvec")).alias("d2"),
                 F.col("cid").alias("cid"),
             ).alias("cand"),
         )
-        .groupBy(id_col, "s")
+        .groupBy(id_col, *carry_cols, "s")
         .agg(F.min("cand").alias("best"))
     )
     return best.select(
-        id_col, "s", F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2")
+        id_col, *carry_cols, "s",
+        F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2"),
     )
 
 

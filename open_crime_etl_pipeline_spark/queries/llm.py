@@ -1928,13 +1928,21 @@ def ivfpq_adc_over(
             ).alias("rvec"),
         )
     )
-    rsubs = S.pq_subvectors(resid, "vec_id", "rvec", m=_PQ_M, dsub=_PQ_DSUB)
+    # residual sub-vectors CARRY the cell id: ccid is functionally
+    # dependent on vec_id, so threading it through the encode groupBy
+    # costs nothing and avoids re-joining two O(N) frames (codes x
+    # cell assignment) just to recover it — one whole shuffle saved
+    # on the index-build path.
+    rslices = F.array(*[
+        F.slice("rvec", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)
+    ])
+    rsubs = resid.select("vec_id", "ccid", F.posexplode(rslices).alias("s", "sub"))
     rinit = rsubs.filter(F.col("vec_id") < _PQ_K0).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )
     rcb = S.pq_train_codebook(rsubs, rinit, rounds=1).localCheckpoint()
-    codes = (
-        S.pq_assign(rsubs, rcb).select("vec_id", "s", "cid").join(cass, "vec_id")
+    codes = S.pq_assign(rsubs, rcb, carry_cols=("ccid",)).select(
+        "vec_id", "ccid", "s", "cid"
     )
     # nprobe nearest cells per query
     qd = (

@@ -57,7 +57,7 @@ NOTES = {
     "near_dedup_star_components": "verified pair graph (LSH band equi-join + exact verify) is orders smaller than the corpus; each star round = groupBy-min + co-partitioned join with eager checkpoint; component sizes join O(components) rows",
     "pq_adc_topk": "codebook (m*k rows) BROADCAST into every distance join; argmin = map-side struct-min partial agg (shuffle O(N*m) best-code rows, never the N*m*k candidate product); Lloyd means reduce in long (s,cid,pos) form; ADC scans CODES with a broadcast |Q|*m*k lookup table — corpus never shuffles on the query",
     "pca_whitening_top2": "same one-pass Gram reduce as the PCA projection (d^2-row exchange independent of N); TWO shuffle-free literal-array HOF folds project both whitened coordinates in a single scan; eigensolve + deflation are driver-local O(k*d^2)",
-    "ivfpq_residual_adc_topk": "two-level index: coarse cells + residual PQ both train via broadcast-codebook struct-min partial aggs; the search join keys on (ccid,s,cid) — the ccid equi-join prunes 1-nprobe/kc of the code table BEFORE any distance arithmetic; per-(query,cell) ADC table broadcast; corpus never shuffles on the query",
+    "ivfpq_residual_adc_topk": "two-level index: coarse cells + residual PQ both train via broadcast-codebook struct-min partial aggs; the cell id rides the encode group key (functionally dependent on vec_id — no codes x assignment rejoin); the search join keys on (ccid,s,cid) — the ccid equi-join prunes 1-nprobe/kc of the code table BEFORE any distance arithmetic; per-(query,cell) ADC table broadcast; corpus never shuffles on the query",
 }
 
 HEADER = """# PLANS — physical-plan receipts for the scale-critical queries
