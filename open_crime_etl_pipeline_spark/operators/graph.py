@@ -434,6 +434,10 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # memoized across rounds: each round compares |small| against the
+    # PREVIOUS round's cardinality, so only one count job runs per
+    # round instead of re-counting the checkpointed prior set too
+    n_prev = e.count()
     rounds = 0
     for _ in range(max_iters):
         # large-star: group full neighborhoods (both directions)
@@ -464,7 +468,9 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
         rounds += 1
-        same_size = small.count() == e.count()
+        n_small = small.count()
+        same_size = n_small == n_prev
+        n_prev = n_small
         if same_size and small.join(e, ["a", "b"], "left_anti").isEmpty():
             e = small
             break
