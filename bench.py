@@ -83,6 +83,10 @@ def main() -> None:
         "near_dedup_star_components",     # LSH verify pairs + star-contraction clustering
         "pq_adc_topk",                    # PQ codebook train + encode + ADC search
         "ivfpq_residual_adc_topk",        # IVFADC: coarse cells + residual PQ + probes
+        # r5 session-3 family entries
+        "ewma_smoothing_per_series",      # per-series Catalyst-HOF left fold
+        "table_profile_single_pass",      # whole-table profile in one scan (Expand)
+        "kmv_theta_intersection_estimate",  # mergeable KMV/theta distinct-intersection
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not

@@ -27,3 +27,5 @@ from . import llm  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import timeseries  # noqa: E402,F401
+from . import profiling  # noqa: E402,F401

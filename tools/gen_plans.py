@@ -38,6 +38,9 @@ NOTES = {
     "event_transition_matrix": "LAG window by high-cardinality user_id; probability normalization windows over the aggregated |types|^2 matrix, never the event stream",
     "product_profit_q9": "Q9 shape: LIKE filter prunes part BEFORE broadcast; lineitem joins dims without shuffling itself; mixed +/- decimal measure in one partial agg",
     "forecast_revenue_q6": "Q6 shape: zero joins; all three range predicates in PushedFilters; 4-column ReadSchema; single partial+final agg",
+    "ewma_smoothing_per_series": "two partial-agg groupBys collapse orders to bounded per-series arrays; the EWMA fold is ONE Catalyst aggregate HOF projection — no window over an unpartitioned ordering, no Python",
+    "table_profile_single_pass": "ONE parquet scan for all 24 column metrics: multi-count-distinct Expand + partial/final agg; the per-column-scan alternative reads the table N times",
+    "kmv_theta_intersection_estimate": "two-phase mergeable sketch: per-(group,bucket) partial k-mins then k-of-union merge — executor agg state <= buckets*k rows; estimate math on two broadcast 1-row sides",
     "disjunctive_predicate_revenue_q19": "Q19 shape: Catalyst factors the OR-of-conjunctions — part scan gets the brand/size disjunction pushed, lineitem scan gets the quantity disjunction, cross-side residual stays above the join; no nested loop",
     "waiting_orders_suppliers_q21": "Q21 EXISTS/NOT-EXISTS decorrelated to per-order distinct counts: two orderkey shuffles, no correlated self-joins, no cartesian",
     "connected_components_copurchase": "iterative: undirected edge list materialized ONCE (localCheckpoint barrier — upstream join otherwise executes 4x); adjacency cached/partitioned once; each round one O(V) label shuffle + min agg",
