@@ -55,6 +55,9 @@ def _spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # replicas must write timestamp[us], not INT96 — load_table's
+        # footer probe reads INT96 as timestamp[ns] and mis-plans the scan
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(_UI_PORT))
