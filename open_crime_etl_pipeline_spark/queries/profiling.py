@@ -215,15 +215,11 @@ def kmv_theta_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFra
             "sketch"
         )
     )
-    exact = hashed.distinct().groupBy("event_type").agg(F.count(F.lit(1)).alias("nd"))
-    sk = sk.join(F.broadcast(exact), "event_type")
-    a = sk.filter(F.col("event_type") == "click").select(
-        F.col("sketch").alias("ska"), F.col("nd").alias("ca")
-    )
-    b = sk.filter(F.col("event_type") == "purchase").select(
-        F.col("sketch").alias("skb"), F.col("nd").alias("cb")
-    )
-    # exact intersection of the underlying user sets (the certificate truth)
+    a = sk.filter(F.col("event_type") == "click").select(F.col("sketch").alias("ska"))
+    b = sk.filter(F.col("event_type") == "purchase").select(F.col("sketch").alias("skb"))
+    # exact intersection of the underlying user sets — the CERTIFICATE
+    # truth only (two extra scans a production caller would drop; the
+    # sketch product itself is the single `hashed` scan above)
     ua = (
         ev.filter((F.col("event_type") == "click") & (F.col("user_id") % 3 != 0))
         .select("user_id")
@@ -243,21 +239,22 @@ def kmv_theta_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFra
         F.expr("size(filter(sku, v -> array_contains(ska, v) AND array_contains(skb, v)))"),
     )
 
-    def est(sketch, exact_n):
+    # every CASE guards on SKETCH length: |sketch| < k means the sketch
+    # holds the entire distinct hash set (lossless below k), so the
+    # "estimate" is exact — no separate exact-distinct scan needed
+    def est(sketch):
         kth = F.element_at(sketch, F.least(F.size(sketch), F.lit(_K)))
-        return F.when(F.col(exact_n) < _K, F.col(exact_n).cast("double")).otherwise(
+        return F.when(F.size(sketch) < _K, F.size(sketch).cast("double")).otherwise(
             F.lit(float(_K - 1)) * F.lit(float(_M)) / kth.cast("double")
         )
 
-    # union-sketch CASE guards on the union-SKETCH length (< k means the
-    # union itself had < k distinct hashes, since sketches merge losslessly)
     est_u = F.when(F.size("sku") < _K, F.size("sku").cast("double")).otherwise(
         F.lit(float(_K - 1)) * F.lit(float(_M)) / F.element_at("sku", _K).cast("double")
     )
     est_i = (F.col("rho").cast("double") / F.lit(float(_K))) * est_u
     return row.select(
-        F.round(est(F.col("ska"), "ca"), 6).alias("est_distinct_a"),
-        F.round(est(F.col("skb"), "cb"), 6).alias("est_distinct_b"),
+        F.round(est(F.col("ska")), 6).alias("est_distinct_a"),
+        F.round(est(F.col("skb")), 6).alias("est_distinct_b"),
         F.round(est_u, 6).alias("est_union"),
         F.round(F.col("rho").cast("double") / F.lit(float(_K)), 6).alias("est_jaccard"),
         F.round(est_i, 6).alias("est_intersection"),

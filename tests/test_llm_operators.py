@@ -1518,3 +1518,38 @@ def test_training_shard_manifest_repartition_invariant(spark, sf_dir):
     for r in rep:
         assert r.asDict() == base[r["shard_id"]]
     assert sum(r["n_docs"] for r in rep) == docs.count()
+
+
+def test_bpe_frequency_table_equals_instance_table(spark):
+    """The word-frequency corpus (distinct words + cnt) must learn the
+    IDENTICAL merge trajectory as one-row-per-instance training:
+    sum(cnt) over distinct words == count(*) over instances for every
+    adjacent pair, so argmax picks the same merge with the same count.
+    Hand-built corpus with skewed word frequencies and a tie that the
+    (n DESC, w1, w2) ordering must break identically on both paths."""
+    from open_crime_etl_pipeline_spark.queries.llm import _BPE_SEP, _bpe_merge_loop
+
+    words = ["abab", "abc", "abc", "abc", "cab", "cab", "dd"]
+    sep = _BPE_SEP
+
+    def rep_of(w):
+        return sep + sep.join(list(w)) + sep
+
+    inst = spark.createDataFrame(
+        [(rep_of(w),) for w in words], "rep string"
+    ).localCheckpoint(eager=True)
+    from collections import Counter
+
+    freq = spark.createDataFrame(
+        [(c, rep_of(w)) for w, c in Counter(words).items()], "cnt long, rep string"
+    ).localCheckpoint(eager=True)
+
+    m_inst, rep_inst = _bpe_merge_loop(inst, k=3)
+    m_freq, rep_freq = _bpe_merge_loop(freq, k=3)
+    assert m_inst == m_freq
+    # and the fully-merged corpora agree word-for-word (weighted by cnt)
+    got_inst = sorted(r["rep"] for r in rep_inst.collect())
+    got_freq = sorted(
+        r["rep"] for r in rep_freq.collect() for _ in range(r["cnt"])
+    )
+    assert got_inst == got_freq

@@ -340,3 +340,39 @@ def test_k_anonymity_group_sizes_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "k_anonymity_generalization")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_profiler_reads_table_exactly_once(spark, sf_dir):
+    """All 24 column metrics must ride ONE parquet scan (the Expand-based
+    multi-count-distinct rewrite); a second scan appearing means the agg
+    split into per-column passes — N full reads of the table at scale."""
+    plan = _plan(spark, sf_dir, "table_profile_single_pass")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # the one-scan multi-distinct machinery
+    assert "BatchEvalPython" not in plan
+
+
+def test_ewma_fold_is_jvm_side_and_parallel_across_series(spark, sf_dir):
+    """The smoothing fold is a Catalyst aggregate HOF over bounded
+    per-series arrays — no Python, and no single-partition window over
+    a global ordering (which would serialize the whole table)."""
+    for name in ("ewma_smoothing_per_series", "cusum_change_detection"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_kmv_sketch_state_stays_bounded(spark, sf_dir):
+    """Phase-1 partial sketches: one row per (group, bucket), each
+    holding <= k hashes — the collect_set is bucket-scoped, never a
+    whole-group set, so the partial-agg state is <= groups*buckets*k
+    hashes no matter the input size (replication-measured in
+    tools/scale_check_r5d.py). Plan side: the two collect aggregates
+    are the only shuffles of sketch state, nothing falls back to
+    Python, and the 1-row assembly sides join by broadcast, not a
+    cartesian."""
+    plan = _plan(spark, sf_dir, "kmv_theta_intersection_estimate")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "collect_set" in plan  # bucket-scoped partial sketch agg
