@@ -87,6 +87,9 @@ def main() -> None:
         "ewma_smoothing_per_series",      # per-series Catalyst-HOF left fold
         "table_profile_single_pass",      # whole-table profile in one scan (Expand)
         "kmv_theta_intersection_estimate",  # mergeable KMV/theta distinct-intersection
+        "naive_bayes_train_apply",        # all-relational NB train+apply (no driver state)
+        "distributed_topk_tput_bounds",   # two-round TPUT top-k with certified bounds
+        "hybrid_rrf_retrieval",           # sparse+dense reciprocal-rank fusion
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not

@@ -4094,10 +4094,11 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_over(_t(spark, sf_dir, "documents"))
 
 
-def bm25_over(docs: DataFrame) -> DataFrame:
+def bm25_over(docs: DataFrame, k: int = 10) -> DataFrame:
     """bm25_retrieval_topk's full pipeline over an arbitrary
     (doc_id, text) frame — shared with tools/scale_check_r5.py so the
-    scale proof measures exactly what the registered query runs."""
+    scale proof measures exactly what the registered query runs, and
+    with hybrid_rrf_retrieval (k=50 lexical leg)."""
     from pyspark.sql import Window
 
     toks = docs.select("doc_id", TS.tokens("text").alias("toks"))
@@ -4139,7 +4140,7 @@ def bm25_over(docs: DataFrame) -> DataFrame:
     scored = contrib.groupBy("doc_id").agg(
         score.alias("score"), F.count("*").alias("n_terms_matched")
     )
-    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", F.round("score", 6).alias("score"), "n_terms_matched", "rank"
@@ -5069,5 +5070,392 @@ def mad_anomaly_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.abs(F.col("n_chars") - F.col("med")) > 3 * F.col("mad"), 1
                 ).otherwise(0)
             ).cast("long").alias("n_anomalies"),
+        )
+    )
+
+
+@register(
+    "naive_bayes_train_apply",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, lang, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+        ), cls AS (
+            SELECT DISTINCT lang AS cls FROM documents
+        ), pri AS (
+            SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY 1
+        ), tot AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+        ), cwc AS (
+            SELECT term, lang AS cls, count(*) AS c FROM tok GROUP BY 1, 2
+        ), tokc AS (
+            SELECT lang AS cls, CAST(count(*) AS DOUBLE) AS tc FROM tok GROUP BY 1
+        ), voc AS (
+            SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tok
+        ), sc AS (
+            SELECT tf.doc_id, tf.lang, cls.cls,
+                   (ln(CAST(pri.n_docs AS DOUBLE) / tot.n)
+                    + sum(tf.tf * ln((CAST(COALESCE(cwc.c, 0) AS DOUBLE) + 0.5)
+                                     / (tokc.tc + 0.5 * voc.v))))
+                   / sum(tf.tf) AS score
+            FROM tf
+            CROSS JOIN cls
+            LEFT JOIN cwc ON cwc.term = tf.term AND cwc.cls = cls.cls
+            JOIN tokc ON tokc.cls = cls.cls
+            JOIN pri ON pri.cls = cls.cls, voc, tot
+            GROUP BY tf.doc_id, tf.lang, cls.cls, pri.n_docs, tot.n, voc.v
+        ), r AS (
+            SELECT doc_id, lang, cls, round(score, 6) AS score,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY round(score, 6) DESC, cls
+                   ) AS rn
+            FROM sc
+        )
+        SELECT doc_id, lang, cls AS pred_lang, score,
+               (lang = cls) AS correct
+        FROM r WHERE rn = 1
+    """,
+    doc="Multinomial Naive Bayes language classifier, trained AND "
+        "applied entirely as DataFrame aggregations — zero driver "
+        "state, the complement of logistic_regression_gd_steps (which "
+        "collects a gradient vector per step). Train: class priors, "
+        "add-0.5-smoothed token likelihoods P(w|c), corpus vocabulary "
+        "size. Apply: per-(doc, class) mean token log-likelihood plus "
+        "length-normalized log prior; argmax over the 6dp-rounded "
+        "score (class-name tiebreak) predicts the language. Scale "
+        "shape: the model IS a (vocab x classes) count table joined "
+        "back on the token key — shuffles carry dictionary keys and "
+        "per-doc partials, never the corpus; class constants ride "
+        "5-row/1-row broadcasts. Length normalization (divide by doc "
+        "token count) keeps the score O(10) so 6dp rounding absorbs "
+        "cross-engine ln/summation ulps — the bigram_lm_logprob_quality "
+        "argument — and leaves the per-doc argmax unchanged "
+        "(SURVEY.md 2.12 training [EXT]; cf. Spark MLlib NaiveBayes, "
+        "re-expressed as pure relational algebra). Honesty note: the "
+        "synthetic testdata draws text and lang independently, so "
+        "accuracy here sits at the majority prior — the oracle checks "
+        "the posterior math; the planted separable-vocabulary unit "
+        "test checks that the operator actually learns.",
+    tags=("llm", "training", "classifier"),
+)
+def naive_bayes_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _naive_bayes_predict(_t(spark, sf_dir, "documents"))
+
+
+def _naive_bayes_predict(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Train-and-apply multinomial NB over ``docs`` (doc_id, lang,
+    text): returns (doc_id, lang, pred_lang, score, correct) with one
+    row per tokenizable document. ``alpha`` is the Laplace/Lidstone
+    smoothing mass (exposed for the scale tool's replication trick:
+    an r-times-replicated corpus scored with alpha*r reproduces the
+    base corpus' scores exactly, since (rc+ra)/(rt+raV)=(c+a)/(t+aV))."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", "lang", F.explode(TS.tokens("text")).alias("term")
+    ).localCheckpoint(eager=True)  # 4 downstream branches, one tokenize
+    tf = tok.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    classes = docs.select(F.col("lang").alias("cls")).distinct()
+    pri = docs.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    cwc = tok.groupBy("term", F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tokc = tok.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("double").alias("tc")
+    )
+    voc = tok.agg(F.count_distinct("term").cast("double").alias("v"))
+    # (doc, term, tf) x 5 classes -> left join the likelihood table on
+    # the TOKEN key (the only vocabulary-sized shuffle); absent (w, c)
+    # pairs fall back to the smoothing floor via coalesce(c, 0)
+    j = (
+        tf.crossJoin(F.broadcast(classes))
+        .join(cwc, ["term", "cls"], "left")
+        .join(F.broadcast(tokc), "cls")
+        .crossJoin(F.broadcast(voc))
+    )
+    ll = F.col("tf") * F.log(
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(alpha))
+        / (F.col("tc") + F.lit(alpha) * F.col("v"))
+    )
+    sc = (
+        j.groupBy("doc_id", "lang", "cls")
+        .agg(F.sum(ll).alias("sll"), F.sum("tf").alias("n"))
+        .join(F.broadcast(pri), "cls")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            "cls",
+            F.round(
+                (F.log(F.col("n_docs").cast("double") / F.col("n_total"))
+                 + F.col("sll"))
+                / F.col("n"),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cls")
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cls").alias("pred_lang"),
+            "score",
+            (F.col("lang") == F.col("cls")).alias("correct"),
+        )
+    )
+
+
+@register(
+    "distributed_topk_tput_bounds",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id % 8 AS node,
+                   unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+            FROM documents
+        ), loc AS (
+            SELECT node, term, count(*) AS c FROM tok GROUP BY 1, 2
+        ), ranked AS (
+            SELECT node, term, c,
+                   row_number() OVER (PARTITION BY node ORDER BY c DESC, term) AS rn
+            FROM loc
+        ), reported AS (
+            SELECT node, term, c FROM ranked WHERE rn <= 40
+        ), tau AS (
+            SELECT node, COALESCE(max(CASE WHEN rn = 40 THEN c END), 0) AS tau
+            FROM ranked GROUP BY node
+        ), cand AS (
+            SELECT DISTINCT term FROM reported
+        ), grid AS (
+            SELECT cand.term, tau.node, tau.tau FROM cand CROSS JOIN tau
+        ), bounds AS (
+            SELECT g.term,
+                   CAST(sum(COALESCE(r.c, 0)) AS BIGINT) AS lower_bound,
+                   CAST(sum(COALESCE(r.c, g.tau)) AS BIGINT) AS upper_bound
+            FROM grid g
+            LEFT JOIN reported r ON r.node = g.node AND r.term = g.term
+            GROUP BY g.term
+        ), exact AS (
+            SELECT t.term, CAST(count(*) AS BIGINT) AS exact_count
+            FROM tok t JOIN cand USING (term)
+            GROUP BY t.term
+        ), tail AS (
+            SELECT CAST(sum(tau) AS BIGINT) AS tail_cap FROM tau
+        )
+        SELECT b.term, e.exact_count, b.lower_bound, b.upper_bound,
+               (b.lower_bound <= e.exact_count
+                AND e.exact_count <= b.upper_bound) AS bounds_ok,
+               tail.tail_cap,
+               (e.exact_count > tail.tail_cap) AS membership_certified
+        FROM bounds b JOIN exact e USING (term), tail
+        ORDER BY e.exact_count DESC, b.term
+        LIMIT 20
+    """,
+    doc="Two-round distributed top-k with certified bounds (the "
+        "TPUT/threshold-algorithm family, Cao & Wang PODC'04): round 1 "
+        "ships only each node's local top-40 (terms + counts) plus its "
+        "threshold tau = the 40th local count; round 2 fetches exact "
+        "counts for the candidate union only. For every candidate the "
+        "shipped partials give lower <= exact <= upper (upper caps "
+        "non-reporting nodes at their tau), and exact > sum(tau) "
+        "certifies top-k membership from round-1 data alone, since any "
+        "term NO node reported is globally bounded by sum(tau). Nodes "
+        "are simulated as doc_id % 8 so the oracle replays the exact "
+        "same placement; all math is integer, hash-stable. Scale "
+        "shape: the full term dictionary is aggregated per node but "
+        "NEVER crosses nodes — the inter-node shuffle is m*P candidate "
+        "rows plus a broadcast semi-join fetch, the whole point of the "
+        "protocol at 100 TB where the tail dictionary dwarfs the "
+        "head. Here a node's top-m is a window over its local counts; "
+        "on a real cluster the same role is played by the map-side "
+        "partial agg feeding a size-m heap (SURVEY.md 2.6 O3 [EXT] "
+        "scale path).",
+    tags=("llm", "text", "topk", "sketch"),
+)
+def distributed_topk_tput_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 8).alias("node"),
+        F.explode(TS.tokens("text")).alias("term"),
+    )
+    return _tput_topk(tok, m=40, k=20)
+
+
+def _tput_topk(tok: DataFrame, m: int, k: int) -> DataFrame:
+    """TPUT two-round top-k over ``tok`` (node, term): round 1 ships
+    each node's local top-m and its threshold tau; round 2 fetches
+    exact counts for the candidate union. Returns the exact top-k with
+    the round-1 [lower, upper] bound pair, the global tail cap
+    sum(tau), and the membership certificate exact > sum(tau)."""
+    from pyspark.sql import Window
+
+    local = (
+        tok.groupBy("node", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # feeds reported + tau + nothing else
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "term")
+    ranked = local.withColumn("rn", F.row_number().over(w))
+    reported = ranked.filter(F.col("rn") <= m).select("node", "term", "c")
+    # tau = the m-th local count; a node with < m distinct terms reported
+    # everything it has, so its cap for unreported terms is exactly 0
+    tau = ranked.groupBy("node").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == m, F.col("c"))), F.lit(0).cast("long")
+        ).alias("tau")
+    )
+    cand = reported.select("term").distinct()
+    grid = cand.crossJoin(F.broadcast(tau))  # |cand| x 8, both sides tiny
+    bounds = (
+        grid.join(reported, ["node", "term"], "left")
+        .groupBy("term")
+        .agg(
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("lower_bound"),
+            F.sum(F.coalesce(F.col("c"), F.col("tau"))).cast("long").alias("upper_bound"),
+        )
+    )
+    # round 2: exact counts for candidates only — the semi-join pushes the
+    # candidate filter below the groupBy, so the second pass aggregates
+    # the head terms, not the dictionary tail
+    exact = (
+        tok.join(F.broadcast(cand), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    tail = tau.agg(F.sum("tau").cast("long").alias("tail_cap"))
+    return (
+        bounds.join(exact, "term")
+        .crossJoin(F.broadcast(tail))
+        .orderBy(F.desc("exact_count"), "term")
+        .limit(k)
+        .select(
+            "term",
+            "exact_count",
+            "lower_bound",
+            "upper_bound",
+            (
+                (F.col("lower_bound") <= F.col("exact_count"))
+                & (F.col("exact_count") <= F.col("upper_bound"))
+            ).alias("bounds_ok"),
+            "tail_cap",
+            (F.col("exact_count") > F.col("tail_cap")).alias("membership_certified"),
+        )
+    )
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+        ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+            WHERE term IN ('spark','join','filter') GROUP BY doc_id, term
+        ), idf AS (
+            SELECT term, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+            FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+                 stats s
+        ), contrib AS (
+            SELECT tf.doc_id, tf.term,
+                   idf.idf * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats s
+        ), lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY
+                       coalesce(sum(CASE WHEN term = 'spark'  THEN c END), 0)
+                     + coalesce(sum(CASE WHEN term = 'join'   THEN c END), 0)
+                     + coalesce(sum(CASE WHEN term = 'filter' THEN c END), 0) DESC,
+                       doc_id) AS lex_rank
+            FROM contrib GROUP BY doc_id
+            QUALIFY lex_rank <= 50
+        ), q AS (
+            SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0
+        ), dense AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY
+                       list_dot_product(q.qvec, e.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.qvec, q.qvec)) *
+                        sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))) DESC,
+                       vec_id) AS dense_rank
+            FROM embeddings e, q
+            WHERE e.vec_id != 0
+            QUALIFY dense_rank <= 50
+        ), fused AS (
+            SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                   l.lex_rank, d.dense_rank,
+                   COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+                 + COALESCE(1.0 / (60 + d.dense_rank), 0.0) AS rrf
+            FROM lex l FULL OUTER JOIN dense d USING (doc_id)
+        )
+        SELECT doc_id, lex_rank, dense_rank,
+               round(rrf, 6) AS rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+                   AS fused_rank
+        FROM fused QUALIFY fused_rank <= 20
+    """,
+    doc="Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+        "SIGIR'09, the standard sparse+dense combiner in RAG stacks): "
+        "BM25 top-50 for {spark, join, filter} fused with cosine "
+        "top-50 against doc 0's embedding by "
+        "rrf = sum 1/(60+rank), full-outer on doc_id so an item "
+        "missing from one ranker keeps its other leg (the testdata has "
+        "embeddings for only a prefix of the corpus at sf0.1 — exactly "
+        "the partial-coverage case RRF absorbs). Determinism: both "
+        "legs rank on raw doubles that are bit-identical cross-engine "
+        "(BM25's fixed-order conditional sums; the pinned left-fold "
+        "dot product), and the fused score is a two-term fixed-order "
+        "sum of exact rationals 1/(60+r). Scale shape: each leg is "
+        "already scale-shaped (inverted index / broadcast query); the "
+        "fusion itself joins two <=50-row sides — driver-free and "
+        "constant-cost no matter the corpus (SURVEY.md 2.11 "
+        "retrieval [EXT]).",
+    tags=("llm", "retrieval", "similarity"),
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_over(docs, k=50).select("doc_id", F.col("rank").alias("lex_rank"))
+    dense = S.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank")
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 20)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+            "fused_rank",
         )
     )

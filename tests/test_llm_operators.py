@@ -1553,3 +1553,110 @@ def test_bpe_frequency_table_equals_instance_table(spark):
         r["rep"] for r in rep_freq.collect() for _ in range(r["cnt"])
     )
     assert got_inst == got_freq
+
+
+def test_naive_bayes_learns_planted_separable_vocab(spark):
+    """Two planted languages with disjoint content vocabularies plus
+    shared noise words: NB must classify every doc correctly (the
+    testdata's lang label is text-independent, so THIS is the proof
+    the operator learns; the registered oracle proves the math)."""
+    from open_crime_etl_pipeline_spark.queries.llm import _naive_bayes_predict
+
+    rows = []
+    did = 0
+    for i in range(12):
+        rows.append((did, "aa", "alpha amber apex noise common " + "alpha " * (i % 3)))
+        did += 1
+    for i in range(6):
+        rows.append((did, "bb", "beta bravo basil noise common " + "beta " * (i % 3)))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = _naive_bayes_predict(docs).collect()
+    assert len(out) == 18
+    assert all(r["correct"] for r in out)
+    assert all(r["pred_lang"] == r["lang"] for r in out)
+
+
+def test_naive_bayes_prior_dominates_ambiguous_doc(spark):
+    """A doc containing ONLY vocabulary shared by both classes gets the
+    majority-prior class: identical likelihoods, so the length-normalized
+    log prior decides (and the class-name tiebreak would break exact
+    prior ties deterministically)."""
+    from open_crime_etl_pipeline_spark.queries.llm import _naive_bayes_predict
+
+    rows = [(i, "major", "shared words everywhere") for i in range(9)]
+    rows += [(100 + i, "minor", "shared words everywhere") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in _naive_bayes_predict(docs).collect()}
+    # every doc is pure shared vocabulary -> every prediction is the prior argmax
+    assert set(out.values()) == {"major"}
+
+
+def test_tput_bounds_hold_and_tail_cap_bounds_unreported_impostor(spark):
+    """Adversarial TA distribution: 'spread' sits just below every
+    node's local top-m, so NO node reports it — the classic case where
+    a candidate-only protocol silently misranks. The certificate must
+    (a) bracket every candidate's exact count, (b) cap the impostor's
+    global count by sum(tau), and (c) mark certified only terms whose
+    exact count no unreported term can reach."""
+    import pyspark.sql.functions as F
+
+    from open_crime_etl_pipeline_spark.queries.llm import _tput_topk
+
+    rows = []
+    for node in range(4):
+        rows += [(node, "mega")] * 20            # global heavy: local #1 everywhere
+        rows += [(node, f"hot{node}")] * 10      # each node's local #2 (= tau)
+        rows += [(node, "warm")] * 6             # local #3 -> NEVER reported at m=2
+        rows += [(node, "spread")] * 5           # local #4, also unreported
+        rows += [(node, f"noise{node}")] * 1
+    tok = spark.createDataFrame(rows, "node long, term string")
+    out = _tput_topk(tok, m=2, k=4).collect()
+    by_term = {r["term"]: r for r in out}
+
+    # (a) bounds bracket exact for every returned candidate
+    assert all(
+        r["lower_bound"] <= r["exact_count"] <= r["upper_bound"] for r in out
+    )
+    # 'warm' was never in any node's top-2, so it is not a candidate --
+    # even though its global count (24) beats every hot{i} (10)
+    assert "warm" not in by_term and "spread" not in by_term
+    # (b) unreported terms' true global counts are bounded by the tail cap
+    tail_cap = out[0]["tail_cap"]
+    assert tail_cap == 40  # sum of the four per-node taus (hot counts)
+    warm_exact = tok.filter(F.col("term") == "warm").count()
+    assert warm_exact <= tail_cap
+    # (c) 'mega' (exact 80) exceeds the tail cap -> certified top-k member;
+    # the per-node hots (exact 10) are correctly uncertified, because an
+    # unreported term (warm, 24) really does outrank them
+    assert by_term["mega"]["membership_certified"]
+    assert not by_term["hot0"]["membership_certified"]
+    assert warm_exact > by_term["hot0"]["exact_count"]
+
+
+def test_hybrid_rrf_fuses_partial_coverage_and_recomputes(spark):
+    """sf0.1 has embeddings for only a 2000-id prefix of the 5000-doc
+    corpus, so the fused table must carry lexical-only rows (null
+    dense_rank) through the full-outer join; and every emitted
+    rrf_score must equal 1/(60+lex)+1/(60+dense) recomputed from the
+    emitted ranks (missing leg contributes 0)."""
+    from open_crime_etl_pipeline_spark.queries import all_specs
+
+    rows = all_specs()["hybrid_rrf_retrieval"].fn(
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    assert [r["fused_rank"] for r in rows] != []
+    assert sorted(r["fused_rank"] for r in rows) == list(range(1, len(rows) + 1))
+    for r in rows:
+        want = 0.0
+        if r["lex_rank"] is not None:
+            want += 1.0 / (60 + r["lex_rank"])
+        if r["dense_rank"] is not None:
+            want += 1.0 / (60 + r["dense_rank"])
+        assert abs(r["rrf_score"] - round(want, 6)) < 1e-9, r
+    # the outer join is load-bearing, not decorative: both legs place
+    # items in the fused top-20, including lexical-only rows (the
+    # testdata's text and embeddings are independent, so the two
+    # top-50s need not overlap at all — RRF interleaves them by rank)
+    assert any(r["dense_rank"] is None and r["lex_rank"] is not None for r in rows)
+    assert any(r["dense_rank"] is not None for r in rows)

@@ -376,3 +376,34 @@ def test_kmv_sketch_state_stays_bounded(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "collect_set" in plan  # bucket-scoped partial sketch agg
+
+
+def test_naive_bayes_model_joins_are_broadcast_and_jvm_side(spark, sf_dir):
+    """NB train+apply must stay pure relational algebra: the class-
+    constant sides (priors, per-class token totals, vocab size, doc
+    total) ride broadcasts, the only shuffled join keys on the token
+    dictionary, and nothing falls back to Python or a cartesian."""
+    plan = _plan(spark, sf_dir, "naive_bayes_train_apply")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan     # tokc/pri class-keyed constants
+    # the argmax window partitions by high-cardinality doc_id (and the
+    # rank predicate pushes down to a per-partition group limit) — the
+    # only SinglePartition exchanges are 32-row scalar-agg finals
+    assert "windowspecdefinition(doc_id" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_tput_candidate_fetch_is_broadcast_semi_join(spark, sf_dir):
+    """Round 2 of the TPUT protocol fetches exact counts for candidates
+    ONLY: the candidate filter must reach below the second groupBy as a
+    broadcast semi-join (candidates are m*P rows — the whole point is
+    never aggregating the dictionary tail twice), and the final top-k
+    must be per-partition heaps, not a global sort."""
+    plan = _plan(spark, sf_dir, "distributed_topk_tput_bounds")
+    assert "BroadcastHashJoin LeftSemi" in plan or (
+        "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    )
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -41,6 +41,9 @@ NOTES = {
     "ewma_smoothing_per_series": "two partial-agg groupBys collapse orders to bounded per-series arrays; the EWMA fold is ONE Catalyst aggregate HOF projection — no window over an unpartitioned ordering, no Python",
     "table_profile_single_pass": "ONE parquet scan for all 24 column metrics: multi-count-distinct Expand + partial/final agg; the per-column-scan alternative reads the table N times",
     "kmv_theta_intersection_estimate": "two-phase mergeable sketch: per-(group,bucket) partial k-mins then k-of-union merge — executor agg state <= buckets*k rows; estimate math on two broadcast 1-row sides",
+    "naive_bayes_train_apply": "model = (vocab x classes) count table joined on the TOKEN key (the only dictionary-sized shuffle); class constants ride 5-row/1-row broadcasts; argmax window partitions by doc_id with WindowGroupLimit pushdown — zero Python, zero driver state",
+    "distributed_topk_tput_bounds": "TPUT round 1 ships m*P candidate rows + per-node taus; round 2's exact fetch is a broadcast LEFT SEMI below the second groupBy (the dictionary tail is aggregated per node but never crosses nodes); final top-k = TakeOrderedAndProject",
+    "hybrid_rrf_retrieval": "each leg keeps its own scale shape (BM25 inverted index + broadcast idf; dense broadcast-query cosine with TakeOrdered legs); the fusion full-outer join and the fused-rank window run over two <=50-row sides — constant cost at any corpus size",
     "disjunctive_predicate_revenue_q19": "Q19 shape: Catalyst factors the OR-of-conjunctions — part scan gets the brand/size disjunction pushed, lineitem scan gets the quantity disjunction, cross-side residual stays above the join; no nested loop",
     "waiting_orders_suppliers_q21": "Q21 EXISTS/NOT-EXISTS decorrelated to per-order distinct counts: two orderkey shuffles, no correlated self-joins, no cartesian",
     "connected_components_copurchase": "iterative: undirected edge list materialized ONCE (localCheckpoint barrier — upstream join otherwise executes 4x); adjacency cached/partitioned once; each round one O(V) label shuffle + min agg",
@@ -127,26 +130,24 @@ def main() -> None:
             words = docs.select(F.explode(TS.tokens("text")).alias("w")).filter(
                 F.length("w") > 1
             )
+            wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
             sep = F.lit(_BPE_SEP)
-            rep = words.select(
+            rep = wf.select(
+                "cnt",
                 F.concat(sep, F.array_join(F.split("w", ""), _BPE_SEP), sep)
-                .alias("rep")
+                .alias("rep"),
             )
             syms = F.filter(F.split("rep", _BPE_SEP), lambda x: x != F.lit(""))
+            n = F.size(syms)
             pairs = rep.select(
+                "cnt",
                 F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(syms) - 1),
-                        (lambda s: lambda j: F.struct(
-                            F.element_at(s, j).alias("w1"),
-                            F.element_at(s, (j + 1).cast("int")).alias("w2"),
-                        ))(syms),
-                    )
-                ).alias("p")
-            ).select("p.w1", "p.w2")
+                    F.arrays_zip(F.slice(syms, 1, n - 1), F.slice(syms, 2, n - 1))
+                ).alias("p"),
+            ).select("cnt", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
             return (
                 pairs.groupBy("w1", "w2")
-                .agg(F.count("*").alias("n"))
+                .agg(F.sum("cnt").alias("n"))
                 .orderBy(F.col("n").desc(), "w1", "w2")
                 .limit(1)
             )
