@@ -90,6 +90,7 @@ def main() -> None:
         "naive_bayes_train_apply",        # all-relational NB train+apply (no driver state)
         "distributed_topk_tput_bounds",   # two-round TPUT top-k with certified bounds
         "hybrid_rrf_retrieval",           # sparse+dense reciprocal-rank fusion
+        "adaboost_stumps_train",          # boosting loop: 3 exact-integer rounds
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not

@@ -5459,3 +5459,194 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fused_rank",
         )
     )
+
+
+_ADA_ORACLE_ROUND = """
+        , e{r} AS (
+            SELECT c.f, c.t, c.s,
+                   sum(CASE WHEN (CASE WHEN (CASE c.f WHEN 1 THEN w.x1
+                                             WHEN 2 THEN w.x2
+                                             ELSE w.x3 END) > c.t
+                                  THEN c.s ELSE -c.s END) != w.y
+                            THEN w.w ELSE 0 END) AS e,
+                   sum(w.w) AS tot
+            FROM w{r} w CROSS JOIN cands c GROUP BY c.f, c.t, c.s
+        ), b{r} AS (
+            SELECT f, t, s, e, tot FROM e{r} ORDER BY e, f, t, s LIMIT 1
+        ), w{n} AS (
+            SELECT w.doc_id, w.y, w.x1, w.x2, w.x3,
+                   w.w * (CASE WHEN (CASE WHEN (CASE b.f WHEN 1 THEN w.x1
+                                                WHEN 2 THEN w.x2
+                                                ELSE w.x3 END) > b.t
+                                     THEN b.s ELSE -b.s END) = w.y
+                          THEN b.e ELSE b.tot - b.e END) AS w
+            FROM w{r} w, b{r} b
+        )
+"""
+
+_ADA_ORACLE_OUT = """
+            SELECT {r} AS round,
+                   CASE f WHEN 1 THEN 'spark' WHEN 2 THEN 'data'
+                          ELSE 'slow' END AS feature,
+                   t AS threshold, s AS sign,
+                   CAST(e AS BIGINT) AS err_num,
+                   CAST(tot AS BIGINT) AS total_weight,
+                   round(0.5 * ln(CAST(tot - e AS DOUBLE) / e), 6) AS alpha
+            FROM b{r}
+"""
+
+
+@register(
+    "adaboost_stumps_train",
+    oracle="""
+        WITH feat AS (
+            SELECT doc_id,
+                   CASE WHEN n_chars > 250 THEN 1 ELSE -1 END AS y,
+                   CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS x1,
+                   CAST(len(list_filter(toks, x -> x = 'data')) AS BIGINT) AS x2,
+                   CAST(len(list_filter(toks, x -> x = 'slow')) AS BIGINT) AS x3
+            FROM (SELECT doc_id, n_chars,
+                         list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents)
+        ), cands AS (
+            SELECT f, t, s
+            FROM (VALUES (1), (2), (3)) ff(f),
+                 (VALUES (0), (1), (2), (3)) tt(t),
+                 (VALUES (1), (-1)) ss(s)
+        ), w1 AS (
+            SELECT doc_id, y, x1, x2, x3, CAST(1 AS HUGEINT) AS w FROM feat
+        )"""
+    + _ADA_ORACLE_ROUND.format(r=1, n=2)
+    + _ADA_ORACLE_ROUND.format(r=2, n=3)
+    + _ADA_ORACLE_ROUND.format(r=3, n=4)
+    + _ADA_ORACLE_OUT.format(r=1)
+    + " UNION ALL "
+    + _ADA_ORACLE_OUT.format(r=2)
+    + " UNION ALL "
+    + _ADA_ORACLE_OUT.format(r=3),
+    doc="AdaBoost over decision stumps, 3 unrolled boosting rounds — "
+        "the sequential-reweighting training loop (Freund & Schapire "
+        "'97) the GD/ALS/OLS family lacks. The integer-weight "
+        "formulation makes it oracle-exact: weights start at 1 and "
+        "update multiplicatively (correct x E, misclassified x (T-E), "
+        "where E/T is the round's weighted error) — the SAME weight "
+        "ratio trajectory as the canonical exp(+-alpha) update but in "
+        "pure 64-bit-safe integer arithmetic, so every candidate "
+        "stump's weighted error is an EXACT integer, the argmin is "
+        "deterministic (tie-break feature/threshold/sign), and the "
+        "one float in the output (alpha = ln((T-E)/E)/2) divides two "
+        "exact integers identically cross-engine. Scale shape: each "
+        "round is one partial-agg shuffle of 24 candidate sums (the "
+        "24-stump grid rides a broadcast literal; the feature table "
+        "never moves), the argmin collect is O(1), and the reweight is "
+        "a scan-side projection behind a per-round eager checkpoint — "
+        "the bpe_multi_merge_rounds iteration discipline. After each "
+        "round the chosen stump's error under the NEW weights is "
+        "exactly total/2 (the AdaBoost orthogonality invariant, "
+        "asserted in pytest). Weights ride DECIMAL(38,0) — the integer "
+        "products outgrow 2^63 by round 3 at sf0.1, and 38 exact "
+        "digits cover k=3 with two orders to spare on both engines "
+        "(SURVEY.md 2.12 training [EXT]).",
+    tags=("llm", "training", "boosting"),
+)
+def adaboost_stumps_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rounds = _adaboost_train(_ada_features(docs), k=3)
+    out = spark.createDataFrame(
+        rounds,
+        "round int, feature string, threshold int, sign int, "
+        "err_num long, total_weight long, alpha double",
+    )
+    # F.round (HALF_UP) — not Python round() (banker's) — to match SQL
+    return out.select(
+        "round", "feature", "threshold", "sign", "err_num", "total_weight",
+        F.round("alpha", 6).alias("alpha"),
+    )
+
+
+def _ada_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, y in {-1,+1}, x1..x3 integer probe-term counts) — the
+    long-document label over the _GD_TERMS count features."""
+    toks = docs.select("doc_id", "n_chars", TS.tokens("text").alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.when(F.col("n_chars") > 250, 1).otherwise(-1).alias("y"),
+        *[
+            F.size(F.filter("toks", (lambda term: lambda t: t == term)(term)))
+            .cast("long")
+            .alias(f"x{i}")
+            for i, term in enumerate(_GD_TERMS, 1)
+        ],
+    )
+
+
+def _ada_x(f: int):
+    return (
+        F.when(F.lit(f) == 1, F.col("x1"))
+        .when(F.lit(f) == 2, F.col("x2"))
+        .otherwise(F.col("x3"))
+    )
+
+
+def _adaboost_train(feat: DataFrame, k: int = 3) -> list:
+    """Integer-weight AdaBoost loop. Returns one (round, feature_name,
+    threshold, sign, err_num, total_weight, alpha) tuple per round;
+    raises if a stump is perfect (E=0) or anti-perfect (E=T), where
+    the multiplicative integer update degenerates (alpha infinite)."""
+    import math
+
+    spark = feat.sparkSession
+    cands = spark.createDataFrame(
+        [(f, t, s) for f in (1, 2, 3) for t in (0, 1, 2, 3) for s in (1, -1)],
+        "f int, t int, s int",
+    )
+    # DECIMAL(38,0) weights: integer products of per-round factors grow
+    # past 2^63 by round 3 at sf0.1 (w <= prod T_r), and decimal keeps
+    # them exact to 38 digits on both engines (DuckDB sums to HUGEINT)
+    w = feat.withColumn("w", F.lit(1).cast("decimal(38,0)")).localCheckpoint(
+        eager=True
+    )
+    out = []
+    for r in range(1, k + 1):
+        x = (
+            F.when(F.col("f") == 1, F.col("x1"))
+            .when(F.col("f") == 2, F.col("x2"))
+            .otherwise(F.col("x3"))
+        )
+        h = F.when(x > F.col("t"), F.col("s")).otherwise(-F.col("s"))
+        best = (
+            w.crossJoin(F.broadcast(cands))
+            .groupBy("f", "t", "s")
+            .agg(
+                F.sum(F.when(h != F.col("y"), F.col("w")).otherwise(F.lit(0)))
+                .cast("decimal(38,0)").alias("e"),
+                F.sum("w").cast("decimal(38,0)").alias("tot"),
+            )
+            .orderBy("e", "f", "t", "s")
+            .limit(1)
+            .collect()[0]
+        )
+        e_num, tot = int(best["e"]), int(best["tot"])
+        if not 0 < e_num < tot:
+            raise ValueError(
+                f"round {r}: stump error {e_num}/{tot} is degenerate — "
+                "integer AdaBoost needs 0 < E < T (alpha would be infinite)"
+            )
+        out.append(
+            (
+                r, _GD_TERMS[best["f"] - 1], best["t"], best["s"],
+                e_num, tot, 0.5 * math.log((tot - e_num) / e_num),
+            )
+        )
+        if r == k:
+            break  # the final round's reweight is never consumed
+        hb = F.when(
+            _ada_x(best["f"]) > F.lit(best["t"]), F.lit(best["s"])
+        ).otherwise(F.lit(-best["s"]))
+        w = w.withColumn(
+            "w",
+            F.when(hb == F.col("y"), F.col("w") * F.lit(e_num)).otherwise(
+                F.col("w") * F.lit(tot - e_num)
+            ).cast("decimal(38,0)"),
+        ).localCheckpoint(eager=True)
+    return out

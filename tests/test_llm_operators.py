@@ -1660,3 +1660,79 @@ def test_hybrid_rrf_fuses_partial_coverage_and_recomputes(spark):
     # top-50s need not overlap at all — RRF interleaves them by rank)
     assert any(r["dense_rank"] is None and r["lex_rank"] is not None for r in rows)
     assert any(r["dense_rank"] is not None for r in rows)
+
+
+def test_adaboost_orthogonality_invariant_and_error_bound(spark):
+    """Independent pure-Python replay of the integer-weight AdaBoost on
+    a planted frame must reproduce the engine's trajectory exactly,
+    the chosen stump's weighted error under the NEXT round's weights
+    must be EXACTLY total/2 (the reweighting orthogonality invariant —
+    exact in integers, never 'approximately 0.5'), and the ensemble's
+    training error must satisfy the Freund-Schapire bound
+    err <= prod_r 2*sqrt(eps_r*(1-eps_r))."""
+    import math
+
+    from open_crime_etl_pipeline_spark.queries.llm import _adaboost_train
+
+    pts = [
+        # (y, x1, x2, x3): +1 cluster needs two features to separate
+        (1, 2, 0, 0), (1, 2, 1, 0), (1, 0, 2, 1), (1, 1, 2, 0),
+        (1, 2, 2, 1), (1, 3, 0, 0), (1, 0, 3, 0), (1, 2, 0, 1),
+        (-1, 0, 0, 0), (-1, 1, 0, 0), (-1, 0, 1, 0), (-1, 1, 1, 1),
+        (-1, 0, 0, 1), (-1, 1, 0, 1), (-1, 2, 1, 2), (-1, 0, 1, 1),
+    ]
+    feat = spark.createDataFrame(
+        [(i, y, x1, x2, x3) for i, (y, x1, x2, x3) in enumerate(pts)],
+        "doc_id long, y int, x1 long, x2 long, x3 long",
+    )
+    k = 3
+    rounds = _adaboost_train(feat, k=k)
+    assert len(rounds) == k
+
+    fidx = {"spark": 0, "data": 1, "slow": 2}
+    w = [1] * len(pts)
+    bound = 1.0
+    for r, fname, thr, sgn, e_num, tot, alpha in rounds:
+        assert tot == sum(w), "engine total_weight != replay"
+        # replay the argmin over the full 24-stump grid
+        best = None
+        for f in range(3):
+            for t in range(4):
+                for s in (1, -1):
+                    e = sum(
+                        wi
+                        for wi, (y, *xs) in zip(w, pts)
+                        if (s if xs[f] > t else -s) != y
+                    )
+                    key = (e, f + 1, t, -0 if s == 1 else 1)  # s=1 sorts first
+                    if best is None or key < best[0]:
+                        best = (key, f, t, s, e)
+        _, bf, bt, bs, be = best
+        assert (fidx[fname], thr, sgn, e_num) == (bf, bt, bs, be), r
+        assert 2 * e_num < tot  # better than chance, alpha > 0
+        assert abs(alpha - 0.5 * math.log((tot - e_num) / e_num)) < 1e-6
+        eps = e_num / tot
+        bound *= 2 * math.sqrt(eps * (1 - eps))
+        # integer reweight, then the orthogonality invariant is EXACT
+        w = [
+            wi * (e_num if (bs if pts[i][1 + bf] > bt else -bs) == pts[i][0]
+                  else tot - e_num)
+            for i, wi in enumerate(w)
+        ]
+        err_after = sum(
+            wi
+            for wi, (y, *xs) in zip(w, pts)
+            if (bs if xs[bf] > bt else -bs) != y
+        )
+        assert 2 * err_after == sum(w), "orthogonality invariant broken"
+
+    # Freund-Schapire: ensemble training error <= prod 2*sqrt(eps(1-eps))
+    mis = 0
+    for y, *xs in pts:
+        score = sum(
+            a if (s if xs[fidx[fn]] > t else -s) == 1 else -a
+            for _, fn, t, s, _, _, a in rounds
+        )
+        if (1 if score > 0 else -1) != y:
+            mis += 1
+    assert mis / len(pts) <= bound + 1e-12

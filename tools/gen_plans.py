@@ -44,6 +44,7 @@ NOTES = {
     "naive_bayes_train_apply": "model = (vocab x classes) count table joined on the TOKEN key (the only dictionary-sized shuffle); class constants ride 5-row/1-row broadcasts; argmax window partitions by doc_id with WindowGroupLimit pushdown — zero Python, zero driver state",
     "distributed_topk_tput_bounds": "TPUT round 1 ships m*P candidate rows + per-node taus; round 2's exact fetch is a broadcast LEFT SEMI below the second groupBy (the dictionary tail is aggregated per node but never crosses nodes); final top-k = TakeOrderedAndProject",
     "hybrid_rrf_retrieval": "each leg keeps its own scale shape (BM25 inverted index + broadcast idf; dense broadcast-query cosine with TakeOrdered legs); the fusion full-outer join and the fused-rank window run over two <=50-row sides — constant cost at any corpus size",
+    "adaboost_stumps_train": "one boosting round = the feature table crossed with a 24-row BROADCAST stump grid, ONE partial-agg shuffle of 24 (f,t,s) decimal sums, argmin = TakeOrderedAndProject(1); the reweight is a scan-side projection behind the per-round eager checkpoint",
     "disjunctive_predicate_revenue_q19": "Q19 shape: Catalyst factors the OR-of-conjunctions — part scan gets the brand/size disjunction pushed, lineitem scan gets the quantity disjunction, cross-side residual stays above the join; no nested loop",
     "waiting_orders_suppliers_q21": "Q21 EXISTS/NOT-EXISTS decorrelated to per-order distinct counts: two orderkey shuffles, no correlated self-joins, no cartesian",
     "connected_components_copurchase": "iterative: undirected edge list materialized ONCE (localCheckpoint barrier — upstream join otherwise executes 4x); adjacency cached/partitioned once; each round one O(V) label shuffle + min agg",
@@ -151,6 +152,34 @@ def main() -> None:
                 .orderBy(F.col("n").desc(), "w1", "w2")
                 .limit(1)
             )
+        if name == "adaboost_stumps_train":
+            from open_crime_etl_pipeline_spark.queries.llm import _ada_features
+
+            docs = spark.read.parquet(f"{sf}/documents.parquet")
+            feat = _ada_features(docs).withColumn(
+                "w", F.lit(1).cast("decimal(38,0)")
+            )
+            cands = spark.createDataFrame(
+                [(f, t, s) for f in (1, 2, 3) for t in (0, 1, 2, 3) for s in (1, -1)],
+                "f int, t int, s int",
+            )
+            x = (
+                F.when(F.col("f") == 1, F.col("x1"))
+                .when(F.col("f") == 2, F.col("x2"))
+                .otherwise(F.col("x3"))
+            )
+            h = F.when(x > F.col("t"), F.col("s")).otherwise(-F.col("s"))
+            return (
+                feat.crossJoin(F.broadcast(cands))
+                .groupBy("f", "t", "s")
+                .agg(
+                    F.sum(F.when(h != F.col("y"), F.col("w")).otherwise(F.lit(0)))
+                    .cast("decimal(38,0)").alias("e"),
+                    F.sum("w").cast("decimal(38,0)").alias("tot"),
+                )
+                .orderBy("e", "f", "t", "s")
+                .limit(1)
+            )
         # connected_components_star: one large-star + small-star phase
         from open_crime_etl_pipeline_spark.queries.graph import _copurchase_edges
 
@@ -181,7 +210,11 @@ def main() -> None:
             .distinct()
         )
 
-    PHASE = {"bpe_multi_merge_rounds", "connected_components_star"}
+    PHASE = {
+        "bpe_multi_merge_rounds",
+        "connected_components_star",
+        "adaboost_stumps_train",
+    }
 
     out = io.StringIO()
     out.write(HEADER)

@@ -22,6 +22,14 @@ Invariants asserted in-tool:
          candidate union are IDENTICAL and every numeric output
          (exact, lower, upper, tail_cap) is exactly m· the base; both
          boolean certificates are scale-invariant. Asserted exactly.
+  ada  — round r's weighted error and total scale ×m^(2^(r-1))
+         exactly (m, m^2, m^4): the corpus contributes m copies AND
+         the update factors (E, T-E) carry the prior round's scaling,
+         so per-doc weights scale m^(2^(r-1)-1) and the sums pick up
+         one more m — the doubling recurrence b_{r+1} = 2*b_r + 1.
+         The learned stump sequence is IDENTICAL and alpha =
+         ln((T-E)/E)/2 is BIT-identical (the common power cancels in
+         the ratio). Asserted exactly.
 
 Wall and shuffle are measured per m — the scale claim is linear scan
 cost with model-table (nb) / candidate-set (tput) shuffle state that
@@ -86,7 +94,9 @@ def _replicated_docs(spark, sf_dir: str, m: int):
 
     from open_crime_etl_pipeline_spark.io.readers import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
     parts = [
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * _OFF)) for r in range(m)
     ]
@@ -107,6 +117,8 @@ def main() -> None:
 
     from open_crime_etl_pipeline_spark.operators import textstats as TS
     from open_crime_etl_pipeline_spark.queries.llm import (
+        _ada_features,
+        _adaboost_train,
         _naive_bayes_predict,
         _tput_topk,
     )
@@ -173,6 +185,31 @@ def main() -> None:
             f"{m:>3} {'tput':<5} {wall:>7.2f} {(w1 - w0) / 1e6:>10.1f} "
             f"{(r1 - r0) / 1e6:>10.1f} {(n1 - n0) / 1e6:>9.2f}  "
             f"all bounds/caps exactly m*base, certs fixed"
+        )
+
+        # ---- ada: identical stumps, (E, T) exactly m*base, alpha bitwise
+        feat = _ada_features(docs)
+        w0, r0 = shuffle_bytes(_UI_PORT)
+        n0 = shuffle_records(_UI_PORT)
+        t0 = time.time()
+        rounds = _adaboost_train(feat, k=3)
+        wall = time.time() - t0
+        w1, r1 = shuffle_bytes(_UI_PORT)
+        n1 = shuffle_records(_UI_PORT)
+        if m == ms[0] and ms[0] == 1:
+            base["ada"] = rounds
+        assert len(rounds) == len(base["ada"])
+        for got_r, base_r in zip(rounds, base["ada"]):
+            r_, f_, t_, s_, e_, tot_, a_ = got_r
+            br, bf, bt, bs, be, btot, ba = base_r
+            assert (r_, f_, t_, s_) == (br, bf, bt, bs), (got_r, base_r)
+            mult = m ** (2 ** (r_ - 1))
+            assert (e_, tot_) == (mult * be, mult * btot), (got_r, base_r)
+            assert a_ == ba, "alpha not bit-identical under replication"
+        print(
+            f"{m:>3} {'ada':<5} {wall:>7.2f} {(w1 - w0) / 1e6:>10.1f} "
+            f"{(r1 - r0) / 1e6:>10.1f} {(n1 - n0) / 1e6:>9.2f}  "
+            f"stumps identical, (E,T) exactly m^(2^(r-1))*base, alpha bitwise"
         )
         docs.unpersist()
     print("ALL INVARIANTS HELD")
