@@ -4101,7 +4101,13 @@ def bm25_over(docs: DataFrame, k: int = 10) -> DataFrame:
     with hybrid_rrf_retrieval (k=50 lexical leg)."""
     from pyspark.sql import Window
 
-    toks = docs.select("doc_id", TS.tokens("text").alias("toks"))
+    # tokenize ONCE: the raw pipeline re-tokenizes documents three times
+    # (the corpus-stats scalar job, the dl join, the postings explode);
+    # the eager checkpoint is the natural materialization boundary a
+    # production index build would have anyway
+    toks = docs.select("doc_id", TS.tokens("text").alias("toks")).localCheckpoint(
+        eager=True
+    )
     dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
     agg = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
     n_docs, avgdl = float(agg["n"]), agg["s"] / agg["n"]

@@ -49,7 +49,7 @@ NOTES = {
     "waiting_orders_suppliers_q21": "Q21 EXISTS/NOT-EXISTS decorrelated to per-order distinct counts: two orderkey shuffles, no correlated self-joins, no cartesian",
     "connected_components_copurchase": "iterative: undirected edge list materialized ONCE (localCheckpoint barrier — upstream join otherwise executes 4x); adjacency cached/partitioned once; each round one O(V) label shuffle + min agg",
     "cdc_chunk_dedup_stats": "rolling-hash boundary scan is pure HOF projection (no BatchEvalPython, no shuffle); the one chunk-keyed exchange carries chunk postings with partial_count below it",
-    "bm25_retrieval_topk": "postings filtered to the 3 query terms BEFORE the tf groupBy; idf side BroadcastHashJoin; global top-10 = TakeOrderedAndProject",
+    "bm25_retrieval_topk": "postings filtered to the 3 query terms BEFORE the tf groupBy; idf side BroadcastHashJoin; global top-10 = TakeOrderedAndProject; the tokenized corpus rides ONE eager checkpoint (the raw pipeline re-tokenized documents 3x)",
     "blocked_fuzzy_join_symspell": "deletion-variant equi-join (hash join on the variant string) — no CartesianProduct/BroadcastNestedLoopJoin anywhere; levenshtein only above the distinct candidates",
     "line_level_dedup_ccnet": "segment df join stays a shuffle equi-join (dictionary is corpus-sized at scale — deliberately NOT broadcast); per-doc reassembly via collect_list bounded by doc size",
     "linear_classifier_inference": "6-row model BroadcastHashJoin onto the token stream; docs re-keyed only by doc_id for the dot-product agg; no Python in the plan",
