@@ -91,6 +91,7 @@ def main() -> None:
         "distributed_topk_tput_bounds",   # two-round TPUT top-k with certified bounds
         "hybrid_rrf_retrieval",           # sparse+dense reciprocal-rank fusion
         "adaboost_stumps_train",          # boosting loop: 3 exact-integer rounds
+        "recursive_cte_tree_rollup",      # native WITH RECURSIVE (UnionLoop)
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not

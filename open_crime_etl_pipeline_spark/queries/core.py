@@ -1010,3 +1010,92 @@ def cdf_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tbl.diff(["o_orderkey"], v_from=va, v_to=vb).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "recursive_cte_tree_rollup",
+    oracle="""
+        WITH RECURSIVE anc(doc_id, node, hop) AS (
+            SELECT doc_id, doc_id, 0 FROM documents
+            UNION ALL
+            SELECT doc_id, node // 2, hop + 1 FROM anc WHERE node > 0
+        ), per_doc AS (
+            SELECT doc_id, max(hop) AS depth, sum(node) AS path_sum
+            FROM anc GROUP BY doc_id
+        )
+        SELECT depth, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(path_sum) AS BIGINT) AS total_path_sum
+        FROM per_doc GROUP BY depth
+    """,
+    doc="Recursive CTE (the Spark 4.1 WITH RECURSIVE surface): "
+        "hierarchical rollup over the implicit binary tree parent(n) = "
+        "n div 2 on doc ids — every document walks its ancestor chain "
+        "to the root, then per-depth counts and exact integer "
+        "path-sum checksums aggregate the closure. The recursion "
+        "engine-side materializes one frontier per level (13 levels at "
+        "sf0.1), each a scan-side projection of the previous — the "
+        "UNION ALL plan form Spark executes is the same unrolled-loop "
+        "shape the graph operators build by hand, now expressed "
+        "declaratively. All-integer arithmetic, exact cross-engine. "
+        "Hierarchy rollups (taxonomy trees, org charts, BOM "
+        "explosions) are a canonical warehouse recursion; depth is "
+        "log2(max id), so the closure is O(N log N) rows at any "
+        "corpus size (SURVEY.md 2.9/SQL front-end [EXT]).",
+    tags=("sql-api", "recursive"),
+)
+def recursive_cte_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("rcte_documents")
+    return spark.sql("""
+        WITH RECURSIVE anc(doc_id, node, hop) AS (
+            SELECT doc_id, doc_id, 0 FROM rcte_documents
+            UNION ALL
+            SELECT doc_id, node DIV 2, hop + 1 FROM anc WHERE node > 0
+        ), per_doc AS (
+            SELECT doc_id, max(hop) AS depth, sum(node) AS path_sum
+            FROM anc GROUP BY doc_id
+        )
+        SELECT depth, count(*) AS n_docs,
+               CAST(sum(path_sum) AS BIGINT) AS total_path_sum
+        FROM per_doc GROUP BY depth
+    """)
+
+
+@register(
+    "lateral_topk_orders_per_customer",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) o
+    """,
+    doc="LATERAL correlated subquery with ORDER BY + LIMIT (the SQL "
+        "cross-apply surface): each customer's top-3 orders by price. "
+        "The point is what Catalyst does with it — the per-row "
+        "subquery DECORRELATES into a single windowed rank over "
+        "orders with WindowGroupLimit pushdown (partial per-map-task "
+        "group limits: <= 3 rows per customer ship per task regardless "
+        "of skew) joined back to customer, NOT a nested loop per row — "
+        "asserted by the plan test. Semantics parity of "
+        "topk_per_group, expressed in the SQL front-end; customers "
+        "with no orders drop (inner lateral), identically on both "
+        "engines. Prices compare bit-exact (same parquet doubles, no "
+        "arithmetic) (SURVEY.md SQL front-end [EXT]).",
+    tags=("sql-api", "window", "topk"),
+)
+def lateral_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io.readers import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM lat_customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM lat_orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) o
+    """)

@@ -407,3 +407,58 @@ def test_tput_candidate_fetch_is_broadcast_semi_join(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lateral_limit_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The LATERAL ... ORDER BY ... LIMIT 3 subquery must decorrelate
+    into ONE windowed rank with WindowGroupLimit pushdown joined back
+    to customer — a per-customer-row nested-loop re-execution of the
+    subquery would be O(|customer|) subquery runs at scale."""
+    plan = _plan(spark, sf_dir, "lateral_topk_orders_per_customer")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # map-side group limit before the exchange
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recursive_cte_runs_native_union_loop(spark, sf_dir):
+    """WITH RECURSIVE must execute as Spark 4.1's native UnionLoop
+    operator (one materialized frontier per level), with no Python
+    anywhere in the closure computation."""
+    plan = _plan(spark, sf_dir, "recursive_cte_tree_rollup")
+    assert "UnionLoop" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Engine-capability receipt: with the creation/application size
+    thresholds scaled down to testdata size (production defaults —
+    10MB build side, 10GB probe side — trigger untouched at real
+    scale), Catalyst injects a runtime Bloom filter: the selective
+    orders filter builds a bloom_filter_agg and the lineitem scan is
+    pre-filtered by might_contain BEFORE the join shuffle, cutting the
+    probe-side shuffle by the join's selectivity."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -45,6 +45,8 @@ NOTES = {
     "distributed_topk_tput_bounds": "TPUT round 1 ships m*P candidate rows + per-node taus; round 2's exact fetch is a broadcast LEFT SEMI below the second groupBy (the dictionary tail is aggregated per node but never crosses nodes); final top-k = TakeOrderedAndProject",
     "hybrid_rrf_retrieval": "each leg keeps its own scale shape (BM25 inverted index + broadcast idf; dense broadcast-query cosine with TakeOrdered legs); the fusion full-outer join and the fused-rank window run over two <=50-row sides — constant cost at any corpus size",
     "adaboost_stumps_train": "one boosting round = the feature table crossed with a 24-row BROADCAST stump grid, ONE partial-agg shuffle of 24 (f,t,s) decimal sums, argmin = TakeOrderedAndProject(1); the reweight is a scan-side projection behind the per-round eager checkpoint",
+    "recursive_cte_tree_rollup": "Spark 4.1 native UnionLoop recursion: one materialized frontier per tree level (O(log maxid) levels), each a scan-side projection of the previous; no Python, no driver loop",
+    "lateral_topk_orders_per_customer": "LATERAL ORDER BY+LIMIT decorrelates to ONE windowed rank with WindowGroupLimit pushdown (<= 3 rows/customer leave each map task) hash-joined back — never a per-row nested-loop subquery",
     "disjunctive_predicate_revenue_q19": "Q19 shape: Catalyst factors the OR-of-conjunctions — part scan gets the brand/size disjunction pushed, lineitem scan gets the quantity disjunction, cross-side residual stays above the join; no nested loop",
     "waiting_orders_suppliers_q21": "Q21 EXISTS/NOT-EXISTS decorrelated to per-order distinct counts: two orderkey shuffles, no correlated self-joins, no cartesian",
     "connected_components_copurchase": "iterative: undirected edge list materialized ONCE (localCheckpoint barrier — upstream join otherwise executes 4x); adjacency cached/partitioned once; each round one O(V) label shuffle + min agg",
