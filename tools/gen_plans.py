@@ -41,7 +41,7 @@ NOTES = {
     "ewma_smoothing_per_series": "two partial-agg groupBys collapse orders to bounded per-series arrays; the EWMA fold is ONE Catalyst aggregate HOF projection — no window over an unpartitioned ordering, no Python",
     "table_profile_single_pass": "ONE parquet scan for all 24 column metrics: multi-count-distinct Expand + partial/final agg; the per-column-scan alternative reads the table N times",
     "kmv_theta_intersection_estimate": "two-phase mergeable sketch: per-(group,bucket) partial k-mins then k-of-union merge — executor agg state <= buckets*k rows; estimate math on two broadcast 1-row sides",
-    "naive_bayes_train_apply": "model = (vocab x classes) count table joined on the TOKEN key (the only dictionary-sized shuffle); class constants ride 5-row/1-row broadcasts; argmax window partitions by doc_id with WindowGroupLimit pushdown — zero Python, zero driver state",
+    "naive_bayes_train_apply": "model = per-term MAP of class counts joined on the TOKEN key — tf rows shuffle ONCE, the 5-class fan-out happens scan-side AFTER the join (5x fewer join-leg shuffle records at the 100x point); class constants ride 5-row/1-row broadcasts; argmax window partitions by doc_id with WindowGroupLimit pushdown — zero Python, zero driver state",
     "distributed_topk_tput_bounds": "TPUT round 1 ships m*P candidate rows + per-node taus; round 2's exact fetch is a broadcast LEFT SEMI below the second groupBy (the dictionary tail is aggregated per node but never crosses nodes); final top-k = TakeOrderedAndProject",
     "hybrid_rrf_retrieval": "each leg keeps its own scale shape (BM25 inverted index + broadcast idf; dense broadcast-query cosine with TakeOrdered legs); the fusion full-outer join and the fused-rank window run over two <=50-row sides — constant cost at any corpus size",
     "adaboost_stumps_train": "one boosting round = the feature table crossed with a 24-row BROADCAST stump grid, ONE partial-agg shuffle of 24 (f,t,s) decimal sums, argmin = TakeOrderedAndProject(1); the reweight is a scan-side projection behind the per-round eager checkpoint",
