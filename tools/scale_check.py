@@ -42,9 +42,20 @@ def replicated_corpus(spark, sf_dir: str, m: int):
     )
     parts = []
     for r in range(m):
-        lo = string.ascii_lowercase
-        up = string.ascii_uppercase
-        shifted = lo[r % 26:] + lo[: r % 26] + up[r % 26:] + up[: r % 26]
+        if r == 0:
+            shifted = ALPHA  # base replica is the corpus itself
+        else:
+            # per-replica seeded permutation of the 52-letter alphabet:
+            # the old Caesar shift wrapped at r % 26, so replicas >= 26
+            # REUSED a shift and cross-matched (a 50x run planted 137x
+            # pairs — tool artifact, not engine behavior); distinct
+            # random permutations keep the no-cross-match property at
+            # any multiplier while preserving within-replica structure
+            import random
+
+            letters = list(ALPHA)
+            random.Random(r).shuffle(letters)
+            shifted = "".join(letters)
         parts.append(
             near.select(
                 (F.col("doc_id") + r * 20_000_000).alias("doc_id"),
