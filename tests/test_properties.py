@@ -514,3 +514,62 @@ def test_connected_components_matches_bruteforce(spark, edges):
         for n in members:
             expected[n] = lo
     assert got == expected
+
+
+tput_tokens = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # node
+        st.sampled_from("abcdefgh"),                     # term
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW
+@given(toks=tput_tokens)
+def test_tput_bounds_sound_on_random_multisets(spark, toks):
+    """TPUT soundness over arbitrary (node, term) multisets — pure
+    integer math, so every property is exact:
+    (1) lower <= exact <= upper for every candidate;
+    (2) any term NOT in the candidate union has global count <= the
+        published tail cap sum(tau);
+    (3) every membership-certified term really is in the true global
+        top-k (no unreported term can outrank it)."""
+    from collections import Counter
+
+    from open_crime_etl_pipeline_spark.queries.llm import _tput_topk
+
+    m, k = 2, 3
+    tok = spark.createDataFrame(toks, "node long, term string")
+    out = _tput_topk(tok, m=m, k=k).collect()
+    exact = Counter(t for _, t in toks)
+    cand_terms = {r["term"] for r in out}
+
+    for r in out:
+        assert r["lower_bound"] <= r["exact_count"] <= r["upper_bound"], r
+        assert r["exact_count"] == exact[r["term"]], r
+    if out:
+        tail_cap = out[0]["tail_cap"]
+        # (2) every possible non-candidate term is capped by sum(tau).
+        # out only holds the top-k slice of candidates; recompute the
+        # full candidate union the same way the operator defines it.
+        local = Counter(toks)
+        reported = set()
+        for node in {n for n, _ in toks}:
+            node_counts = sorted(
+                ((c, t) for (n, t), c in local.items() if n == node),
+                key=lambda x: (-x[0], x[1]),
+            )
+            reported |= {t for _, t in node_counts[:m]}
+        for term, cnt in exact.items():
+            if term not in reported:
+                assert cnt <= tail_cap, (term, cnt, tail_cap)
+        # (3) certified => member of the true global top-k
+        true_topk = {
+            t for t, _ in sorted(exact.items(), key=lambda x: (-x[1], x[0]))[:k]
+        }
+        for r in out:
+            if r["membership_certified"]:
+                assert r["term"] in true_topk, r
+        assert cand_terms <= reported
