@@ -5165,11 +5165,13 @@ def _naive_bayes_predict(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
         "doc_id", "lang", F.explode(TS.tokens("text")).alias("term")
     ).localCheckpoint(eager=True)  # 4 downstream branches, one tokenize
     tf = tok.groupBy("doc_id", "lang", "term").agg(F.count(F.lit(1)).alias("tf"))
-    classes = docs.select(F.col("lang").alias("cls")).distinct()
+    # one docs scan feeds all three class-constant sides: classes and
+    # the doc total are derived from the |classes|-row prior table
     pri = docs.groupBy(F.col("lang").alias("cls")).agg(
         F.count(F.lit(1)).alias("n_docs")
-    )
-    tot = docs.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    ).localCheckpoint(eager=True)
+    classes = pri.select("cls")
+    tot = pri.agg(F.sum("n_docs").cast("double").alias("n_total"))
     cwc = tok.groupBy("term", F.col("lang").alias("cls")).agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -5597,11 +5599,7 @@ def _ada_features(docs: DataFrame) -> DataFrame:
 
 
 def _ada_x(f: int):
-    return (
-        F.when(F.lit(f) == 1, F.col("x1"))
-        .when(F.lit(f) == 2, F.col("x2"))
-        .otherwise(F.col("x3"))
-    )
+    return F.col(f"x{f}")  # f is a compile-time-constant feature index
 
 
 def _adaboost_train(feat: DataFrame, k: int = 3) -> list:

@@ -241,16 +241,17 @@ def kmv_theta_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFra
 
     # every CASE guards on SKETCH length: |sketch| < k means the sketch
     # holds the entire distinct hash set (lossless below k), so the
-    # "estimate" is exact — no separate exact-distinct scan needed
+    # "estimate" is exact — no separate exact-distinct scan needed.
+    # The least() clamp keeps element_at in bounds even if a future
+    # rewrite stops CASE from short-circuiting the otherwise branch
+    # (ANSI element_at throws on out-of-range).
     def est(sketch):
         kth = F.element_at(sketch, F.least(F.size(sketch), F.lit(_K)))
         return F.when(F.size(sketch) < _K, F.size(sketch).cast("double")).otherwise(
             F.lit(float(_K - 1)) * F.lit(float(_M)) / kth.cast("double")
         )
 
-    est_u = F.when(F.size("sku") < _K, F.size("sku").cast("double")).otherwise(
-        F.lit(float(_K - 1)) * F.lit(float(_M)) / F.element_at("sku", _K).cast("double")
-    )
+    est_u = est(F.col("sku"))
     est_i = (F.col("rho").cast("double") / F.lit(float(_K))) * est_u
     return row.select(
         F.round(est(F.col("ska")), 6).alias("est_distinct_a"),

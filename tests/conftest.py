@@ -6,6 +6,7 @@ from open_crime_etl_pipeline_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 SF_DIR_MID = "/root/testdata/sf0.01"
+SF_DIR_BIG = "/root/testdata/sf0.1"
 
 
 @pytest.fixture(scope="session")

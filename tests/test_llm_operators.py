@@ -1642,9 +1642,9 @@ def test_hybrid_rrf_fuses_partial_coverage_and_recomputes(spark):
     emitted ranks (missing leg contributes 0)."""
     from open_crime_etl_pipeline_spark.queries import all_specs
 
-    rows = all_specs()["hybrid_rrf_retrieval"].fn(
-        spark, "/root/testdata/sf0.1"
-    ).collect()
+    from tests.conftest import SF_DIR_BIG
+
+    rows = all_specs()["hybrid_rrf_retrieval"].fn(spark, SF_DIR_BIG).collect()
     assert [r["fused_rank"] for r in rows] != []
     assert sorted(r["fused_rank"] for r in rows) == list(range(1, len(rows) + 1))
     for r in rows:
@@ -1704,7 +1704,9 @@ def test_adaboost_orthogonality_invariant_and_error_bound(spark):
                         for wi, (y, *xs) in zip(w, pts)
                         if (s if xs[f] > t else -s) != y
                     )
-                    key = (e, f + 1, t, -0 if s == 1 else 1)  # s=1 sorts first
+                    # same ORDER BY e, f, t, s ASC as engine and oracle
+                    # (s = -1 wins a full tie, ascending)
+                    key = (e, f + 1, t, s)
                     if best is None or key < best[0]:
                         best = (key, f, t, s, e)
         _, bf, bt, bs, be = best

@@ -45,17 +45,21 @@ def replicated_corpus(spark, sf_dir: str, m: int):
         if r == 0:
             shifted = ALPHA  # base replica is the corpus itself
         else:
-            # per-replica seeded permutation of the 52-letter alphabet:
-            # the old Caesar shift wrapped at r % 26, so replicas >= 26
-            # REUSED a shift and cross-matched (a 50x run planted 137x
-            # pairs — tool artifact, not engine behavior); distinct
-            # random permutations keep the no-cross-match property at
-            # any multiplier while preserving within-replica structure
+            # per-replica seeded permutation of the LOWERCASE alphabet,
+            # mirrored onto uppercase: the old Caesar shift wrapped at
+            # r % 26, so replicas >= 26 REUSED a shift and cross-matched
+            # (a 50x run planted 137x pairs — tool artifact, not engine
+            # behavior); distinct random permutations keep the
+            # no-cross-match property at any multiplier. Mirroring
+            # (not shuffling all 52 letters independently) keeps the
+            # permutation COMMUTING with lowercase normalization, so
+            # exact_dedup's case-insensitive dup classes replicate
+            # exactly too.
             import random
 
-            letters = list(ALPHA)
-            random.Random(r).shuffle(letters)
-            shifted = "".join(letters)
+            lo = list(string.ascii_lowercase)
+            random.Random(r).shuffle(lo)
+            shifted = "".join(lo) + "".join(c.upper() for c in lo)
         parts.append(
             near.select(
                 (F.col("doc_id") + r * 20_000_000).alias("doc_id"),

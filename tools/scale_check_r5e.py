@@ -111,6 +111,8 @@ def _replicated_docs(spark, sf_dir: str, m: int):
 
 def main() -> None:
     ms = [int(a) for a in sys.argv[1:]] or [1, 5, 10]
+    if ms[0] != 1:
+        ms = [1] + ms  # every invariant compares against the m=1 baseline
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = _spark()
     from pyspark.sql import functions as F
