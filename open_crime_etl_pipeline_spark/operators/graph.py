@@ -427,6 +427,13 @@ def connected_components_star(
     eagerly checkpointed (lineage truncation) and the fixpoint test is
     exact: equal cardinality + empty anti-join against the previous
     round's set, one small job per round.
+
+    Contract: labels are returned ONLY from a verified fixpoint — if
+    ``max_iters`` rounds pass without one, the call raises rather than
+    returning a partial contraction (whose labels would not be
+    component minima). ``rounds_used == max_iters`` in a successful
+    return therefore means "converged on the final round", never
+    "budget exhausted".
     """
     e = (
         edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
@@ -475,6 +482,20 @@ def connected_components_star(
             e = small
             break
         e = small
+    else:
+        # Exhausting the budget is an ERROR, not a result: a partial
+        # contraction is NOT a star forest, so the label read-out below
+        # would silently return wrong components. Callers previously had
+        # to guess non-convergence from rounds == max_iters — ambiguous,
+        # because legitimate convergence ON the final round returns the
+        # same count. The operator now owns the contract: labels are
+        # returned only from a verified fixpoint.
+        raise RuntimeError(
+            f"star contraction did not reach a fixpoint in {max_iters} "
+            "rounds — raise max_iters (convergence is O(log d) rounds, "
+            "so this means a pathologically deep graph or a budget far "
+            "below log2(diameter))"
+        )
     # fixpoint edge set is a star forest: (component_min, member)
     labels = (
         e.select(F.col("b").alias("node"), F.col("a").alias("label"))

@@ -256,19 +256,15 @@ def connected_components_converged(spark: SparkSession, sf_dir: str) -> DataFram
         "oracle as connected_components_converged states the result "
         "(12 rounds ≥ measured diameter 5 at both SFs, and that "
         "sibling query raises if convergence ever nears the unroll "
-        "depth). The query also asserts the star fixpoint was reached "
-        "inside its own round budget rather than returning a partial "
-        "contraction (§2 [EXT] iterative).",
+        "depth). Non-convergence cannot return a partial contraction: "
+        "the operator itself raises when the round budget exhausts "
+        "without a verified fixpoint, so labels here are fixpoint "
+        "labels by contract (§2 [EXT] iterative).",
     tags=("graph", "iterative"),
 )
 def connected_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
-    labels, rounds = G.connected_components_star(edges, max_iters=30)
-    if rounds >= 30:
-        raise AssertionError(
-            f"star contraction hit the {rounds}-round budget without a "
-            "fixpoint — raise max_iters"
-        )
+    labels, _rounds = G.connected_components_star(edges, max_iters=30)
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count("*").alias("n_nodes")
     )

@@ -228,6 +228,27 @@ def test_star_cc_logarithmic_rounds_on_path(spark):
     assert rounds <= 10  # log2(63) ≈ 6; measured 7 incl. detection
 
 
+def test_star_cc_raises_on_budget_exhaustion(spark):
+    """A budget too small for the graph's depth must RAISE, never
+    return a partial contraction — and convergence exactly ON the
+    final round must still succeed (the two cases a bare
+    rounds == max_iters readout cannot distinguish)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = spark.range(63).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        G.connected_components_star(path, max_iters=2)
+    # same graph, budget == exact rounds needed: find the true round
+    # count, then re-run with max_iters pinned to it — must succeed
+    _, rounds = G.connected_components_star(path, max_iters=30)
+    labels, used = G.connected_components_star(path, max_iters=rounds)
+    assert used == rounds
+    assert all(r.label == 0 for r in labels.collect())
+
+
 def test_star_cc_handles_duplicates_selfloops_orientation(spark):
     """Same input-normalization contract as the other CC variants:
     duplicates, both orientations, and self-loops are cleaned."""
