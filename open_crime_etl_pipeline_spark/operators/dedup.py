@@ -955,14 +955,26 @@ def repeated_substring_excision(
             ).alias("gram"),
         )
     )
-    enc = F.col(id_col) * F.lit(1_000_000) + F.col("pos")
+    # Canonical occurrence = lexicographic min(struct(doc, pos)) — a
+    # struct min, NOT an arithmetic doc*K+pos encoding: the encoding
+    # collides once a document holds >= K tokens (doc 5 pos K+1 ==
+    # doc 6 pos 1) and breaks outright for non-numeric ids, silently
+    # mis-canonizing exactly at the corpus scale this operator targets
+    # (struct comparison is lexicographic field order on both engines).
     gstats = cand.groupBy("gram").agg(
         F.count("*").alias("n_occ"),
-        F.min(F.col(id_col) * F.lit(1_000_000) + F.col("pos")).alias("canon"),
+        F.min(F.struct(F.col(id_col).alias("cd"), F.col("pos").alias("cp")))
+        .alias("canon"),
     )
     flagged = (
         cand.join(gstats, "gram")
-        .filter((F.col("n_occ") > 1) & (enc != F.col("canon")))
+        .filter(
+            (F.col("n_occ") > 1)
+            & ~(
+                (F.col(id_col) == F.col("canon.cd"))
+                & (F.col("pos") == F.col("canon.cp"))
+            )
+        )
         .select(id_col, "pos")
     )
     covered = flagged.select(

@@ -3810,14 +3810,17 @@ _CCNET_HEADER = "shared header line for every document in corpus "
                                    ' ') AS gram
             FROM tn, unnest(generate_series(1, n - 14)) u(i)
             WHERE n >= 15
-        ), g AS (
-            SELECT gram, count(*) AS n_occ,
-                   min(doc_id * 1000000 + pos) AS canon
-            FROM pos GROUP BY gram
+        ), pr AS (
+            -- canonical occurrence = lexicographic-min (doc_id, pos),
+            -- stated as rank 1 under ORDER BY (doc_id, pos) — mirrors
+            -- the engine's min(struct(doc, pos)) exactly
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY gram) AS n_occ
+            FROM pos
         ), flagged AS (
-            SELECT p.doc_id, p.pos
-            FROM pos p JOIN g USING (gram)
-            WHERE g.n_occ > 1 AND p.doc_id * 1000000 + p.pos != g.canon
+            SELECT doc_id, pos FROM pr WHERE n_occ > 1 AND rn > 1
         ), covered AS (
             SELECT DISTINCT doc_id, CAST(j AS BIGINT) AS i
             FROM flagged, unnest(generate_series(pos, pos + 14)) v(j)
@@ -5641,6 +5644,19 @@ def _adaboost_train(feat: DataFrame, k: int = 3) -> list:
             .collect()[0]
         )
         e_num, tot = int(best["e"]), int(best["tot"])
+        # The output schema carries err_num/total_weight as BIGINT while
+        # the training loop keeps weights in DECIMAL(38,0) precisely
+        # because the multiplicative products outgrow 2^63 (by round 3
+        # at sf0.1 the WEIGHTS do; the emitted per-round SUMS stay well
+        # under int64 for k<=3 on this corpus). Guard the narrowing
+        # explicitly instead of letting createDataFrame overflow later:
+        if tot >= 2**63:
+            raise OverflowError(
+                f"round {r}: total_weight {tot} exceeds int64 — the "
+                "BIGINT output schema only has headroom for k<=3 rounds "
+                "at this corpus size; widen the output to decimal(38,0) "
+                "before raising k"
+            )
         if not 0 < e_num < tot:
             raise ValueError(
                 f"round {r}: stump error {e_num}/{tot} is degenerate — "

@@ -1106,6 +1106,58 @@ def test_repeated_substring_excision_planted_passage(spark):
     assert got[3]["n_excised"] == 0 and got[3]["n_kept"] == 6
 
 
+def test_repeated_substring_excision_million_position_collision(spark):
+    """Canonical-occurrence selection must survive a >=1e6-token
+    document. The retired arithmetic key (doc_id*1e6 + pos) COLLIDES
+    here: (doc 5, pos 1_000_001) and (doc 6, pos 1) both encoded to
+    6_000_001, so `enc != canon` held for NEITHER occurrence and the
+    duplicate passage silently survived (n_excised == 0). The
+    struct-min canonical key keeps (5, 1_000_001) — lexicographic
+    min — and excises doc 6's copy in full."""
+    import hashlib
+
+    from open_crime_etl_pipeline_spark.operators.dedup import (
+        repeated_substring_excision,
+    )
+
+    shared = [f"s{i}" for i in range(15)]
+    big = [f"f{i}" for i in range(1_000_000)] + shared + [
+        f"g{i}" for i in range(5)
+    ]  # shared gram at 1-based pos 1_000_001; n = 1_000_020
+    rows = [(5, " ".join(big)), (6, " ".join(shared))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repeated_substring_excision(df, min_len=15).collect()
+    }
+    assert got[5]["n_tokens"] == 1_000_020
+    assert got[5]["n_excised"] == 0 and got[5]["n_kept"] == 1_000_020
+    assert got[6]["n_excised"] == 15 and got[6]["n_spans"] == 1
+    assert got[6]["n_kept"] == 0
+    assert got[6]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_repeated_substring_excision_string_ids(spark):
+    """Non-numeric document ids must work (the arithmetic encoding
+    required integer ids); canonical = lexicographic (id, pos) min."""
+    from open_crime_etl_pipeline_spark.operators.dedup import (
+        repeated_substring_excision,
+    )
+
+    shared = [f"s{i}" for i in range(15)]
+    rows = [
+        ("doc-b", " ".join(shared + ["tail1"])),
+        ("doc-a", " ".join(["head1"] + shared)),  # canonical: 'doc-a' < 'doc-b'
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repeated_substring_excision(df, min_len=15).collect()
+    }
+    assert got["doc-a"]["n_excised"] == 0 and got["doc-a"]["n_kept"] == 16
+    assert got["doc-b"]["n_excised"] == 15 and got["doc-b"]["n_kept"] == 1
+
+
 def test_repeated_substring_excision_disjoint_spans_merge(spark):
     """Two separated repeats in one doc yield TWO merged spans; an
     overlapping chain of repeated grams yields one."""
