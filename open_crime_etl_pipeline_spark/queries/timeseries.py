@@ -16,9 +16,11 @@ Scale notes: each series here is bounded (5 priorities × ~200 days,
 task after a single groupBy — parallel ACROSS series, sequential
 within one, which is the honest shape for stateful recurrences.
 EWMA specifically is a linear recurrence and therefore also admits a
-Blelloch parallel prefix over affine-map composition ((a,b)∘(c,d) =
-(ac, ad+b)) if a single series ever outgrows one task; CUSUM's
-max(0,·) clamp does not compose associatively, so per-series
+Blelloch parallel prefix over affine-map composition — IMPLEMENTED as
+``operators/scan.py::ewma_affine_scan`` and registered here as
+``ewma_affine_scan`` (chunks a series across tasks; the shape that
+survives a single series longer than one task's array budget).
+CUSUM's max(0,·) clamp does not compose associatively, so per-series
 sequential is the true lower bound there — shard by series key,
 never by time.
 """
@@ -125,10 +127,11 @@ def ewma_smoothing_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy(priority) collecting the bounded day series, then a
     single Catalyst `aggregate` HOF runs the fold JVM-side and
     posexplodes the smoothed path — no Python, no window over an
-    unpartitioned ordering. The recurrence is linear, so if one
-    series ever outgrew a task it could be re-expressed as a parallel
-    prefix of affine maps; at any realistic cardinality the
-    per-series fold inside a task is faster.
+    unpartitioned ordering. The recurrence is linear, so when one
+    series outgrows a task it re-expresses as a parallel prefix of
+    affine maps — that variant is implemented and registered as
+    ``ewma_affine_scan``; at bounded cardinality this per-series fold
+    inside a task is faster (and bit-exact vs the oracle).
     """
     orders = _t(spark, sf_dir, "orders")
     daily = (
@@ -169,6 +172,69 @@ def ewma_smoothing_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.day").alias("day"),
         F.col("p.x").cast("bigint").alias("n_orders"),
         F.round(F.col("p.e"), 6).alias("ewma"),
+    )
+
+
+@register(
+    "ewma_affine_scan",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT o_orderpriority AS priority,
+                   strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS DOUBLE) AS x,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY strftime(o_orderdate, '%Y-%m-%d')) AS rn
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+            GROUP BY 1, 2
+        ), rec AS (
+            SELECT priority, day, rn, x, x AS e FROM daily WHERE rn = 1
+            UNION ALL
+            SELECT d.priority, d.day, d.rn, d.x, 0.2 * d.x + 0.8 * r.e
+            FROM daily d JOIN rec r ON d.priority = r.priority AND d.rn = r.rn + 1
+        )
+        SELECT priority, day, CAST(x AS BIGINT) AS n_orders, round(e, 6) AS ewma
+        FROM rec
+    """,
+    doc="The SAME EWMA as ewma_smoothing_per_series, computed by the "
+    "Blelloch segmented prefix scan over affine-map composition "
+    "((a,b)∘(c,d) = (ac, cb+d)) instead of a bounded per-series fold "
+    "— the 100-TB shape for a single series too long for one task's "
+    "array budget: chunk-local prefixes (arrays bounded by CHUNK "
+    "size), a per-series scalar carry fold over the tiny chunk "
+    "summaries, and a broadcast join applying the entering state "
+    "element-wise (operators/scan.py). Chunks here are calendar "
+    "months over day keys. The scan reassociates the fold's FP ops, "
+    "so it matches the sequential recursive-CTE oracle to ~n·eps "
+    "(~1e-12) rather than bit-for-bit; outputs round at 6dp with six "
+    "orders of magnitude of margin, making the differential a proof "
+    "that chunking the recurrence across tasks preserves its values "
+    "(tools/scale_check_r6.py measures the fold-infeasible regime).",
+    tags=("timeseries", "scan"),
+)
+def ewma_affine_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scan import ewma_affine_scan
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    out = ewma_affine_scan(
+        daily, "priority", "day", "x", F.substring("day", 1, 7), alpha=0.2
+    )
+    return out.select(
+        "priority",
+        "day",
+        F.col("x").cast("bigint").alias("n_orders"),
+        F.round("ewma", 6).alias("ewma"),
     )
 
 

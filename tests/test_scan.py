@@ -1,0 +1,112 @@
+"""operators/scan.py — segmented affine prefix scan (distributed EWMA).
+
+The property under test everywhere: the chunked scan replays the
+sequential recurrence s_1 = x_1, s_t = a*x_t + (1-a)*s_{t-1} for every
+element of every series, regardless of how the series is cut into
+chunks — chunking is an execution detail, never a semantic one.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from open_crime_etl_pipeline_spark.operators.scan import ewma_affine_scan
+
+
+def _sequential(rows, alpha=0.2):
+    exp = {}
+    by_series: dict = {}
+    for s, o, x in rows:
+        by_series.setdefault(s, []).append((o, x))
+    for s, items in by_series.items():
+        e = None
+        for o, x in sorted(items):
+            e = x if e is None else alpha * x + (1.0 - alpha) * e
+            exp[(s, o)] = e
+    return exp
+
+
+def _check(rows, got, tol=1e-9, alpha=0.2):
+    exp = _sequential(rows, alpha)
+    assert len(got) == len(rows)
+    for r in got:
+        key = (r[0], r[1])
+        assert abs(r.ewma - exp[key]) <= tol, (key, r.ewma, exp[key])
+
+
+def test_scan_matches_sequential_across_chunk_boundaries(spark):
+    rng = random.Random(7)
+    rows = []
+    for s in ("a", "b", "c"):
+        for m in range(1, 5):
+            for d in range(1, 1 + rng.randrange(1, 28)):
+                rows.append((s, f"2001-{m:02d}-{d:02d}", float(rng.randrange(1, 50))))
+    df = spark.createDataFrame(rows, ["series", "day", "x"])
+    got = ewma_affine_scan(df, "series", "day", "x", F.substring("day", 1, 7)).collect()
+    _check(rows, got)
+
+
+def test_scan_chunk_granularity_is_semantically_invisible(spark):
+    """Month chunks, year chunks (single chunk), and day chunks (one
+    element per chunk) must all give the same answer to ~n*eps."""
+    rng = random.Random(13)
+    rows = [
+        ("s", f"2001-{m:02d}-{d:02d}", float(rng.randrange(1, 30)))
+        for m in range(1, 7)
+        for d in range(1, 25)
+    ]
+    df = spark.createDataFrame(rows, ["series", "day", "x"])
+    outs = []
+    for chunk in (F.substring("day", 1, 7), F.substring("day", 1, 4), F.col("day")):
+        got = ewma_affine_scan(df, "series", "day", "x", chunk).collect()
+        _check(rows, got, tol=1e-9)
+        outs.append({(r.series, r.day): r.ewma for r in got})
+    for other in outs[1:]:
+        assert all(abs(outs[0][k] - other[k]) <= 1e-9 for k in outs[0])
+
+
+def test_scan_single_element_series_and_seed(spark):
+    """s_1 = x_1 exactly at 6dp (the seed contract); a one-element
+    series and a one-element chunk are both fine."""
+    rows = [("lone", "2001-01-01", 7.0), ("pair", "2001-01-31", 3.0),
+            ("pair", "2001-02-01", 9.0)]
+    df = spark.createDataFrame(rows, ["series", "day", "x"])
+    got = {
+        (r.series, r.day): r.ewma
+        for r in ewma_affine_scan(
+            df, "series", "day", "x", F.substring("day", 1, 7)
+        ).collect()
+    }
+    assert round(got[("lone", "2001-01-01")], 6) == 7.0
+    assert round(got[("pair", "2001-01-31")], 6) == 3.0
+    assert abs(got[("pair", "2001-02-01")] - (0.2 * 9.0 + 0.8 * 3.0)) < 1e-12
+
+
+def test_scan_alpha_parameter(spark):
+    rows = [("s", f"2001-01-{d:02d}", float(d * d % 11)) for d in range(1, 20)]
+    df = spark.createDataFrame(rows, ["series", "day", "x"])
+    got = ewma_affine_scan(
+        df, "series", "day", "x", F.substring("day", 1, 7), alpha=0.5
+    ).collect()
+    _check(rows, got, alpha=0.5)
+
+
+def test_scan_many_chunks_one_series(spark):
+    """A single series cut into 32 chunks across 8 partitions — the
+    shape the operator exists for (series > one task)."""
+    n = 2048
+    df = (
+        spark.range(n)
+        .repartition(8)
+        .select(
+            F.lit("s").alias("series"),
+            F.format_string("%06d", F.col("id")).alias("k"),
+            (F.col("id") % 97).cast("double").alias("x"),
+            F.format_string("%02d", (F.col("id") / 64).cast("int")).alias("ck"),
+        )
+    )
+    rows = [("s", f"{i:06d}", float(i % 97)) for i in range(n)]
+    got = ewma_affine_scan(df, "series", "k", "x", F.col("ck")).collect()
+    _check(rows, got, tol=1e-8)
