@@ -503,3 +503,112 @@ def streaming_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> Data
          .otherwise(F.lit("right_only")).alias("match_type"),
     )
     return _run_to_table(out, "stream_ij_fouter")
+
+
+@register(
+    "streaming_socrata_ingest",
+    # Deterministic offline endpoint (fake://120 over 2025-01..2025-03)
+    # => the entire drained-ingest projection is a fixed golden table:
+    # per month window, the row/id/arrest counts of the landed data AND
+    # the landing checkpoint's _COMPLETE page cursor (pagesize 60 =>
+    # each 120-row window ends at page 1). Any drift in offset
+    # accounting, page termination, replay, or exactly-once sink
+    # semantics changes one of these cells.
+    oracle="""
+        SELECT * FROM (VALUES
+            ('2025-01', CAST(120 AS BIGINT), CAST(120 AS BIGINT),
+             CAST(24 AS BIGINT), 1),
+            ('2025-02', CAST(120 AS BIGINT), CAST(120 AS BIGINT),
+             CAST(24 AS BIGINT), 1),
+            ('2025-03', CAST(120 AS BIGINT), CAST(120 AS BIGINT),
+             CAST(24 AS BIGINT), 1)
+        ) AS t(month, n_rows, n_ids, n_arrests, last_page)
+    """,
+    doc="The Socrata source as a REAL Structured Streaming source "
+        "(sources/socrata.py::SocrataStreamReader): the reference's "
+        "{last_window, last_page} XCom cursor restated as streaming "
+        "offsets ({'window': i, 'page': p}), ST5's page-landing "
+        "checkpoint wired into read/readBetweenOffsets so replay "
+        "serves from the lake and never refetches. This query drains "
+        "the 3-month fake endpoint through repeated availableNow runs "
+        "(pages_per_batch=3 — every run restarts from Spark's "
+        "committed offset log, exercising resume 4x) into an "
+        "exactly-once parquet sink, then projects the ingest ledger: "
+        "per-month counts plus each window's landed _COMPLETE page "
+        "cursor. The kill/resume pytest (test_socrata_source.py) "
+        "additionally murders a run mid-stream and proves the "
+        "fetchlog stays one-marker-per-page (§2.8 ST5/ST6 at scale).",
+    tags=("streaming", "source", "incremental"),
+)
+def streaming_socrata_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import gzip
+    import json
+    import shutil
+
+    from ..sources.socrata import register_socrata_source
+
+    register_socrata_source(spark)
+    land = tempfile.mkdtemp(prefix="soc_land_")
+    ckpt = tempfile.mkdtemp(prefix="soc_ckpt_")
+    sink = tempfile.mkdtemp(prefix="soc_sink_") + "/out"
+    try:
+        def run_once():
+            stream = (
+                spark.readStream.format("socrata_crime")
+                .option("endpoint", "fake://120")
+                .option("pagesize", 60)
+                .option("pages_per_batch", 3)
+                .option("start_date", "2025-01-01T00:00:00.000")
+                .option("end_date", "2025-04-01T00:00:00.000")
+                .option("checkpoint_dir", land)
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        prev = -1
+        for _ in range(10):  # drain: availableNow == one read() per run
+            run_once()
+            n = spark.read.parquet(sink).count()
+            if n == prev:
+                break
+            prev = n
+        rows = (
+            spark.read.parquet(sink)
+            .groupBy(F.substring("updated_on", 1, 7).alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("id").alias("n_ids"),
+                F.sum(
+                    F.when(F.col("arrest") == "true", 1).otherwise(0)
+                ).alias("n_arrests"),
+            )
+            .collect()
+        )
+        cursors = {}
+        for cfile in glob.glob(os.path.join(land, "window=*", "_COMPLETE")):
+            month = os.path.basename(os.path.dirname(cfile))[len("window="):][:7]
+            with open(cfile, encoding="utf-8") as fh:
+                cursors[month] = json.load(fh)["last_page"]
+        out = [
+            (r["month"], r["n_rows"], r["n_ids"], r["n_arrests"],
+             cursors[r["month"]])
+            for r in sorted(rows, key=lambda r: r["month"])
+        ]
+        return spark.createDataFrame(
+            out,
+            "month string, n_rows long, n_ids long, n_arrests long, "
+            "last_page int",
+        )
+    finally:
+        shutil.rmtree(land, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(sink), ignore_errors=True)

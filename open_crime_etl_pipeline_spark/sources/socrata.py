@@ -48,6 +48,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    SimpleDataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -495,9 +496,166 @@ class SocrataReader(DataSourceReader):
                     yield tuple(rec.get(name) for name in self.field_names)
 
 
+class SocrataStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of the Socrata scan (SURVEY.md §2.8 ST5/ST6 at
+    scale): the reference's ``{last_window, last_page}`` XCom cursor
+    (crime_etl.py:131-169, 190-228) restated as REAL Structured
+    Streaming offsets — ``{"window": i, "page": p}`` is the next
+    unread page, Spark's offset log owns exactly-once progress, and a
+    restarted query resumes from the committed cursor instead of an
+    Airflow variable.
+
+    Per micro-batch, up to ``pages_per_batch`` pages are fetched
+    (rate-limiting knob); a window ends on its first empty page
+    (reference termination, extract.py:37-38) and the cursor rolls to
+    the next month window. When ``checkpoint_dir`` is set, every
+    fetched page lands atomically as gzip-JSON keyed (window, page) —
+    the same landing-zone format as the batch reader — so
+    ``readBetweenOffsets`` (Spark's replay of a committed-but-
+    unfinished batch after a crash) serves entirely from the lake and
+    NEVER refetches a landed page; ``_fetchlog/`` markers make the
+    at-most-once-per-page property assertable in tests.
+
+    Scale shape: the page cursor is inherently sequential (page N+1's
+    existence is only known after page N), so this reader is the
+    low-volume incremental TAIL — the driver-side loop is O(pages per
+    trigger), rows redistribute to executors immediately after
+    ingest. Backfill volume goes through the batch reader, which fans
+    month windows across executors (see module docstring).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.field_names = [f.name for f in schema.fields]
+        self.endpoint = options.get("endpoint", "fake://12000")
+        self.pagesize = int(options.get("pagesize", DEFAULT_PAGESIZE))
+        self.pages_per_batch = int(options.get("pages_per_batch", 10))
+        self.start = options.get("start_date", DEFAULT_START)
+        self.end = options.get("end_date", DEFAULT_END)
+        self.retries = int(options.get("retries", 3))
+        self.retry_delay = float(options.get("retry_delay", 1.0))
+        self.checkpoint_dir = options.get("checkpoint_dir")
+        self.windows = [
+            (_fmt_ts(a), _fmt_ts(b))
+            for a, b in month_windows(_parse_ts(self.start), _parse_ts(self.end))
+        ]
+        self._failed_once: set = set()
+
+    def initialOffset(self) -> dict:
+        return {"window": 0, "page": 0}
+
+    # -- paging ----------------------------------------------------------
+    def _fetch(self, w: int, pagenum: int) -> list:
+        ws, we = self.windows[w]
+        fake_rows = fail_every = None
+        if self.endpoint.startswith("fake://"):
+            fake_rows = int(self.endpoint[len("fake://"):])
+        elif self.endpoint.startswith("flaky://"):
+            spec = self.endpoint[len("flaky://"):]
+            rows_s, fail_s = spec.split(":")
+            fake_rows, fail_every = int(rows_s), int(fail_s)
+
+        def fetch():
+            if fail_every is not None:
+                key = (w, pagenum)
+                if (
+                    pagenum % fail_every == fail_every - 1
+                    and key not in self._failed_once
+                ):
+                    self._failed_once.add(key)
+                    raise ConnectionError(f"injected fault on page {w}/{pagenum}")
+            if fake_rows is not None:
+                return _fake_page(
+                    fake_rows, _parse_ts(ws), _parse_ts(we), pagenum, self.pagesize
+                )
+            return _http_page(self.endpoint, ws, we, pagenum, self.pagesize)
+
+        return _with_retries(fetch, self.retries, self.retry_delay)
+
+    def _page(self, w: int, pagenum: int) -> list:
+        """One page, served from the landing checkpoint when landed,
+        else fetched (and landed atomically when a checkpoint dir is
+        configured) — the batch reader's ST5 contract, page-addressed
+        by the streaming offset."""
+        if not self.checkpoint_dir:
+            return self._fetch(w, pagenum)
+        import gzip
+        import os
+        import uuid
+
+        wdir = os.path.join(
+            self.checkpoint_dir,
+            f"window={self.windows[w][0].replace(':', '-')}__stream-{self.pagesize}",
+        )
+        os.makedirs(os.path.join(wdir, "_fetchlog"), exist_ok=True)
+        pfile = os.path.join(wdir, f"page-{pagenum:05d}.json.gz")
+        complete = os.path.join(wdir, "_COMPLETE")
+        if os.path.exists(pfile):
+            with gzip.open(pfile, "rt", encoding="utf-8") as fh:
+                return json.load(fh)
+        if os.path.exists(complete):
+            return []  # cursor says the window ended before this page
+        page = self._fetch(w, pagenum)
+        log = os.path.join(wdir, "_fetchlog", f"page-{pagenum:05d}.{uuid.uuid4().hex}")
+        with open(log, "w", encoding="utf-8"):
+            pass
+        if not page:
+            tmp = complete + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump({"last_page": pagenum - 1}, fh)
+            os.replace(tmp, complete)
+            return []
+        tmp = pfile + f".tmp.{uuid.uuid4().hex}"
+        with gzip.open(tmp, "wt", encoding="utf-8") as fh:
+            json.dump(page, fh)
+        os.replace(tmp, pfile)
+        return page
+
+    def _rows(self, page: list):
+        for rec in page:
+            yield tuple(rec.get(name) for name in self.field_names)
+
+    # -- offset protocol --------------------------------------------------
+    def read(self, start: dict):
+        w, p = int(start["window"]), int(start["page"])
+        rows: list = []
+        fetched = 0
+        while fetched < self.pages_per_batch and w < len(self.windows):
+            page = self._page(w, p)
+            fetched += 1
+            if not page:
+                w, p = w + 1, 0  # window exhausted — roll the cursor
+                continue
+            rows.extend(self._rows(page))
+            p += 1
+        return iter(rows), {"window": w, "page": p}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        """Deterministic replay of [start, end) after a restart: walks
+        the same cursor path; every page inside the range is served
+        from the landing checkpoint when configured (no refetch — the
+        kill/resume pytest asserts the fetchlog stays single-marker)."""
+        w, p = int(start["window"]), int(start["page"])
+        ew, ep = int(end["window"]), int(end["page"])
+        rows: list = []
+        while (w, p) < (ew, ep) and w < len(self.windows):
+            page = self._page(w, p)
+            if not page:
+                w, p = w + 1, 0
+                continue
+            rows.extend(self._rows(page))
+            p += 1
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # landed pages are the durable state; offsets live in Spark's log
+
+
 class SocrataCrimeDataSource(DataSource):
     """``spark.read.format("socrata_crime")`` — options: endpoint,
-    start_date, end_date, pagesize, max_pages."""
+    start_date, end_date, pagesize, max_pages. Also a streaming
+    source: ``spark.readStream.format("socrata_crime")`` with the
+    same options plus ``pages_per_batch`` (see SocrataStreamReader).
+    """
 
     @classmethod
     def name(cls) -> str:
@@ -509,9 +667,32 @@ class SocrataCrimeDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return SocrataReader(schema, dict(self.options))
 
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return SocrataStreamReader(schema, dict(self.options))
+
 
 def register_socrata_source(spark) -> None:
+    import os
+
     # Python-source filter pushdown is opt-in (Spark 4.1); without it a
     # reader implementing pushFilters refuses to plan.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # The STREAMING planner runner (python_streaming_source_runner.py)
+    # unpickles the DataSource in a fresh driver-side python process
+    # that — unlike batch plan/read workers — does not receive
+    # sc.addPyFile includes (verified empirically: includes listed, yet
+    # cloudpickle.loads raised ModuleNotFoundError). The runner DOES
+    # inherit the envVars captured at registration, so point its
+    # PYTHONPATH at the package root. Driver-local is sufficient by
+    # design: a SimpleDataSourceStreamReader is a driver-side component
+    # (executors only ever see its prefetched arrow batches).
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = spark.sparkContext.environment
+    cur = env.get("PYTHONPATH", "")
+    if pkg_root not in cur.split(os.pathsep):
+        env["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + cur if cur else "")
+        )
     spark.dataSource.register(SocrataCrimeDataSource)

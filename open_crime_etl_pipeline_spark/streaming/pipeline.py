@@ -198,10 +198,11 @@ def sessionize_stateful(
 def transform_with_state_available() -> tuple[bool, str]:
     """MEASURED environment probe for the transformWithStateInPandas
     prerequisite (its Python worker speaks protobuf to the JVM state
-    server). Returns (ok, reason); recorded into the committed
-    correctness artifact's ``_env`` block so the skip is a measurement,
-    not an assumption — if the container ever gains protobuf, the twin
-    sessionizer's tests activate automatically."""
+    server). Returns (ok, reason). The engine's documented stateful
+    surface is the applyInPandasWithState sessionizer; the twin is an
+    optional alternate API path, and its contract test asserts the
+    fail-fast gate where protobuf is absent and old/new-API
+    equivalence where present — no environment skips anything."""
     import importlib.util
 
     try:

@@ -393,3 +393,128 @@ def test_checkpoint_fingerprint_isolates_query_shapes(socrata, tmp_path):
 
     wdirs = {p.name for p in Path(ckpt).glob("window=*")}
     assert len(wdirs) == 2  # one landing per query fingerprint
+
+
+# --------------------------------------------------------------------------
+# Streaming source (SocrataStreamReader): offsets, drain, kill/resume
+# --------------------------------------------------------------------------
+
+def _stream(spark, land, **opts):
+    reader = (
+        spark.readStream.format("socrata_crime")
+        .option("endpoint", "fake://120")
+        .option("pagesize", "60")
+        .option("start_date", "2025-01-01T00:00:00.000")
+        .option("end_date", "2025-04-01T00:00:00.000")
+        .option("checkpoint_dir", land)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def _fetchlog_counts(land):
+    """page-file -> marker count across all windows; any value > 1
+    means a page was fetched twice (the ST5 violation)."""
+    from collections import Counter
+    from pathlib import Path
+
+    c = Counter()
+    for m in Path(land).glob("window=*/_fetchlog/*"):
+        c[(m.parent.parent.name, m.name.split(".")[0])] += 1
+    return c
+
+
+def test_stream_drains_in_offset_order_exactly_once(socrata, tmp_path):
+    """Repeated availableNow runs (each = one read() micro-batch)
+    drain the 3-window endpoint into an exactly-once parquet sink:
+    360 rows, every id once, one fetch per page (6 data + 3 empty)."""
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    prev = -1
+    for _ in range(10):
+        q = (
+            _stream(socrata, land, pages_per_batch="3")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n = socrata.read.parquet(sink).count()
+        if n == prev:
+            break
+        prev = n
+    df = socrata.read.parquet(sink)
+    assert df.count() == 360
+    assert df.select("id").distinct().count() == 360
+    logs = _fetchlog_counts(land)
+    assert len(logs) == 9 and set(logs.values()) == {1}
+
+
+def test_stream_kill_mid_run_resumes_without_refetch(socrata, tmp_path):
+    """Murder the query AFTER batch 1's offset is logged but BEFORE its
+    commit (foreachBatch raises on first sight of batch 1), restart on
+    the same checkpoint, and drain. Spark replays the in-flight batch
+    through readBetweenOffsets — which must serve from the landing
+    checkpoint: the fetchlog ends with EXACTLY one marker per page,
+    and per-batch-id overwrite sinks make the output exactly-once."""
+    import glob
+    import os
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    land = str(tmp_path / "land")
+    out_root = str(tmp_path / "batches")
+    ckpt = str(tmp_path / "ckpt")
+    bomb = tmp_path / "bomb_armed"
+    bomb.write_text("armed")
+
+    def sink_batch(df, batch_id):
+        # idempotent per-batch sink: replays overwrite, never duplicate
+        df.write.mode("overwrite").parquet(f"{out_root}/b{batch_id}")
+        if batch_id == 1 and bomb.exists():
+            bomb.unlink()
+            raise RuntimeError("injected kill after batch-1 write")
+
+    def run_once():
+        q = (
+            _stream(socrata, land, pages_per_batch="1")
+            .writeStream.foreachBatch(sink_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except StreamingQueryException as e:
+            assert "injected kill" in str(e)
+
+    n = 0
+    for _ in range(20):  # 9 page batches + 3 cursor-roll batches + replay
+        run_once()
+        parts = glob.glob(f"{out_root}/b*")
+        n = sum(
+            socrata.read.parquet(p).count() for p in parts
+        ) if parts else 0
+        # cursor-roll batches (an empty page advancing the window) and
+        # the post-kill replay run both legitimately add 0 rows, so the
+        # only safe stop is the known drained total
+        if n == 360:
+            break
+    # one more run so the stream consumes the LAST window's empty-page
+    # probe (rows were already complete; the cursor wasn't)
+    run_once()
+    union = socrata.read.parquet(f"{out_root}/b*")
+    assert union.count() == 360
+    assert union.select("id").distinct().count() == 360
+    assert not bomb.exists(), "the kill never fired"
+    logs = _fetchlog_counts(land)
+    assert len(logs) == 9, logs
+    assert set(logs.values()) == {1}, (
+        f"a page was fetched more than once across the kill/resume: "
+        f"{ {k: v for k, v in logs.items() if v > 1} }"
+    )

@@ -87,16 +87,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from open_crime_etl_pipeline_spark.streaming import (
-        transform_with_state_available,
-    )
-
     artifact: dict[str, dict] = {}
-    tws_ok, tws_why = transform_with_state_available()
-    artifact["_env"] = {
-        "transform_with_state_available": tws_ok,
-        "transform_with_state_reason": tws_why,
-    }
     for sf_dir in sf_dirs:
         sf = os.path.basename(sf_dir.rstrip("/"))
         artifact[sf] = run_sf(spark, sf_dir)
