@@ -92,6 +92,12 @@ def main() -> None:
         "hybrid_rrf_retrieval",           # sparse+dense reciprocal-rank fusion
         "adaboost_stumps_train",          # boosting loop: 3 exact-integer rounds
         "recursive_cte_tree_rollup",      # native WITH RECURSIVE (UnionLoop)
+        # r6 new-family entries (streaming_socrata_ingest is excluded:
+        # its wall clock is ~10 query restarts against a fixed-size fake
+        # endpoint — pure scheduler cost, invariant in SF; the
+        # kill/resume pytest is its real measurement)
+        "ewma_affine_scan",               # segmented affine prefix scan (chunked EWMA)
+        "classifier_auc_calibration",     # rank-statistic AUC/PR-AUC + reliability bins
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not

@@ -451,13 +451,27 @@ def simhash_near_dup_pairs(
 
 
 def cluster_representatives(
-    pairs: DataFrame, max_iter: int = 5, small_graph: bool = False
+    pairs: DataFrame,
+    max_iter: int = 5,
+    small_graph: bool = False,
+    diameter_unknown: bool = False,
 ) -> DataFrame:
     """Connected-components-lite: propagate the minimum id along edges
     for ``max_iter`` rounds → (member_id, rep_id). The pair graph is
-    tiny relative to the corpus; for adversarially long chains switch
-    to iterate-to-fixpoint (same step in a loop with a convergence
-    count check).
+    tiny relative to the corpus, and near-dup components are
+    near-cliques (diameter ~2), so bounded min-propagation is the
+    cheap default for THAT shape.
+
+    ``diameter_unknown=True`` is the engine's documented GENERAL-graph
+    default: when the pair graph's shape is not known to be clique-like
+    (chained paraphrases A~B~C~…, filament dup chains), clustering
+    routes to alternating large-star/small-star contraction
+    (operators/graph.py::connected_components_star) — O(log d) rounds
+    for ANY diameter, verified-fixpoint-or-raise, no round-count
+    tuning. Bounded min-propagation at ``max_iter`` rounds silently
+    under-merges a component whose diameter exceeds the rounds it ran;
+    star contraction cannot (it raises rather than return a partial
+    contraction).
 
     ``small_graph=True`` is a physical hint (like ``broadcast()``): the
     caller asserts the pair graph fits on one machine, so clustering
@@ -475,6 +489,14 @@ def cluster_representatives(
     components are near-cliques (diameter ~2), so ``max_iter=5``
     matches exact CC on every corpus we generate (the SQL oracle
     replicates the 5-round propagation)."""
+    if diameter_unknown:
+        from .graph import connected_components_star
+
+        edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        labels, _rounds = connected_components_star(edges)
+        return labels.select(
+            F.col("node").alias("member_id"), F.col("label").alias("rep_id")
+        )
     if small_graph:
         parent: dict = {}
 

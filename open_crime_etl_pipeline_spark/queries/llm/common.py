@@ -1,0 +1,23 @@
+"""Shared corpus builders and constants for the llm query family modules."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ...operators import dedup as D
+from ...operators import multimodal as M
+from ...operators import similarity as S
+from ...operators import textstats as TS
+from ..core import _t
+from ..registry import register
+
+
+_ID_SHIFT = 100000
+
+_ALS_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# This module was split out of the former monolithic queries/llm.py (round 6);
+# registry names and semantics are unchanged. Reference citations live in the
+# individual docstrings.

@@ -460,6 +460,50 @@ def test_cluster_union_find_exact_on_long_chain(spark):
     assert len(reps) == n + 1
 
 
+def test_cluster_diameter_unknown_routes_to_star_equivalently(spark):
+    """diameter_unknown=True (the documented general-graph default)
+    must equal the other two paths exactly on a REAL LSH pair graph —
+    and, unlike the bounded propagation, stay exact on a chain whose
+    diameter exceeds the bounded path's effective rounds (the graph
+    family the flag exists for)."""
+    # real pair graph: minhash LSH candidates + exact verify over a
+    # corpus with planted near-dup clusters
+    base = ("quick brown fox jumps over the lazy dog near the riverbank "
+            "while data pipelines hum along in the background cluster")
+    rows = []
+    for c in range(6):
+        for m in range(4):  # 6 clusters of 4 near-identical docs
+            rows.append((c * 10 + m, base + f" cluster{c}" + (" pad" * m)))
+    for i in range(100, 130):  # unique background docs
+        rows.append((i, f"totally unrelated document number {i} " * 3))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=32, bands=16, threshold=0.7, verify_exact=True,
+    ).localCheckpoint()
+    assert pairs.count() > 0
+    star = {(r.member_id, r.rep_id)
+            for r in D.cluster_representatives(
+                pairs, diameter_unknown=True).collect()}
+    uf = {(r.member_id, r.rep_id)
+          for r in D.cluster_representatives(pairs, small_graph=True).collect()}
+    bounded = {(r.member_id, r.rep_id)
+               for r in D.cluster_representatives(pairs).collect()}
+    assert star == uf == bounded
+
+    # adversarial chain (diameter 40): bounded 5-round propagation
+    # under-merges; the general-graph default must be exact
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    star_chain = {r.rep_id for r in D.cluster_representatives(
+        chain, diameter_unknown=True).collect()}
+    assert star_chain == {0}
+    bounded_chain = {r.rep_id for r in D.cluster_representatives(
+        chain).collect()}
+    assert len(bounded_chain) > 1  # the silent under-merge the flag fixes
+
+
 def test_cluster_union_find_empty_pairs(spark):
     out = D.cluster_representatives(
         spark.createDataFrame([], "id_a long, id_b long"), small_graph=True
@@ -1104,6 +1148,53 @@ def test_repeated_substring_excision_planted_passage(spark):
         " ".join(u + v).encode()
     ).hexdigest()
     assert got[3]["n_excised"] == 0 and got[3]["n_kept"] == 6
+
+
+def test_auc_calibration_hand_computed_with_ties(spark):
+    """Rank-statistic ROC-AUC and average precision on a tiny frame
+    with score TIES, against hand-computed truth: 4 positives
+    (0.9, 0.8, 0.8, 0.4) and 4 negatives (0.8, 0.5, 0.3, 0.3).
+    ROC-AUC = (4 + 3.5 + 3.5 + 2)/16 = 0.8125 (tied pos/neg pairs
+    count 1/2); AP over distinct thresholds descending =
+    1/4*1 + 2/4*(3/4) + 1/4*(4/6) = 0.7916667. Calibration bins:
+    floor(10p) with p=0.9..1 clamped into bin 9."""
+    from open_crime_etl_pipeline_spark.queries.llm import auc_calibration_over
+
+    rows = [(1, 0.9), (1, 0.8), (1, 0.8), (1, 0.4),
+            (0, 0.8), (0, 0.5), (0, 0.3), (0, 0.3)]
+    out = auc_calibration_over(
+        spark.createDataFrame(rows, "y long, p double")
+    ).collect()
+    head = out[0]
+    assert head.roc_auc == 0.8125
+    assert head.pr_auc == 0.791667
+    bins = {r.bin: r for r in out}
+    assert set(bins) == {3, 4, 5, 8, 9}
+    assert bins[9].n_docs == 1 and bins[9].frac_pos == 1.0
+    assert bins[8].n_docs == 3 and bins[8].frac_pos == round(2 / 3, 6)
+    assert bins[3].n_docs == 2 and bins[3].frac_pos == 0.0
+    assert bins[8].avg_p == 0.8
+
+
+def test_auc_degenerate_perfect_and_random(spark):
+    """A perfectly separating scorer gives AUC exactly 1; identical
+    scores for every row give the tie-rank AUC of exactly 0.5 and a
+    single calibration bin."""
+    from open_crime_etl_pipeline_spark.queries.llm import auc_calibration_over
+
+    perfect = [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)]
+    r = auc_calibration_over(
+        spark.createDataFrame(perfect, "y long, p double")
+    ).collect()[0]
+    assert r.roc_auc == 1.0 and r.pr_auc == 1.0
+
+    flat = [(1, 0.5), (0, 0.5), (1, 0.5), (0, 0.5)]
+    out = auc_calibration_over(
+        spark.createDataFrame(flat, "y long, p double")
+    ).collect()
+    assert len(out) == 1
+    assert out[0].roc_auc == 0.5 and out[0].bin == 5
+    assert out[0].frac_pos == 0.5 and out[0].n_docs == 4
 
 
 def test_repeated_substring_excision_million_position_collision(spark):
