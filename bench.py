@@ -128,6 +128,27 @@ def main() -> None:
         .groupBy("g").agg(F.max("r"), F.avg("s"))
         .count()
     )
+    # r6: the first TIMED slot (flagship) was still paying ~0.2-1.8s of
+    # codegen the generic join/window warm does not cover — measured in
+    # isolation: first flagship run after table warm 2.6s, steady 0.78s.
+    # Warm its expression classes on a synthetic frame: date_trunc on a
+    # timestamp, DECIMAL(12,2) multiply-sum, countDistinct (Expand).
+    (
+        spark.range(100_000)
+        .select(
+            F.timestamp_seconds(F.col("id") % 100_000_000).alias("ts"),
+            (F.col("id") % 997).cast("decimal(12,2)").alias("p"),
+            (F.col("id") % 97).cast("decimal(12,2)").alias("d"),
+            (F.col("id") % 1031).alias("k"),
+        )
+        .groupBy(F.date_trunc("month", F.col("ts")).alias("m"))
+        .agg(
+            F.count("*"),
+            F.countDistinct("k"),
+            F.round(F.sum(F.col("p") * F.col("d")), 2).cast("double"),
+        )
+        .count()
+    )
     # Synthetic warm corpus ~ the bench corpus's shape (10k docs,
     # ~45 words) with planted near-dups so the LSH join, exact-Jaccard
     # verify, and min-propagation clustering all execute hot loops.
