@@ -116,15 +116,37 @@ def ewma_affine_scan(
         F.col("agg.out").alias("prefixes"),
     ).localCheckpoint(eager=True)  # consumed twice (carry + apply)
 
-    # --- carry pass: entering state per chunk = scalar fold over the
-    # ordered chunk summaries; initial state = x of the series' first
-    # element (seed s_1 = x_1, see module docstring)
+    entering = _carry_entering(local, chunk_ddl="STRING")
+
+    # --- apply pass: s_i = A_i·S_chunk + B_i, element-wise
+    return (
+        local.join(F.broadcast(entering), ["_series", "_chunk"])
+        .select(
+            "_series", "S", F.explode("prefixes").alias("p")
+        )
+        .select(
+            F.col("_series").alias(series_col),
+            F.col("p.o").alias(order_col),
+            F.col("p.x").alias(x_col),
+            (F.col("p.A") * F.col("S") + F.col("p.B")).alias("ewma"),
+        )
+    )
+
+
+def _carry_entering(local: DataFrame, chunk_ddl: str) -> DataFrame:
+    """Carry pass shared by the scan operators: given one row per
+    (series, chunk) with the chunk's affine summary (cA, cB) and the
+    series-seed candidate first_x, fold the ordered chunk summaries
+    per series — S_{c+1} = A_c·S_c + B_c, S_0 = first chunk's first_x
+    — and return (series, chunk, S) = the exact recurrence state
+    ENTERING each chunk. #chunks rows per series; ``chunk_ddl`` names
+    the chunk key's Spark DDL type for the fold's array literal."""
     summaries = local.groupBy("_series").agg(
         F.sort_array(
             F.collect_list(F.struct("_chunk", "cA", "cB", "first_x"))
         ).alias("cs")
     )
-    enter_t = "ARRAY<STRUCT<c: STRING, S: DOUBLE>>"
+    enter_t = f"ARRAY<STRUCT<c: {chunk_ddl}, S: DOUBLE>>"
     carry_init = F.struct(
         F.element_at("cs", 1)["first_x"].alias("S"),
         F.expr(f"CAST(array() AS {enter_t})").alias("out"),
@@ -139,7 +161,7 @@ def ewma_affine_scan(
             ).alias("out"),
         )
 
-    entering = (
+    return (
         summaries.select(
             "_series",
             F.explode(
@@ -149,15 +171,122 @@ def ewma_affine_scan(
         .select("_series", F.col("e.c").alias("_chunk"), F.col("e.S").alias("S"))
     )
 
-    # --- apply pass: s_i = A_i·S_chunk + B_i, element-wise
+
+def ewma_time_decay_scan(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    x_col: str,
+    id_col: str,
+    chunk_col: Column,
+    tau_seconds: float,
+) -> DataFrame:
+    """Irregularly-sampled exponential time decay per series — the
+    operator the fixed-α fold CANNOT express and the affine scan gets
+    for free, because the per-step map is still affine, just with a
+    DATA-DEPENDENT coefficient:
+
+        s_1 = x_1
+        s_t = a_t·s_{t-1} + (1-a_t)·x_t,   a_t = exp(-Δt/τ),
+        Δt  = seconds between observation t-1 and t
+
+    (the standard continuous-time EWMA for event streams: a burst of
+    close events barely decays the state; a long gap nearly resets it
+    to the new observation).
+
+    The per-element coefficient needs the PREDECESSOR's timestamp,
+    which crosses chunk boundaries — solved with one extra tiny pass:
+    each chunk's last timestamp shifts forward one chunk (a lag window
+    over the #chunks-per-series summary rows, never over elements), so
+    the chunk-local fold knows its boundary Δt before it runs. The
+    global first element uses Δt = 0 ⇒ a = exp(0) = 1 exactly, making
+    the seed s_1 = 1·S₀ + 0·x₁ = S₀ = x₁ EXACT (no ulp drift at the
+    seed). Δt is computed as (unix_micros difference)/1e6 — an exact
+    long difference, then one double division — so both engines feed
+    exp() bit-identical arguments.
+
+    Ties: elements sort by (t_us, id) — with Δt = 0 the decay form
+    assigns the tied element zero weight, so WHICH element counts as
+    "first" must be deterministic; the id tiebreaker pins it on both
+    engines.
+
+    Same scale shape as :func:`ewma_affine_scan`: per-task state
+    bounded by chunk size (level 1) and chunk count (level 2); no
+    window over element-level data; one broadcast join back.
+    Returns (series_col, id_col, x_col, ewma).
+    """
+    tau = float(tau_seconds)
+    elem = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("tu"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.col(x_col).cast("double").alias("x"),
+    )
+    chunked = df.groupBy(
+        F.col(series_col).alias("_series"), chunk_col.alias("_chunk")
+    ).agg(
+        F.sort_array(F.collect_list(elem)).alias("xs"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("last_t"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_series").orderBy("_chunk")
+    chunked = chunked.withColumn("prev_last_t", F.lag("last_t").over(w))
+
+    out_t = (
+        "ARRAY<STRUCT<eid: BIGINT, tu: BIGINT, x: DOUBLE, "
+        "A: DOUBLE, B: DOUBLE>>"
+    )
+    init = F.struct(
+        F.lit(1.0).alias("A"),
+        F.lit(0.0).alias("B"),
+        F.coalesce(F.col("prev_last_t"), F.element_at("xs", 1)["tu"]).alias("pt"),
+        F.expr(f"CAST(array() AS {out_t})").alias("out"),
+    )
+
+    def step(acc, p):
+        # association mirrors the oracle: exp(-((Δt_us)/1e6)/τ)
+        a = F.exp(
+            -(
+                (p["tu"] - acc["pt"]).cast("double") / F.lit(1_000_000.0)
+            )
+            / F.lit(tau)
+        )
+        nA = a * acc["A"]
+        nB = a * acc["B"] + (F.lit(1.0) - a) * p["x"]
+        return F.struct(
+            nA.alias("A"),
+            nB.alias("B"),
+            p["tu"].alias("pt"),
+            F.array_append(
+                acc["out"],
+                F.struct(
+                    p["eid"].alias("eid"), p["tu"].alias("tu"),
+                    p["x"].alias("x"), nA.alias("A"), nB.alias("B"),
+                ),
+            ).alias("out"),
+        )
+
+    local = chunked.select(
+        "_series",
+        "_chunk",
+        F.element_at("xs", 1)["x"].alias("first_x"),
+        F.aggregate("xs", init, step).alias("agg"),
+    ).select(
+        "_series", "_chunk", "first_x",
+        F.col("agg.A").alias("cA"), F.col("agg.B").alias("cB"),
+        F.col("agg.out").alias("prefixes"),
+    ).localCheckpoint(eager=True)  # consumed twice (carry + apply)
+
+    entering = _carry_entering(
+        local, chunk_ddl=df.select(chunk_col.alias("c")).schema[0].dataType.simpleString().upper()
+    )
+
     return (
         local.join(F.broadcast(entering), ["_series", "_chunk"])
-        .select(
-            "_series", "S", F.explode("prefixes").alias("p")
-        )
+        .select("_series", "S", F.explode("prefixes").alias("p"))
         .select(
             F.col("_series").alias(series_col),
-            F.col("p.o").alias(order_col),
+            F.col("p.eid").alias(id_col),
             F.col("p.x").alias(x_col),
             (F.col("p.A") * F.col("S") + F.col("p.B")).alias("ewma"),
         )

@@ -723,12 +723,17 @@ def quality_classifier_train_apply(spark: SparkSession, sf_dir: str) -> DataFram
                                  AS DECIMAL(38,18))) AS DOUBLE) AS pr_auc
             FROM dw, tot t GROUP BY t.pp, t.qq
         ), bins AS (
+            -- derived from the distinct-score table, not the corpus:
+            -- sum over n equal copies of cast(p, scale 18) == cast(p)*n
+            -- exactly, so the bin stats need no row-level pass
             SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE)
-                       / count(*) AS avg_p,
-                   CAST(sum(y) AS DOUBLE) / count(*) AS frac_pos
-            FROM scored GROUP BY 1
+                   CAST(sum(np + nn) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(p AS DECIMAL(19,18))
+                            * CAST(np + nn AS DECIMAL(10,0))) AS DOUBLE)
+                       / CAST(sum(np + nn) AS BIGINT) AS avg_p,
+                   CAST(sum(np) AS DOUBLE)
+                       / CAST(sum(np + nn) AS BIGINT) AS frac_pos
+            FROM d GROUP BY 1
         )
         SELECT b.bin, b.n_docs, round(b.avg_p, 6) AS avg_p,
                round(b.frac_pos, 6) AS frac_pos,
@@ -753,9 +758,12 @@ def quality_classifier_train_apply(spark: SparkSession, sf_dir: str) -> DataFram
         "discipline). The ordered pass runs over DISTINCT scores only "
         "— here the feature-vector cardinality, and at 100 TB scores "
         "quantize into the same bin machinery first, keeping the "
-        "windowed table bounded. Calibration: bin = floor(10p), "
-        "n/avg-score/empirical-positive-rate per bin — DECIMAL-exact "
-        "sums, double division last (§2.11 training/quality).",
+        "windowed table bounded. The corpus is touched ONCE: the "
+        "distinct-score table is checkpointed and AUC, PR-AUC, totals "
+        "and the calibration bins (bin = floor(10p), n/avg-score/"
+        "empirical-positive-rate) all derive from it — per-bin "
+        "avg-score stays DECIMAL-exact as cast(p)*n product sums "
+        "(§2.11 training/quality).",
     tags=("llm", "training", "quality", "evaluation"),
 )
 def classifier_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,13 +785,25 @@ def auc_calibration_over(scored: DataFrame) -> DataFrame:
     """classifier_auc_calibration's metric engine over any (y in {0,1}
     long, p double) frame — factored out so the rank-statistic math is
     unit-testable against hand-computed AUC/AP values (ties included);
-    see the registered query's doc for the scale/determinism design."""
+    see the registered query's doc for the scale/determinism design.
+
+    ONE corpus pass: the (score, n_pos, n_neg) distinct-score table is
+    materialized once (localCheckpoint — it is feature-cardinality-
+    sized, not corpus-sized) and AUC, PR-AUC, totals AND the
+    calibration bins all derive from it; the un-refactored form
+    re-scanned and re-featurized the corpus three times per run
+    (.explain showed 3 parquet scans). avg-score-per-bin stays
+    DECIMAL-exact without row-level data: sum over n equal copies of
+    cast(p as DECIMAL(19,18)) == cast(p) * n exactly (the cast rounds
+    once at scale 18; multiplying by an integer within 38-digit
+    headroom is exact), and both engines state the identical
+    product-sum."""
     from pyspark.sql import Window
 
     d = scored.groupBy("p").agg(
         F.sum("y").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).alias("nn"),
-    )
+    ).localCheckpoint(eager=True)
     tot = d.agg(
         F.sum("np").cast("double").alias("pp"),
         F.sum("nn").cast("double").alias("qq"),
@@ -821,15 +841,19 @@ def auc_calibration_over(scored: DataFrame) -> DataFrame:
         )
         .select("roc_auc", "pr_auc")
     )
-    bins = scored.groupBy(
+    n_rows = F.sum(F.col("np") + F.col("nn"))
+    bins = d.groupBy(
         F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin")
     ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        n_rows.alias("n_docs"),
         (
-            F.sum(F.col("p").cast("decimal(38,18)")).cast("double")
-            / F.count(F.lit(1))
+            F.sum(
+                F.col("p").cast("decimal(19,18)")
+                * (F.col("np") + F.col("nn")).cast("decimal(10,0)")
+            ).cast("double")
+            / n_rows
         ).alias("avg_p"),
-        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("frac_pos"),
+        (F.sum("np").cast("double") / n_rows).alias("frac_pos"),
     )
     return bins.crossJoin(F.broadcast(aucs)).select(
         "bin", "n_docs",

@@ -319,3 +319,55 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p.s"), 6).alias("cusum"),
         (F.col("p.s") > F.lit(25.0)).alias("alarm"),
     )
+
+
+@register(
+    "ewma_time_decay_irregular",
+    oracle="""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, epoch_us(ts) AS tu, event_id, value AS x,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events WHERE user_id < 40
+        ), rec AS (
+            SELECT user_id, event_id, tu, x, rn, x AS s
+            FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.event_id, e.tu, e.x, e.rn,
+                   exp(-((e.tu - r.tu) / 1000000.0) / 86400.0) * r.s
+                   + (1 - exp(-((e.tu - r.tu) / 1000000.0) / 86400.0)) * e.x
+            FROM ev e JOIN rec r
+              ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, x AS value, round(s, 6) AS ewma FROM rec
+    """,
+    doc="Irregularly-sampled continuous-time EWMA per user over raw "
+    "event streams (tau = 1 day): s_t = a_t*s_(t-1) + (1-a_t)*x_t "
+    "with a_t = exp(-delta_t/tau) — the data-dependent-coefficient "
+    "recurrence the fixed-alpha fold cannot express, computed by the "
+    "same segmented affine prefix scan as ewma_affine_scan "
+    "(operators/scan.py::ewma_time_decay_scan). The predecessor "
+    "timestamp crosses chunk boundaries, so each day-chunk's last "
+    "timestamp lags forward one chunk over the SUMMARY rows (never a "
+    "window over elements); delta_t = exact unix-micros difference / "
+    "1e6 so both engines feed exp() bit-identical arguments; ties "
+    "order by (t, event_id) on both sides because a delta=0 element "
+    "carries zero weight and WHICH element is first must be pinned. "
+    "Oracle replays the recurrence sequentially via a recursive CTE; "
+    "the scan's reassociation drift (~1e-12 relative on values <= "
+    "560) sits six orders under the 6dp rounding (SURVEY.md 2.12 "
+    "time-series [EXT]).",
+    tags=("timeseries", "scan", "events"),
+)
+def ewma_time_decay_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scan import ewma_time_decay_scan
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    out = ewma_time_decay_scan(
+        ev, "user_id", "ts", "value", "event_id",
+        F.date_trunc("day", F.col("ts")), tau_seconds=86400.0,
+    )
+    return out.select(
+        "user_id", "event_id", F.col("value"),
+        F.round("ewma", 6).alias("ewma"),
+    )

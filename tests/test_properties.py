@@ -573,3 +573,49 @@ def test_tput_bounds_sound_on_random_multisets(spark, toks):
             if r["membership_certified"]:
                 assert r["term"] in true_topk, r
         assert cand_terms <= reported
+
+
+# --- segmented affine prefix scan (operators/scan.py) ----------------------
+
+scan_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # series id
+        st.integers(min_value=0, max_value=400),    # order key (may tie)
+        st.floats(min_value=0.0, max_value=1000.0,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1, max_size=40,
+)
+
+
+@SLOW
+@given(data=scan_series, chunk_div=st.sampled_from([1, 7, 50, 1000]))
+def test_affine_scan_equals_sequential_fold(spark, data, chunk_div):
+    """ewma_affine_scan == the sequential recurrence for ANY series
+    content and ANY chunk granularity (chunking is an execution
+    detail). Duplicate order keys are deduplicated first (the operator
+    contract assumes order keys are unique per series — like a day)."""
+    from open_crime_etl_pipeline_spark.operators.scan import ewma_affine_scan
+
+    seen, rows = set(), []
+    for s, o, x in data:
+        if (s, o) not in seen:
+            seen.add((s, o))
+            rows.append((str(s), f"{o:05d}", x))
+    df = spark.createDataFrame(rows, "series string, k string, x double")
+    got = {
+        (r.series, r.k): r.ewma
+        for r in ewma_affine_scan(
+            df, "series", "k", "x",
+            F.format_string("%05d", (F.col("k").cast("int") / chunk_div).cast("int")),
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    by_series: dict = {}
+    for s, k, x in rows:
+        by_series.setdefault(s, []).append((k, x))
+    for s, items in by_series.items():
+        e = None
+        for k, x in sorted(items):
+            e = x if e is None else 0.2 * x + 0.8 * e
+            assert abs(got[(s, k)] - e) <= 1e-9 * max(1.0, abs(e))

@@ -110,3 +110,85 @@ def test_scan_many_chunks_one_series(spark):
     rows = [("s", f"{i:06d}", float(i % 97)) for i in range(n)]
     got = ewma_affine_scan(df, "series", "k", "x", F.col("ck")).collect()
     _check(rows, got, tol=1e-8)
+
+
+def test_time_decay_scan_matches_sequential_with_ties(spark):
+    """Irregular time-decay EWMA: the chunked scan replays the
+    sequential recurrence s_t = a*s + (1-a)*x, a = exp(-dt/tau),
+    including EXACT-tie timestamps (dt=0 elements carry zero weight;
+    the (t, id) sort pins which element is 'first' deterministically)
+    and chunk boundaries (week chunks over random multi-day gaps)."""
+    import datetime as dt
+    import math
+    import random
+
+    from open_crime_etl_pipeline_spark.operators.scan import (
+        ewma_time_decay_scan,
+    )
+
+    rng = random.Random(5)
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    for u in (1, 2):
+        t = base
+        for _ in range(200):
+            t = t + dt.timedelta(seconds=rng.randrange(0, 90_000))
+            rows.append((u, eid, t, float(rng.randrange(0, 500))))
+            eid += 1
+    rows.append((1, 90_001, rows[5][2], 123.0))  # exact-tie pair,
+    rows.append((1, 90_000, rows[5][2], 77.0))   # ids out of insert order
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: r.ewma
+        for r in ewma_time_decay_scan(
+            df, "user_id", "ts", "value", "event_id",
+            F.date_trunc("week", F.col("ts")), 86400.0,
+        ).collect()
+    }
+    exp = {}
+    for u in (1, 2):
+        evs = sorted([r for r in rows if r[0] == u], key=lambda r: (r[2], r[1]))
+        s, pt = None, None
+        for _, e, t, x in evs:
+            if s is None:
+                s = x
+            else:
+                a = math.exp(-((t - pt).total_seconds()) / 86400.0)
+                s = a * s + (1 - a) * x
+            pt = t
+            exp[e] = s
+    assert len(got) == len(rows)
+    for e, v in exp.items():
+        assert abs(got[e] - v) <= 1e-9 * max(1.0, abs(v)), (e, got[e], v)
+
+
+def test_time_decay_scan_gap_resets_and_burst_holds(spark):
+    """Semantics spot-check: after a gap >> tau the state is ~x_new;
+    within a burst << tau the state barely moves."""
+    import datetime as dt
+
+    from open_crime_etl_pipeline_spark.operators.scan import (
+        ewma_time_decay_scan,
+    )
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        ("u", 1, base, 100.0),
+        ("u", 2, base + dt.timedelta(seconds=10), 0.0),   # burst: ~100 still
+        ("u", 3, base + dt.timedelta(days=365), 7.0),     # gap: ~7
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: r.ewma
+        for r in ewma_time_decay_scan(
+            df, "series", "ts", "value", "event_id",
+            F.date_trunc("month", F.col("ts")), 86400.0,
+        ).collect()
+    }
+    assert got[1] == 100.0
+    assert 99.9 < got[2] < 100.0   # 10s of decay against tau=1d
+    assert abs(got[3] - 7.0) < 1e-6  # a year of decay resets to the new x

@@ -38,6 +38,8 @@ NOTES = {
     "event_transition_matrix": "LAG window by high-cardinality user_id; probability normalization windows over the aggregated |types|^2 matrix, never the event stream",
     "product_profit_q9": "Q9 shape: LIKE filter prunes part BEFORE broadcast; lineitem joins dims without shuffling itself; mixed +/- decimal measure in one partial agg",
     "forecast_revenue_q6": "Q6 shape: zero joins; all three range predicates in PushedFilters; 4-column ReadSchema; single partial+final agg",
+    "ewma_affine_scan": "segmented affine prefix scan: chunk-local (A,B) prefixes ride the eager checkpoint (ExistingRDD consumed twice); ONE series-level exchange folds the tiny chunk summaries; the entering state re-joins as a BROADCAST; per-element apply is a scan-side projection — a series spanning thousands of tasks never sorts globally and never collects",
+    "classifier_auc_calibration": "ONE corpus pass total: the distinct-score (p, n_pos, n_neg) table materializes at an eager checkpoint (0 parquet scans in the final plan) and AUC/PR-AUC/totals/calibration bins all derive from the sketch; windows sort only distinct scores; the 1-row AUC and totals sides re-enter as broadcast nested-loop (cross) joins",
     "ewma_smoothing_per_series": "two partial-agg groupBys collapse orders to bounded per-series arrays; the EWMA fold is ONE Catalyst aggregate HOF projection — no window over an unpartitioned ordering, no Python",
     "table_profile_single_pass": "ONE parquet scan for all 24 column metrics: multi-count-distinct Expand + partial/final agg; the per-column-scan alternative reads the table N times",
     "kmv_theta_intersection_estimate": "two-phase mergeable sketch: per-(group,bucket) partial k-mins then k-of-union merge — executor agg state <= buckets*k rows; estimate math on two broadcast 1-row sides",

@@ -191,6 +191,53 @@ def main(scan_ns: list[int]) -> None:
     assert worst <= 1e-6, worst
     print(f"equivalence at n={FOLD_MAX:,}: max |scan - fold| = {worst:.2e}  OK")
 
+    # --- AUC replication invariance: ROC-AUC, PR-AUC, avg-score and
+    # positive-rate are functions of per-score CLASS RATIOS, so
+    # replicating every scored row m x must leave every ratio metric
+    # BIT-IDENTICAL and scale the one count column (n_docs) exactly
+    # m x (closed-form invariants), while the distinct-score sketch
+    # the metrics derive from stays constant-size. m = 1, 10, 50.
+    from pyspark.sql import functions as F2
+
+    from open_crime_etl_pipeline_spark.queries.llm.training import (
+        auc_calibration_over,
+    )
+
+    def scored(m):
+        base = F2.col("id") % 200_000  # true replication: each base row m times
+        return (
+            spark.range(200_000 * m)
+            .select(
+                ((base % 7919) % 2).cast("long").alias("y"),
+                ((base % 997).cast("double") / 997.0).alias("p"),
+            )
+        )
+
+    base_rows = None
+    for m in (1, 10, 50):
+        t0 = time.time()
+        rows = sorted(
+            tuple(r) for r in auc_calibration_over(scored(m)).collect()
+        )
+        wall = time.time() - t0
+        print(f"auc   m={m:>3}  rows={len(rows)}  wall={wall:6.2f}s")
+        if base_rows is None:
+            base_rows = rows
+        else:
+            # ratio metrics (avg_p, frac_pos, roc_auc, pr_auc) must be
+            # bit-identical; the one COUNT column scales exactly m x
+            assert [r[0] for r in rows] == [r[0] for r in base_rows]
+            assert [r[2:] for r in rows] == [r[2:] for r in base_rows], (
+                "ratio metrics changed under replication"
+            )
+            assert [r[1] for r in rows] == [r[1] * m for r in base_rows], (
+                "n_docs is not exactly m x base"
+            )
+    print(
+        "auc replication invariance: every ratio metric bit-identical and "
+        "n_docs exactly m x base at m=1/10/50  OK"
+    )
+
     # --- closed-form fixpoint at the big N: EWMA(const c) == c
     n_big = max(scan_ns)
     const = _series(spark, n_big, constant=42.0).localCheckpoint(eager=True)
