@@ -471,7 +471,9 @@ def cluster_representatives(
     tuning. Bounded min-propagation at ``max_iter`` rounds silently
     under-merges a component whose diameter exceeds the rounds it ran;
     star contraction cannot (it raises rather than return a partial
-    contraction).
+    contraction). ``max_iter`` applies only to the bounded path, and
+    combining ``diameter_unknown`` with ``small_graph`` raises — they
+    are conflicting physical hints.
 
     ``small_graph=True`` is a physical hint (like ``broadcast()``): the
     caller asserts the pair graph fits on one machine, so clustering
@@ -489,6 +491,12 @@ def cluster_representatives(
     components are near-cliques (diameter ~2), so ``max_iter=5``
     matches exact CC on every corpus we generate (the SQL oracle
     replicates the 5-round propagation)."""
+    if diameter_unknown and small_graph:
+        raise ValueError(
+            "small_graph (collect to the driver) and diameter_unknown "
+            "(distributed star contraction) are conflicting physical "
+            "hints — pick one"
+        )
     if diameter_unknown:
         from .graph import connected_components_star
 

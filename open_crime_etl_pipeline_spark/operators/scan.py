@@ -116,7 +116,7 @@ def ewma_affine_scan(
         F.col("agg.out").alias("prefixes"),
     ).localCheckpoint(eager=True)  # consumed twice (carry + apply)
 
-    entering = _carry_entering(local, chunk_ddl="STRING")
+    entering = _carry_entering(local, chunk_ddl=_chunk_ddl(df, chunk_col))
 
     # --- apply pass: s_i = A_i·S_chunk + B_i, element-wise
     return (
@@ -130,6 +130,16 @@ def ewma_affine_scan(
             F.col("p.x").alias(x_col),
             (F.col("p.A") * F.col("S") + F.col("p.B")).alias("ewma"),
         )
+    )
+
+
+def _chunk_ddl(df: DataFrame, chunk_col: Column) -> str:
+    """Spark DDL type of the chunk key, for the carry fold's empty-array
+    literal — derived from the actual expression so numeric/timestamp
+    chunk keys (``floor(epoch/granule)``, ``date_trunc``) work, not
+    just strings."""
+    return (
+        df.select(chunk_col.alias("c")).schema[0].dataType.simpleString().upper()
     )
 
 
@@ -277,9 +287,7 @@ def ewma_time_decay_scan(
         F.col("agg.out").alias("prefixes"),
     ).localCheckpoint(eager=True)  # consumed twice (carry + apply)
 
-    entering = _carry_entering(
-        local, chunk_ddl=df.select(chunk_col.alias("c")).schema[0].dataType.simpleString().upper()
-    )
+    entering = _carry_entering(local, chunk_ddl=_chunk_ddl(df, chunk_col))
 
     return (
         local.join(F.broadcast(entering), ["_series", "_chunk"])

@@ -15,8 +15,6 @@ from ..registry import register
 
 _ID_SHIFT = 100000
 
-_ALS_TYPES = ("click", "error", "purchase", "signup", "view")
-
 
 # This module was split out of the former monolithic queries/llm.py (round 6);
 # registry names and semantics are unchanged. Reference citations live in the

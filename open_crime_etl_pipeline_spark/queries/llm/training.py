@@ -767,7 +767,6 @@ def quality_classifier_train_apply(spark: SparkSession, sf_dir: str) -> DataFram
     tags=("llm", "training", "quality", "evaluation"),
 )
 def classifier_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
     w, b = _gd_train_params(docs)
@@ -804,6 +803,15 @@ def auc_calibration_over(scored: DataFrame) -> DataFrame:
         F.sum("y").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).alias("nn"),
     ).localCheckpoint(eager=True)
+    # AUC is undefined without both classes (pp*qq = 0 would silently
+    # emit NaN into every row); d is already materialized, so the
+    # check is one sketch-sized agg, not a corpus pass
+    chk = d.agg(F.sum("np").alias("p_"), F.sum("nn").alias("n_")).first()
+    if not chk["p_"] or not chk["n_"]:
+        raise ValueError(
+            f"AUC needs both classes: positives={chk['p_'] or 0}, "
+            f"negatives={chk['n_'] or 0}"
+        )
     tot = d.agg(
         F.sum("np").cast("double").alias("pp"),
         F.sum("nn").cast("double").alias("qq"),

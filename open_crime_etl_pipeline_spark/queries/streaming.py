@@ -542,7 +542,6 @@ def streaming_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> Data
 )
 def streaming_socrata_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
-    import gzip
     import json
     import shutil
 
@@ -572,7 +571,16 @@ def streaming_socrata_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            # awaitTermination(timeout) returns False WITHOUT stopping
+            # the query; proceeding would read a half-written sink,
+            # break the drain loop early, and rmtree live checkpoint
+            # dirs — so a timeout is a hard error here
+            if not q.awaitTermination(120):
+                q.stop()
+                raise TimeoutError(
+                    "streaming_socrata_ingest: availableNow run exceeded "
+                    "120s (3 pages of a fake endpoint — host stall?)"
+                )
 
         prev = -1
         for _ in range(10):  # drain: availableNow == one read() per run

@@ -1881,3 +1881,26 @@ def test_adaboost_orthogonality_invariant_and_error_bound(spark):
         if (1 if score > 0 else -1) != y:
             mis += 1
     assert mis / len(pts) <= bound + 1e-12
+
+
+def test_auc_single_class_raises(spark):
+    """AUC is undefined without both classes — the metric engine must
+    raise, not emit NaN into every row."""
+    import pytest
+
+    from open_crime_etl_pipeline_spark.queries.llm import auc_calibration_over
+
+    ones = spark.createDataFrame([(1, 0.3), (1, 0.7)], "y long, p double")
+    with pytest.raises(ValueError, match="both classes"):
+        auc_calibration_over(ones)
+    zeros = spark.createDataFrame([(0, 0.3), (0, 0.7)], "y long, p double")
+    with pytest.raises(ValueError, match="both classes"):
+        auc_calibration_over(zeros)
+
+
+def test_cluster_conflicting_hints_raise(spark):
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="conflicting"):
+        D.cluster_representatives(pairs, small_graph=True, diameter_unknown=True)

@@ -192,3 +192,15 @@ def test_time_decay_scan_gap_resets_and_burst_holds(spark):
     assert got[1] == 100.0
     assert 99.9 < got[2] < 100.0   # 10s of decay against tau=1d
     assert abs(got[3] - 7.0) < 1e-6  # a year of decay resets to the new x
+
+
+def test_scan_numeric_and_timestamp_chunk_keys(spark):
+    """The carry fold's array type derives from the ACTUAL chunk-key
+    expression, so numeric chunk keys (floor-division granules — the
+    docstring's own example) work, not just strings."""
+    rows = [("s", f"{i:04d}", float(i % 13)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["series", "k", "x"])
+    got = ewma_affine_scan(
+        df, "series", "k", "x", F.floor(F.col("k").cast("int") / 16)
+    ).collect()
+    _check(rows, got)
