@@ -148,9 +148,24 @@ def main(scan_ns: list[int]) -> None:
     )
 
     print("== scan (chunked affine prefix, every core) ==")
+    scan_walls = {}
     for n in scan_ns:
-        w = _run_scan(spark, n)
-        print(f"scan  n={n:>9,}  wall={w:7.2f}s  chunks={n // CHUNK + 1}")
+        scan_walls[n] = _run_scan(spark, n)
+        print(f"scan  n={n:>9,}  wall={scan_walls[n]:7.2f}s  chunks={n // CHUNK + 1}")
+    # the verdict's done-criterion, asserted not just printed: at the
+    # largest scan N (>= 25x the fold ladder's max) the scan must beat
+    # the fold's wall at FOLD_MAX — i.e. the fold is slower on 25x
+    # LESS data, before its quadratic term even reaches the 1e6 regime
+    n_big = max(scan_ns)
+    assert n_big >= 25 * FOLD_MAX
+    assert scan_walls[n_big] < fold_walls[FOLD_MAX], (
+        f"scan at n={n_big:,} ({scan_walls[n_big]:.1f}s) did not beat the "
+        f"fold at n={FOLD_MAX:,} ({fold_walls[FOLD_MAX]:.1f}s)"
+    )
+    print(
+        f"fold-infeasible assert: scan({n_big:,}) = {scan_walls[n_big]:.1f}s "
+        f"< fold({FOLD_MAX:,}) = {fold_walls[FOLD_MAX]:.1f}s  OK"
+    )
 
     # --- equivalence at FOLD_MAX: same values, different association
     df = _series(spark, FOLD_MAX).localCheckpoint(eager=True)
