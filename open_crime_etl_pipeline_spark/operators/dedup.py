@@ -1185,3 +1185,98 @@ def gram_contamination(
             ),
         )
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """EXACT-threshold Jaccard similarity self-join via prefix
+    filtering (the SSJoin/PPJoin candidate rule — Chaudhuri et al.
+    ICDE'06, Xiao et al. WWW'08): returns every pair with
+    J(A, B) >= threshold, with NO false negatives — the exact
+    complement to the probabilistic MinHash-LSH path. The set domain
+    is word tokens by default, or ``shingle_n``-word shingles (choose
+    the domain whose sets discriminate on the corpus at hand: a
+    small-vocabulary corpus makes word sets near-degenerate).
+
+    Candidate rule: order each document's distinct tokens by a GLOBAL
+    total order (corpus frequency ascending, token ascending — rarest
+    first) and emit only the first p = n - ceil(t*n) + 1 tokens as
+    join keys. Completeness: J >= t implies |A∩B| >= t*|A∪B| >=
+    ceil(t*|A|); if A's p-prefix missed B entirely the intersection
+    would fit inside A's last n-p = ceil(t*n)-1 tokens — contradiction
+    — and symmetrically for B, so every qualifying pair shares a key
+    in BOTH prefixes. Candidates then verify by exact intersection
+    count.
+
+    Scale shape vs the naive inverted-index join: only ~(1-t) of each
+    document's tokens become join keys, and the global frequency-
+    ascending order puts exactly the RAREST tokens in the prefix — the
+    hot-token (stopword) buckets that make a full token self-join
+    quadratic never become keys at all. Shuffles: one token-frequency
+    agg (map-side combine), one per-doc window over that document's
+    own tokens (partition = doc, bounded by doc length), the
+    prefix-key equi-join, and one verify join proportional to the
+    CANDIDATES, not the corpus squared. The frequency table is only
+    used for ORDERING, so it can be stale/sampled at 100 TB without
+    affecting correctness (any consistent total order preserves the
+    lemma).
+    """
+    t = float(threshold)
+    units = (
+        F.array_distinct(word_shingles(text_col, shingle_n))
+        if shingle_n
+        else tokens(text_col)
+    )
+    toks = (
+        df.select(F.col(id_col), F.explode(units).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed 3x (freq, prefix, verify)
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ftok"))
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(id_col).orderBy("ftok", "tok")
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select(id_col, "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= F.lit(t))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

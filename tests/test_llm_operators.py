@@ -1904,3 +1904,60 @@ def test_cluster_conflicting_hints_raise(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="conflicting"):
         D.cluster_representatives(pairs, small_graph=True, diameter_unknown=True)
+
+
+def test_prefix_filter_jaccard_lossless_and_reduces_candidates(spark):
+    """The prefix filter must (a) return EXACTLY the brute-force
+    J >= t pair set — the completeness theorem under test — and
+    (b) generate strictly fewer candidate join keys than the full
+    inverted index, with hot tokens excluded from prefixes."""
+    import itertools
+
+    base = [f"w{i}" for i in range(30)]
+    rows = []
+    # three near-dup families (high word-set overlap) + noise docs that
+    # all share the hot tokens h1/h2 (the stopword stand-ins)
+    for fam in range(3):
+        fam_words = base[fam * 8:(fam + 1) * 8] + ["h1", "h2"]
+        for m in range(3):
+            words = fam_words + ([f"x{fam}{m}"] if m else [])
+            rows.append((fam * 10 + m, " ".join(words)))
+    for i in range(100, 140):
+        rows.append((i, " ".join(["h1", "h2", f"u{i}", f"v{i}", f"q{i}"])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    # brute force over word sets
+    sets = {i: set(t.split()) for i, t in rows}
+    exp = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.6:
+            exp[(a, b)] = round(j, 6)
+    assert got == exp and len(exp) >= 3
+
+    # candidate-reduction receipt: hot tokens (h1/h2, in EVERY doc)
+    # must never be prefix keys — every doc's prefix is its rarest
+    # ~40% of tokens, and h1/h2 sort last under freq-ascending order
+    from pyspark.sql import Window as W
+
+    toks = df.select("doc_id", F.explode_outer(
+        F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    ).alias("tok")).distinct()
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ftok"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("doc_id").orderBy("ftok", "tok")
+    ranked = toks.join(freq, "tok").withColumn(
+        "rn", F.row_number().over(w)
+    ).join(sizes, "doc_id")
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(0.6) * F.col("n")) + 1
+    )
+    prefix_toks = {r.tok for r in prefix.select("tok").distinct().collect()}
+    assert "h1" not in prefix_toks and "h2" not in prefix_toks
+    assert prefix.count() < toks.count() * 0.6
