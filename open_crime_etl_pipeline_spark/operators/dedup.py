@@ -1230,12 +1230,13 @@ def prefix_filter_jaccard_pairs(
     units = (
         F.array_distinct(word_shingles(text_col, shingle_n))
         if shingle_n
-        else tokens(text_col)
+        else F.array_distinct(tokens(text_col))
     )
-    toks = (
-        df.select(F.col(id_col), F.explode(units).alias("tok"))
-        .distinct()
-        .localCheckpoint(eager=True)  # consumed 3x (freq, prefix, verify)
+    # per-doc distinct happens INSIDE the array (scan-side), so no
+    # global distinct() exchange is needed — (id, tok) rows are unique
+    # by construction
+    toks = df.select(F.col(id_col), F.explode(units).alias("tok")).localCheckpoint(
+        eager=True  # consumed 3x (freq, prefix, verify)
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ftok"))
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
