@@ -38,6 +38,8 @@ NOTES = {
     "event_transition_matrix": "LAG window by high-cardinality user_id; probability normalization windows over the aggregated |types|^2 matrix, never the event stream",
     "product_profit_q9": "Q9 shape: LIKE filter prunes part BEFORE broadcast; lineitem joins dims without shuffling itself; mixed +/- decimal measure in one partial agg",
     "forecast_revenue_q6": "Q6 shape: zero joins; all three range predicates in PushedFilters; 4-column ReadSchema; single partial+final agg",
+    "ewma_time_decay_irregular": "same segmented-scan skeleton with data-dependent exp(-dt/tau) coefficients: the chunk-boundary predecessor timestamp arrives via a lag window over chunk-SUMMARY rows (one row per (series, day)), never over elements; the apply join is broadcast; no element-level global sort",
+    "prefix_filter_jaccard_join": "exact-threshold Jaccard with NO LSH: the self-join keys are only each doc's rarest n-ceil(t*n)+1 shingles (freq-ascending global order), so hot-token buckets never join; verify joins are proportional to CANDIDATES; one scan-side shingle explode, no global distinct",
     "ewma_affine_scan": "segmented affine prefix scan: chunk-local (A,B) prefixes ride the eager checkpoint (ExistingRDD consumed twice); ONE series-level exchange folds the tiny chunk summaries; the entering state re-joins as a BROADCAST; per-element apply is a scan-side projection — a series spanning thousands of tasks never sorts globally and never collects",
     "classifier_auc_calibration": "ONE corpus pass total: the distinct-score (p, n_pos, n_neg) table materializes at an eager checkpoint (0 parquet scans in the final plan) and AUC/PR-AUC/totals/calibration bins all derive from the sketch; windows sort only distinct scores; the 1-row AUC and totals sides re-enter as broadcast nested-loop (cross) joins",
     "ewma_smoothing_per_series": "two partial-agg groupBys collapse orders to bounded per-series arrays; the EWMA fold is ONE Catalyst aggregate HOF projection — no window over an unpartitioned ordering, no Python",
