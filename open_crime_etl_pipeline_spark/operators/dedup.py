@@ -1246,8 +1246,16 @@ def prefix_filter_jaccard_pairs(
         .withColumn("rn", F.row_number().over(w))
         .join(sizes, id_col)
     )
+    # alpha = ceil(t*n) must never round UP past the true integer:
+    # 0.7*10 is 7.000000000000001 in binary, so a naive ceil gives 8
+    # and SHORTENS the prefix below the lemma's bound — a constructible
+    # false negative (B ⊂ A with J exactly t misses when A's unique
+    # tokens are globally rarest). Shaving n*1e-9 before the ceil can
+    # only UNDERESTIMATE alpha (longer prefix, more candidates) — the
+    # safe direction; completeness is never at risk.
+    alpha = F.ceil(F.col("n") * F.lit(t - 1e-9))
     prefix = ranked.filter(
-        F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+        F.col("rn") <= F.col("n") - alpha + 1
     ).select(id_col, "tok")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

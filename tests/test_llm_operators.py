@@ -1961,3 +1961,24 @@ def test_prefix_filter_jaccard_lossless_and_reduces_candidates(spark):
     prefix_toks = {r.tok for r in prefix.select("tok").distinct().collect()}
     assert "h1" not in prefix_toks and "h2" not in prefix_toks
     assert prefix.count() < toks.count() * 0.6
+
+
+def test_prefix_filter_jaccard_fp_ceiling_boundary(spark):
+    """The exact constructible false negative a naive ceil(t*n) allows:
+    0.7*10 is 7.000000000000001 in binary, so ceil gives 8 and A's
+    prefix shrinks from 4 to 3. With B ⊂ A (J = 7/10 = 0.7 exactly)
+    and A's three unique tokens globally RAREST, the shortened prefixes
+    are disjoint and the qualifying pair vanishes. The epsilon-guarded
+    alpha must keep it."""
+    rows = [
+        (1, " ".join(["u1", "u2", "u3"] + [f"s{i}" for i in range(7)])),
+        (2, " ".join(f"s{i}" for i in range(7))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    assert got == {(1, 2): 0.7}
