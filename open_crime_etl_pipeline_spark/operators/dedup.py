@@ -329,6 +329,64 @@ def _verify_pairs(
     )
 
 
+def _prefix_filter_candidates(
+    toks: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared SSJoin/PPJoin candidate core over distinct ``(id, tok)``
+    rows: global rarest-first canonical order (corpus frequency asc,
+    token asc), guarded prefix length, guarded symmetric size filter,
+    prefix-key equi-join. Both ``ngram_jaccard_pairs`` and
+    ``prefix_filter_jaccard_pairs`` route through this so the
+    FP-ceiling guard lives in exactly one place (round-6 lesson:
+    sibling implementations diverge silently).
+
+    The guard: ``alpha = ceil(t*n)`` must never round UP past the true
+    integer — IEEE doubles give ``ceil(0.55*100)=56`` (true 55) and
+    ``ceil(0.7*10)=8`` (true 7), which SHORTENS the prefix below the
+    lemma's bound and silently drops qualifying pairs (false
+    negatives in an operator whose contract is "bit-identical to the
+    naive join"). Shaving ``t - 1e-9`` before every ceil can only
+    LENGTHEN the prefix / LOOSEN the size filter — extra candidates
+    are discarded by exact verification, so completeness is restored
+    and the verified output is unchanged.
+
+    ``toks`` is consumed three times (frequency agg, prefix ranking,
+    and typically the caller's verify join) — callers localCheckpoint
+    it before passing it in.
+    """
+    t = float(threshold)
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ftok"))
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(id_col).orderBy("ftok", "tok")
+    ranked = (
+        toks.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+
+    def _alpha(n_col):
+        return F.ceil(n_col * F.lit(t - 1e-9))
+
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - _alpha(F.col("n")) + 1
+    ).select(id_col, "n", "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.n") >= _alpha(F.col("a.n")))
+            & (F.col("a.n") >= _alpha(F.col("b.n"))),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -354,33 +412,19 @@ def ngram_jaccard_pairs(
     (array_intersect/union), so the output is bit-identical to the
     naive join (the SQL oracle still computes the quadratic version).
     The size filter |B| ≥ ⌈t·|A|⌉ (implied by J ≥ t) prunes further.
+
+    Candidate generation is the shared ``_prefix_filter_candidates``
+    core (also used by ``prefix_filter_jaccard_pairs``), which carries
+    the FP-ceiling guard — ``ceil`` of an IEEE product like 0.55·100
+    can round UP past the true integer and shorten the prefix below
+    the lemma's bound, a silent false negative. One guarded core, no
+    sibling divergence.
     """
     sh_arr = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
-    ex = sh_arr.select(
-        F.col(id_col), F.size("sh").alias("n"), F.explode("sh").alias("shingle")
-    )
-    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("dfreq"))
-    w = Window.partitionBy(id_col).orderBy("dfreq", "shingle")
-    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
-    prefix = (
-        ex.join(dfreq, "shingle")
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= prefix_len)
-        .select(id_col, "n", "shingle")
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    t = F.lit(threshold)
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("b.n") >= F.ceil(t * F.col("a.n")))
-            & (F.col("a.n") >= F.ceil(t * F.col("b.n"))),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    toks = sh_arr.select(
+        F.col(id_col), F.explode("sh").alias("tok")
+    ).localCheckpoint(eager=True)  # consumed 3x inside the candidate core
+    cand = _prefix_filter_candidates(toks, id_col, threshold)
     sa = sh_arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh_arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     raw = (
@@ -1236,40 +1280,13 @@ def prefix_filter_jaccard_pairs(
     # global distinct() exchange is needed — (id, tok) rows are unique
     # by construction
     toks = df.select(F.col(id_col), F.explode(units).alias("tok")).localCheckpoint(
-        eager=True  # consumed 3x (freq, prefix, verify)
+        eager=True  # consumed 3x (candidate core) + verify
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("ftok"))
+    # Candidate generation (prefix ranking, FP-ceiling guard, size
+    # filter) is the shared `_prefix_filter_candidates` core — see its
+    # docstring for the guard's correctness argument.
+    cand = _prefix_filter_candidates(toks, id_col, threshold)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy(id_col).orderBy("ftok", "tok")
-    ranked = (
-        toks.join(freq, "tok")
-        .withColumn("rn", F.row_number().over(w))
-        .join(sizes, id_col)
-    )
-    # alpha = ceil(t*n) must never round UP past the true integer:
-    # 0.7*10 is 7.000000000000001 in binary, so a naive ceil gives 8
-    # and SHORTENS the prefix below the lemma's bound — a constructible
-    # false negative (B ⊂ A with J exactly t misses when A's unique
-    # tokens are globally rarest). Shaving n*1e-9 before the ceil can
-    # only UNDERESTIMATE alpha (longer prefix, more candidates) — the
-    # safe direction; completeness is never at risk.
-    alpha = F.ceil(F.col("n") * F.lit(t - 1e-9))
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n") - alpha + 1
-    ).select(id_col, "tok")
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
     ta = toks.select(F.col(id_col).alias("id_a"), "tok")
     tb = toks.select(F.col(id_col).alias("id_b"), "tok")
     inter = (

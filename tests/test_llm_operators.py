@@ -1982,3 +1982,47 @@ def test_prefix_filter_jaccard_fp_ceiling_boundary(spark):
         ).collect()
     }
     assert got == {(1, 2): 0.7}
+
+
+def test_ngram_jaccard_fp_ceiling_divergent_pair(spark):
+    """Planted divergent (t, n) pair for the round-2 sibling (VERDICT
+    r6 finding #1): ceil(0.55*100) = 56 in IEEE doubles (true 55), so
+    the UNguarded prefix length 100-56+1 = 45 misses position 46 —
+    where the only shared-prefix token of this construction lives —
+    and the unguarded size filter demands |B| >= 56 > 55. Both guards
+    now route through the shared `_prefix_filter_candidates` core;
+    the qualifying J = 55/100 = 0.55 pair must survive."""
+    uniq = [f"u{i:03d}" for i in range(45)]       # only in A -> freq 1
+    shared = [f"s{i:03d}" for i in range(46, 101)]  # in A and B -> freq 2
+    rows = [
+        (1, " ".join(uniq + shared)),   # |A| = 100
+        (2, " ".join(shared)),          # |B| = 55, B subset of A
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.55, shingle_n=1
+        ).collect()
+    }
+    assert got == {(1, 2): 0.55}
+
+
+def test_prefix_filter_core_shared_pair_sets(spark, near_corpus):
+    """Both prefix-filter implementations must return the IDENTICAL
+    pair set (ids AND rounded jaccard) when configured on the same set
+    domain — the regression pin that keeps the shared candidate core
+    from diverging by sibling again."""
+    ng = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            near_corpus, "doc_id", "text", threshold=0.7, shingle_n=3
+        ).collect()
+    }
+    pf = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.prefix_filter_jaccard_pairs(
+            near_corpus, "doc_id", "text", threshold=0.7, shingle_n=3
+        ).collect()
+    }
+    assert ng == pf and len(ng) > 0
