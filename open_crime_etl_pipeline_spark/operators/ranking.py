@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import pin
+
 
 def global_row_number(
     df: DataFrame,
@@ -39,7 +41,7 @@ def global_row_number(
     tagged = (
         df.repartitionByRange(n, *cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(pin)
     )
     counts = sorted(
         (r["__pid"], r["cnt"])
@@ -101,7 +103,7 @@ def grouped_running_sum(
     tagged = (
         df.repartitionByRange(n, F.col(group_col), *ocols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()  # pin sampled range boundaries across passes
+        .transform(pin)  # pin sampled range boundaries across passes
     )
     part_sums = (
         tagged.groupBy("__pid", group_col)
@@ -137,3 +139,72 @@ def grouped_running_sum(
         .withColumn(out_col, (F.col("__ps") + F.col("__off")).cast("long"))
         .drop("__pid", "__ps", "__off")
     )
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_by: list[Column | str],
+    value_cols: dict[str, str],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive GLOBAL running sums of several integer value columns
+    in ``order_by`` order (which must be TOTAL — include a unique
+    tie-break), without the single-task unpartitioned window that
+    ``sum() OVER (ORDER BY ...)`` compiles to. Same two-pass shape as
+    :func:`global_row_number`:
+
+    1. range-repartition on the order keys (sampled boundaries);
+    2. per-partition column sums — O(P) tiny rows to the driver —
+       prefix-summed into per-partition starting offsets;
+    3. per-PARTITION inclusive running sum (parallel) + broadcast
+       offset map.
+
+    ``value_cols`` maps each output column name to the source column
+    it accumulates; all sums ride ONE window pass. The partitioned
+    frame is localCheckpoint-pinned so passes 2 and 3 see identical
+    sampled range boundaries.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    tagged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .transform(pin)
+    )
+    outs = list(value_cols)
+    part = sorted(
+        (r["__pid"], tuple(r[out] for out in outs))
+        for r in tagged.groupBy("__pid")
+        .agg(*[F.sum(src).alias(out) for out, src in value_cols.items()])
+        .collect()
+    )
+    if not part:  # empty input: zero-valued sums over zero rows
+        return df.select(
+            "*", *[F.lit(0).cast("long").alias(out) for out in outs]
+        )
+    offsets, acc = [], {out: 0 for out in outs}
+    for pid, vals in part:
+        offsets.append((pid, dict(acc)))
+        for out, v in zip(outs, vals):
+            acc[out] += int(v or 0)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    res = tagged
+    for out, src in value_cols.items():
+        omap = F.create_map(
+            *[
+                lit
+                for pid, offs in offsets
+                for lit in (F.lit(pid), F.lit(offs[out]).cast("long"))
+            ]
+        )
+        res = res.withColumn(
+            out,
+            (F.sum(src).over(w) + F.element_at(omap, F.col("__pid"))).cast(
+                "long"
+            ),
+        )
+    return res.drop("__pid")

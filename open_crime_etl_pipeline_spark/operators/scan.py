@@ -23,8 +23,14 @@ so the whole path s_1..s_n is a PREFIX SCAN over ∘ (Blelloch 1990,
    state ENTERING each chunk. #chunks = n/chunk_size rows per series
    (two more levels of the same scan if even that outgrows a task;
    one level covers 10¹² elements at 10⁶-element chunks).
-3. **apply pass** — join the per-chunk entering state back (broadcast:
-   it is #chunks rows) and emit s_i = A_i·S_c + B_i element-wise.
+3. **apply pass** — join the per-chunk entering state back on the
+   grouped (series, chunk) key and emit s_i = A_i·S_c + B_i
+   element-wise. The carry side has ONE row per (series, chunk) —
+   tiny in the few-long-series regime, but the SAME cardinality as
+   the chunked frame in the many-short-series regime — so the join
+   carries no forced broadcast hint: AQE converts it to a broadcast
+   join at runtime exactly when the carry side is actually small,
+   and a 10⁷-series caller never OOMs the driver on a hint.
 
 Seeding: the query family seeds at the first observation (s_1 = x_1),
 which is exactly the scan with initial state S_0 = x_first, since
@@ -43,6 +49,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..checkpointing import pin
 
 
 def ewma_affine_scan(
@@ -64,7 +72,10 @@ def ewma_affine_scan(
     series across chunk (and therefore task) boundaries.
 
     Scale shape: two groupBys (rows → chunks, chunks → series) with
-    map-side combine, one broadcast-sized join back, zero windows over
+    map-side combine, one (series, chunk) equi-join back — unhinted,
+    so AQE broadcasts it in the few-long-series regime and falls back
+    to a hash join in the many-series regime where the carry side is
+    as large as the data (see module docstring) — zero windows over
     an unpartitioned ordering, zero driver loops; per-task array state
     is bounded by the chunk size at level 1 and the chunk COUNT at
     level 2 — a single series spanning thousands of tasks is fine,
@@ -114,13 +125,13 @@ def ewma_affine_scan(
         "_series", "_chunk", "first_x",
         F.col("agg.A").alias("cA"), F.col("agg.B").alias("cB"),
         F.col("agg.out").alias("prefixes"),
-    ).localCheckpoint(eager=True)  # consumed twice (carry + apply)
+    ).transform(pin)  # consumed twice (carry + apply)
 
     entering = _carry_entering(local, chunk_ddl=_chunk_ddl(df, chunk_col))
 
     # --- apply pass: s_i = A_i·S_chunk + B_i, element-wise
     return (
-        local.join(F.broadcast(entering), ["_series", "_chunk"])
+        local.join(entering, ["_series", "_chunk"])
         .select(
             "_series", "S", F.explode("prefixes").alias("p")
         )
@@ -222,7 +233,9 @@ def ewma_time_decay_scan(
 
     Same scale shape as :func:`ewma_affine_scan`: per-task state
     bounded by chunk size (level 1) and chunk count (level 2); no
-    window over element-level data; one broadcast join back.
+    window over element-level data; one unhinted (series, chunk)
+    equi-join back (AQE broadcasts it only when the carry side is
+    actually small — see module docstring).
     Returns (series_col, id_col, x_col, ewma).
     """
     tau = float(tau_seconds)
@@ -285,12 +298,12 @@ def ewma_time_decay_scan(
         "_series", "_chunk", "first_x",
         F.col("agg.A").alias("cA"), F.col("agg.B").alias("cB"),
         F.col("agg.out").alias("prefixes"),
-    ).localCheckpoint(eager=True)  # consumed twice (carry + apply)
+    ).transform(pin)  # consumed twice (carry + apply)
 
     entering = _carry_entering(local, chunk_ddl=_chunk_ddl(df, chunk_col))
 
     return (
-        local.join(F.broadcast(entering), ["_series", "_chunk"])
+        local.join(entering, ["_series", "_chunk"])
         .select("_series", "S", F.explode("prefixes").alias("p"))
         .select(
             F.col("_series").alias(series_col),

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ...checkpointing import pin
 from ...operators import dedup as D
 from ...operators import multimodal as M
 from ...operators import similarity as S
@@ -796,8 +797,18 @@ def auc_calibration_over(scored: DataFrame) -> DataFrame:
     cast(p as DECIMAL(19,18)) == cast(p) * n exactly (the cast rounds
     once at scale 18; multiplying by an integer within 38-digit
     headroom is exact), and both engines state the identical
-    product-sum."""
-    from pyspark.sql import Window
+    product-sum.
+
+    Scale: the cumulative pos/neg counts ride
+    :func:`operators.ranking.global_running_sums` (two-pass range-
+    partition prefix sums), NOT an unpartitioned window — a continuous-
+    score classifier makes the distinct-score table corpus-sized, and
+    ``sum() OVER (ORDER BY p)`` would funnel it through ONE task.
+    Scores are distinct after the groupBy, so the order is total; the
+    ge-side cumulatives derive from the ascending inclusive sums and
+    the already-collected class totals (sp - cum_np + np), so one
+    window pass serves both directions."""
+    from ...operators.ranking import global_running_sums
 
     d = scored.groupBy("p").agg(
         F.sum("y").alias("np"),
@@ -812,42 +823,32 @@ def auc_calibration_over(scored: DataFrame) -> DataFrame:
             f"AUC needs both classes: positives={chk['p_'] or 0}, "
             f"negatives={chk['n_'] or 0}"
         )
-    tot = d.agg(
-        F.sum("np").cast("double").alias("pp"),
-        F.sum("nn").cast("double").alias("qq"),
-    )
-    w_below = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
-    w_ge = Window.orderBy(F.col("p").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    dw = d.select(
+    sp, sn = int(chk["p_"]), int(chk["n_"])
+    cum = global_running_sums(d, ["p"], {"cum_np": "np", "cum_nn": "nn"})
+    dw = cum.select(
         "p", "np", "nn",
-        F.coalesce(F.sum("nn").over(w_below), F.lit(0)).alias("cneg_below"),
-        F.sum("np").over(w_ge).alias("cpos_ge"),
-        F.sum("nn").over(w_ge).alias("cneg_ge"),
+        (F.col("cum_nn") - F.col("nn")).alias("cneg_below"),
+        (F.lit(sp).cast("long") - F.col("cum_np") + F.col("np")).alias("cpos_ge"),
+        (F.lit(sn).cast("long") - F.col("cum_nn") + F.col("nn")).alias("cneg_ge"),
     )
-    aucs = (
-        dw.crossJoin(F.broadcast(tot))
-        .groupBy("pp", "qq")
-        .agg(
-            (
-                F.sum(
-                    (F.col("np") * (F.col("cneg_below") + F.col("nn") / F.lit(2.0)))
-                    .cast("decimal(38,6)")
-                ).cast("double")
-                / (F.col("pp") * F.col("qq"))
-            ).alias("roc_auc"),
+    pp, qq = F.lit(float(sp)), F.lit(float(sn))
+    aucs = dw.agg(
+        (
             F.sum(
-                (
-                    (F.col("np") / F.col("pp"))
-                    * (
-                        F.col("cpos_ge")
-                        / (F.col("cpos_ge") + F.col("cneg_ge")).cast("double")
-                    )
-                ).cast("decimal(38,18)")
-            ).cast("double").alias("pr_auc"),
-        )
-        .select("roc_auc", "pr_auc")
+                (F.col("np") * (F.col("cneg_below") + F.col("nn") / F.lit(2.0)))
+                .cast("decimal(38,6)")
+            ).cast("double")
+            / (pp * qq)
+        ).alias("roc_auc"),
+        F.sum(
+            (
+                (F.col("np") / pp)
+                * (
+                    F.col("cpos_ge")
+                    / (F.col("cpos_ge") + F.col("cneg_ge")).cast("double")
+                )
+            ).cast("decimal(38,18)")
+        ).cast("double").alias("pr_auc"),
     )
     n_rows = F.sum(F.col("np") + F.col("nn"))
     bins = d.groupBy(
@@ -1333,9 +1334,7 @@ def _adaboost_train(feat: DataFrame, k: int = 3) -> list:
     # DECIMAL(38,0) weights: integer products of per-round factors grow
     # past 2^63 by round 3 at sf0.1 (w <= prod T_r), and decimal keeps
     # them exact to 38 digits on both engines (DuckDB sums to HUGEINT)
-    w = feat.withColumn("w", F.lit(1).cast("decimal(38,0)")).localCheckpoint(
-        eager=True
-    )
+    w = pin(feat.withColumn("w", F.lit(1).cast("decimal(38,0)")))
     out = []
     for r in range(1, k + 1):
         x = (
@@ -1391,7 +1390,7 @@ def _adaboost_train(feat: DataFrame, k: int = 3) -> list:
             F.when(hb == F.col("y"), F.col("w") * F.lit(e_num)).otherwise(
                 F.col("w") * F.lit(tot - e_num)
             ).cast("decimal(38,0)"),
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
     return out
 
 

@@ -462,3 +462,16 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_auc_cumulatives_avoid_unpartitioned_window(spark, sf_dir):
+    """The AUC/PR-AUC cumulative pos/neg counts must ride the two-pass
+    range-partition running sums (window partitioned by __pid), never
+    an unpartitioned `sum() OVER (ORDER BY p)` — on a continuous-score
+    classifier the distinct-score table is corpus-sized and the
+    unpartitioned form is a single-task global sort (VERDICT r6 #2)."""
+    plan = _plan(spark, sf_dir, "classifier_auc_calibration")
+    assert "windowspecdefinition(__pid" in plan
+    # an UNpartitioned spec would open with the order key directly
+    assert "windowspecdefinition(p#" not in plan
+    assert "BatchEvalPython" not in plan
