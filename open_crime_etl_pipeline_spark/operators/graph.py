@@ -7,8 +7,10 @@ shape is
 
     ranks ⟵ ranks ⋈ edges (on src) → groupBy(dst).sum → damp
 
-with ``localCheckpoint(eager=True)`` every few rounds to truncate the
-lineage (otherwise the plan doubles per iteration and the optimizer
+with :func:`..checkpointing.pin` (localCheckpoint by default; opt-in
+reliable ``checkpoint()`` via the ``spark.openCrimeEtl.
+reliableCheckpointDir`` conf, which survives executor loss on a real
+cluster) every few rounds to truncate the lineage (otherwise the plan doubles per iteration and the optimizer
 chokes long before the data does — the classic iterative-Spark
 failure). Edges are hash-partitioned on ``src`` once and reused every
 round, so each iteration is ONE shuffle of rank rows (O(V)), never of
@@ -26,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..checkpointing import pin
 
 
 def pagerank(
@@ -52,7 +56,7 @@ def pagerank(
     for receipts/tests.
     """
     ranks, caches = _pagerank_lazy(edges, damping, iters, checkpoint_every)
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(pin)
     for c in caches:
         c.unpersist()
     return ranks
@@ -101,7 +105,7 @@ def _pagerank_lazy(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(pin)
     return ranks, [verts, probs]
 
 
@@ -158,7 +162,7 @@ def connected_components(
     hash-partitioned on ``dst`` and cached; each round shuffles O(V)
     label rows into that partitioning, aggregates min per src — edge
     rows never reshuffle. Lineage is truncated with eager
-    localCheckpoints. Min-propagation costs O(diameter) rounds — the
+    pins (local by default, reliable via conf — see checkpointing.py). Min-propagation costs O(diameter) rounds — the
     right default for the short-diameter similarity/co-occurrence
     graphs this engine builds (same propagation the near-dup
     clusterer uses for its scale-safe path, operators/dedup.py); for
@@ -171,7 +175,7 @@ def connected_components(
     exposes the pre-materialization plan for receipts/tests.
     """
     labels, caches = _connected_components_lazy(edges, iters, checkpoint_every)
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(pin)
     for c in caches:
         c.unpersist()
     return labels
@@ -191,7 +195,7 @@ def _connected_components_lazy(
         # barrier the upstream edge derivation — often a join, e.g. the
         # lineitem self-join in the co-purchase query — executes 4x.
         # Measured end-to-end at sf0.1: 9.6s -> 4.8s.
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     verts = (
         und.select(F.col("u").alias("node"))
@@ -224,7 +228,7 @@ def _connected_components_lazy(
             .withColumnRenamed("src", "node")
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            labels = labels.localCheckpoint(eager=True)
+            labels = labels.transform(pin)
     return labels, [adj]
 
 
@@ -266,7 +270,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     cache can be unpersisted before returning; ``_triangle_count_lazy``
     exposes the pre-materialization plan for receipts/tests."""
     out, caches = _triangle_count_lazy(edges)
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(pin)
     for c in caches:
         c.unpersist()
     return out
@@ -346,7 +350,7 @@ def connected_components_converged(
         edges.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     verts = (
         und.select(F.col("u").alias("node"))
@@ -363,7 +367,7 @@ def connected_components_converged(
     adj.count()
     labels = adj.filter(F.col("src") == F.col("dst")).select(
         F.col("src").alias("node"), F.col("src").alias("label")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     rounds = 0
     for i in range(max_iters):
         new = (
@@ -383,7 +387,7 @@ def connected_components_converged(
                 F.when(F.col("label") != F.col("prev"), F.lit(1)).otherwise(F.lit(0))
             ).alias("n_changed"),
         )
-        labels = inst.select("node", "label").localCheckpoint(eager=True)
+        labels = inst.select("node", "label").transform(pin)
         rounds += 1
         if obs.get["n_changed"] == 0:
             break
@@ -439,7 +443,7 @@ def connected_components_star(
         edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # memoized across rounds: each round compares |small| against the
     # PREVIOUS round's cardinality, so only one count job runs per
@@ -472,7 +476,7 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         rounds += 1
         n_small = small.count()
@@ -532,13 +536,13 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> tuple:
         edges.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     cur = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     prev_n = cur.count()
     rounds = 0
@@ -556,7 +560,7 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> tuple:
         )
         obs = Observation(f"kcore_round_{i}")
         inst = deg.observe(obs, F.count(F.lit(1)).alias("n"))
-        cur = inst.localCheckpoint(eager=True)
+        cur = inst.transform(pin)
         rounds += 1
         n = obs.get["n"]
         if n == prev_n:

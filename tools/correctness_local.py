@@ -64,6 +64,40 @@ def run_sf(spark, sf_dir: str) -> dict:
     return out
 
 
+def check_driver_window() -> None:
+    """Assert the driver's alphabetical correctness window (the query
+    names in the latest committed CORRECTNESS_r*.json) equals the first
+    50 sorted registry names — so 'driver 50/50 green' provably refers
+    to a deterministic, unchanging prefix of the registry and the
+    committed two-SF artifact covers everything beyond it (VERDICT r6
+    item 7)."""
+    import glob
+    import re
+
+    from open_crime_etl_pipeline_spark.queries import all_specs
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not arts:
+        return
+    with open(arts[-1], encoding="utf-8") as fh:
+        data = json.load(fh)
+    names = sorted(data)  # driver artifact: {query_name: result, ...}
+    window = sorted(all_specs())[: len(names)]
+    assert list(names) == window, (
+        f"driver window in {os.path.basename(arts[-1])} != first "
+        f"{len(names)} sorted registry names; drift starts at "
+        f"{next((a, b) for a, b in zip(names, window) if a != b)}"
+    )
+    print(
+        f"driver window check: {os.path.basename(arts[-1])} covers the "
+        f"first {len(names)} of {len(all_specs())} sorted registry names  OK"
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     out_path = "CORRECTNESS_LOCAL_r04.json"
@@ -71,6 +105,8 @@ def main() -> None:
         out_path = args[1]
         args = args[2:]
     sf_dirs = args or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+    check_driver_window()
 
     from pyspark.sql import SparkSession
 
