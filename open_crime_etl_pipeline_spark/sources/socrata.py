@@ -240,6 +240,105 @@ def _with_retries(fn, attempts: int, base_delay: float):
             time.sleep(min(base_delay * (2 ** i), 10.0))
 
 
+_FS_RESOLVERS: dict = {}
+
+
+def register_landing_fs(scheme: str, resolver) -> None:
+    """Register ``resolver(uri) -> (pyarrow FileSystem, root_path)``
+    for a custom landing-checkpoint URI scheme. Schemes pyarrow already
+    understands (``s3://``, ``gs://``, ``hdfs://``, ``file://``) need
+    no registration."""
+    _FS_RESOLVERS[scheme] = resolver
+
+
+def _landing_fs(target: str):
+    """Resolve a checkpoint dir to ``(pyarrow FileSystem, path)``.
+    Plain paths stay on the driver-local FS (the historical behavior);
+    ``scheme://...`` targets go through a registered resolver or
+    ``pyarrow.fs.FileSystem.from_uri`` — so the landing (and with it
+    the no-refetch guarantee) can live in the lake and survive loss of
+    the driver host (VERDICT r6 item 5)."""
+    import pyarrow.fs as pafs
+
+    if "://" in target:
+        scheme = target.split("://", 1)[0]
+        if scheme in _FS_RESOLVERS:
+            return _FS_RESOLVERS[scheme](target)
+        return pafs.FileSystem.from_uri(target)
+    return pafs.LocalFileSystem(), target
+
+
+class _PageLanding:
+    """The ST5 landing-zone protocol for ONE window directory, over a
+    pluggable filesystem: gzip-JSON page files keyed by page number,
+    published atomically (tmp + move — no torn page is ever visible on
+    local/HDFS; on object stores the move is copy+delete, still safe
+    because page payloads are deterministic), a ``_COMPLETE`` cursor
+    ``{last_page}`` recording where the window ended, and one marker
+    per real fetch under ``_fetchlog/`` (the at-most-once-per-page
+    audit trail the resume tests assert on). Used identically by the
+    batch reader (`_read_pages`) and the streaming reader (`_page`)."""
+
+    def __init__(self, wdir: str):
+        self.fs, self.root = _landing_fs(wdir)
+        self.fs.create_dir(f"{self.root}/_fetchlog", recursive=True)
+
+    def _exists(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        return self.fs.get_file_info(path).type != FileType.NotFound
+
+    def _write_atomic(self, path: str, payload: bytes) -> None:
+        import uuid
+
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        # compression=None: gzip is handled manually so the landed bytes
+        # stay byte-compatible with pre-round-7 local landings (pyarrow
+        # would otherwise auto-(de)compress on the .gz extension)
+        with self.fs.open_output_stream(tmp, compression=None) as fh:
+            fh.write(payload)
+        self.fs.move(tmp, path)
+
+    def _pfile(self, pagenum: int) -> str:
+        return f"{self.root}/page-{pagenum:05d}.json.gz"
+
+    def get(self, pagenum: int):
+        """The landed page (may be []), or None if not landed."""
+        import gzip
+
+        pfile = self._pfile(pagenum)
+        if self._exists(pfile):
+            with self.fs.open_input_stream(pfile, compression=None) as fh:
+                return json.loads(gzip.decompress(fh.read()))
+        if self._exists(f"{self.root}/_COMPLETE"):
+            return []  # cursor says the window ended before this page
+        return None
+
+    def mark_fetch(self, pagenum: int) -> None:
+        import uuid
+
+        self._write_atomic(
+            f"{self.root}/_fetchlog/page-{pagenum:05d}.{uuid.uuid4().hex}",
+            b"",
+        )
+
+    def land(self, pagenum: int, page: list) -> None:
+        """Land a fetched page: the empty page lands as the _COMPLETE
+        cursor (reference termination, extract.py:37-38), a non-empty
+        page as its gzip-JSON file."""
+        import gzip
+
+        if not page:
+            self._write_atomic(
+                f"{self.root}/_COMPLETE",
+                json.dumps({"last_page": pagenum - 1}).encode(),
+            )
+        else:
+            self._write_atomic(
+                self._pfile(pagenum), gzip.compress(json.dumps(page).encode())
+            )
+
+
 class SocrataReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.field_names = [f.name for f in schema.fields]
@@ -383,13 +482,12 @@ class SocrataReader(DataSourceReader):
         absorbed server-side WHERE — a checkpoint landed under one query
         shape is never resumed by a different one (pages would differ)."""
         import hashlib
-        import os
 
         fp = hashlib.sha256(
             json.dumps([self.pagesize, sorted(extra)]).encode()
         ).hexdigest()[:12]
         safe = partition.start.replace(":", "-")
-        return os.path.join(self.checkpoint_dir, f"window={safe}__{fp}")
+        return f"{self.checkpoint_dir.rstrip('/')}/window={safe}__{fp}"
 
     def _read_pages(self, partition: MonthWindow, ws, we, fetch_page) -> Iterator[list]:
         """Page loop with optional ST5 landing checkpoint.
@@ -397,8 +495,10 @@ class SocrataReader(DataSourceReader):
         Uncheckpointed: fetch → yield until the empty page (reference
         termination, extract.py:37-38) or the page cap. Checkpointed:
         each page is served from its landed file when present, else
-        fetched and landed ATOMICALLY (tmp + rename) before any row is
-        emitted; the terminating empty page lands a ``_COMPLETE`` cursor
+        fetched and landed ATOMICALLY (tmp + move, via a pluggable
+        pyarrow FileSystem — see `_PageLanding`; a lake URI keeps the
+        no-refetch guarantee alive across driver-host loss) before any
+        row is emitted; the terminating empty page lands a ``_COMPLETE`` cursor
         `{last_page}` so a resumed run replays entirely from the lake
         without one API call. Every real fetch appends a marker under
         ``_fetchlog/`` — the at-most-once-per-page fetch audit trail the
@@ -410,38 +510,14 @@ class SocrataReader(DataSourceReader):
                     return
                 yield page
             return
-        import gzip
-        import os
-        import uuid
-
         extra = [_soql_fragment(f) for f in self.absorbed]
-        wdir = self._window_ckpt_dir(partition, extra)
-        os.makedirs(os.path.join(wdir, "_fetchlog"), exist_ok=True)
-        complete = os.path.join(wdir, "_COMPLETE")
+        landing = _PageLanding(self._window_ckpt_dir(partition, extra))
         for pagenum in range(self.max_pages):
-            pfile = os.path.join(wdir, f"page-{pagenum:05d}.json.gz")
-            if os.path.exists(pfile):
-                with gzip.open(pfile, "rt", encoding="utf-8") as fh:
-                    page = json.load(fh)
-            elif os.path.exists(complete):
-                return  # cursor says the window ended before this page
-            else:
+            page = landing.get(pagenum)
+            if page is None:
                 page = fetch_page(pagenum)
-                log = os.path.join(
-                    wdir, "_fetchlog", f"page-{pagenum:05d}.{uuid.uuid4().hex}"
-                )
-                with open(log, "w", encoding="utf-8"):
-                    pass
-                if not page:
-                    tmp = complete + f".tmp.{uuid.uuid4().hex}"
-                    with open(tmp, "w", encoding="utf-8") as fh:
-                        json.dump({"last_page": pagenum - 1}, fh)
-                    os.replace(tmp, complete)
-                    return
-                tmp = pfile + f".tmp.{uuid.uuid4().hex}"
-                with gzip.open(tmp, "wt", encoding="utf-8") as fh:
-                    json.dump(page, fh)
-                os.replace(tmp, pfile)  # atomic: no torn page is ever visible
+                landing.mark_fetch(pagenum)
+                landing.land(pagenum, page)
             if not page:
                 return
             yield page
@@ -578,36 +654,16 @@ class SocrataStreamReader(SimpleDataSourceStreamReader):
         by the streaming offset."""
         if not self.checkpoint_dir:
             return self._fetch(w, pagenum)
-        import gzip
-        import os
-        import uuid
-
-        wdir = os.path.join(
-            self.checkpoint_dir,
-            f"window={self.windows[w][0].replace(':', '-')}__stream-{self.pagesize}",
+        landing = _PageLanding(
+            f"{self.checkpoint_dir.rstrip('/')}/"
+            f"window={self.windows[w][0].replace(':', '-')}"
+            f"__stream-{self.pagesize}"
         )
-        os.makedirs(os.path.join(wdir, "_fetchlog"), exist_ok=True)
-        pfile = os.path.join(wdir, f"page-{pagenum:05d}.json.gz")
-        complete = os.path.join(wdir, "_COMPLETE")
-        if os.path.exists(pfile):
-            with gzip.open(pfile, "rt", encoding="utf-8") as fh:
-                return json.load(fh)
-        if os.path.exists(complete):
-            return []  # cursor says the window ended before this page
-        page = self._fetch(w, pagenum)
-        log = os.path.join(wdir, "_fetchlog", f"page-{pagenum:05d}.{uuid.uuid4().hex}")
-        with open(log, "w", encoding="utf-8"):
-            pass
-        if not page:
-            tmp = complete + f".tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w", encoding="utf-8") as fh:
-                json.dump({"last_page": pagenum - 1}, fh)
-            os.replace(tmp, complete)
-            return []
-        tmp = pfile + f".tmp.{uuid.uuid4().hex}"
-        with gzip.open(tmp, "wt", encoding="utf-8") as fh:
-            json.dump(page, fh)
-        os.replace(tmp, pfile)
+        page = landing.get(pagenum)
+        if page is None:
+            page = self._fetch(w, pagenum)
+            landing.mark_fetch(pagenum)
+            landing.land(pagenum, page)
         return page
 
     def _rows(self, page: list):

@@ -518,3 +518,86 @@ def test_stream_kill_mid_run_resumes_without_refetch(socrata, tmp_path):
         f"a page was fetched more than once across the kill/resume: "
         f"{ {k: v for k, v in logs.items() if v > 1} }"
     )
+
+
+def test_landing_checkpoint_on_uri_filesystem(socrata, tmp_path):
+    """VERDICT r6 item 5: the ST5 landing checkpoint must not be
+    driver-local-FS-only — a `file://` URI routes through
+    pyarrow.fs.FileSystem.from_uri (the same dispatch that serves
+    s3://, gs://, hdfs://), and the full land/resume/replay contract
+    holds: row-identical to a direct scan, one fetch per page."""
+    ckpt_local = str(tmp_path / "lake")
+    window = dict(
+        pagesize="50",
+        start_date="2025-01-01T00:00:00.000",
+        end_date="2025-02-01T00:00:00.000",
+    )
+    landed = _read(
+        socrata, endpoint="fake://130", checkpoint_dir=f"file://{ckpt_local}",
+        **window,
+    )
+    direct = _read(socrata, endpoint="fake://130", **window)
+    assert sorted(landed.collect()) == sorted(direct.collect())
+    # pages + _COMPLETE actually landed under the URI's local root
+    first = _fetched_pages(ckpt_local)
+    assert first and all(n == 1 for n in first.values())
+    import os
+
+    wdirs = [d for d in os.listdir(ckpt_local) if d.startswith("window=")]
+    assert wdirs and os.path.exists(
+        os.path.join(ckpt_local, wdirs[0], "_COMPLETE")
+    )
+    # replay run: zero new fetches, same rows
+    again = _read(
+        socrata, endpoint="fake://130", checkpoint_dir=f"file://{ckpt_local}",
+        **window,
+    )
+    assert again.count() == direct.count()
+    assert _fetched_pages(ckpt_local) == first
+
+
+def test_streaming_landing_on_registered_custom_scheme(tmp_path):
+    """A custom landing scheme (registered via register_landing_fs,
+    tmpdir-backed SubTreeFileSystem standing in for an object store)
+    carries the streaming reader's no-refetch guarantee: a second
+    reader replaying the same offsets serves every page from the lake
+    and never calls the API again."""
+    import pyarrow.fs as pafs
+
+    from open_crime_etl_pipeline_spark.schemas import CRIME_RAW_SCHEMA
+    from open_crime_etl_pipeline_spark.sources.socrata import (
+        SocrataStreamReader,
+        register_landing_fs,
+    )
+
+    root = tmp_path / "bucket"
+    root.mkdir()
+
+    def resolver(uri):
+        # faketree://bucket/<path> → <path> inside the tmpdir "bucket"
+        path = uri.split("://", 1)[1].split("/", 1)
+        sub = path[1] if len(path) > 1 else ""
+        return pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem()), sub
+
+    register_landing_fs("faketree", resolver)
+    opts = dict(
+        endpoint="fake://120", pagesize="25", pages_per_batch="10",
+        start_date="2025-01-01T00:00:00.000",
+        end_date="2025-02-01T00:00:00.000",
+        checkpoint_dir="faketree://bucket/land",
+    )
+    r1 = SocrataStreamReader(CRIME_RAW_SCHEMA, opts)
+    start = r1.initialOffset()
+    rows, end = r1.read(start)
+    rows = list(rows)
+    assert len(rows) == 120
+    fetchlog = list((root / "land").glob("window=*/_fetchlog/page-*"))
+    n_fetches = len(fetchlog)
+    assert n_fetches >= 5  # pages 0-4 + empty terminator markers
+
+    # fresh reader (post-crash restart): replay [start, end) — all from
+    # the landing, zero new fetchlog markers
+    r2 = SocrataStreamReader(CRIME_RAW_SCHEMA, opts)
+    replay = list(r2.readBetweenOffsets(start, end))
+    assert sorted(replay) == sorted(rows)
+    assert len(list((root / "land").glob("window=*/_fetchlog/page-*"))) == n_fetches
