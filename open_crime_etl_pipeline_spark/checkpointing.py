@@ -41,9 +41,38 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     spark = df.sparkSession
     ckdir = spark.conf.get(CONF_KEY, None)
     if not ckdir:
-        return df.localCheckpoint(eager=eager)
+        return _reset_runaway_stats(df.localCheckpoint(eager=eager))
     sc = spark.sparkContext
     if _SET_FOR.get(sc.applicationId) != ckdir:
         sc.setCheckpointDir(ckdir)
         _SET_FOR[sc.applicationId] = ckdir
-    return df.checkpoint(eager=eager)
+    return _reset_runaway_stats(df.checkpoint(eager=eager))
+
+
+# Catalyst's LogicalRDD INHERITS the checkpointed plan's sizeInBytes
+# statistic. In an iterative operator every round's joins MULTIPLY that
+# BigInt, so across rounds the statistic's digit count grows ~4x per
+# round; by round ~10 the driver spends entire seconds per replan in
+# BigInteger.multiplyToomCook3 (measured: a 17-round prefix-doubling
+# loop went 0.2s -> 38s PER ROUND on 10k constant rows purely from stat
+# arithmetic). Leave real stats alone — they let Catalyst broadcast
+# small pinned frames — and reset only once the stat is past any
+# physical plausibility (2^127 bytes), where its only remaining effect
+# is the quadratic BigInt churn.
+_STAT_SANITY_BITS = 127
+
+
+def _reset_runaway_stats(ck: DataFrame) -> DataFrame:
+    try:
+        jqe = ck._jdf.queryExecution()
+        # py4j converts the scala BigInt to a Python int
+        bits = int(jqe.optimizedPlan().stats().sizeInBytes()).bit_length()
+        if bits <= _STAT_SANITY_BITS:
+            return ck
+        spark = ck.sparkSession
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jqe.toRdd(), ck._jdf.schema(), False
+        )
+        return DataFrame(new_jdf, spark)
+    except Exception:
+        return ck  # private-API drift: degrade to inherited stats
