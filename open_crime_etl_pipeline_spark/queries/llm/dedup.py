@@ -1248,3 +1248,164 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_jaccard_pairs(
         corpus, "doc_id", "text", threshold=0.7, shingle_n=3
     )
+
+
+@register(
+    "suffix_array_prefix_doubling",
+    oracle="""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        s AS (
+            SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+                   substr(text, CAST(u.pos AS INT)) AS suf
+            FROM d, unnest(generate_series(1, length(text))) AS u(pos)
+        )
+        SELECT doc_id, pos,
+               row_number() OVER (ORDER BY suf, doc_id, pos) AS sa_rank
+        FROM s
+    """,
+    doc="Global suffix ranking over a corpus slice by distributed "
+        "prefix doubling (operators/suffix.py; Manber-Myers): rank by "
+        "first-8 grams, then log(maxlen) rounds of (rank, successor-"
+        "rank) pair re-ranking — every round an equi-join + a range-"
+        "partitioned two-pass dense rank, integers only in flight, with "
+        "a partition-refinement fixpoint exit (random text: 2-4 "
+        "rounds). The oracle sorts the actual suffix STRINGS — the "
+        "exact quadratic-bytes plan the operator exists to avoid — so "
+        "the hash match proves the doubling recurrence equals true "
+        "suffix order, incl. prefix-of ties (shorter first) and "
+        "identical-suffix (doc,pos) tie-breaks. This is the index "
+        "shape behind ExactSubstr dedup and longest-repeated-substring "
+        "contamination mining at 100 TB.",
+    tags=("llm", "dedup", "suffix", "scale", "iterative"),
+)
+def suffix_array_prefix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...operators.suffix import suffix_ranks
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return suffix_ranks(docs, "doc_id", "text")
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text, GREATEST(length(text) - 4, 1) AS ng
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+                   GREATEST(ng - 7, 1) AS last_win,
+                   CAST(CAST('0x' || substr(md5(substr(text, CAST(u.pos AS INT), 5)), 1, 8) AS BIGINT) AS BIGINT) AS h
+            FROM d, unnest(generate_series(1, ng)) AS u(pos)
+        ),
+        e AS (
+            SELECT doc_id, h * 65536 + (65535 - pos) AS key,
+                   CAST(u2.win AS BIGINT) AS win
+            FROM g, unnest(generate_series(GREATEST(pos - 7, 1), LEAST(pos, last_win))) AS u2(win)
+        ),
+        s AS (SELECT doc_id, win, min(key) AS key FROM e GROUP BY doc_id, win)
+        SELECT DISTINCT doc_id,
+               CAST(65535 - key % 65536 AS BIGINT) AS pos,
+               CAST(key // 65536 AS BIGINT) AS fp
+        FROM s
+    """,
+    doc="Robust winnowing fingerprint selection (operators/winnow.py; "
+        "Schleimer-Wilkerson-Aiken SIGMOD'03 / MOSS): md5-derived "
+        "char-5-gram hashes, rightmost-min over every full 8-hash "
+        "window via an exact integer (hash, rightmost-pos) encoding — "
+        "one groupBy min, no argmax join, no global order. GUARANTEE: "
+        "any shared substring of length >= w+k-1 = 12 shares a selected "
+        "fingerprint (the density-optimal local scheme), which is what "
+        "makes it the plagiarism/contamination index between full gram "
+        "inverted indexes and whole-doc digests. Both engines state the "
+        "identical arithmetic, so the hash match proves the selection "
+        "set itself.",
+    tags=("llm", "dedup", "fingerprint", "winnowing"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...operators.winnow import winnowing_fingerprints as _wf
+
+    return _wf(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5, w=8)
+
+
+@register(
+    "winnowing_shared_substring_pairs",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text, GREATEST(length(text) - 11, 1) AS ng
+            FROM documents WHERE doc_id % 25 = 0
+        ),
+        g AS (
+            SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+                   GREATEST(ng - 7, 1) AS last_win,
+                   CAST(CAST('0x' || substr(md5(substr(text, CAST(u.pos AS INT), 12)), 1, 8) AS BIGINT) AS BIGINT) AS h
+            FROM d, unnest(generate_series(1, ng)) AS u(pos)
+        ),
+        e AS (
+            SELECT doc_id, h * 65536 + (65535 - pos) AS key,
+                   CAST(u2.win AS BIGINT) AS win
+            FROM g, unnest(generate_series(GREATEST(pos - 7, 1), LEAST(pos, last_win))) AS u2(win)
+        ),
+        s AS (SELECT doc_id, win, min(key) AS key FROM e GROUP BY doc_id, win),
+        fp AS (
+            SELECT DISTINCT doc_id,
+                   CAST(65535 - key % 65536 AS BIGINT) AS pos,
+                   CAST(key // 65536 AS BIGINT) AS fp
+            FROM s
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pos_a, b.pos AS pos_b, a.fp
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT DISTINCT c.doc_a, c.doc_b, c.fp
+            FROM cand c
+            JOIN d da ON da.doc_id = c.doc_a
+            JOIN d db ON db.doc_id = c.doc_b
+            WHERE substr(da.text, CAST(c.pos_a AS INT), 12)
+                  = substr(db.text, CAST(c.pos_b AS INT), 12)
+        )
+        SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM verified GROUP BY doc_a, doc_b
+    """,
+    doc="Cross-document shared-substring detection via winnowing "
+        "fingerprints (the MOSS use case): join the selected fingerprint "
+        "sets on fingerprint VALUE (candidates bounded by the ~2/(w+1)-"
+        "density selection, never an all-grams join), then verify each "
+        "candidate by comparing the actual 5-grams (hash-collision "
+        "guard), and count distinct verified fingerprints per doc pair. "
+        "Any pair sharing a substring of length >= 12 is guaranteed "
+        "present. Corpus slice doc_id % 5 = 0 keeps the oracle's "
+        "all-pairs restatement tractable.",
+    tags=("llm", "dedup", "winnowing", "similarity"),
+)
+def winnowing_shared_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...operators.winnow import winnowing_fingerprints as _wf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    fp = _wf(docs, "doc_id", "text", k=12, w=8)
+    a = fp.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "fp"
+    )
+    b = fp.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "fp"
+    )
+    cand = a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b"))
+    texts = docs.select("doc_id", "text")
+    verified = (
+        cand.join(
+            texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
+            "doc_b",
+        )
+        .filter(
+            F.expr("substring(ta, pos_a, 12)") == F.expr("substring(tb, pos_b, 12)")
+        )
+        .select("doc_a", "doc_b", "fp")
+        .distinct()
+    )
+    return verified.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_shared"))
