@@ -990,6 +990,81 @@ def k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+            FROM documents
+        ),
+        c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok)
+        SELECT tok, cnt FROM c
+        WHERE cnt * 30 > (SELECT count(*) FROM toks)
+    """,
+    doc="EXACT heavy-hitter tokens (frequency > N/30) via the "
+        "Misra-Gries candidate/verify plan (operators/frequent.py): "
+        "per-partition MG(k) sketches in one Arrow-batched pass (N rides "
+        "the same pass), union of candidates broadcast back for an exact "
+        "recount — the shuffle carries only candidate keys, never the "
+        "distinct-token space the oracle's groupBy shuffles. Threshold "
+        "cnt*k > N in exact integer arithmetic. LLM-data: stopword/"
+        "boilerplate discovery over a corpus whose vocabulary exceeds "
+        "executor memory.",
+    tags=("llm", "sketch", "tokens", "scale"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...operators.frequent import heavy_hitters_exact
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(TS.tokens("text")).alias("tok"))
+    )
+    return heavy_hitters_exact(toks, "tok", 30)
+
+
+@register(
+    "greedy_sequence_packing",
+    oracle="""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id,
+                   CAST(doc_id % 8 AS BIGINT) AS shard,
+                   CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tok,
+                   row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pack AS (
+            SELECT shard, rn, doc_id, n_tok,
+                   CAST(0 AS BIGINT) AS bin, n_tok AS fill
+            FROM docs WHERE rn = 1
+            UNION ALL
+            SELECT d.shard, d.rn, d.doc_id, d.n_tok,
+                   CASE WHEN p.fill + d.n_tok > 256 THEN p.bin + 1 ELSE p.bin END,
+                   CASE WHEN p.fill + d.n_tok > 256 THEN d.n_tok ELSE p.fill + d.n_tok END
+            FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1
+        )
+        SELECT doc_id, shard, bin, fill FROM pack
+    """,
+    doc="Greedy NO-SPLIT sequence packing (operators/packing.py): the "
+        "other packing discipline next to sequence_packing_bins' "
+        "concatenate-then-chunk — here a doc never crosses a bin "
+        "boundary (needed when attention must not span documents), so "
+        "the walk is an overflow-reset recurrence with a true sequential "
+        "dependency (non-associative: no prefix-scan form). Docs shard "
+        "by doc_id % 8 and each shard packs independently in one "
+        "applyInPandas task; shard count is the parallelism knob. The "
+        "oracle replays the identical walk as a recursive CTE, proving "
+        "every (doc -> bin, fill) assignment.",
+    tags=("llm", "curation", "packing", "applyInPandas"),
+)
+def greedy_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TS.tokens("text")).cast("long").alias("n_tok")
+    )
+    return pack_sequences(docs, "doc_id", "n_tok", budget=256, n_shards=8)
+
+
 # This module was split out of the former monolithic queries/llm.py (round 6);
 # registry names and semantics are unchanged. Reference citations live in the
 # individual docstrings.

@@ -620,3 +620,51 @@ def streaming_socrata_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(land, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(os.path.dirname(sink), ignore_errors=True)
+
+
+@register(
+    "streaming_heavy_hitter_tokens",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+            FROM documents
+        ),
+        c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok)
+        SELECT tok, cnt FROM c
+        WHERE cnt * 30 > (SELECT count(*) FROM toks)
+    """,
+    doc="Heavy hitters over a token STREAM: bucket-keyed Misra-Gries "
+        "sketch state in applyInPandasWithState (streaming/pipeline.py::"
+        "streaming_mg_candidates — O(buckets*k) state forever, arrays in "
+        "GroupState), then an exact offline recount of the emitted "
+        "candidate union. The stream only PRUNES (MG superset guarantee "
+        "survives batching), the recount DECIDES with exact integer "
+        "cnt*k > N — so the answer equals the batch heavy_hitter_tokens "
+        "query and the oracle is the same plain SQL. The lambda shape "
+        "for unbounded-vocabulary frequency monitoring (ST10 + sketch "
+        "family).",
+    tags=("streaming", "llm", "sketch", "stateful"),
+)
+def streaming_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import streaming_mg_candidates
+
+    k = 30
+    toks_stream = _stream_documents(spark, sf_dir).select(
+        F.explode(TS.tokens("text")).alias("tok")
+    )
+    cands_tbl = _run_to_table(
+        streaming_mg_candidates(toks_stream, k_per_bucket=k, n_buckets=8),
+        "stream_mg",
+        expect_single_batch=True,
+    )
+    cands = cands_tbl.select("tok").distinct()
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(TS.tokens("text")).alias("tok")
+    )
+    n_total = toks.count()
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * F.lit(k) > F.lit(n_total))
+    )

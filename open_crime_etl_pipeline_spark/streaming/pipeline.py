@@ -446,3 +446,69 @@ def stream_interval_join(
         & (rts <= lts + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond, how)
+
+
+MG_OUTPUT_SCHEMA = "bucket long, tok string, upper_cnt long"
+MG_STATE_SCHEMA = "toks array<string>, cnts array<long>, n_seen long"
+
+
+def streaming_mg_candidates(
+    toks: DataFrame, k_per_bucket: int = 16, n_buckets: int = 8
+) -> DataFrame:
+    """Bucket-keyed Misra-Gries candidate sketch on a token STREAM —
+    the streaming half of operators/frequent.py's candidate/verify
+    heavy-hitter plan. Tokens hash into ``n_buckets`` state keys; each
+    key holds at most ``k_per_bucket`` MG counters (arrays in
+    GroupState), so total state is O(buckets·k) regardless of
+    vocabulary size — the property that lets the sketch run forever on
+    an unbounded stream. Each micro-batch emits the bucket's CURRENT
+    candidate set (upper-bound counts); an exact offline recount of the
+    candidate union finishes the job (the stream only prunes, never
+    decides — MG's superset guarantee survives batching because the
+    batched decrement preserves the MG invariant).
+
+    Input: a streaming DataFrame with one ``tok`` string column.
+    """
+    k = int(k_per_bucket)
+
+    def fn(key, pdfs, state):
+        import pandas as _pd
+
+        bucket = key[0]
+        counts: dict = {}
+        if state.exists:
+            toks_s, cnts_s, n_seen = state.get
+            counts = dict(zip(toks_s, cnts_s))
+        else:
+            n_seen = 0
+        for pdf in pdfs:
+            s = pdf["tok"].dropna()
+            n_seen += len(s)
+            vc = s.value_counts()
+            for t, c in vc.items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > k:
+                kth = sorted(counts.values(), reverse=True)[k]
+                counts = {t: c - kth for t, c in counts.items() if c > kth}
+        state.update((list(counts), [int(c) for c in counts.values()], int(n_seen)))
+        if counts:
+            yield _pd.DataFrame(
+                {
+                    "bucket": [bucket] * len(counts),
+                    "tok": list(counts),
+                    "upper_cnt": [int(c) for c in counts.values()],
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    bucketed = toks.withColumn(
+        "bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).cast("long")
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
