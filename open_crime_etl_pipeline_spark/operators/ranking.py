@@ -208,3 +208,62 @@ def global_running_sums(
             ),
         )
     return res.drop("__pid")
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT discrete percentiles (percentile_disc semantics: the value
+    at rank ``ceil(p·N)``, rank 1 for p=0) for several ``ps`` in ONE
+    ranked pass — the 100-TB exact-quantile path. The sketch family
+    (``approx_percentile``) answers within rank error n/accuracy; this
+    answers exactly, without the single-task global sort that
+    ``percentile_disc() OVER ()`` compiles to:
+
+    1. :func:`global_row_number` range-partitions on the value and
+       stitches per-partition row numbers with driver-side offsets
+       (O(P) tiny rows to the driver);
+    2. N = max(rn) (cheap shuffle-lite agg);
+    3. the target-rank table (|ps| rows) broadcasts against the ranked
+       frame — a map-side semi-filter, never a sort.
+
+    Value ties may split across range partitions, which permutes rn
+    WITHIN the tie run only — the value at any rank is unchanged, so
+    the output is deterministic without a tie-break column.
+
+    The rank is computed as ``ceil(p·N − 1e-9)``: IEEE ``p·N`` can
+    round UP past the true integer product (ceil(0.55·100) = 56 in
+    doubles — the prefix-filter lesson, operators/dedup.py), and the
+    shave restores the exact ceil for any non-adversarial (p, N). The
+    oracle states the identical guarded expression, so both engines
+    agree bit-for-bit.
+
+    Returns (p double, value double).
+    """
+    ranked = global_row_number(
+        df.select(F.col(value_col).cast("double").alias("v")),
+        ["v"],
+        out_col="__rn",
+        n_partitions=n_partitions,
+    )
+    n_df = ranked.agg(F.max("__rn").alias("__n"))
+    tgt = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "p",
+            F.greatest(
+                F.ceil(F.col("p") * F.col("__n") - F.lit(1e-9)), F.lit(1)
+            ).cast("long").alias("__tgt"),
+        )
+    )
+    return (
+        ranked.join(
+            F.broadcast(tgt), ranked["__rn"] == tgt["__tgt"], "inner"
+        )
+        .select("p", F.col("v").alias("value"))
+    )

@@ -803,3 +803,38 @@ def histogram_value_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bucket"),
     ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "exact_percentiles_distributed",
+    oracle="""
+        WITH ranked AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                   row_number() OVER (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rn
+            FROM lineitem
+        ), n AS (SELECT max(rn) AS n FROM ranked),
+        tgt AS (
+            SELECT p, GREATEST(CAST(CEIL(p * (SELECT n FROM n) - 1e-9) AS BIGINT), 1) AS t
+            FROM (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS p)
+        )
+        SELECT tgt.p AS p, r.v AS value
+        FROM tgt JOIN ranked r ON r.rn = tgt.t
+    """,
+    doc="EXACT discrete percentiles (value at rank ceil(p*N), FP-guarded "
+        "ceil) of l_extendedprice via operators/ranking.exact_percentiles: "
+        "range-partitioned global row numbers + driver offsets + a "
+        "broadcast target-rank filter — one parallel ranked pass, no "
+        "single-task global sort and no sketch error. The exact "
+        "complement of quantile_sketch_rank_certificate (§2.5/2.6 scale "
+        "path; LLM-data: exact token/length percentile cutoffs for "
+        "curation thresholds).",
+    tags=("window", "ranking", "scale", "percentile"),
+)
+def exact_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import exact_percentiles
+
+    return exact_percentiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+    )
