@@ -279,3 +279,36 @@ def chunk_text(
             F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias("chunk"),
         ),
     )
+
+
+def positional_postings(df, id_col: str, text_col: str):
+    """Positional inverted-index postings: one row (id, pos, tok) per
+    token occurrence, 1-based positions. The index shape behind phrase
+    and proximity queries — at scale it is written bucketed by token
+    so phrase joins co-locate."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos0", "tok")
+    ).select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+
+
+def phrase_match(postings, id_col: str, phrase: str):
+    """Exact phrase search over positional postings: intersect the
+    phrase terms' posting lists on (doc, aligned position). Each join
+    input is pre-filtered to ONE term (predicate reaches the scan), so
+    only the phrase terms' postings are ever read or shuffled — the
+    classic positional-index intersection, never a text rescan.
+    Returns (id, start_pos) per occurrence."""
+    from pyspark.sql import functions as F
+
+    terms = [t for t in phrase.split(" ") if t]
+    base = postings.filter(F.col("tok") == terms[0]).select(
+        id_col, F.col("pos").alias("start_pos")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("tok") == t).select(
+            id_col, (F.col("pos") - i).alias("start_pos")
+        )
+        base = base.join(nxt, [id_col, "start_pos"])
+    return base

@@ -1,0 +1,82 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+SIGMOD'03 — the MOSS algorithm).
+
+Local fingerprinting with a GUARANTEE: hash every character k-gram,
+slide a w-gram window over the hash sequence, and keep each window's
+minimum (rightmost on ties — "robust winnowing"). Any substring match
+of length ≥ w + k − 1 between two documents is then guaranteed to
+share at least one selected fingerprint, while ~2/(w+1) of grams are
+kept — the provable middle ground between full k-gram inverted indexes
+(ExactSubstr-grade, huge) and one-hash-per-doc digests (exact-dup
+only).
+
+Engine-portable construction (no xxhash in the oracle engine):
+
+- gram hash  h = first 8 hex chars of md5(gram) as a 32-bit integer —
+  identical in any engine with md5.
+- rightmost-min selection WITHOUT an argmax join: encode
+  ``key = h·2¹⁶ + (2¹⁶−1−pos)`` (document offsets < 65536); the plain
+  integer ``min(key)`` then yields the smallest hash and, among equal
+  hashes, the LARGEST position. Decode h = key div 2¹⁶,
+  pos = 2¹⁶−1 − key mod 2¹⁶. One aggregate, exact arithmetic,
+  bit-identical everywhere.
+- windows come from exploding each gram into the ≤ w window-starts
+  covering it — w× row amplification (w is small), all map-side, then
+  one groupBy (doc, window) min and a distinct. Everything is
+  hash-partitioned by doc/window; no global ordering anywhere.
+
+Output: DISTINCT (id_col, pos, fp) — selected gram position (1-based)
+and its 32-bit fingerprint. Documents shorter than k+w−1 still emit
+(their single partial window's min), matching the reference algorithm
+on short inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ENC = 1 << 16
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 8
+) -> DataFrame:
+    """Selected winnowing fingerprints (module docstring). Returns
+    distinct (id_col, pos long, fp long)."""
+    ng = F.greatest(F.length(text_col) - (k - 1), F.lit(1))  # gram count
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), ng)).alias("pos"),
+        # last FULL window start (one partial window iff doc < k+w-1)
+        F.greatest(ng - (w - 1), F.lit(1)).alias("last_win"),
+        F.col(text_col).alias("__t"),
+    ).select(
+        id_col,
+        "pos",
+        "last_win",
+        F.conv(F.substring(F.md5(F.expr(f"substring(__t, pos, {k})")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # encode (h, rightmost pos) for a single-min selection; each gram
+    # joins the ≤ w FULL windows covering it
+    enc = grams.select(
+        id_col,
+        (F.col("h") * F.lit(_ENC) + (F.lit(_ENC - 1) - F.col("pos"))).alias("key"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - F.lit(w - 1), F.lit(1)),
+                F.least(F.col("pos"), F.col("last_win")),
+            )
+        ).alias("win"),
+    )
+    sel = enc.groupBy(id_col, "win").agg(F.min("key").alias("key"))
+    return (
+        sel.select(
+            id_col,
+            (F.lit(_ENC - 1) - F.col("key") % F.lit(_ENC)).cast("long").alias("pos"),
+            (F.col("key") / F.lit(_ENC)).cast("long").alias("fp"),
+        )
+        .distinct()
+    )

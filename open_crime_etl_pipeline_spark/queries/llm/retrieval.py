@@ -1306,3 +1306,36 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # This module was split out of the former monolithic queries/llm.py (round 6);
 # registry names and semantics are unchanged. Reference citations live in the
 # individual docstrings.
+
+
+@register(
+    "phrase_match_positional_index",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, toks[i] AS tok, CAST(i AS BIGINT) AS pos
+            FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+        )
+        SELECT a.doc_id, a.pos AS start_pos
+        FROM pos a
+        JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND b.tok = 'hash'
+        JOIN pos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 AND c.tok = 'batch'
+        WHERE a.tok = 'slow'
+    """,
+    doc="Exact phrase search ('slow hash batch') via a positional "
+        "inverted index (operators/textstats.py::phrase_match): posting "
+        "lists per term with 1-based positions, intersected on (doc, "
+        "aligned position) — each join side is pre-filtered to one term "
+        "so only the phrase terms' postings are scanned or shuffled, "
+        "never the corpus text. The retrieval-engine plan (Lucene-style "
+        "positional intersection) vs the oracle's self-join restatement; "
+        "at scale the postings table is bucketed by token so the "
+        "intersection is co-located (§2.11 retrieval).",
+    tags=("llm", "retrieval", "phrase", "index"),
+)
+def phrase_match_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    postings = TS.positional_postings(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return TS.phrase_match(postings, "doc_id", "slow hash batch")
