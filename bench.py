@@ -98,6 +98,13 @@ def main() -> None:
         # kill/resume pytest is its real measurement)
         "ewma_affine_scan",               # segmented affine prefix scan (chunked EWMA)
         "classifier_auc_calibration",     # rank-statistic AUC/PR-AUC + reliability bins
+        # r7 new-family entries (suffix_array_prefix_doubling is excluded:
+        # ~15s of iterative rounds on the corpus slice — measured in
+        # PERF.md; the family's bench canary is the sweep artifact)
+        "heavy_hitter_tokens",            # Misra-Gries candidate/verify exact HH
+        "winnowing_fingerprints",         # MOSS winnowing selection (integer argmin)
+        "greedy_sequence_packing",        # sharded no-split first-fit packing
+        "exact_percentiles_distributed",  # two-pass ranked exact multi-percentile
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not

@@ -475,3 +475,32 @@ def test_auc_cumulatives_avoid_unpartitioned_window(spark, sf_dir):
     # an UNpartitioned spec would open with the order key directly
     assert "windowspecdefinition(p#" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_heavy_hitter_verify_join_broadcasts_candidates(spark, sf_dir):
+    """The exact-recount join must broadcast the bounded candidate set
+    (<= k*P keys) — shuffling the corpus to meet candidates would defeat
+    the Misra-Gries plan; the corpus side is touched map-side only."""
+    plan = _plan(spark, sf_dir, "heavy_hitter_tokens")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_percentiles_no_unpartitioned_window(spark, sf_dir):
+    """Exact percentiles ride the range-partitioned two-pass ranking:
+    the window must be partitioned by __pid and the target-rank filter
+    must come in as a broadcast join, never a global sort of the data."""
+    plan = _plan(spark, sf_dir, "exact_percentiles_distributed")
+    assert "windowspecdefinition(__pid" in plan
+    assert "windowspecdefinition(v#" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winnowing_is_one_shuffle_no_window(spark, sf_dir):
+    """Winnowing selection is groupBy-min over (doc, window-start) plus
+    a distinct — hash aggregation only: no window operator, no sort-based
+    global ordering, no Python rows in flight."""
+    plan = _plan(spark, sf_dir, "winnowing_fingerprints")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -71,6 +71,12 @@ NOTES = {
     "pq_adc_topk": "codebook (m*k rows) BROADCAST into every distance join; argmin = map-side struct-min partial agg (shuffle O(N*m) best-code rows, never the N*m*k candidate product); Lloyd means reduce in long (s,cid,pos) form; ADC scans CODES with a broadcast |Q|*m*k lookup table — corpus never shuffles on the query",
     "pca_whitening_top2": "same one-pass Gram reduce as the PCA projection (d^2-row exchange independent of N); TWO shuffle-free literal-array HOF folds project both whitened coordinates in a single scan; eigensolve + deflation are driver-local O(k*d^2)",
     "ivfpq_residual_adc_topk": "two-level index: coarse cells + residual PQ both train via broadcast-codebook struct-min partial aggs; the cell id rides the encode group key (functionally dependent on vec_id — no codes x assignment rejoin); the search join keys on (ccid,s,cid) — the ccid equi-join prunes 1-nprobe/kc of the code table BEFORE any distance arithmetic; per-(query,cell) ADC table broadcast; corpus never shuffles on the query",
+    "heavy_hitter_tokens": "MG candidate/verify: candidate keys (<= k*P, bounded by the sketch) BROADCAST into the exact recount — the only shuffle aggregates candidate rows; the distinct-token space never crosses the wire; threshold cnt*k > N in integer arithmetic",
+    "winnowing_fingerprints": "selection = groupBy-min over (doc, window) of an exact integer (hash, rightmost-pos) encoding + distinct — hash aggregation only: no Window operator, no Python, no global ordering; the w-fold gram->window explode is map-side",
+    "exact_percentiles_distributed": "range-partitioned global row numbers (window partitioned by __pid, never by the value) + a |ps|-row broadcast target-rank filter — one parallel ranked pass, no Exchange SinglePartition",
+    "greedy_sequence_packing": "shard groupBy feeds ONE applyInPandas (FlatMapGroupsInPandas) — the only exchange is the shard hash partitioning; the sequential overflow-reset walk is per-shard task-local",
+    "suffix_array_prefix_doubling": "per round: (doc,pos+k) equi-join + distinct + range-partitioned dense rank, all on integers (suffix STRINGS never leave the seed projection); eager pin per round with the stats-inheritance reset (PERF.md round 7) keeping replanning O(1) per round",
+    "phrase_match_positional_index": "each join side is the postings FILTERED TO ONE TERM (predicate reaches the scan) — the intersection shuffles only the phrase terms' posting lists, never the corpus",
 }
 
 HEADER = """# PLANS — physical-plan receipts for the scale-critical queries
