@@ -1068,3 +1068,81 @@ def greedy_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # This module was split out of the former monolithic queries/llm.py (round 6);
 # registry names and semantics are unchanged. Reference citations live in the
 # individual docstrings.
+
+
+@register(
+    "rendezvous_shard_rebalance",
+    oracle="""
+        WITH ids AS (SELECT doc_id FROM documents),
+        old_a AS (
+            SELECT doc_id,
+                   CAST(max(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(u.s AS VARCHAR)), 1, 14) AS BIGINT) AS BIGINT) * 16 + u.s) % 16 AS BIGINT) AS old_shard
+            FROM ids, unnest(generate_series(0, 7)) AS u(s)
+            GROUP BY doc_id
+        ),
+        new_a AS (
+            SELECT doc_id,
+                   CAST(max(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(u.s AS VARCHAR)), 1, 14) AS BIGINT) AS BIGINT) * 16 + u.s) % 16 AS BIGINT) AS new_shard
+            FROM ids, unnest(generate_series(0, 8)) AS u(s)
+            GROUP BY doc_id
+        )
+        SELECT o.old_shard, n.new_shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               (o.old_shard != n.new_shard) AS moved
+        FROM old_a o JOIN new_a n USING (doc_id)
+        GROUP BY o.old_shard, n.new_shard, moved
+    """,
+    doc="Rendezvous (highest-random-weight) shard assignment and the "
+        "8 -> 9 shard rebalance movement matrix: per doc, argmax over "
+        "candidate shards of md5(doc#shard) — encoded as ONE integer "
+        "max (weight*16 + shard, 56-bit weights) so both engines state "
+        "identical arithmetic, no argmax join. HRW's minimal-movement "
+        "property is visible in the result: every moved doc lands on "
+        "the NEW shard 8 (adding a shard only ever steals, never "
+        "reshuffles between survivors) at ~1/9 of the corpus — the "
+        "growth story for bucketed storage layouts without a full "
+        "rewrite (§2.11 curation / lake ops).",
+    tags=("llm", "curation", "sharding", "hashing"),
+)
+def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def assign(n_shards: int, out: str) -> DataFrame:
+        cand = ids.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("s"),
+        ).select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit("#"),
+                                F.col("s").cast("string"),
+                            )
+                        ),
+                        1,
+                        14,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                * F.lit(16)
+                + F.col("s")
+            ).alias("key"),
+        )
+        return cand.groupBy("doc_id").agg(
+            (F.max("key") % F.lit(16)).cast("long").alias(out)
+        )
+
+    old = assign(8, "old_shard")
+    new = assign(9, "new_shard")
+    return (
+        old.join(new, "doc_id")
+        .withColumn("moved", F.col("old_shard") != F.col("new_shard"))
+        .groupBy("old_shard", "new_shard", "moved")
+        .agg(F.count("*").alias("n_docs"))
+        .select("old_shard", "new_shard", "n_docs", "moved")
+    )

@@ -70,3 +70,24 @@ def test_reliable_checkpoint_scan_operator(spark, tmp_path):
         assert any(fs for _, _, fs in os.walk(ckdir))
     finally:
         spark.conf.unset(CONF_KEY)
+
+
+def test_pin_resets_runaway_inherited_stats(spark):
+    """LogicalRDD inherits the checkpointed plan's sizeInBytes; without
+    the reset, iterated self-joins compound it ~4x in DIGITS per round
+    and the driver stalls in BigInteger multiplication (PERF.md round
+    7). pin() must keep the statistic physically plausible (< 2^127)
+    at every round while preserving values."""
+    from pyspark.sql import functions as F
+
+    cur = pin(spark.range(64).select("id", (F.col("id") * 2).alias("v")))
+    for _ in range(12):
+        j = cur.join(cur.select("id", F.col("v").alias("v2")), "id")
+        cur = pin(j.select("id", (F.col("v") + F.col("v2")).alias("v")))
+        bits = int(
+            cur._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ).bit_length()
+        assert bits <= 128, f"stat blew up to {bits} bits"
+    # 12 rounds of v doubling: v = id * 2 * 2^12
+    rows = {r["id"]: r["v"] for r in cur.collect()}
+    assert rows[3] == 3 * 2 * 2**12 and len(rows) == 64
