@@ -32,6 +32,15 @@ Output: (id_col, pos, sa_rank) — sa_rank is the 1-based position of
 the suffix in the sorted order of ALL corpus suffixes (ties by full
 string equality broken by (doc, pos)), i.e. the inverse suffix array.
 ``pos`` is 1-based to match SQL ``substr``.
+
+LCP at scale: the longest-repeated-substring query compares adjacent
+suffixes' STRINGS directly (one zip_with char scan per neighbor pair)
+— fine at slice scale, O(total bytes) in flight. At 100 TB, compute
+LCP from the doubling artifacts instead: keep each round's rank table
+(doc, pos) → rank_k, and for a neighbor pair walk k from the largest
+doubling level down — if rank_k matches, advance both positions by k
+and add k to the LCP — O(log maxlen) integer rank lookups per pair
+(each an equi-join against the level's table), never suffix bytes.
 """
 
 from __future__ import annotations
