@@ -33,23 +33,60 @@ the suffix in the sorted order of ALL corpus suffixes (ties by full
 string equality broken by (doc, pos)), i.e. the inverse suffix array.
 ``pos`` is 1-based to match SQL ``substr``.
 
-LCP at scale: the longest-repeated-substring query compares adjacent
-suffixes' STRINGS directly (one zip_with char scan per neighbor pair)
-— fine at slice scale, O(total bytes) in flight. At 100 TB, compute
-LCP from the doubling artifacts instead: keep each round's rank table
-(doc, pos) → rank_k, and for a neighbor pair walk k from the largest
-doubling level down — if rank_k matches, advance both positions by k
-and add k to the LCP — O(log maxlen) integer rank lookups per pair
-(each an equi-join against the level's table), never suffix bytes.
+LCP at scale (round 8 — implemented as :func:`lcp_from_rank_tables`):
+keep each doubling round's rank table (doc, pos) → rank over the first
+``w`` characters (windows w0, 2·w0, 4·w0, …, K), and compute the LCP
+of any suffix pair with the classic sparse-table walk:
+
+- **identical-suffix branch**: equal rank at the TOP window means the
+  suffixes are fully identical (all-distinct exit: no equal ranks
+  exist; fixpoint/maxlen exit: remaining ties are identical full
+  suffixes — the same soundness argument as the ranking itself), so
+  LCP = min(suffix lengths) directly.
+- **greedy walk** (non-identical): h = 0; for windows w from the
+  second-largest DOWN to w0: if both suffixes' rank-at-position
+  (pos + h) exist and are equal, the next w characters match — h += w.
+  Equal rank with fewer than w characters remaining would force full
+  suffix identity (truncated ranks encode length), excluded by the
+  branch above, so every add is exact. Greedy binary decomposition
+  over {K/2, …, w0} plus the sub-w0 residual covers every LCP < K.
+- **residual** (< w0 characters): one zip_with char-compare of the two
+  stored w0-grams — bounded bytes (≤ w0 per pair), never suffix tails.
+
+Each window level costs two integer equi-joins of the pair table
+against the level's rank table — O(log maxlen) lookups per pair, no
+suffix strings in flight anywhere.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..checkpointing import pin
 from .ranking import global_row_number
+
+
+@dataclass(frozen=True)
+class SuffixArtifacts:
+    """Per-round rank tables retained by ``suffix_ranks(...,
+    retain_levels=True)`` for the rank-table LCP walk.
+
+    ``levels``: ascending list of (window_chars, ranks) where ranks is
+    (__doc, pos, r) — r is the dense rank of the suffix truncated to
+    ``window_chars`` characters. ``grams``: (__doc, pos, __g) with the
+    first ``w0`` characters of each suffix (the sub-w0 residual
+    comparator). ``exact``: False iff a caller-supplied ``max_rounds``
+    cut the doubling before the order was final — LCPs from such
+    tables would under-count, so :func:`lcp_from_rank_tables` refuses.
+    """
+
+    levels: list[tuple[int, DataFrame]]
+    grams: DataFrame
+    w0: int
+    exact: bool
 
 
 def _dense_rank_pairs(pairs: DataFrame, cols: list[str]) -> DataFrame:
@@ -65,9 +102,12 @@ def suffix_ranks(
     text_col: str,
     w0: int = 8,
     max_rounds: int | None = None,
-) -> DataFrame:
+    retain_levels: bool = False,
+) -> DataFrame | tuple[DataFrame, SuffixArtifacts]:
     """Rank every suffix of every document globally (module docstring).
-    Returns (id_col, pos long, sa_rank long).
+    Returns (id_col, pos long, sa_rank long); with
+    ``retain_levels=True`` returns ``(result, SuffixArtifacts)`` so
+    :func:`lcp_from_rank_tables` can compute LCPs without suffix bytes.
 
     ``max_rounds`` defaults to enough doublings to cover the LONGEST
     document (measured with one cheap agg) — a fixed cap would be a
@@ -75,19 +115,22 @@ def suffix_ranks(
     non-identical suffixes tied, and the final (doc, pos) tie-break
     would order them arbitrarily. Pass an explicit value only to bound
     work when a downstream consumer tolerates prefix-only ordering."""
-    # one row per suffix: (doc, pos, first-w0 characters)
-    suf = df.select(
-        F.col(id_col).alias("__doc"),
-        F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("pos"),
-        F.col(text_col).alias("__t"),
-    ).select("__doc", "pos", F.expr(f"substring(__t, pos, {w0})").alias("__g"))
-    n_total = suf.count()
-    if max_rounds is None:
-        import math
+    import math
 
-        maxlen = int(
-            df.agg(F.max(F.length(text_col)).alias("m")).collect()[0]["m"] or 1
-        )
+    # one row per suffix: (doc, pos, first-w0 characters)
+    suf = pin(
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("pos"),
+            F.col(text_col).alias("__t"),
+        ).select("__doc", "pos", F.expr(f"substring(__t, pos, {w0})").alias("__g"))
+    )
+    n_total = suf.count()
+    maxlen = int(
+        df.agg(F.max(F.length(text_col)).alias("m")).collect()[0]["m"] or 1
+    )
+    explicit_cap = max_rounds is not None
+    if max_rounds is None:
         # after r rounds the comparison window is w0 * 2^r; cover maxlen
         max_rounds = max(math.ceil(math.log2(max(maxlen, w0) / w0)) + 1, 1)
 
@@ -98,9 +141,11 @@ def suffix_ranks(
             "__doc", "pos", F.col("__r").cast("long").alias("r")
         )
     )
+    levels: list[tuple[int, DataFrame]] = [(w0, ranks)]
 
     k = w0
     prev_distinct = -1
+    clean_exit = False
     for _ in range(max_rounds):
         distinct_r = ranks.agg(F.countDistinct("r").alias("d")).collect()[0]["d"]
         if distinct_r == n_total or distinct_r == prev_distinct:
@@ -109,6 +154,7 @@ def suffix_ranks(
             # one later: rank_2k classes are built from rank_k classes,
             # so an unchanged partition reproduces itself) — remaining
             # ties are IDENTICAL full suffixes, broken by (doc, pos).
+            clean_exit = True
             break
         prev_distinct = distinct_r
         succ = ranks.select(
@@ -128,13 +174,110 @@ def suffix_ranks(
                 "__doc", "pos", F.col("__r").cast("long").alias("r")
             )
         )
+        levels.append((2 * k, ranks))
         k *= 2
 
     # total order: remaining equal ranks are identical full suffixes
-    return global_row_number(
+    result = global_row_number(
         ranks, ["r", "__doc", "pos"], out_col="sa_rank"
     ).select(
         F.col("__doc").alias(id_col),
         F.col("pos").cast("long").alias("pos"),
         F.col("sa_rank"),
+    )
+    if not retain_levels:
+        return result
+    # exactness: the loop either broke cleanly (all-distinct/fixpoint)
+    # or ran until the window covered maxlen — unless an explicit cap
+    # cut it short, in which case LCPs from these tables under-count.
+    exact = clean_exit or not explicit_cap or k >= maxlen
+    return result, SuffixArtifacts(
+        levels=levels, grams=suf, w0=w0, exact=exact
+    )
+
+
+def lcp_from_rank_tables(
+    artifacts: SuffixArtifacts, pairs: DataFrame, out_col: str = "lcp"
+) -> DataFrame:
+    """LCP of each (doc_a, pos_a, doc_b, pos_b) suffix pair from the
+    doubling rank tables — O(log maxlen) integer equi-joins per level,
+    NO suffix strings in flight (module docstring, "LCP at scale").
+    Extra columns on ``pairs`` pass through; adds ``out_col`` (long)."""
+    if not artifacts.exact:
+        raise ValueError(
+            "suffix_ranks was cut short by an explicit max_rounds; "
+            "LCPs from prefix-only rank tables would under-count"
+        )
+    levels, grams, w0 = artifacts.levels, artifacts.grams, artifacts.w0
+
+    def rank_at(df: DataFrame, tab: DataFrame, doc_col: str, pos_expr, out: str):
+        t = tab.select(
+            F.col("__doc").alias("__jd"),
+            F.col("pos").alias("__jp"),
+            F.col(tab.columns[-1]).alias(out),
+        )
+        j = df.withColumn("__jk", pos_expr)
+        return j.join(
+            t, (j[doc_col] == t["__jd"]) & (j["__jk"] == t["__jp"]), "left"
+        ).drop("__jd", "__jp", "__jk")
+
+    top = levels[-1][1]
+    lengths = top.groupBy("__doc").agg(F.max("pos").alias("__len"))
+    p = (
+        pairs.join(
+            lengths.select(
+                F.col("__doc").alias("doc_a"), F.col("__len").alias("__la")
+            ),
+            "doc_a",
+        )
+        .join(
+            lengths.select(
+                F.col("__doc").alias("doc_b"), F.col("__len").alias("__lb")
+            ),
+            "doc_b",
+        )
+        .withColumn("__sla", F.col("__la") - F.col("pos_a") + 1)
+        .withColumn("__slb", F.col("__lb") - F.col("pos_b") + 1)
+    )
+    # identical-suffix branch: equal rank at the TOP window (see module
+    # docstring for why equality there implies full identity)
+    p = rank_at(p, top, "doc_a", F.col("pos_a"), "__ra")
+    p = rank_at(p, top, "doc_b", F.col("pos_b"), "__rb")
+    p = p.withColumn(
+        "__ident", F.col("__ra").isNotNull() & (F.col("__ra") == F.col("__rb"))
+    ).drop("__ra", "__rb")
+    # greedy walk over descending windows, top level excluded: in the
+    # non-identical branch LCP < K, and {K/2..w0} + residual cover K-1
+    p = p.withColumn("__h", F.lit(0).cast("long"))
+    for w, tab in reversed(levels[:-1]):
+        p = rank_at(p, tab, "doc_a", F.col("pos_a") + F.col("__h"), "__ra")
+        p = rank_at(p, tab, "doc_b", F.col("pos_b") + F.col("__h"), "__rb")
+        p = p.withColumn(
+            "__h",
+            F.col("__h")
+            + F.when(
+                F.col("__ra").isNotNull() & (F.col("__ra") == F.col("__rb")),
+                F.lit(w),
+            ).otherwise(F.lit(0)),
+        ).drop("__ra", "__rb")
+    # residual < w0: one bounded char-compare of the stored w0-grams
+    p = rank_at(p, grams, "doc_a", F.col("pos_a") + F.col("__h"), "__ga")
+    p = rank_at(p, grams, "doc_b", F.col("pos_b") + F.col("__h"), "__gb")
+    ga = F.coalesce(F.col("__ga"), F.lit(""))
+    gb = F.coalesce(F.col("__gb"), F.lit(""))
+    mism = F.array_position(
+        F.zip_with(F.split(ga, ""), F.split(gb, ""), lambda x, y: ~x.eqNullSafe(y)),
+        True,
+    )
+    residual = F.when(mism == 0, F.least(F.length(ga), F.length(gb))).otherwise(
+        mism - 1
+    )
+    return (
+        p.withColumn(
+            out_col,
+            F.when(F.col("__ident"), F.least(F.col("__sla"), F.col("__slb")))
+            .otherwise(F.col("__h") + residual)
+            .cast("long"),
+        )
+        .drop("__la", "__lb", "__sla", "__slb", "__ident", "__h", "__ga", "__gb")
     )

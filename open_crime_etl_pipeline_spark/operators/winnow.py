@@ -15,11 +15,18 @@ Engine-portable construction (no xxhash in the oracle engine):
 - gram hash  h = first 8 hex chars of md5(gram) as a 32-bit integer —
   identical in any engine with md5.
 - rightmost-min selection WITHOUT an argmax join: encode
-  ``key = h·2¹⁶ + (2¹⁶−1−pos)`` (document offsets < 65536); the plain
-  integer ``min(key)`` then yields the smallest hash and, among equal
-  hashes, the LARGEST position. Decode h = key div 2¹⁶,
-  pos = 2¹⁶−1 − key mod 2¹⁶. One aggregate, exact arithmetic,
-  bit-identical everywhere.
+  ``key = h·2³¹ + (2³¹−1−pos)``; the plain integer ``min(key)`` then
+  yields the smallest hash and, among equal hashes, the LARGEST
+  position. Decode h = key div 2³¹, pos = 2³¹−1 − key mod 2³¹ (integer
+  div/mod on BOTH engines — never float division, whose 53-bit
+  mantissa cannot represent these keys). One aggregate, exact
+  arithmetic, bit-identical everywhere. The encoding is total over
+  every representable document: h < 2³² and 1 ≤ pos ≤ 2³¹−1 (a Spark
+  string holds at most 2³¹−1 chars), so the offset term is always
+  non-negative and max key = (2³²−1)·2³¹ + (2³¹−2) = 2⁶³−2 fits a
+  signed 64-bit integer. (Round 8: widened from 2¹⁶, which silently
+  corrupted selection past 65,535 chars — the offset went negative and
+  borrowed from the hash field.)
 - windows come from exploding each gram into the ≤ w window-starts
   covering it — w× row amplification (w is small), all map-side, then
   one groupBy (doc, window) min and a distinct. Everything is
@@ -36,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_ENC = 1 << 16
+_ENC = 1 << 31  # position-field width; see module docstring for the bound proof
 
 
 def winnowing_fingerprints(
@@ -76,7 +83,8 @@ def winnowing_fingerprints(
         sel.select(
             id_col,
             (F.lit(_ENC - 1) - F.col("key") % F.lit(_ENC)).cast("long").alias("pos"),
-            (F.col("key") / F.lit(_ENC)).cast("long").alias("fp"),
+            # integer div: float / would round 63-bit keys (53-bit mantissa)
+            F.expr(f"key div {_ENC}L").cast("long").alias("fp"),
         )
         .distinct()
     )

@@ -1299,14 +1299,14 @@ def suffix_array_prefix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM d, unnest(generate_series(1, ng)) AS u(pos)
         ),
         e AS (
-            SELECT doc_id, h * 65536 + (65535 - pos) AS key,
+            SELECT doc_id, h * 2147483648 + (2147483647 - pos) AS key,
                    CAST(u2.win AS BIGINT) AS win
             FROM g, unnest(generate_series(GREATEST(pos - 7, 1), LEAST(pos, last_win))) AS u2(win)
         ),
         s AS (SELECT doc_id, win, min(key) AS key FROM e GROUP BY doc_id, win)
         SELECT DISTINCT doc_id,
-               CAST(65535 - key % 65536 AS BIGINT) AS pos,
-               CAST(key // 65536 AS BIGINT) AS fp
+               CAST(2147483647 - key % 2147483648 AS BIGINT) AS pos,
+               CAST(key // 2147483648 AS BIGINT) AS fp
         FROM s
     """,
     doc="Robust winnowing fingerprint selection (operators/winnow.py; "
@@ -1342,15 +1342,15 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM d, unnest(generate_series(1, ng)) AS u(pos)
         ),
         e AS (
-            SELECT doc_id, h * 65536 + (65535 - pos) AS key,
+            SELECT doc_id, h * 2147483648 + (2147483647 - pos) AS key,
                    CAST(u2.win AS BIGINT) AS win
             FROM g, unnest(generate_series(GREATEST(pos - 7, 1), LEAST(pos, last_win))) AS u2(win)
         ),
         s AS (SELECT doc_id, win, min(key) AS key FROM e GROUP BY doc_id, win),
         fp AS (
             SELECT DISTINCT doc_id,
-                   CAST(65535 - key % 65536 AS BIGINT) AS pos,
-                   CAST(key // 65536 AS BIGINT) AS fp
+                   CAST(2147483647 - key % 2147483648 AS BIGINT) AS pos,
+                   CAST(key // 2147483648 AS BIGINT) AS fp
             FROM s
         ),
         cand AS (
@@ -1376,7 +1376,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate by comparing the actual 5-grams (hash-collision "
         "guard), and count distinct verified fingerprints per doc pair. "
         "Any pair sharing a substring of length >= 12 is guaranteed "
-        "present. Corpus slice doc_id % 5 = 0 keeps the oracle's "
+        "present. Corpus slice doc_id % 25 = 0 keeps the oracle's "
         "all-pairs restatement tractable.",
     tags=("llm", "dedup", "winnowing", "similarity"),
 )
@@ -1446,42 +1446,94 @@ def winnowing_shared_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFr
         "suffix-array application: LRS length = max LCP over ADJACENT "
         "suffixes in sorted order (repeats always sort adjacent), so "
         "after suffix_ranks only n-1 neighbor pairs are compared, never "
-        "all pairs. LCP per pair is one zip_with char-compare + "
-        "array_position (identical 0-when-equal convention in both "
-        "engines, verified). Output: the top-5 LCP lengths with pair "
-        "counts (row 1 = the LRS). Suffix STRINGS ride the neighbor "
-        "join only at slice scale — at 100 TB LCP comes from the "
-        "doubling rank tables (O(log n) rank lookups per pair), "
-        "documented in operators/suffix.py. Detects boilerplate and "
+        "all pairs. LCP per pair comes from the doubling RANK TABLES "
+        "(operators/suffix.py::lcp_from_rank_tables — O(log maxlen) "
+        "integer equi-joins per level + one bounded w0-gram residual "
+        "compare): no suffix strings in flight, the 100-TB path the "
+        "round-7 version only documented. The oracle materializes full "
+        "suffix strings and brute-force char-compares them — a fully "
+        "independent restatement. Output: the top-5 LCP lengths with "
+        "pair counts (row 1 = the LRS). Detects boilerplate and "
         "near-verbatim repetition ExactSubstr-style dedup keys on.",
     tags=("llm", "dedup", "suffix", "scale"),
 )
 def longest_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ...operators.suffix import suffix_ranks
+    from ...operators.suffix import lcp_from_rank_tables, suffix_ranks
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
-    texts = docs.select("doc_id", "text")
-    ranks = suffix_ranks(docs, "doc_id", "text")
-    suf = ranks.join(texts, "doc_id").select(
-        "sa_rank", F.expr("substring(text, pos)").alias("suf")
+    ranks, art = suffix_ranks(docs, "doc_id", "text", retain_levels=True)
+    a = ranks.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "sa_rank"
     )
-    nxt = suf.select((F.col("sa_rank") - 1).alias("sa_rank"), F.col("suf").alias("nxt"))
-    mismatch = F.array_position(
-        F.zip_with(
-            F.split("suf", ""), F.split("nxt", ""),
-            lambda x, y: ~x.eqNullSafe(y),
-        ),
-        True,
+    b = ranks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        (F.col("sa_rank") - 1).alias("sa_rank"),
     )
-    pairs = suf.join(nxt, "sa_rank").select(
-        F.when(mismatch == 0, F.least(F.length("suf"), F.length("nxt")))
-        .otherwise(mismatch - 1)
-        .cast("long")
-        .alias("lcp_len")
-    )
+    pairs = a.join(b, "sa_rank").drop("sa_rank")
+    lcp = lcp_from_rank_tables(art, pairs, out_col="lcp_len")
     return (
-        pairs.groupBy("lcp_len")
+        lcp.groupBy("lcp_len")
         .agg(F.count("*").alias("n_pairs"))
         .orderBy(F.col("lcp_len").desc())
         .limit(5)
+    )
+
+
+@register(
+    "distinct_substring_count",
+    oracle="""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
+        sub AS (
+            SELECT DISTINCT substr(text, CAST(u.pos AS INT), CAST(v.len AS INT)) AS s
+            FROM d,
+                 unnest(generate_series(1, length(text))) AS u(pos),
+                 unnest(generate_series(1, length(text) - CAST(u.pos AS INT) + 1)) AS v(len)
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM sub) AS n_distinct_substrings,
+               (SELECT CAST(sum(length(text)) AS BIGINT) FROM d) AS n_suffixes
+    """,
+    doc="Count of DISTINCT substrings across a corpus slice — the "
+        "generalized-suffix-array identity: distinct substrings = "
+        "sum(suffix lengths) - sum(LCP of lexicographically adjacent "
+        "suffixes), every term integer-exact. The Spark side runs "
+        "suffix_ranks + the rank-table LCP walk "
+        "(operators/suffix.py::lcp_from_rank_tables) and never ships a "
+        "suffix string; the oracle literally enumerates ALL O(len^2) "
+        "substrings and COUNT(DISTINCT)s them — a fully independent "
+        "restatement, so agreement certifies the doubling ranks, the "
+        "adjacency, and every LCP at once. The repetition-mass metric "
+        "(total substring positions vs distinct) is the corpus-level "
+        "novelty measure duplication studies report (Lee et al. 2022).",
+    tags=("llm", "dedup", "suffix", "scale"),
+)
+def distinct_substring_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...operators.suffix import lcp_from_rank_tables, suffix_ranks
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    ranks, art = suffix_ranks(docs, "doc_id", "text", retain_levels=True)
+    a = ranks.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "sa_rank"
+    )
+    b = ranks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        (F.col("sa_rank") - 1).alias("sa_rank"),
+    )
+    pairs = a.join(b, "sa_rank").drop("sa_rank")
+    lcp_sum = lcp_from_rank_tables(art, pairs, out_col="lcp").agg(
+        F.coalesce(F.sum("lcp"), F.lit(0)).alias("__lcp_sum")
+    )
+    totals = docs.agg(
+        F.sum(
+            (F.length("text").cast("long") * (F.length("text").cast("long") + 1))
+            / F.lit(2)
+        ).cast("long").alias("__suf_len_sum"),
+        F.sum(F.length("text")).cast("long").alias("n_suffixes"),
+    )
+    return totals.crossJoin(F.broadcast(lcp_sum)).select(
+        (F.col("__suf_len_sum") - F.col("__lcp_sum"))
+        .cast("long")
+        .alias("n_distinct_substrings"),
+        "n_suffixes",
     )

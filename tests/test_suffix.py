@@ -1,11 +1,16 @@
 """Distributed prefix-doubling suffix ranks (operators/suffix.py):
 exact order vs brute force, prefix-of ties, identical-suffix
-tie-breaks, and the partition-refinement fixpoint exit on duplicate
-documents."""
+tie-breaks, the partition-refinement fixpoint exit on duplicate
+documents, and the rank-table LCP walk vs brute-force LCP."""
 
 from __future__ import annotations
 
-from open_crime_etl_pipeline_spark.operators.suffix import suffix_ranks
+import pytest
+
+from open_crime_etl_pipeline_spark.operators.suffix import (
+    lcp_from_rank_tables,
+    suffix_ranks,
+)
 
 
 def _brute(docs):
@@ -53,6 +58,91 @@ def test_long_doc_crosses_many_doubling_rounds(spark):
     text = ("abcde" * 60) + "xyz"  # 303 chars, periodic: forces deep rounds
     docs = [(1, text)]
     assert _got(spark, docs, w0=2, max_rounds=16) == _brute(docs)
+
+
+def _brute_lcp(docs):
+    """LCP between every pair of lexicographically ADJACENT suffixes."""
+    sufs = sorted(
+        (text[pos - 1 :], did, pos)
+        for did, text in docs
+        for pos in range(1, len(text) + 1)
+    )
+    out = {}
+    for (sa, da, pa), (sb, db, pb) in zip(sufs, sufs[1:]):
+        n = 0
+        for x, y in zip(sa, sb):
+            if x != y:
+                break
+            n += 1
+        out[(da, pa, db, pb)] = n
+    return out
+
+
+def _walk_lcp(spark, docs, **kw):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(list(docs), "doc_id long, text string")
+    ranks, art = suffix_ranks(df, "doc_id", "text", retain_levels=True, **kw)
+    a = ranks.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "sa_rank"
+    )
+    b = ranks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        (F.col("sa_rank") - 1).alias("sa_rank"),
+    )
+    pairs = a.join(b, "sa_rank").drop("sa_rank")
+    return {
+        (r["doc_a"], r["pos_a"], r["doc_b"], r["pos_b"]): r["lcp"]
+        for r in lcp_from_rank_tables(art, pairs).collect()
+    }
+
+
+def test_lcp_walk_matches_bruteforce(spark):
+    docs = [(1, "banana"), (2, "bandana"), (3, "abracadabra")]
+    assert _walk_lcp(spark, docs, w0=2) == _brute_lcp(docs)
+
+
+def test_lcp_walk_periodic_and_prefix_ties(spark):
+    # periodic text: long LCPs spanning several doubling levels; plus a
+    # prefix-of pair and an identical cross-doc suffix
+    docs = [(1, ("abcde" * 40) + "xy"), (2, "abcdeabc"), (3, "abcdeabc")]
+    assert _walk_lcp(spark, docs, w0=2) == _brute_lcp(docs)
+
+
+def test_lcp_walk_identical_documents(spark):
+    # identical docs: every suffix duplicated — the identical-suffix
+    # branch (equal TOP rank -> LCP = min suffix length) must fire,
+    # because the greedy levels alone cannot reach full length
+    docs = [(7, "mississippi"), (9, "mississippi")]
+    assert _walk_lcp(spark, docs, w0=4) == _brute_lcp(docs)
+
+
+def test_lcp_walk_default_w0_short_docs(spark):
+    # docs shorter than w0: seed level alone; residual compare handles
+    # everything below w0
+    docs = [(1, "abc"), (2, "abd"), (3, "ab"), (4, "abc")]
+    assert _walk_lcp(spark, docs) == _brute_lcp(docs)
+
+
+def test_lcp_walk_refuses_prefix_only_tables(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ("abcde" * 40) + "xy")], "doc_id long, text string"
+    )
+    ranks, art = suffix_ranks(
+        df, "doc_id", "text", w0=2, max_rounds=1, retain_levels=True
+    )
+    assert not art.exact
+    pairs = ranks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+    ).limit(1)
+    with pytest.raises(ValueError, match="prefix-only"):
+        lcp_from_rank_tables(art, pairs)
 
 
 def test_deterministic_under_repartition(spark):

@@ -79,3 +79,50 @@ def test_doc_shorter_than_window_emits_single_min(spark):
     text = "abcdefg"  # 3 grams < w: one partial window, one fingerprint
     fps = _fps(spark, [(1, text)])[1]
     assert len(fps) == 1
+
+
+def test_long_document_past_65535_chars(spark):
+    # regression (round-8 VERDICT #1): the old h*2^16 + (2^16-1-pos)
+    # encoding went NEGATIVE in the offset term past position 65,535,
+    # borrowing from the hash field — min-selection picked garbage and
+    # the MOSS guarantee silently vanished for any >64 KiB document.
+    # Plant the shared substring BEYOND that ceiling in both docs.
+    import hashlib
+
+    def noise(seed: str, n: int) -> str:
+        out = []
+        i = 0
+        while sum(len(s) for s in out) < n:
+            out.append(hashlib.md5(f"{seed}:{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n]
+
+    shared = "GUARANTEEDXX"
+    assert len(shared) == GUARANTEE
+    docs = [
+        (1, noise("a", 70_000) + shared + noise("b", 3_000)),
+        (2, noise("c", 80_000) + shared + noise("d", 1_000)),
+    ]
+    fps = _fps(spark, docs)
+    # guarantee holds past the old ceiling
+    assert {fp for _, fp in fps[1]} & {fp for _, fp in fps[2]}
+    # decoded positions/fingerprints stay in range (no field borrow)
+    for d in (1, 2):
+        assert all(1 <= pos and 0 <= fp < 1 << 32 for pos, fp in fps[d])
+    # selection must still match the reference implementation at this
+    # length (exact positions, not just the shared-value existence)
+    def ref(text, k, w):
+        hs = [
+            int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+            for i in range(max(len(text) - k + 1, 1))
+        ]
+        sel = set()
+        last_full = max(len(hs) - w + 1, 1)
+        for s in range(1, last_full + 1):
+            window = hs[s - 1 : s - 1 + w]
+            m = min(window)
+            off = len(window) - 1 - window[::-1].index(m)
+            sel.add((s + off, m))
+        return sel
+
+    assert fps[1] == ref(docs[0][1], K, W)
