@@ -210,6 +210,18 @@ def global_running_sums(
     return res.drop("__pid")
 
 
+def exact_target_rank(p: float, n: int) -> int:
+    """percentile_disc target rank ``max(ceil(p·N), 1)`` with EXACT
+    rational arithmetic — ``Fraction(str(p))`` reads the decimal the
+    caller wrote (0.1 means 1/10, not fl(0.1)), and big-int ceil never
+    rounds. fl(0.55)·1e8 > 55e6 by more than any fixed shave, so every
+    FP form — shaved or not — is off by one somewhere at scale."""
+    from fractions import Fraction
+
+    fr = Fraction(str(p))
+    return max(-((-fr.numerator * n) // fr.denominator), 1)
+
+
 def exact_percentiles(
     df: DataFrame,
     value_col: str,
@@ -234,12 +246,15 @@ def exact_percentiles(
     WITHIN the tie run only — the value at any rank is unchanged, so
     the output is deterministic without a tie-break column.
 
-    The rank is computed as ``ceil(p·N − 1e-9)``: IEEE ``p·N`` can
-    round UP past the true integer product (ceil(0.55·100) = 56 in
-    doubles — the prefix-filter lesson, operators/dedup.py), and the
-    shave restores the exact ceil for any non-adversarial (p, N). The
-    oracle states the identical guarded expression, so both engines
-    agree bit-for-bit.
+    Target ranks are EXACT for every (p, N): N is collected as one
+    driver scalar (bounded state, like the offset pass above) and each
+    rank is ``ceil(num·N / den)`` computed with Python big integers
+    from ``Fraction(str(p))``. No floating point touches the rank —
+    the previous ``ceil(p·N − 1e-9)`` shave was itself FP-fragile:
+    ``fl(0.55)·1e8`` exceeds the true 55e6 by more than the shave, so
+    the rank landed one off at a perfectly routine scale (round-8
+    ADVICE; pinned in tests/test_ranking.py). The oracle restates the
+    same ranks as pure INTEGER arithmetic, ``(num·N + den − 1) // den``.
 
     Returns (p double, value double).
     """
@@ -249,18 +264,9 @@ def exact_percentiles(
         out_col="__rn",
         n_partitions=n_partitions,
     )
-    n_df = ranked.agg(F.max("__rn").alias("__n"))
-    tgt = (
-        df.sparkSession.range(1)
-        .select(F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"))
-        .crossJoin(F.broadcast(n_df))
-        .select(
-            "p",
-            F.greatest(
-                F.ceil(F.col("p") * F.col("__n") - F.lit(1e-9)), F.lit(1)
-            ).cast("long").alias("__tgt"),
-        )
-    )
+    n = ranked.agg(F.max("__rn").alias("__n")).collect()[0]["__n"] or 0
+    tgts = [(float(p), exact_target_rank(p, int(n))) for p in ps]
+    tgt = df.sparkSession.createDataFrame(tgts, "p double, __tgt long")
     return (
         ranked.join(
             F.broadcast(tgt), ranked["__rn"] == tgt["__tgt"], "inner"

@@ -814,14 +814,20 @@ def histogram_value_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem
         ), n AS (SELECT max(rn) AS n FROM ranked),
         tgt AS (
-            SELECT p, GREATEST(CAST(CEIL(p * (SELECT n FROM n) - 1e-9) AS BIGINT), 1) AS t
-            FROM (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS p)
+            SELECT CAST(p AS DOUBLE) AS p,
+                   GREATEST((num * (SELECT n FROM n) + den - 1) // den, 1) AS t
+            FROM (VALUES (0.01, 1, 100), (0.1, 1, 10), (0.25, 1, 4),
+                         (0.5, 1, 2), (0.75, 3, 4), (0.9, 9, 10),
+                         (0.99, 99, 100)) AS f(p, num, den)
         )
         SELECT tgt.p AS p, r.v AS value
         FROM tgt JOIN ranked r ON r.rn = tgt.t
     """,
-    doc="EXACT discrete percentiles (value at rank ceil(p*N), FP-guarded "
-        "ceil) of l_extendedprice via operators/ranking.exact_percentiles: "
+    doc="EXACT discrete percentiles (value at rank ceil(p*N), computed "
+        "with INTEGER arithmetic — Fraction-exact driver ranks on the "
+        "Spark side, (num*N + den - 1) // den in the oracle; no FP "
+        "touches the rank at any N) "
+        "of l_extendedprice via operators/ranking.exact_percentiles: "
         "range-partitioned global row numbers + driver offsets + a "
         "broadcast target-rank filter — one parallel ranked pass, no "
         "single-task global sort and no sketch error. The exact "

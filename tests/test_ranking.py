@@ -92,3 +92,25 @@ def test_grouped_running_sum_keeps_all_columns(spark):
         by_grp.setdefault(r.grp, []).append(r.cum)
     for cums in by_grp.values():
         assert cums == list(range(1, len(cums) + 1))
+
+
+def test_exact_target_rank_is_fp_immune():
+    import math
+
+    from open_crime_etl_pipeline_spark.operators.ranking import exact_target_rank
+
+    # a concrete divergence: fl(0.55)*1e8 lands above the true 55e6 by
+    # more than the 1e-9 shave, so the old FP ceil returned 55000001 —
+    # the exact rational form must return ceil(55e8/100) = 55000000
+    n = 100_000_000
+    assert math.ceil(0.55 * n - 1e-9) == 55_000_001  # the old bug, pinned
+    assert exact_target_rank(0.55, n) == 55_000_000
+    # spot-check non-terminating and boundary cases against Fraction math
+    from fractions import Fraction
+
+    for p in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 0.55, 0.123):
+        for n in (1, 2, 3, 99, 100, 101, 10**6, 10**12, 10**15):
+            fr = Fraction(str(p))
+            want = max(int(-(-(fr.numerator * n) // fr.denominator)), 1)
+            assert exact_target_rank(p, n) == want
+    assert exact_target_rank(0.5, 0) == 1  # empty input clamps to rank 1
