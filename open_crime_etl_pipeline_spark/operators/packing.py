@@ -7,9 +7,12 @@ must be deterministic and distributed. Exact global first-fit is
 inherently sequential, so the scalable shape is SHARDED greedy
 streaming pack, the standard practice:
 
-1. shard every doc by a deterministic key (``id % n_shards`` here —
-   portable to the SQL oracle; a production caller would use
-   ``xxhash64``), so each shard is small enough for one task;
+1. shard every doc by a deterministic key — ``shard_by="mod"``
+   (``id % n_shards``: portable to the SQL oracle, numeric ids only,
+   inherits any id-distribution skew) or ``shard_by="hash"``
+   (``xxhash64(id) % n_shards``: any id type, uniform shard sizes —
+   the production default at scale) — so each shard is small enough
+   for one task;
 2. within a shard, walk docs in id order and open a new bin whenever
    the current doc would overflow the budget (a doc larger than the
    whole budget gets a bin of its own — never silently truncated);
@@ -37,12 +40,18 @@ def pack_sequences(
     len_col: str,
     budget: int,
     n_shards: int = 64,
+    shard_by: str = "mod",
 ) -> DataFrame:
     """Greedy sharded sequence packing. Returns one row per input doc:
     (id_col, shard, bin, fill) where ``fill`` is the bin's running
     token count AFTER placing this doc — the last doc of a bin states
-    the bin's final size, making utilization auditable downstream."""
+    the bin's final size, making utilization auditable downstream.
+
+    ``shard_by``: "mod" (oracle-portable, numeric ids) or "hash"
+    (xxhash64 — any id type, skew-proof; module docstring)."""
     b = int(budget)
+    if shard_by not in ("mod", "hash"):
+        raise ValueError(f"shard_by must be 'mod' or 'hash', got {shard_by!r}")
 
     def _pack(pdf):
         import pandas as pd
@@ -66,10 +75,15 @@ def pack_sequences(
             }
         )
 
+    shard_key = (
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        if shard_by == "hash"
+        else F.col(id_col) % F.lit(n_shards)
+    )
     sharded = df.select(
         F.col(id_col),
         F.col(len_col),
-        (F.col(id_col) % F.lit(n_shards)).cast("long").alias("shard"),
+        shard_key.cast("long").alias("shard"),
     )
     out_schema = (
         f"`{id_col}` {dict((f.name, f.dataType.simpleString()) for f in sharded.schema.fields)[id_col]}, "

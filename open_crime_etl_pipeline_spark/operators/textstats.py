@@ -303,6 +303,8 @@ def phrase_match(postings, id_col: str, phrase: str):
     from pyspark.sql import functions as F
 
     terms = [t for t in phrase.split(" ") if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
     base = postings.filter(F.col("tok") == terms[0]).select(
         id_col, F.col("pos").alias("start_pos")
     )

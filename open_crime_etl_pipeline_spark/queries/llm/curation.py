@@ -1107,7 +1107,17 @@ def greedy_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _t(spark, sf_dir, "documents").select("doc_id")
 
+    # shard-id field width of the weight*BASE + shard packing below;
+    # the decode (% BASE) is only injective while n_shards <= BASE, so
+    # a reuse beyond it must widen BASE (and the oracle's constant)
+    _HRW_BASE = 16
+
     def assign(n_shards: int, out: str) -> DataFrame:
+        if n_shards > _HRW_BASE:
+            raise ValueError(
+                f"rendezvous encoding packs shard ids into a base-"
+                f"{_HRW_BASE} field; n_shards={n_shards} would alias"
+            )
         cand = ids.select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("s"),
@@ -1129,12 +1139,12 @@ def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     16,
                     10,
                 ).cast("long")
-                * F.lit(16)
+                * F.lit(_HRW_BASE)
                 + F.col("s")
             ).alias("key"),
         )
         return cand.groupBy("doc_id").agg(
-            (F.max("key") % F.lit(16)).cast("long").alias(out)
+            (F.max("key") % F.lit(_HRW_BASE)).cast("long").alias(out)
         )
 
     old = assign(8, "old_shard")

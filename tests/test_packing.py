@@ -71,3 +71,45 @@ def test_deterministic_under_input_partitioning(spark):
         )
     )
     assert a == b
+
+
+def test_hash_sharding_packs_every_doc_once_within_budget(spark):
+    lens = [((i * 37) % 90) + 10 for i in range(500)]  # 10..99
+    df = _docs(spark, lens)
+    for mode in ("mod", "hash"):
+        out = pack_sequences(df, "doc_id", "n_tok", 128, 8, shard_by=mode)
+        rows = out.collect()
+        assert sorted(r["doc_id"] for r in rows) == list(range(500))  # exactly once
+        per_bin = {}
+        for r in rows:
+            per_bin.setdefault((r["shard"], r["bin"]), 0)
+        for r in out.groupBy("shard", "bin").agg(F.max("fill").alias("t")).collect():
+            assert r["t"] <= 128
+    # hash mode: shard is xxhash64-derived, within range, non-degenerate
+    hashed = pack_sequences(df, "doc_id", "n_tok", 128, 8, shard_by="hash")
+    shards = {r["shard"] for r in hashed.select("shard").distinct().collect()}
+    assert shards <= set(range(8)) and len(shards) > 1
+
+
+def test_hash_sharding_skew_immunity(spark):
+    # ids all congruent mod 8: "mod" collapses to ONE shard (the skew
+    # the docstring warns about); "hash" spreads them
+    df = spark.createDataFrame(
+        [(i * 8, 10) for i in range(200)], "doc_id long, n_tok long"
+    )
+    mod_shards = (
+        pack_sequences(df, "doc_id", "n_tok", 64, 8, shard_by="mod")
+        .select("shard").distinct().count()
+    )
+    hash_shards = (
+        pack_sequences(df, "doc_id", "n_tok", 64, 8, shard_by="hash")
+        .select("shard").distinct().count()
+    )
+    assert mod_shards == 1 and hash_shards > 4
+
+
+def test_invalid_shard_by_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="shard_by"):
+        pack_sequences(_docs(spark, [1]), "doc_id", "n_tok", 10, 1, shard_by="nope")

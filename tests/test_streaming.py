@@ -484,3 +484,68 @@ def test_run_to_table_single_batch_assertion_trips_on_multi_batch(spark, tmp_pat
     single = spark.readStream.schema("k long, v string").parquet(str(src) + "/*")
     out = _run_to_table(single, "single_batch_ok", expect_single_batch=True)
     assert out.count() == 3
+
+
+def test_streaming_mg_state_stays_bounded_under_vocab_churn(spark, tmp_path):
+    """streaming_mg_candidates' contract is O(buckets*k) state FOREVER:
+    each GroupState holds at most k counters no matter how many
+    distinct tokens flow through. Emitted rows per (batch, bucket) ARE
+    the post-batch state arrays (fn yields exactly the counts dict it
+    stores), so bounding them across a multi-batch run with a fully
+    churning vocabulary pins the eviction behavior — and the planted
+    overall-heavy token must still be in the final candidate set (MG's
+    superset guarantee)."""
+    import time
+
+    from open_crime_etl_pipeline_spark.streaming.pipeline import (
+        streaming_mg_candidates,
+    )
+
+    k, n_buckets, n_files = 8, 2, 4
+    src = str(tmp_path / "toks")
+    os.makedirs(src)
+    for f in range(n_files):
+        toks = [f"w{f}_{i}" for i in range(200)]  # fresh vocab per file
+        toks += ["HH"] * 50  # the heavy hitter, present in every batch
+        df = spark.createDataFrame([(t,) for t in toks], "tok string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/f{f}")
+        t = time.time() + f * 10  # pin batch order by mtime
+        for root, _dirs, files in os.walk(f"{src}/f{f}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/f*")
+    )
+    cands = streaming_mg_candidates(stream, k_per_bucket=k, n_buckets=n_buckets)
+    seen: list[tuple[int, int, str]] = []  # (batch_id, bucket, tok)
+
+    def capture(df, batch_id):
+        for r in df.collect():
+            seen.append((int(batch_id), int(r["bucket"]), r["tok"]))
+
+    q = (
+        cands.writeStream.foreachBatch(capture)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "MG stream did not drain in 180s"
+
+    batches = sorted({b for b, _, _ in seen})
+    assert len(batches) == n_files  # one micro-batch per file
+    by_batch_bucket: dict = {}
+    for b, bk, tok in seen:
+        by_batch_bucket.setdefault((b, bk), []).append(tok)
+    # THE bound: every batch's every bucket holds <= k counters, even
+    # though 800 distinct tokens churned through 2 buckets of k=8
+    for (b, bk), toks in by_batch_bucket.items():
+        assert len(toks) <= k, f"batch {b} bucket {bk} held {len(toks)} > k={k}"
+    # superset guarantee: HH (50 per batch vs singleton noise) survives
+    last = batches[-1]
+    final_cands = {tok for (b, _bk, tok) in seen if b == last}
+    assert "HH" in final_cands
