@@ -2,7 +2,10 @@
 """Benchmark harness: times the engine's headline queries at a given
 scale factor and prints ONE JSON line.
 
-Usage:  python bench.py
+Usage:  python bench.py [--slow]
+        --slow additionally times the iterative corpus-index queries
+        (suffix array / LCP family) and prints a SECOND JSON line —
+        their per-round numbers live in PERF.md, not the headline total.
 Env:    SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
         SPARK_GRAFT_CPUS    local[] parallelism (default 32)
 
@@ -21,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 
@@ -105,6 +109,24 @@ def main() -> None:
         "winnowing_fingerprints",         # MOSS winnowing selection (integer argmin)
         "greedy_sequence_packing",        # sharded no-split first-fit packing
         "exact_percentiles_distributed",  # two-pass ranked exact multi-percentile
+        # r8 new-family entries (the suffix/LCP family lives in the
+        # --slow section below: iterative rounds dominated by fixed
+        # per-round scheduling, measured every round there)
+        "zorder_multidim_pruning",        # Morton interleave + bucket pruning stats
+        "document_chunk_stride",          # overlapping token-window chunking
+        "language_id_ngram_classifier",   # trigram profiles + argmax confusion
+        "winnowing_similarity_pairs",     # MOSS score: verified pair join + counts
+    ]
+
+    # Iterative corpus-index queries: wall time is many scheduling
+    # rounds, not data volume, so they would drown the headline total —
+    # but a regression in the repo's most expensive operators must stay
+    # visible, so `python bench.py --slow` times them and emits a
+    # SECOND JSON line (recorded in PERF.md each round).
+    slow = [
+        "suffix_array_prefix_doubling",   # prefix-doubling rank rounds
+        "longest_repeated_substring",     # SA + rank-table LCP walk
+        "distinct_substring_count",       # SA + LCP + identity aggregate
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not
@@ -284,6 +306,23 @@ def main() -> None:
         "canary": {"py_loop_sec": py_canary, "jvm_shuffle_sec": jvm_canary,
                    "cpus": int(cpus)},
     }))
+    if "--slow" in sys.argv:
+        slow_timings: dict[str, float] = {}
+        for name in slow:
+            fn = specs[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            slow_timings[name] = round(time.perf_counter() - t0, 3)
+            spark.sparkContext._jvm.System.gc()
+        print(json.dumps({
+            "metric": "slow_queries_runtime",
+            "value": round(sum(slow_timings.values()), 3),
+            "unit": "sec",
+            "queries": slow_timings,
+            "sf": sf_val,
+            "canary": {"py_loop_sec": py_canary,
+                       "jvm_shuffle_sec": jvm_canary, "cpus": int(cpus)},
+        }))
     spark.stop()
 
 

@@ -53,6 +53,176 @@ def pii_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
+    "document_chunk_stride",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, toks, CAST(u.s AS BIGINT) AS start_tok
+            FROM t, unnest(generate_series(1, len(toks), 48)) AS u(s)
+        )
+        SELECT doc_id,
+               CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_id,
+               start_tok,
+               CAST(LEAST(64, len(toks) - start_tok + 1) AS BIGINT) AS n_tok,
+               md5(array_to_string(
+                   list_slice(toks, start_tok, start_tok + 63), ' '
+               )) AS chunk_key
+        FROM s
+    """,
+    doc="Fixed-length overlapping chunking of documents into training "
+        "windows (64 tokens, stride 48 = 25% overlap) — the step between "
+        "curation and sequence packing in a pretraining pipeline: chunk "
+        "starts explode map-side from one sequence(), the chunk itself is "
+        "an array slice, and chunk_key = md5(joined tokens) proves the "
+        "exact chunk CONTENT matches across engines, not just the "
+        "arithmetic. No shuffle anywhere — explode + slice are narrow, so "
+        "the operator streams at scan speed over any corpus size; "
+        "downstream packing (greedy_sequence_packing) consumes (chunk_id, "
+        "n_tok) directly (§2.11 curation).",
+    tags=("llm", "curation", "chunking"),
+)
+def document_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", TS.tokens("text").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    s = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(48))).alias("start_tok"),
+    )
+    return s.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / 48).cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(64), F.col("n") - F.col("start_tok") + 1)
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(
+            F.array_join(F.slice("toks", F.col("start_tok"), F.lit(64)), " ")
+        ).alias("chunk_key"),
+    )
+
+
+@register(
+    "language_id_ngram_classifier",
+    oracle="""
+        WITH train AS (
+            SELECT lang, text FROM documents WHERE doc_id % 2 = 0
+        ),
+        tg AS (
+            SELECT lang, substr(text, CAST(u.pos AS INT), 3) AS g
+            FROM train, unnest(generate_series(1, length(text) - 2)) AS u(pos)
+        ),
+        prof AS (
+            SELECT lang, g FROM (
+                SELECT lang, g,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY count(*) DESC, g
+                       ) AS rn
+                FROM tg GROUP BY lang, g
+            ) WHERE rn <= 50
+        ),
+        test AS (
+            SELECT doc_id, lang AS true_lang, text
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        dg AS (
+            SELECT doc_id, substr(text, CAST(u.pos AS INT), 3) AS g
+            FROM test, unnest(generate_series(1, length(text) - 2)) AS u(pos)
+        ),
+        langs AS (SELECT DISTINCT lang FROM prof),
+        raw_hits AS (
+            SELECT dg.doc_id, p.lang, CAST(count(*) AS BIGINT) AS hits
+            FROM dg JOIN prof p ON p.g = dg.g
+            GROUP BY dg.doc_id, p.lang
+        ),
+        scored AS (
+            SELECT t.doc_id, t.true_lang, l.lang,
+                   COALESCE(h.hits, 0) AS hits
+            FROM test t CROSS JOIN langs l
+            LEFT JOIN raw_hits h ON h.doc_id = t.doc_id AND h.lang = l.lang
+        ),
+        pred AS (
+            SELECT doc_id, true_lang, lang AS pred_lang,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY hits DESC, lang
+                   ) AS rn
+            FROM scored
+        )
+        SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred WHERE rn = 1
+        GROUP BY true_lang, pred_lang
+    """,
+    doc="Character-trigram language identification (the Cavnar-Trenkle "
+        "n-gram profile heuristic the mandate names): per-language "
+        "profiles = top-50 trigrams of the labeled half (top-k per group "
+        "— WindowGroupLimit shape, partitions = languages), test docs "
+        "score by profile-trigram occurrence count per language and "
+        "predict the argmax (ties broken by language name), output the "
+        "confusion matrix. Trigram explode is map-side; scoring is one "
+        "join against the broadcast-size profile; the per-doc argmax "
+        "window partitions on doc_id (5-row partitions). HONEST NOTE: "
+        "the synthetic corpus draws every language from ONE shared "
+        "vocabulary, so accuracy here is chance-level by construction — "
+        "the oracle certifies the exact profile build + scoring "
+        "arithmetic, which is the operator.",
+    tags=("llm", "text", "curation", "classification"),
+)
+def language_id_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select("lang", "text")
+    tg = train.select(
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("pos"),
+        F.col("text").alias("__t"),
+    ).select("lang", F.expr("substring(__t, pos, 3)").alias("g"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "g")
+    prof = (
+        tg.groupBy("lang", "g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("lang", "g")
+    )
+    test = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("lang").alias("true_lang"), "text"
+    )
+    dg = test.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("pos"),
+        F.col("text").alias("__t"),
+    ).select("doc_id", F.expr("substring(__t, pos, 3)").alias("g"))
+    langs = prof.select("lang").distinct()
+    raw_hits = (
+        dg.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    scored = (
+        test.select("doc_id", "true_lang")
+        .crossJoin(F.broadcast(langs))
+        .join(raw_hits, ["doc_id", "lang"], "left")
+        .na.fill({"hits": 0})
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "lang")
+    pred = scored.withColumn("rn", F.row_number().over(wd)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        pred.groupBy("true_lang", F.col("lang").alias("pred_lang"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
     "source_mixture_weights",
     oracle="""
         WITH per_src AS (

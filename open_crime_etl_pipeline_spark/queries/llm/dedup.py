@@ -1286,6 +1286,38 @@ def suffix_array_prefix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_cluster_size_histogram",
+    oracle="""
+        WITH clusters AS (
+            SELECT md5(text) AS k, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM documents GROUP BY k
+        )
+        SELECT cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        FROM clusters GROUP BY cluster_size
+    """,
+    doc="Duplicate-cluster size distribution — the audit metric every "
+        "dedup pass reports (how much of the corpus sits in clusters of "
+        "size 1, 2, ...; Lee et al. 2022 fig. 1 shape): exact clusters "
+        "keyed by md5(text), two cheap groupBys, output rows bounded by "
+        "the largest cluster size. The same two-groupBy composes over "
+        "ANY cluster table (minhash/star-contraction components) — this "
+        "entry pins the exact-dup base case with an engine-portable key.",
+    tags=("llm", "dedup", "audit"),
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5("text").alias("k")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
+    )
+
+
+@register(
     "winnowing_fingerprints",
     oracle="""
         WITH d AS (
@@ -1381,6 +1413,14 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "winnowing", "similarity"),
 )
 def winnowing_shared_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _fp, verified = _winnow_verified_shared(spark, sf_dir)
+    return verified.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_shared"))
+
+
+def _winnow_verified_shared(spark: SparkSession, sf_dir: str):
+    """Shared core of the winnowing pair queries: fingerprints over the
+    doc_id % 25 slice (k=12, w=8) and the collision-verified distinct
+    (doc_a, doc_b, fp) shared-fingerprint table."""
     from ...operators.winnow import winnowing_fingerprints as _wf
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
@@ -1408,7 +1448,118 @@ def winnowing_shared_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFr
         .select("doc_a", "doc_b", "fp")
         .distinct()
     )
-    return verified.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_shared"))
+    return fp, verified
+
+
+_WINNOW_FP_CTE = """
+        WITH d AS (
+            SELECT doc_id, text, GREATEST(length(text) - 11, 1) AS ng
+            FROM documents WHERE doc_id % 25 = 0
+        ),
+        g AS (
+            SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+                   GREATEST(ng - 7, 1) AS last_win,
+                   CAST(CAST('0x' || substr(md5(substr(text, CAST(u.pos AS INT), 12)), 1, 8) AS BIGINT) AS BIGINT) AS h
+            FROM d, unnest(generate_series(1, ng)) AS u(pos)
+        ),
+        e AS (
+            SELECT doc_id, h * 2147483648 + (2147483647 - pos) AS key,
+                   CAST(u2.win AS BIGINT) AS win
+            FROM g, unnest(generate_series(GREATEST(pos - 7, 1), LEAST(pos, last_win))) AS u2(win)
+        ),
+        s AS (SELECT doc_id, win, min(key) AS key FROM e GROUP BY doc_id, win),
+        fp AS (
+            SELECT DISTINCT doc_id,
+                   CAST(2147483647 - key % 2147483648 AS BIGINT) AS pos,
+                   CAST(key // 2147483648 AS BIGINT) AS fp
+            FROM s
+        ),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pos_a, b.pos AS pos_b, a.fp
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT DISTINCT c.doc_a, c.doc_b, c.fp
+            FROM cand c
+            JOIN d da ON da.doc_id = c.doc_a
+            JOIN d db ON db.doc_id = c.doc_b
+            WHERE substr(da.text, CAST(c.pos_a AS INT), 12)
+                  = substr(db.text, CAST(c.pos_b AS INT), 12)
+        )
+"""
+
+
+@register(
+    "winnowing_similarity_pairs",
+    oracle=_WINNOW_FP_CTE + """,
+        shared AS (
+            SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+            FROM verified GROUP BY doc_a, doc_b
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fp
+            FROM fp GROUP BY doc_id
+        )
+        SELECT s.doc_a, s.doc_b, s.n_shared,
+               ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b,
+               round(CAST(s.n_shared AS DOUBLE)
+                     / CAST(ca.n_fp + cb.n_fp - s.n_shared AS DOUBLE), 6)
+                   AS fp_jaccard
+        FROM shared s
+        JOIN per_doc ca ON ca.doc_id = s.doc_a
+        JOIN per_doc cb ON cb.doc_id = s.doc_b
+    """,
+    doc="The MOSS report metric on top of the winnowing index: per "
+        "candidate pair, the collision-verified shared-fingerprint "
+        "count normalized by each document's selected-fingerprint set "
+        "(Jaccard over fingerprint VALUES) — the number a plagiarism/"
+        "contamination report ranks by (Schleimer-Wilkerson-Aiken "
+        "SIGMOD'03 §5). Everything downstream of the fingerprint "
+        "selection is two groupBys and a broadcast-size join of "
+        "per-doc counts; integer numerators/denominators ride along so "
+        "the rounded score is auditable.",
+    tags=("llm", "dedup", "winnowing", "similarity"),
+)
+def winnowing_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp, verified = _winnow_verified_shared(spark, sf_dir)
+    shared = verified.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_shared")
+    )
+    per_doc = (
+        fp.select("doc_id", "fp")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_fp"))
+    )
+    return (
+        shared.join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_fp_a") + F.col("n_fp_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("fp_jaccard"),
+        )
+    )
 
 
 @register(

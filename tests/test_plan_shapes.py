@@ -504,3 +504,47 @@ def test_winnowing_is_one_shuffle_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_lrs_lcp_walk_never_ships_suffix_strings(spark, sf_dir):
+    """The round-8 LCP rewrite: longest_repeated_substring must compute
+    neighbor LCPs from the doubling rank tables + the bounded w0-gram
+    residual — a full-suffix substring(text, pos) (which Catalyst
+    compiles to substring(..., 2147483647)) anywhere in the plan means
+    O(len^2) bytes in flight again. Python never touches it either."""
+    plan = _plan(spark, sf_dir, "longest_repeated_substring")
+    assert ", 2147483647)" not in plan  # no unbounded substring
+    assert "EvalPython" not in plan
+
+
+def test_distinct_substring_count_same_contract(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "distinct_substring_count")
+    assert ", 2147483647)" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_zorder_key_is_codegen_single_shuffle(spark, sf_dir):
+    """The Morton interleave is shift/mask/add in a Project — one hash
+    aggregate (one Exchange), no Python, no sort: layout keys must cost
+    scan speed or nobody z-orders 100 TB."""
+    plan = _plan(spark, sf_dir, "zorder_multidim_pruning")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1  # the groupBy(bucket) only
+    assert "Sort" not in plan
+
+
+def test_document_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunk exploding is narrow — sequence + explode + slice in one
+    codegen stage; ANY Exchange here would shuffle the whole corpus."""
+    plan = _plan(spark, sf_dir, "document_chunk_stride")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_language_id_profile_joins_broadcast(spark, sf_dir):
+    """Scoring joins test-doc trigrams against the per-language profile
+    (bounded: langs * top-50) — must broadcast, never shuffle the
+    exploded trigram stream by gram value."""
+    plan = _plan(spark, sf_dir, "language_id_ngram_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
