@@ -116,6 +116,8 @@ def main() -> None:
         "document_chunk_stride",          # overlapping token-window chunking
         "language_id_ngram_classifier",   # trigram profiles + argmax confusion
         "winnowing_similarity_pairs",     # MOSS score: verified pair join + counts
+        "weighted_percentiles_distributed",  # prefix-sum weighted percentile_disc
+        "merkle_segment_diff_drilldown",  # anti-entropy checksums + pruned repair
     ]
 
     # Iterative corpus-index queries: wall time is many scheduling

@@ -210,6 +210,66 @@ def global_running_sums(
     return res.drop("__pid")
 
 
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    tie_cols: list[str],
+    ps: list[float],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT weighted discrete percentiles: the smallest value whose
+    cumulative weight (in value order) reaches ``ceil(p·W)``, W = total
+    weight — percentile_disc where every row counts ``weight`` times,
+    without materializing the expansion. The scale shape is
+    :func:`global_running_sums` (range-partitioned two-pass prefix
+    sums, never a single-task window); the per-p answer is the unique
+    CROSSING row — ``cum_w ≥ t AND cum_w − w < t`` — found by one
+    broadcast nested-loop join against the |ps|-row threshold table.
+
+    Thresholds are exact integers (``exact_target_rank`` on Fraction
+    p and the collected scalar W — same discipline as
+    :func:`exact_percentiles`). ``tie_cols`` must make the order total
+    (prefix sums need determinism); the OUTPUT is tie-insensitive —
+    the crossing lands inside a value-tie run wherever the tie-break
+    puts it, and every row of the run carries the same value. Weights
+    must be non-negative (runtime-checked: a negative weight makes the
+    crossing non-unique and the semantics meaningless).
+
+    Returns (p double, value double).
+    """
+    w_ok = F.col(weight_col).cast("long")
+    base = df.select(
+        F.col(value_col).cast("double").alias("v"),
+        F.when(w_ok >= 0, w_ok)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "weighted_percentiles: negative weight %s",
+                    w_ok.cast("string"),
+                )
+            )
+        )
+        .alias("w"),
+        *[F.col(c) for c in tie_cols],
+    )
+    summed = global_running_sums(
+        base, ["v", *tie_cols], {"cum_w": "w"}, n_partitions=n_partitions
+    )
+    w_total = int(
+        summed.agg(F.max("cum_w").alias("t")).collect()[0]["t"] or 0
+    )
+    tgts = [(float(p), exact_target_rank(p, w_total)) for p in ps]
+    tgt = df.sparkSession.createDataFrame(tgts, "p double, __t long")
+    crossing = (F.col("cum_w") >= F.col("__t")) & (
+        F.col("cum_w") - F.col("w") < F.col("__t")
+    )
+    return (
+        summed.join(F.broadcast(tgt), crossing, "inner")
+        .select("p", F.col("v").alias("value"))
+    )
+
+
 def exact_target_rank(p: float, n: int) -> int:
     """percentile_disc target rank ``max(ceil(p·N), 1)`` with EXACT
     rational arithmetic — ``Fraction(str(p))`` reads the decimal the

@@ -846,6 +846,60 @@ def exact_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "weighted_percentiles_distributed",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                   CAST(l_quantity AS BIGINT) AS w,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ),
+        summed AS (
+            SELECT v, w,
+                   sum(w) OVER (ORDER BY v, l_orderkey, l_linenumber
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_w
+            FROM base
+        ),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM base),
+        tgt AS (
+            SELECT CAST(p AS DOUBLE) AS p,
+                   GREATEST((num * (SELECT wt FROM tot) + den - 1) // den, 1)
+                       AS t
+            FROM (VALUES (0.1, 1, 10), (0.25, 1, 4), (0.5, 1, 2),
+                         (0.75, 3, 4), (0.9, 9, 10)) AS f(p, num, den)
+        )
+        SELECT tgt.p AS p, s.v AS value
+        FROM tgt JOIN summed s
+          ON s.cum_w >= tgt.t AND s.cum_w - s.w < tgt.t
+    """,
+    doc="EXACT weighted percentiles of l_extendedprice with l_quantity "
+        "as the weight (operators/ranking.weighted_percentiles): the "
+        "smallest value whose cumulative weight reaches ceil(p*W), "
+        "i.e. percentile_disc over the weight-expanded multiset WITHOUT "
+        "materializing the expansion. Cumulative weights ride "
+        "global_running_sums (range-partitioned two-pass prefix sums — "
+        "never the single-task ORDER BY window the oracle can afford at "
+        "sf0.1); thresholds are Fraction-exact integers; each p's "
+        "answer is the unique crossing row, fetched by one broadcast "
+        "join against the 5-row threshold table. The weighted twin of "
+        "exact_percentiles_distributed (curation use: token-weighted "
+        "length/score cutoffs, where long docs must count by mass).",
+    tags=("window", "ranking", "scale", "percentile"),
+)
+def weighted_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import weighted_percentiles
+
+    return weighted_percentiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        ["l_orderkey", "l_linenumber"],
+        [0.1, 0.25, 0.5, 0.75, 0.9],
+    )
+
+
 def _zorder_oracle() -> str:
     from ..operators.zorder import morton_sql
 

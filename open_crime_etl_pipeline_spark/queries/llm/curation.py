@@ -223,6 +223,86 @@ def language_id_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_threshold_keep_rate",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(length(text) AS DOUBLE)
+                   / len(list_filter(string_split(text, ' '), t -> t != ''))
+                       AS score
+            FROM documents
+        ),
+        ranked AS (
+            SELECT score,
+                   row_number() OVER (ORDER BY score, doc_id) AS rn
+            FROM scored
+        ),
+        n AS (SELECT max(rn) AS n FROM ranked),
+        thr AS (
+            SELECT score AS threshold FROM ranked
+            WHERE rn = GREATEST((3 * (SELECT n FROM n) + 9) // 10, 1)
+        )
+        SELECT s.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN s.score >= t.threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               round(CAST(sum(CASE WHEN s.score >= t.threshold
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS keep_rate,
+               t.threshold
+        FROM scored s CROSS JOIN thr t
+        GROUP BY s.source, t.threshold
+    """,
+    doc="Calibrated quality gating — the composition a curation pipeline "
+        "actually runs: score every document (chars per token — a "
+        "Gopher-style signal), set the cut at the EXACT 30th percentile "
+        "of the corpus score distribution "
+        "(operators/ranking.exact_percentiles: range-partitioned ranked "
+        "pass + Fraction-exact integer rank, never a global sort), then "
+        "report per-source keep rates against the broadcast scalar "
+        "threshold. Calibrating the threshold to a target keep rate "
+        "instead of hand-picking a constant is what keeps the gate "
+        "stable as the corpus mix drifts; the whole thing is one ranked "
+        "pass + one scan (§2.11 curation).",
+    tags=("llm", "curation", "quality", "percentile"),
+)
+def quality_threshold_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...operators.ranking import exact_percentiles
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.length("text").cast("double") / F.size(TS.tokens("text"))
+        ).alias("score"),
+    )
+    thr = (
+        exact_percentiles(scored, "score", [0.3])
+        .select(F.col("value").alias("threshold"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("source", "threshold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("score") >= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_docs"), 6
+            ).alias("keep_rate"),
+            "threshold",
+        )
+    )
+
+
+@register(
     "source_mixture_weights",
     oracle="""
         WITH per_src AS (

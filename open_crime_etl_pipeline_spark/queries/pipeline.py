@@ -501,3 +501,160 @@ def replica_content_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("bigint").alias("content_checksum"),
         )
     )
+
+
+@register(
+    "merkle_segment_diff_drilldown",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_orderkey // 4096 AS seg
+            FROM orders
+        ),
+        b AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 9973 = 5 THEN o_custkey + 1
+                        ELSE o_custkey END AS o_custkey,
+                   o_orderstatus,
+                   o_orderkey // 4096 AS seg
+            FROM orders WHERE o_orderkey % 9973 != 1
+        ),
+        ha AS (
+            SELECT seg, o_orderkey,
+                   CAST('0x' || substring(md5(
+                        CAST(o_orderkey AS VARCHAR) || '|' ||
+                        CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+                   ), 1, 10) AS BIGINT) AS h
+            FROM a
+        ),
+        hb AS (
+            SELECT seg, o_orderkey,
+                   CAST('0x' || substring(md5(
+                        CAST(o_orderkey AS VARCHAR) || '|' ||
+                        CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+                   ), 1, 10) AS BIGINT) AS h
+            FROM b
+        ),
+        sa AS (SELECT seg, count(*) AS n_a, sum(h) AS ck_a FROM ha GROUP BY seg),
+        sb AS (SELECT seg, count(*) AS n_b, sum(h) AS ck_b FROM hb GROUP BY seg),
+        diff AS (
+            SELECT sa.seg, sa.n_a, COALESCE(sb.n_b, 0) AS n_b
+            FROM sa LEFT JOIN sb ON sa.seg = sb.seg
+            WHERE sb.seg IS NULL OR sa.n_a != sb.n_b OR sa.ck_a != sb.ck_b
+        ),
+        drill AS (
+            SELECT d.seg,
+                   ha.o_orderkey AS key_a, ha.h AS h_a,
+                   hb.o_orderkey AS key_b, hb.h AS h_b
+            FROM diff d
+            JOIN ha ON ha.seg = d.seg
+            LEFT JOIN hb ON hb.seg = d.seg AND hb.o_orderkey = ha.o_orderkey
+        )
+        SELECT d.seg AS segment,
+               CAST(d.n_a AS BIGINT) AS n_a,
+               CAST(d.n_b AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN dr.key_b IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_missing_in_b,
+               CAST(sum(CASE WHEN dr.key_b IS NOT NULL AND dr.h_a != dr.h_b
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_modified
+        FROM diff d JOIN drill dr ON dr.seg = d.seg
+        GROUP BY d.seg, d.n_a, d.n_b
+    """,
+    doc="Merkle-style anti-entropy reconciliation with segment "
+        "drill-down (the Dynamo/Cassandra repair shape; ST9 at 100 TB): "
+        "replica B is replica A with planted drift (keys % 9973 = 1 "
+        "deleted, % 9973 = 5 modified). Level 1 scans each replica ONCE "
+        "and emits one (count, 40-bit commutative md5 checksum (4096-key segments keep the BIGINT sum below 2^52)) row per "
+        "4096-key segment; level 2 re-reads ONLY the differing "
+        "segments' rows (a broadcast semi-filter on the segment list — "
+        "partition-prunable when the lake is laid out by key range) and "
+        "classifies each divergence as missing-vs-modified via a keyed "
+        "left join of row hashes. Repair cost scales with the DRIFT, "
+        "not the table: the full-table work is two scans emitting "
+        "rows/4096 tiny rows. Extends replica_content_checksums (which "
+        "detects) with the localization step (which repairs).",
+    tags=("incremental", "checksum", "reconcile", "scale"),
+)
+def merkle_segment_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def payload_hash():
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                )),
+                1, 10,
+            ),
+            16, 10,
+        ).cast("bigint")
+
+    a = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.expr("o_orderkey div 4096").alias("seg"),
+    )
+    b = (
+        orders.filter(F.col("o_orderkey") % 9973 != 1)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 9973 == 5, F.col("o_custkey") + 1)
+            .otherwise(F.col("o_custkey"))
+            .alias("o_custkey"),
+            "o_orderstatus",
+            F.expr("o_orderkey div 4096").alias("seg"),
+        )
+    )
+    ha = a.select("seg", "o_orderkey", payload_hash().alias("h"))
+    hb = b.select("seg", "o_orderkey", payload_hash().alias("h"))
+    sa = ha.groupBy("seg").agg(F.count("*").alias("n_a"), F.sum("h").alias("ck_a"))
+    sb = hb.groupBy("seg").agg(F.count("*").alias("n_b"), F.sum("h").alias("ck_b"))
+    diff = (
+        sa.join(sb, "seg", "left")
+        .filter(
+            F.col("n_b").isNull()
+            | (F.col("n_a") != F.col("n_b"))
+            | (F.col("ck_a") != F.col("ck_b"))
+        )
+        .select("seg", "n_a", F.coalesce("n_b", F.lit(0)).alias("n_b"))
+    )
+    hb2 = hb.select(
+        F.col("seg").alias("seg_b"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("h").alias("h_b"),
+    )
+    drill = (
+        ha.join(F.broadcast(diff), "seg")
+        .join(
+            hb2,
+            (F.col("o_orderkey") == F.col("key_b"))
+            & (F.col("seg") == F.col("seg_b")),
+            "left",
+        )
+        .drop("seg_b")
+    )
+    return (
+        drill.groupBy("seg", "n_a", "n_b")
+        .agg(
+            F.sum(F.when(F.col("key_b").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing_in_b"),
+            F.sum(
+                F.when(
+                    F.col("key_b").isNotNull() & (F.col("h") != F.col("h_b")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_modified"),
+        )
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "n_missing_in_b",
+            "n_modified",
+        )
+    )

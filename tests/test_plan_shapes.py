@@ -548,3 +548,22 @@ def test_language_id_profile_joins_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "language_id_ngram_classifier")
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_weighted_percentiles_no_unpartitioned_window(spark, sf_dir):
+    """Weighted percentiles ride global_running_sums: prefix sums must
+    window on __pid (range partitions), never a global ORDER BY window;
+    the 5-row threshold table joins broadcast."""
+    plan = _plan(spark, sf_dir, "weighted_percentiles_distributed")
+    assert "windowspecdefinition(__pid" in plan
+    assert "windowspecdefinition(v#" not in plan
+    assert "Broadcast" in plan
+
+
+def test_merkle_drilldown_broadcasts_diff_segments(spark, sf_dir):
+    """Level 2 re-reads only differing segments: the segment work list
+    must broadcast against the row-hash stream (repair cost scales with
+    drift, not table size)."""
+    plan = _plan(spark, sf_dir, "merkle_segment_diff_drilldown")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan

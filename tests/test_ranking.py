@@ -114,3 +114,46 @@ def test_exact_target_rank_is_fp_immune():
             want = max(int(-(-(fr.numerator * n) // fr.denominator)), 1)
             assert exact_target_rank(p, n) == want
     assert exact_target_rank(0.5, 0) == 1  # empty input clamps to rank 1
+
+
+def test_weighted_percentiles_match_expanded_multiset(spark):
+    from open_crime_etl_pipeline_spark.operators.ranking import (
+        weighted_percentiles,
+    )
+
+    rows = [(i, float((i * 37) % 100), 1 + (i * 13) % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double, w long")
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = {
+        r["p"]: r["value"]
+        for r in weighted_percentiles(df, "v", "w", ["id"], ps).collect()
+    }
+    # brute force: literally expand each row w times, percentile_disc
+    expanded = sorted(v for _i, v, w in rows for _ in range(w))
+    from fractions import Fraction
+
+    for p in ps:
+        fr = Fraction(str(p))
+        t = max(-((-fr.numerator * len(expanded)) // fr.denominator), 1)
+        assert got[p] == expanded[t - 1], (p, got[p], expanded[t - 1])
+
+
+def test_weighted_percentiles_zero_and_negative_weights(spark):
+    import pytest
+
+    from open_crime_etl_pipeline_spark.operators.ranking import (
+        weighted_percentiles,
+    )
+
+    # zero-weight rows contribute nothing and can never be the crossing
+    df = spark.createDataFrame(
+        [(1, 1.0, 0), (2, 2.0, 3), (3, 3.0, 1)], "id long, v double, w long"
+    )
+    got = {
+        r["p"]: r["value"]
+        for r in weighted_percentiles(df, "v", "w", ["id"], [0.5, 1.0]).collect()
+    }
+    assert got == {0.5: 2.0, 1.0: 3.0}  # expansion [2,2,2,3]
+    bad = spark.createDataFrame([(1, 1.0, -2)], "id long, v double, w long")
+    with pytest.raises(Exception, match="negative weight"):
+        weighted_percentiles(bad, "v", "w", ["id"], [0.5]).collect()

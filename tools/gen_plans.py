@@ -77,6 +77,13 @@ NOTES = {
     "greedy_sequence_packing": "shard groupBy feeds ONE applyInPandas (FlatMapGroupsInPandas) — the only exchange is the shard hash partitioning; the sequential overflow-reset walk is per-shard task-local",
     "suffix_array_prefix_doubling": "per round: (doc,pos+k) equi-join + distinct + range-partitioned dense rank, all on integers (suffix STRINGS never leave the seed projection); eager pin per round with the stats-inheritance reset (PERF.md round 7) keeping replanning O(1) per round",
     "phrase_match_positional_index": "each join side is the postings FILTERED TO ONE TERM (predicate reaches the scan) — the intersection shuffles only the phrase terms' posting lists, never the corpus",
+    "longest_repeated_substring": "round 8: neighbor LCPs from the rank-table walk — per level TWO integer equi-joins of the (n-1)-pair table against that level's rank table, + one bounded w0-gram residual compare; NO unbounded substring anywhere (the plan signature ', 2147483647)' is absent, pinned in test_plan_shapes.py)",
+    "zorder_multidim_pruning": "Morton interleave = shift/mask/add in a codegen'd Project; ONE Exchange (the bucket groupBy), no Sort, no Python — layout keys at scan speed",
+    "document_chunk_stride": "sequence+explode+slice, ZERO Exchange — chunking streams at scan speed; chunk_key md5 proves content",
+    "language_id_ngram_classifier": "trigram explode map-side; profile (langs x top-50) BROADCAST into the scoring join; argmax window partitions on doc_id (5-row partitions)",
+    "winnowing_similarity_pairs": "candidate join on fingerprint VALUES (density-bounded selection, never all grams), collision verify on real grams, then two groupBys + broadcast per-doc counts",
+    "weighted_percentiles_distributed": "cumulative weights via range-partitioned prefix sums (window on __pid, never the value); |ps|-row threshold table joins as BroadcastNestedLoop on the crossing predicate",
+    "merkle_segment_diff_drilldown": "level 1: scan-side hash + per-segment partial agg (one tiny exchange per replica); level 2: differing-segment work list BROADCAST into the row-hash stream — repair touches drift, not the table",
 }
 
 HEADER = """# PLANS — physical-plan receipts for the scale-critical queries
