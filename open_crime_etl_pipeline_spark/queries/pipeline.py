@@ -658,3 +658,56 @@ def merkle_segment_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_modified",
         )
     )
+
+
+@register(
+    "manifest_sink_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(text) AS content_key
+        FROM documents WHERE doc_id % 10 = 0
+    """,
+    doc="End-to-end proof of the content-addressed shard sink "
+        "(sources/manifest_sink.py — the custom Python DataSource "
+        "WRITER): a documents slice is written through "
+        "df.write.format('shard_manifest') (content-addressed gzip-JSON "
+        "shards + atomic manifest commit), read back via the "
+        "manifest-resolved snapshot reader, and emitted as per-doc "
+        "(n_chars, md5) — the oracle states the same from the source "
+        "table, so a hash match proves byte-exact write/commit/read "
+        "through the sink, the way socrata_ingest_silver proves the "
+        "source. Idempotence/abort/vacuum semantics are pinned in "
+        "test_manifest_sink.py (ST7/S3/S4/D7).",
+    tags=("sink", "datasource", "pipeline"),
+)
+def manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_sink_q_")
+    try:
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 == 0
+        ).select("doc_id", "text")
+        (
+            docs.repartition(4, "doc_id")
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .mode("overwrite")
+            .save()
+        )
+        back = MS.read_manifest(spark, out, schema="doc_id long, text string")
+        rows = back.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.md5("text").alias("content_key"),
+        ).collect()
+        return spark.createDataFrame(
+            rows, "doc_id long, n_chars long, content_key string"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1,0 +1,125 @@
+"""Content-addressed shard sink (sources/manifest_sink.py): the custom
+Python DataSource WRITER — atomic manifest commit, snapshot reads,
+content-addressed idempotence, abort safety, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from open_crime_etl_pipeline_spark.sources import manifest_sink as MS
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    MS.register(spark)
+    return spark
+
+
+def _df(spark, n=100, tag="a"):
+    return spark.range(n).select(
+        F.col("id"), F.concat(F.lit(tag), F.col("id").cast("string")).alias("s")
+    )
+
+
+def _write(df, path, mode="overwrite"):
+    df.write.format(MS.FORMAT_NAME).option("path", path).mode(mode).save()
+
+
+def test_write_commit_readback(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "t1")
+    _write(_df(spark, 100).repartition(4), p)
+    man = MS.read_manifest_dict(p)
+    assert man is not None and man["n_rows"] == 100
+    back = MS.read_manifest(spark, p, schema="id long, s string")
+    rows = sorted((r["id"], r["s"]) for r in back.collect())
+    assert rows == [(i, f"a{i}") for i in range(100)]
+
+
+def test_content_addressing_is_deterministic(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "t2")
+    df = _df(spark, 60).repartition(3, "id")  # deterministic hash partitioning
+    _write(df.sortWithinPartitions("id"), p)
+    first = {s["file"] for s in MS.read_manifest_dict(p)["shards"]}
+    _write(df.sortWithinPartitions("id"), p)  # same data, same partitioning
+    second = {s["file"] for s in MS.read_manifest_dict(p)["shards"]}
+    assert first == second  # same content -> same shard names
+    # and the overwrite produced no garbage to vacuum
+    assert MS.vacuum_unreferenced(p) == []
+
+
+def test_append_of_identical_content_is_idempotent_replay(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "t3")
+    df = _df(spark, 40).repartition(2, "id").sortWithinPartitions("id")
+    _write(df, p, mode="append")
+    n1 = MS.read_manifest_dict(p)["n_rows"]
+    _write(df, p, mode="append")  # replayed batch: ST7 by construction
+    assert MS.read_manifest_dict(p)["n_rows"] == n1 == 40
+    # genuinely new content appends
+    _write(_df(spark, 10, tag="b").coalesce(1), p, mode="append")
+    assert MS.read_manifest_dict(p)["n_rows"] == 50
+
+
+def test_overwrite_snapshot_isolation_and_vacuum(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "t4")
+    _write(_df(spark, 30, tag="old").coalesce(1), p)
+    old_shards = {s["file"] for s in MS.read_manifest_dict(p)["shards"]}
+    _write(_df(spark, 20, tag="new").coalesce(1), p)  # overwrite
+    back = MS.read_manifest(spark, p, schema="id long, s string")
+    assert back.count() == 20
+    assert all(r["s"].startswith("new") for r in back.collect())
+    # stale shard file still on disk but invisible to readers
+    on_disk = set(os.listdir(os.path.join(p, "shards")))
+    assert old_shards <= on_disk
+    deleted = MS.vacuum_unreferenced(p)
+    assert set(deleted) == old_shards
+    assert MS.read_manifest(spark, p, schema="id long, s string").count() == 20
+
+
+def test_abort_preserves_previous_version(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "t5")
+    _write(_df(spark, 10).coalesce(1), p)
+    man_before = MS.read_manifest_dict(p)
+    # drive write()+abort() directly (the engine calls abort on task
+    # failure); the manifest must stay at the committed version and the
+    # aborted shard must be cleaned up
+    w = MS.ManifestShardWriter({"path": p}, _df(spark, 1).schema, overwrite=True)
+    msg = w.write(iter([(99, "zz")]))
+    assert msg.n_rows == 1
+    assert os.path.exists(os.path.join(p, "shards", msg.shard))
+    w.abort([msg])
+    assert not os.path.exists(os.path.join(p, "shards", msg.shard))
+    assert MS.read_manifest_dict(p) == man_before
+    # abort never deletes a shard the LIVE manifest references
+    live = man_before["shards"][0]
+    w.abort([MS.ShardCommit(shard=live["file"], n_rows=live["n_rows"],
+                            digest=live["digest"])])
+    assert os.path.exists(os.path.join(p, "shards", live["file"]))
+
+
+def test_gzip_shards_are_byte_identical_across_retries(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "t6")
+    w = MS.ManifestShardWriter({"path": p}, _df(spark, 1).schema, overwrite=True)
+    m1 = w.write(iter([(1, "x"), (2, "y")]))
+    with open(os.path.join(p, "shards", m1.shard), "rb") as fh:
+        b1 = fh.read()
+    m2 = w.write(iter([(1, "x"), (2, "y")]))  # the retry
+    with open(os.path.join(p, "shards", m2.shard), "rb") as fh:
+        b2 = fh.read()
+    assert m1.shard == m2.shard and b1 == b2  # mtime=0 gzip: bit-stable
+
+
+def test_missing_path_option_raises(registered):
+    with pytest.raises(Exception, match="path"):
+        _df(registered, 1).write.format(MS.FORMAT_NAME).mode(
+            "overwrite"
+        ).save()
+
+
+def test_read_manifest_missing_raises(registered, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        MS.read_manifest(registered, str(tmp_path / "nope"))
