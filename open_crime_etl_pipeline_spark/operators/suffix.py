@@ -117,9 +117,14 @@ def suffix_ranks(
     work when a downstream consumer tolerates prefix-only ordering."""
     import math
 
-    # one row per suffix: (doc, pos, first-w0 characters)
+    # one row per suffix: (doc, pos, first-w0 characters). Empty/null
+    # docs have no suffixes — they must be filtered BEFORE the explode:
+    # Spark's sequence(1, 0) silently yields the DESCENDING [1, 0]
+    # (positions 0 and 1 of an empty string), unlike SQL
+    # generate_series(1, 0) which is empty.
     suf = pin(
-        df.select(
+        df.filter(F.length(text_col) >= 1)
+        .select(
             F.col(id_col).alias("__doc"),
             F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("pos"),
             F.col(text_col).alias("__t"),

@@ -87,9 +87,14 @@ def pii_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def document_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", TS.tokens("text").alias("toks")
-    ).withColumn("n", F.size("toks"))
+    # tokenless docs chunk to nothing; filter BEFORE the sequence —
+    # Spark's sequence(1, 0, 48) raises (illegal boundaries) where
+    # SQL generate_series(1, 0, 48) is simply empty
+    base = (
+        docs.select("doc_id", TS.tokens("text").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
     s = base.select(
         "doc_id",
         "toks",
@@ -178,7 +183,14 @@ def language_id_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") % 2 == 0).select("lang", "text")
+    # sub-trigram docs emit no grams on either engine: generate_series
+    # (1, length-2) is empty for length < 3 in SQL, but Spark's
+    # sequence() would DESCEND — filter before the explode
+    train = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .filter(F.length("text") >= 3)
+        .select("lang", "text")
+    )
     tg = train.select(
         "lang",
         F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("pos"),
@@ -195,7 +207,7 @@ def language_id_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = docs.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id", F.col("lang").alias("true_lang"), "text"
     )
-    dg = test.select(
+    dg = test.filter(F.length("text") >= 3).select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("pos"),
         F.col("text").alias("__t"),
