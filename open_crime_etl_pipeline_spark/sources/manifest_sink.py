@@ -51,6 +51,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -161,8 +162,73 @@ class ManifestShardWriter(DataSourceWriter):
                 pass  # best effort; unreferenced shards are vacuumable
 
 
+class ManifestShardStreamWriter(DataSourceStreamWriter):
+    """Streaming sink twin: one committed EPOCH per micro-batch.
+
+    ``commit(messages, batchId)`` records the batch's shards under
+    ``epochs[batchId]`` in the manifest and rebuilds the live shard
+    list as the union over epochs. A REPLAYED batch (same batchId after
+    a failure, the Structured Streaming at-least-once delivery)
+    REPLACES its epoch rather than appending — combined with
+    content-addressed shard names this makes the sink effectively
+    exactly-once for deterministic batches: the replay rewrites the
+    same bytes and the manifest converges to the same state.
+    Single-writer-per-path assumption, same as the batch writer."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self._inner = ManifestShardWriter(options, schema, overwrite=False)
+        self.path = self._inner.path
+
+    def write(self, iterator) -> ShardCommit:
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        fs, root = _fs_for(self.path)
+        prev = read_manifest_dict(self.path) or {
+            "version": 1, "shards": [], "n_rows": 0, "epochs": {}
+        }
+        epochs = dict(prev.get("epochs", {}))
+        by_file: dict[str, dict] = {}
+        for m in messages:
+            if m is not None and m.n_rows > 0:
+                by_file[m.shard] = {
+                    "file": m.shard, "n_rows": m.n_rows, "digest": m.digest
+                }
+        old_epoch_files = {
+            s["file"]
+            for eshards in prev.get("epochs", {}).values()
+            for s in eshards
+        }
+        epochs[str(batchId)] = sorted(by_file.values(), key=lambda s: s["file"])
+        # batch-written (non-epoch) shards survive streaming commits
+        merged: dict[str, dict] = {
+            s["file"]: s
+            for s in prev["shards"]
+            if s["file"] not in old_epoch_files
+        }
+        for eshards in epochs.values():
+            for s in eshards:
+                merged[s["file"]] = s
+        manifest = {
+            "version": 1,
+            "shards": sorted(merged.values(), key=lambda s: s["file"]),
+            "n_rows": sum(s["n_rows"] for s in merged.values()),
+            "epochs": epochs,
+        }
+        fs.create_dir(root, recursive=True)
+        _write_atomic(
+            fs,
+            posixpath.join(root, MANIFEST),
+            json.dumps(manifest, sort_keys=True).encode("utf-8"),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._inner.abort([m for m in messages if m is not None])
+
+
 class ManifestShardDataSource(DataSource):
-    """``df.write.format("shard_manifest").option("path", p).save()``."""
+    """``df.write.format("shard_manifest").option("path", p).save()``
+    and ``df.writeStream.format("shard_manifest")`` (epoch manifests)."""
 
     @classmethod
     def name(cls) -> str:
@@ -170,6 +236,11 @@ class ManifestShardDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return ManifestShardWriter(self.options, schema, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> DataSourceStreamWriter:
+        return ManifestShardStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:

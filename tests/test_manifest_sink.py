@@ -123,3 +123,85 @@ def test_missing_path_option_raises(registered):
 def test_read_manifest_missing_raises(registered, tmp_path):
     with pytest.raises(FileNotFoundError):
         MS.read_manifest(registered, str(tmp_path / "nope"))
+
+
+def test_streaming_sink_epochs_and_replay(registered, tmp_path):
+    """writeStream.format('shard_manifest'): one epoch per micro-batch;
+    a full replay with a fresh checkpoint converges to the SAME
+    manifest state (content-addressed shards + epoch replacement)."""
+    import time as _t
+
+    spark, p = registered, str(tmp_path / "s1")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for f in range(3):
+        df = spark.createDataFrame(
+            [(f * 100 + i, f"b{f}_{i}") for i in range(20)], "id long, s string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/f{f}")
+        t = _t.time() + f * 10
+        for root, _d, files in os.walk(f"{src}/f{f}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema("id long, s string")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{src}/f*")
+            .writeStream.format(MS.FORMAT_NAME)
+            .option("path", p)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    man1 = MS.read_manifest_dict(p)
+    assert man1["n_rows"] == 60
+    assert len(man1["epochs"]) == 3  # one epoch per file-batch
+    back = MS.read_manifest(spark, p, schema="id long, s string")
+    assert back.count() == 60
+
+    # resume with the SAME checkpoint: nothing new -> manifest unchanged
+    run(str(tmp_path / "ck1"))
+    assert MS.read_manifest_dict(p) == man1
+
+    # full REPLAY with a fresh checkpoint: same content re-lands as the
+    # same shard names; epochs re-recorded; row count stable
+    run(str(tmp_path / "ck2"))
+    man2 = MS.read_manifest_dict(p)
+    assert man2["n_rows"] == 60
+    assert {s["file"] for s in man2["shards"]} == {
+        s["file"] for s in man1["shards"]
+    }
+
+
+def test_streaming_epoch_replacement_on_batch_replay(registered, tmp_path):
+    """A replayed batchId REPLACES its epoch (at-least-once delivery
+    cannot double-count), even if the replay produced different
+    partitioning; superseded shards become vacuumable garbage."""
+    spark, p = registered, str(tmp_path / "s2")
+    w = MS.ManifestShardStreamWriter({"path": p}, _df(spark, 1).schema)
+    m_a = w.write(iter([(1, "x"), (2, "y")]))
+    w.commit([m_a], batchId=0)
+    assert MS.read_manifest_dict(p)["n_rows"] == 2
+    # replay of batch 0 with different content (non-deterministic batch)
+    m_b = w.write(iter([(1, "x"), (2, "y"), (3, "z")]))
+    w.commit([m_b], batchId=0)
+    man = MS.read_manifest_dict(p)
+    assert man["n_rows"] == 3  # replaced, not 5
+    assert [s["file"] for s in man["shards"]] == [m_b.shard]
+    assert MS.vacuum_unreferenced(p) == [m_a.shard]
+
+
+def test_streaming_commit_preserves_batch_written_shards(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "s3")
+    _write(_df(spark, 10, tag="batch").coalesce(1), p)  # batch write first
+    w = MS.ManifestShardStreamWriter({"path": p}, _df(spark, 1).schema)
+    m = w.write(iter([(500, "stream0")]))
+    w.commit([m], batchId=0)
+    man = MS.read_manifest_dict(p)
+    assert man["n_rows"] == 11  # batch shards survive streaming commits
