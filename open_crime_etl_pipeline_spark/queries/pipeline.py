@@ -625,8 +625,11 @@ def merkle_segment_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("o_orderkey").alias("key_b"),
         F.col("h").alias("h_b"),
     )
+    # diff is drift-sized in the normal case but adversarially one row
+    # per segment — no forced broadcast (the r6 carry-join lesson); AQE
+    # broadcasts it at runtime when it is actually small
     drill = (
-        ha.join(F.broadcast(diff), "seg")
+        ha.join(diff, "seg")
         .join(
             hb2,
             (F.col("o_orderkey") == F.col("key_b"))
@@ -663,22 +666,30 @@ def merkle_segment_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "manifest_sink_roundtrip",
     oracle="""
-        SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               md5(text) AS content_key
+        SELECT CAST(doc_id % 7 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(CAST('0x' || substring(
+                    md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 10)
+                    AS BIGINT)) AS BIGINT) AS content_checksum
         FROM documents WHERE doc_id % 10 = 0
+        GROUP BY bucket
     """,
     doc="End-to-end proof of the content-addressed shard sink "
         "(sources/manifest_sink.py — the custom Python DataSource "
         "WRITER): a documents slice is written through "
         "df.write.format('shard_manifest') (content-addressed gzip-JSON "
         "shards + atomic manifest commit), read back via the "
-        "manifest-resolved snapshot reader, and emitted as per-doc "
-        "(n_chars, md5) — the oracle states the same from the source "
-        "table, so a hash match proves byte-exact write/commit/read "
-        "through the sink, the way socrata_ingest_silver proves the "
-        "source. Idempotence/abort/vacuum semantics are pinned in "
-        "test_manifest_sink.py (ST7/S3/S4/D7).",
+        "manifest-resolved snapshot reader, and reduced to per-bucket "
+        "(count, chars, 40-bit commutative md5-of-(id|text) checksum) — "
+        "the oracle states the same aggregates from the SOURCE table, "
+        "so a hash match proves byte-exact write/commit/read through "
+        "the sink the way socrata_ingest_silver proves the source. "
+        "Only O(buckets) summary rows ever reach the driver (they must "
+        "materialize before the temp lake dir is cleaned up) — the "
+        "per-doc payloads stay distributed. Idempotence/abort/vacuum/"
+        "streaming-epoch semantics are pinned in test_manifest_sink.py "
+        "(ST7/S3/S4/D7).",
     tags=("sink", "datasource", "pipeline"),
 )
 def manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,13 +712,29 @@ def manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .save()
         )
         back = MS.read_manifest(spark, out, schema="doc_id long, text string")
-        rows = back.select(
-            "doc_id",
-            F.length("text").cast("long").alias("n_chars"),
-            F.md5("text").alias("content_key"),
-        ).collect()
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("|"), F.col("text")
+                    )
+                ),
+                1, 10,
+            ),
+            16, 10,
+        ).cast("long")
+        rows = (
+            back.groupBy((F.col("doc_id") % 7).cast("long").alias("bucket"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).cast("long").alias("total_chars"),
+                F.sum(h).cast("long").alias("content_checksum"),
+            )
+            .collect()  # O(buckets) summary rows; lake dir dies below
+        )
         return spark.createDataFrame(
-            rows, "doc_id long, n_chars long, content_key string"
+            rows,
+            "bucket long, n_docs long, total_chars long, content_checksum long",
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -561,9 +561,10 @@ def test_weighted_percentiles_no_unpartitioned_window(spark, sf_dir):
 
 
 def test_merkle_drilldown_broadcasts_diff_segments(spark, sf_dir):
-    """Level 2 re-reads only differing segments: the segment work list
-    must broadcast against the row-hash stream (repair cost scales with
-    drift, not table size)."""
-    plan = _plan(spark, sf_dir, "merkle_segment_diff_drilldown")
+    """Level 2 re-reads only differing segments. The work list is
+    drift-sized normally but segment-proportional adversarially, so the
+    join is UNHINTED — AQE must convert it to broadcast at runtime when
+    it is actually small (asserted on the post-execution plan)."""
+    plan = _final_plan(spark, sf_dir, "merkle_segment_diff_drilldown")
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
