@@ -24,6 +24,7 @@ from ..operators.textstats import (
     tokens,
     unique_token_ratio,
 )
+from ..operators.zorder import morton_key, morton_sql
 from ..queries.core import dec2, fmt_date
 from ..sources.socrata import month_windows
 
@@ -34,6 +35,8 @@ __all__ = [
     "dec2",
     "fmt_date",
     "month_windows",
+    "morton_key",
+    "morton_sql",
     "pii_counts",
     "pii_redact",
     "quality_score",

@@ -83,7 +83,7 @@ NOTES = {
     "language_id_ngram_classifier": "trigram explode map-side; profile (langs x top-50) BROADCAST into the scoring join; argmax window partitions on doc_id (5-row partitions)",
     "winnowing_similarity_pairs": "candidate join on fingerprint VALUES (density-bounded selection, never all grams), collision verify on real grams, then two groupBys + broadcast per-doc counts",
     "weighted_percentiles_distributed": "cumulative weights via range-partitioned prefix sums (window on __pid, never the value); |ps|-row threshold table joins as BroadcastNestedLoop on the crossing predicate",
-    "merkle_segment_diff_drilldown": "level 1: scan-side hash + per-segment partial agg (one tiny exchange per replica); level 2: differing-segment work list BROADCAST into the row-hash stream — repair touches drift, not the table",
+    "merkle_segment_diff_drilldown": "level 1: scan-side hash + per-segment partial agg (one tiny exchange per replica); level 2: the differing-segment work list joins UNHINTED (drift-sized normally, segment-proportional adversarially) — AQE converts to broadcast at runtime when small (post-execution plan pinned); repair touches drift, not the table",
 }
 
 HEADER = """# PLANS — physical-plan receipts for the scale-critical queries
