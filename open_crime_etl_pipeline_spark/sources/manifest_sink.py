@@ -128,6 +128,7 @@ class ManifestShardWriter(DataSourceWriter):
                     "file": m.shard, "n_rows": m.n_rows, "digest": m.digest
                 }
         shards = list(by_file.values())
+        epochs: dict = {}
         if not self.overwrite:
             prev = read_manifest_dict(self.path)
             if prev is not None:
@@ -135,11 +136,16 @@ class ManifestShardWriter(DataSourceWriter):
                 shards = [
                     s for s in prev["shards"] if s["file"] not in seen
                 ] + shards
+                # keep streaming epoch attribution intact so a later
+                # replayed batchId can still REPLACE its epoch
+                epochs = prev.get("epochs", {})
         manifest = {
             "version": 1,
             "shards": sorted(shards, key=lambda s: s["file"]),
             "n_rows": sum(s["n_rows"] for s in shards),
         }
+        if epochs:
+            manifest["epochs"] = epochs
         fs.create_dir(root, recursive=True)
         _write_atomic(
             fs,

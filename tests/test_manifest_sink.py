@@ -205,3 +205,22 @@ def test_streaming_commit_preserves_batch_written_shards(registered, tmp_path):
     w.commit([m], batchId=0)
     man = MS.read_manifest_dict(p)
     assert man["n_rows"] == 11  # batch shards survive streaming commits
+
+
+def test_batch_append_preserves_streaming_epochs(registered, tmp_path):
+    """A batch append between streaming commits must not erase epoch
+    attribution — otherwise a later replayed batchId with CHANGED
+    content would append instead of replacing its epoch."""
+    spark, p = registered, str(tmp_path / "s4")
+    w = MS.ManifestShardStreamWriter({"path": p}, _df(spark, 1).schema)
+    m0 = w.write(iter([(1, "x")]))
+    w.commit([m0], batchId=0)
+    _write(_df(spark, 5, tag="mid").coalesce(1), p, mode="append")
+    man = MS.read_manifest_dict(p)
+    assert man["n_rows"] == 6 and "epochs" in man  # attribution survives
+    # replay batch 0 with different content: epoch replaced, not added
+    m0b = w.write(iter([(1, "x"), (2, "y")]))
+    w.commit([m0b], batchId=0)
+    man2 = MS.read_manifest_dict(p)
+    assert man2["n_rows"] == 7  # 5 batch + 2 replaced-epoch (not 8)
+    assert m0.shard not in {s["file"] for s in man2["shards"]}
