@@ -72,7 +72,15 @@ def _fs_for(path: str):
 
 
 def _write_atomic(fs, final_path: str, data: bytes) -> None:
-    tmp = final_path + ".tmp"
+    # unique temp per ATTEMPT: two tasks producing the same
+    # content-addressed shard (identical partitions, or a speculative
+    # retry racing the original) must not interleave on a shared tmp —
+    # one truncating while the other renames would publish a torn file
+    # under a digest name that promises exact content (round-8 ADVICE).
+    # The content-addressed final name already dedups the winners.
+    import uuid
+
+    tmp = f"{final_path}.{uuid.uuid4().hex}.tmp"
     with fs.open_output_stream(tmp) as out:
         out.write(data)
     fs.move(tmp, final_path)
@@ -86,6 +94,14 @@ class ShardCommit(WriterCommitMessage):
 
 
 class ManifestShardWriter(DataSourceWriter):
+    #: rows whose compressed shard stays under this many bytes never
+    #: touch disk; larger partitions spill their COMPRESSED stream to a
+    #: local scratch file (``tempfile.SpooledTemporaryFile`` rollover)
+    #: instead of holding the whole payload in task memory — at 100-TB
+    #: shard sizes an O(partition-bytes) buffer is an OOM, and local
+    #: scratch is exactly where Spark already spills shuffles.
+    DEFAULT_SPILL_THRESHOLD = 64 << 20
+
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         path = options.get("path")
         if not path:
@@ -93,30 +109,59 @@ class ManifestShardWriter(DataSourceWriter):
         self.path = path
         self.schema = schema
         self.overwrite = overwrite
+        self.spill_threshold = int(
+            options.get("spill_threshold_bytes", self.DEFAULT_SPILL_THRESHOLD)
+        )
 
     # -- executor side ---------------------------------------------------
     def write(self, iterator) -> ShardCommit:
+        """Single streaming pass: each serialized line feeds the md5
+        (content address = hash of the UNCOMPRESSED bytes, unchanged)
+        and a gzip stream over a spooled temp file, so peak task memory
+        is O(spill_threshold), never O(partition bytes). Only once the
+        digest — and therefore the final name — is known are the
+        compressed bytes uploaded to a unique temp and atomically
+        moved. zlib's output is independent of write-chunking at a
+        fixed level, and ``mtime=0`` pins the container header, so a
+        replayed task still rewrites byte-identical files (same
+        idempotence contract as the buffered round-8 version; shard
+        names are identical too)."""
+        import tempfile
+
         fields = self.schema.fieldNames()
-        lines = []
-        for row in iterator:
-            d = dict(zip(fields, row))
-            lines.append(
-                json.dumps(d, sort_keys=True, default=str, ensure_ascii=False)
-            )
-        content = ("\n".join(lines) + ("\n" if lines else "")).encode("utf-8")
-        digest = hashlib.md5(content).hexdigest()
-        shard = f"shard-{digest}.jsonl.gz"
-        if lines:  # empty partitions contribute no shard
-            fs, root = _fs_for(self.path)
-            fs.create_dir(posixpath.join(root, "shards"), recursive=True)
-            # mtime=0 keeps the gzip container byte-identical across
-            # retries, so a replayed task truly rewrites the same file
-            _write_atomic(
-                fs,
-                posixpath.join(root, "shards", shard),
-                gzip.compress(content, mtime=0),
-            )
-        return ShardCommit(shard=shard, n_rows=len(lines), digest=digest)
+        h = hashlib.md5()
+        n_rows = 0
+        with tempfile.SpooledTemporaryFile(max_size=self.spill_threshold) as spool:
+            with gzip.GzipFile(fileobj=spool, mode="wb", mtime=0) as gz:
+                for row in iterator:
+                    d = dict(zip(fields, row))
+                    line = (
+                        json.dumps(
+                            d, sort_keys=True, default=str, ensure_ascii=False
+                        )
+                        + "\n"
+                    ).encode("utf-8")
+                    h.update(line)
+                    gz.write(line)
+                    n_rows += 1
+            digest = h.hexdigest()
+            shard = f"shard-{digest}.jsonl.gz"
+            if n_rows:  # empty partitions contribute no shard
+                import uuid
+
+                fs, root = _fs_for(self.path)
+                fs.create_dir(posixpath.join(root, "shards"), recursive=True)
+                final = posixpath.join(root, "shards", shard)
+                tmp = f"{final}.{uuid.uuid4().hex}.tmp"
+                spool.seek(0)
+                with fs.open_output_stream(tmp) as out:
+                    while True:
+                        chunk = spool.read(1 << 20)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+                fs.move(tmp, final)
+        return ShardCommit(shard=shard, n_rows=n_rows, digest=digest)
 
     # -- driver side -----------------------------------------------------
     def commit(self, messages) -> None:

@@ -113,6 +113,62 @@ def test_gzip_shards_are_byte_identical_across_retries(registered, tmp_path):
     assert m1.shard == m2.shard and b1 == b2  # mtime=0 gzip: bit-stable
 
 
+def test_write_spills_large_partitions_instead_of_buffering(
+    registered, tmp_path, monkeypatch
+):
+    """A partition larger than spill_threshold_bytes must stream
+    through a ROLLED-OVER temp file (peak task memory = the threshold,
+    never O(partition bytes)) and still produce the exact same
+    content-addressed shard name and gzip bytes as the in-memory path
+    (round-8 verdict item 4)."""
+    import gzip as _gzip
+    import hashlib as _hashlib
+    import json as _json
+    import tempfile as _tempfile
+
+    spark, p = registered, str(tmp_path / "t_spill")
+    spools = []
+    real = _tempfile.SpooledTemporaryFile
+
+    def tracking_spool(*a, **kw):
+        s = real(*a, **kw)
+        spools.append(s)
+        return s
+
+    monkeypatch.setattr(_tempfile, "SpooledTemporaryFile", tracking_spool)
+    rows = [(i, "v" * 200 + str(i)) for i in range(500)]
+    w = MS.ManifestShardWriter(
+        {"path": p, "spill_threshold_bytes": "256"},
+        _df(spark, 1).schema,
+        overwrite=True,
+    )
+    msg = w.write(iter(rows))
+    assert len(spools) == 1 and spools[0]._rolled  # it actually spilled
+    # same bytes/name the buffered implementation would have produced
+    content = b"".join(
+        (_json.dumps(dict(zip(("id", "s"), r)), sort_keys=True,
+                     default=str, ensure_ascii=False) + "\n").encode()
+        for r in rows
+    )
+    assert msg.digest == _hashlib.md5(content).hexdigest()
+    assert msg.shard == f"shard-{msg.digest}.jsonl.gz"
+    with open(os.path.join(p, "shards", msg.shard), "rb") as fh:
+        b1 = fh.read()
+    assert _gzip.decompress(b1) == content
+    # replay through the SPILL path is still byte-identical (the
+    # idempotence contract; the gzip OS header byte differs from the
+    # one-shot gzip.compress API, which is irrelevant — names hash the
+    # UNCOMPRESSED bytes and replays share this code path)
+    msg2 = w.write(iter(rows))
+    with open(os.path.join(p, "shards", msg2.shard), "rb") as fh:
+        assert fh.read() == b1 and msg2.shard == msg.shard
+    # a small partition stays in memory (no rollover)
+    spools.clear()
+    small = w.write(iter([(1, "x")]))
+    assert len(spools) == 1 and not spools[0]._rolled
+    assert small.n_rows == 1
+
+
 def test_missing_path_option_raises(registered):
     with pytest.raises(Exception, match="path"):
         _df(registered, 1).write.format(MS.FORMAT_NAME).mode(

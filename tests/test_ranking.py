@@ -157,3 +157,35 @@ def test_weighted_percentiles_zero_and_negative_weights(spark):
     bad = spark.createDataFrame([(1, 1.0, -2)], "id long, v double, w long")
     with pytest.raises(Exception, match="negative weight"):
         weighted_percentiles(bad, "v", "w", ["id"], [0.5]).collect()
+
+
+def test_weighted_percentiles_fractional_and_null_weights_raise(spark):
+    """A double weight must RAISE, not silently truncate (0.5 -> 0
+    dropped half the row's mass before round 9); NULL gets its own
+    message instead of the misleading 'negative weight NULL'."""
+    import pytest
+
+    from open_crime_etl_pipeline_spark.operators.ranking import (
+        weighted_percentiles,
+    )
+
+    frac = spark.createDataFrame(
+        [(1, 1.0, 0.5), (2, 2.0, 3.0)], "id long, v double, w double"
+    )
+    with pytest.raises(Exception, match="fractional weight"):
+        weighted_percentiles(frac, "v", "w", ["id"], [0.5]).collect()
+    nul = spark.createDataFrame(
+        [(1, 1.0, None), (2, 2.0, 3)], "id long, v double, w long"
+    )
+    with pytest.raises(Exception, match="NULL weight"):
+        weighted_percentiles(nul, "v", "w", ["id"], [0.5]).collect()
+    # integer-VALUED doubles are fine — the contract is integrality,
+    # not the storage type
+    ok = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, 3.0)], "id long, v double, w double"
+    )
+    got = {
+        r["p"]: r["value"]
+        for r in weighted_percentiles(ok, "v", "w", ["id"], [0.5]).collect()
+    }
+    assert got == {0.5: 2.0}
