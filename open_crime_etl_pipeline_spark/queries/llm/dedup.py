@@ -1609,19 +1609,15 @@ def winnowing_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "suffix", "scale"),
 )
 def longest_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ...operators.suffix import lcp_from_rank_tables, suffix_ranks
+    from ...operators.suffix import (
+        adjacent_suffix_pairs,
+        lcp_from_rank_tables,
+        suffix_ranks,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
     ranks, art = suffix_ranks(docs, "doc_id", "text", retain_levels=True)
-    a = ranks.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "sa_rank"
-    )
-    b = ranks.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
-        (F.col("sa_rank") - 1).alias("sa_rank"),
-    )
-    pairs = a.join(b, "sa_rank").drop("sa_rank")
+    pairs = adjacent_suffix_pairs(ranks, "doc_id")
     lcp = lcp_from_rank_tables(art, pairs, out_col="lcp_len")
     return (
         lcp.groupBy("lcp_len")
@@ -1659,26 +1655,28 @@ def longest_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "suffix", "scale"),
 )
 def distinct_substring_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ...operators.suffix import lcp_from_rank_tables, suffix_ranks
+    from ...operators.suffix import (
+        adjacent_suffix_pairs,
+        lcp_from_rank_tables,
+        suffix_ranks,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
     ranks, art = suffix_ranks(docs, "doc_id", "text", retain_levels=True)
-    a = ranks.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "sa_rank"
-    )
-    b = ranks.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
-        (F.col("sa_rank") - 1).alias("sa_rank"),
-    )
-    pairs = a.join(b, "sa_rank").drop("sa_rank")
+    pairs = adjacent_suffix_pairs(ranks, "doc_id")
     lcp_sum = lcp_from_rank_tables(art, pairs, out_col="lcp").agg(
         F.coalesce(F.sum("lcp"), F.lit(0)).alias("__lcp_sum")
     )
+    # len*(len+1) is always even, so integer `div 2` is exact per row
+    # and the long accumulator never leaves integer space — float `/`
+    # would start rounding near 134M-char docs and the double sum loses
+    # exactness past 2^53 (round-8 ADVICE; the winnow.py decode lesson).
     totals = docs.agg(
         F.sum(
-            (F.length("text").cast("long") * (F.length("text").cast("long") + 1))
-            / F.lit(2)
+            F.expr(
+                "cast(length(text) as bigint)"
+                " * (cast(length(text) as bigint) + 1) div 2"
+            )
         ).cast("long").alias("__suf_len_sum"),
         F.sum(F.length("text")).cast("long").alias("n_suffixes"),
     )
@@ -1687,4 +1685,148 @@ def distinct_substring_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_distinct_substrings"),
         "n_suffixes",
+    )
+
+
+_MAXREP_L = 15  # min duplicated-substring length for the repeat index
+
+
+_MAXREP_COV_SQL = f"""
+        WITH d AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+        ),
+        w AS (
+            SELECT doc_id, CAST(u.pos AS BIGINT) AS s,
+                   substr(text, CAST(u.pos AS INT), {_MAXREP_L}) AS win
+            FROM d,
+                 unnest(generate_series(1, length(text) - {_MAXREP_L - 1}))
+                     AS u(pos)
+        ),
+        dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+        cov AS (
+            SELECT doc_id, s, s + {_MAXREP_L - 1} AS e
+            FROM w WHERE win IN (SELECT win FROM dup)
+        )
+"""
+
+
+@register(
+    "maximal_repeats_min_len",
+    oracle=_MAXREP_COV_SQL + """
+        , g AS (
+            SELECT doc_id, s, e,
+              CASE WHEN s > coalesce(max(e) OVER (
+                       PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), -1) + 1
+              THEN 1 ELSE 0 END AS brk
+            FROM cov
+        ),
+        gi AS (
+            SELECT doc_id, s, e,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(min(s) AS BIGINT) AS rep_start,
+               CAST(max(e) AS BIGINT) AS rep_end,
+               CAST(max(e) - min(s) + 1 AS BIGINT) AS rep_len
+        FROM gi GROUP BY doc_id, grp
+    """,
+    doc="Variable-length ExactSubstr index (Lee et al. 2022): per-doc "
+        "MAXIMAL intervals covered by a substring of length >= L that "
+        "occurs >= 2 times anywhere in the corpus slice. Spark side: "
+        "suffix_ranks + adjacent-pair LCPs from the RANK-TABLE walk "
+        "(operators/suffix.py::maximal_repeat_intervals — per-suffix "
+        "M = max neighbor LCP; covered set = union of [pos, pos+M-1] "
+        "for M >= L, merged per doc; left-extension is subsumed by the "
+        "union, see the operator docstring). The gram-table ExactSubstr "
+        "finds FIXED-length duplicates; this finds every length >= L. "
+        "The oracle independently enumerates ALL length-L windows, "
+        "keeps the duplicated ones, and merges their spans with "
+        "gaps-and-islands SQL — full agreement certifies ranks, "
+        "adjacency, LCPs, and the coverage-union theorem at once.",
+    tags=("llm", "dedup", "suffix", "scale"),
+)
+def maximal_repeats_min_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...operators.suffix import maximal_repeat_intervals, suffix_ranks
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    ranks, art = suffix_ranks(docs, "doc_id", "text", retain_levels=True)
+    return maximal_repeat_intervals(ranks, art, _MAXREP_L, id_col="doc_id")
+
+
+@register(
+    "exact_substr_variable_excision",
+    oracle=_MAXREP_COV_SQL + """
+        , chars AS (
+            SELECT d.doc_id, CAST(u.p AS BIGINT) AS p,
+                   substr(d.text, CAST(u.p AS INT), 1) AS c
+            FROM d, unnest(generate_series(1, length(d.text))) AS u(p)
+        ),
+        kept AS (
+            SELECT ch.doc_id, ch.p, ch.c FROM chars ch
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cov
+                WHERE cov.doc_id = ch.doc_id AND ch.p BETWEEN cov.s AND cov.e
+            )
+        ),
+        agg AS (
+            SELECT doc_id, coalesce(string_agg(c, '' ORDER BY p), '') AS s2
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(length(a.s2), 0) AS BIGINT) AS kept_len,
+               md5(coalesce(a.s2, '')) AS kept_md5
+        FROM d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="ExactSubstr excision with VARIABLE-length repeats: every "
+        "character inside a corpus-duplicated substring of length >= L "
+        "is cut from every document (the Lee et al. 2022 dedup action "
+        "over the maximal_repeats_min_len index), and each doc's "
+        "surviving text is receipted as (kept_len, md5). Spark side: "
+        "collect each doc's merged intervals into a sorted array and "
+        "excise with ONE aggregate() higher-order function over the "
+        "array — per-row JVM expression, no Python, no explode of "
+        "positions. The oracle rebuilds the kept string char-by-char "
+        "with an anti-semijoin against the duplicated windows — a "
+        "fully independent restatement of both the index and the cut.",
+    tags=("llm", "dedup", "suffix", "scale"),
+)
+def exact_substr_variable_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ...operators.suffix import maximal_repeat_intervals, suffix_ranks
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    ranks, art = suffix_ranks(docs, "doc_id", "text", retain_levels=True)
+    iv = maximal_repeat_intervals(ranks, art, _MAXREP_L, id_col="doc_id")
+    arr = iv.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rep_start", "rep_end"))
+        ).alias("iv")
+    )
+    j = docs.select("doc_id", "text").join(arr, "doc_id", "left")
+    # fold the sorted, disjoint, non-contiguous intervals once: carry
+    # (prev_end, acc) and append the gap [prev_end+1, next_start-1]
+    # before each interval, then the tail after the last one
+    kept = F.when(F.col("iv").isNull(), F.col("text")).otherwise(
+        F.expr(
+            """
+            aggregate(
+              iv,
+              named_struct('pe', cast(0 as bigint), 'acc', ''),
+              (a, x) -> named_struct(
+                  'pe', x.rep_end,
+                  'acc', concat(
+                      a.acc,
+                      substr(text, cast(a.pe + 1 as int),
+                             cast(x.rep_start - a.pe - 1 as int)))),
+              a -> concat(a.acc, substr(text, cast(a.pe + 1 as int)))
+            )
+            """
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.length(kept).cast("long").alias("kept_len"),
+        F.md5(F.encode(kept, "UTF-8")).alias("kept_md5"),
     )

@@ -153,3 +153,107 @@ def test_deterministic_under_repartition(spark):
         map(tuple, suffix_ranks(df.repartition(7), "doc_id", "text").collect())
     )
     assert a == b
+
+
+# -- maximal_repeat_intervals (variable-length ExactSubstr index) --------
+
+
+def _brute_repeats(docs, L):
+    """Ground truth: enumerate every length-L window, keep the ones
+    occurring >= 2 times corpus-wide, union their spans per doc, and
+    collapse to maximal runs — the oracle definition, independent of
+    suffix arrays entirely."""
+    from collections import Counter
+
+    wins: Counter = Counter()
+    for _did, t in docs:
+        for s in range(1, len(t) - L + 2):
+            wins[t[s - 1 : s - 1 + L]] += 1
+    out = set()
+    for did, t in docs:
+        pts = sorted(
+            {
+                p
+                for s in range(1, len(t) - L + 2)
+                if wins[t[s - 1 : s - 1 + L]] >= 2
+                for p in range(s, s + L)
+            }
+        )
+        runs: list[list[int]] = []
+        for p in pts:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for st, en in runs:
+            out.add((did, st, en, en - st + 1))
+    return out
+
+
+def _got_repeats(spark, docs, L, **kw):
+    from open_crime_etl_pipeline_spark.operators.suffix import (
+        maximal_repeat_intervals,
+    )
+
+    df = spark.createDataFrame(list(docs), "doc_id long, text string")
+    ranks, art = suffix_ranks(df, "doc_id", "text", retain_levels=True, **kw)
+    return {
+        tuple(r)
+        for r in maximal_repeat_intervals(ranks, art, L, "doc_id").collect()
+    }
+
+
+def _noise(tag: str, n: int) -> str:
+    """Deterministic non-periodic filler (periodic filler manufactures
+    giant self-repeats — the round-8 planted-LRS lesson)."""
+    import hashlib
+
+    out = []
+    i = 0
+    while sum(len(c) for c in out) < n:
+        out.append(hashlib.md5(f"{tag}:{i}".encode()).hexdigest().upper())
+        i += 1
+    return "".join(out)[:n]
+
+
+def test_maximal_repeats_planted_cross_doc_and_self(spark):
+    # two cross-doc phrases + one in-doc self repeat, buried in
+    # unique uppercase-hex noise (phrases lowercase: disjoint alphabet)
+    p1, p2 = "sharedphraseone", "otherdupspan"
+    docs = [
+        (1, _noise("a", 40) + p1 + _noise("b", 30)),
+        (2, _noise("c", 25) + p1 + _noise("d", 10) + p2 + _noise("e", 20)),
+        (3, p2 + _noise("f", 35) + "selfrepeatxx" + _noise("g", 9) + "selfrepeatxx"),
+    ]
+    for L in (6, 10, 12):
+        assert _got_repeats(spark, docs, L, w0=4) == _brute_repeats(docs, L)
+
+
+def test_maximal_repeats_left_extension_and_merge(spark):
+    # the duplicated span is LONGER than L, so windows chain and the
+    # interval collapse must extend LEFT and RIGHT to the full span;
+    # two spans one char apart must also merge (contiguity rule)
+    long_rep = "abcdefghijklmnop"  # length 16, duplicated, L = 5
+    docs = [
+        (1, _noise("h", 20) + long_rep + _noise("i", 20)),
+        (2, long_rep + "Z" + long_rep),
+    ]
+    got = _got_repeats(spark, docs, 5, w0=4)
+    assert got == _brute_repeats(docs, 5)
+    # doc 2: [1,16] and [18,33] do NOT merge (gap char Z is uncovered)
+    assert (2, 1, 16, 16) in got and (2, 18, 33, 16) in got
+
+
+def test_maximal_repeats_empty_and_guard(spark):
+    import pytest as _pytest
+
+    from open_crime_etl_pipeline_spark.operators.suffix import (
+        maximal_repeat_intervals,
+    )
+
+    docs = [(1, _noise("p", 50)), (2, _noise("q", 50))]
+    assert _got_repeats(spark, docs, 12, w0=4) == set()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    ranks, art = suffix_ranks(df, "doc_id", "text", retain_levels=True)
+    with _pytest.raises(ValueError, match="min_len"):
+        maximal_repeat_intervals(ranks, art, 0, "doc_id")
