@@ -738,3 +738,238 @@ def manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_stream_tail_exactly_once",
+    oracle="""
+        SELECT CAST(doc_id % 7 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(CAST('0x' || substring(
+                    md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 10)
+                    AS BIGINT)) AS BIGINT) AS content_checksum
+        FROM documents WHERE doc_id % 10 = 1
+        GROUP BY bucket
+    """,
+    doc="The lakehouse loop closed end-to-end (round-8 verdict item 5): "
+        "two document slices are LANDED into a shard_manifest table in "
+        "separate commits — the first slice TWICE (an idempotent replay) "
+        "— and a spark.readStream.format('shard_manifest') TAIL drains "
+        "the table incrementally between landings (availableNow runs "
+        "resuming one checkpoint). The manifest stamps every shard with "
+        "the commit_seq it FIRST appeared at, so the reader's offset is "
+        "one integer and the replayed landing delivers ZERO rows (the "
+        "query raises if not — and a double-delivery would also break "
+        "the checksum). Each drain reduces its micro-batch to O(buckets) "
+        "partial aggregates inside foreachBatch (count / chars / 40-bit "
+        "commutative md5 checksum — per-doc payloads never reach the "
+        "driver); partials from all drains are summed and must equal the "
+        "oracle's aggregates over the SOURCE rows read exactly once. "
+        "This is CDF-over-the-landing-zone, the streaming twin of "
+        "cdf_version_diff (ST6/ST7/S2).",
+    tags=("source", "datasource", "streaming", "pipeline"),
+)
+def manifest_stream_tail_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_tail_q_")
+    ckpt = tempfile.mkdtemp(prefix="manifest_tail_ck_")
+    checksum40 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))),
+            1, 10,
+        ),
+        16, 10,
+    ).cast("long")
+
+    def land(residue: int) -> None:
+        (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 20 == residue)
+            .select("doc_id", "text")
+            .repartition(4, "doc_id")
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+
+    def drain() -> list:
+        partials: list = []
+
+        def fold(df, _batch_id):
+            partials.extend(
+                df.groupBy((F.col("doc_id") % 7).cast("long").alias("bucket"))
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(F.length("text")).cast("long").alias("total_chars"),
+                    F.sum(checksum40).cast("long").alias("content_checksum"),
+                )
+                .collect()  # O(buckets) partial rows per micro-batch
+            )
+
+        q = (
+            spark.readStream.format(MS.FORMAT_NAME)
+            .schema("doc_id long, text string")
+            .option("path", out)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return partials
+
+    try:
+        land(1)
+        partials = drain()
+        land(1)  # idempotent replay: content-addressed shards re-land
+        replayed = drain()
+        if replayed:
+            raise AssertionError(
+                "manifest_stream_tail_exactly_once: a replayed landing "
+                f"delivered {len(replayed)} partial rows — the tail is "
+                "not exactly-once"
+            )
+        land(11)
+        partials += drain()
+        acc = spark.createDataFrame(
+            partials,
+            "bucket long, n_docs long, total_chars long, content_checksum long",
+        )
+        rows = (
+            acc.groupBy("bucket")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("total_chars").cast("long").alias("total_chars"),
+                F.sum("content_checksum").cast("long").alias("content_checksum"),
+            )
+            .collect()  # materialize before the temp lake dir dies below
+        )
+        return spark.createDataFrame(
+            rows,
+            "bucket long, n_docs long, total_chars long, content_checksum long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "manifest_compact_time_travel",
+    oracle="""
+        WITH agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(CAST('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 10)
+                        AS BIGINT)) AS BIGINT) AS content_checksum,
+                   CAST(NULL AS VARCHAR) AS snapshot
+            FROM documents WHERE doc_id % 20 = 3
+        ), agg_full AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(CAST('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 10)
+                        AS BIGINT)) AS BIGINT) AS content_checksum,
+                   CAST(NULL AS VARCHAR) AS snapshot
+            FROM documents WHERE doc_id % 10 = 3
+        )
+        SELECT 'v1_first_landing' AS snapshot, n_docs, total_chars,
+               content_checksum FROM agg
+        UNION ALL
+        SELECT 'v2_second_landing', n_docs, total_chars, content_checksum
+        FROM agg_full
+        UNION ALL
+        SELECT 'v3_compacted', n_docs, total_chars, content_checksum
+        FROM agg_full
+    """,
+    doc="Time travel + compaction through the versioned manifest "
+        "(sources/manifest_sink.py, round 9): slice A lands as commit "
+        "v1 (4 shards), slice B appends as v2, then compact() rewrites "
+        "the live rows into ONE data_change=false shard as v3 — and "
+        "the query reads ALL THREE versions back via "
+        "read_manifest(version=N), reducing each to (count, chars, "
+        "40-bit commutative md5 checksum). The oracle restates v1 from "
+        "slice A and v2/v3 from A∪B straight off the source table, so "
+        "a hash match proves (a) as-of reads resolve each immutable "
+        "snapshot exactly, (b) compaction conserved every row and "
+        "byte, and (c) the compacted layout (asserted single-shard "
+        "in-query) is indistinguishable to readers — the lakehouse "
+        "OPTIMIZE contract. Only O(1) summary rows reach the driver.",
+    tags=("sink", "datasource", "pipeline", "layout"),
+)
+def manifest_compact_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_tt_q_")
+    checksum40 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                           F.col("text"))),
+            1, 10,
+        ),
+        16, 10,
+    ).cast("long")
+
+    def land(residue: int, n_shards: int) -> None:
+        (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 20 == residue)
+            .select("doc_id", "text")
+            .repartition(n_shards, "doc_id")
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+
+    try:
+        land(3, 4)    # v1
+        land(13, 2)   # v2
+        man = MS.compact(spark, out, schema="doc_id long, text string")  # v3
+        if len(man["shards"]) != 1 or man["shards"][0].get("data_change"):
+            raise AssertionError(
+                "manifest_compact_time_travel: compaction must leave one "
+                f"data_change=false shard, got {man['shards']}"
+            )
+        if [h["kind"] for h in MS.describe_history(out)] != [
+            "append", "append", "compact"
+        ]:
+            raise AssertionError("unexpected commit history")
+        rows = []
+        for label, version in (
+            ("v1_first_landing", 1),
+            ("v2_second_landing", 2),
+            ("v3_compacted", None),  # the live (compacted) table
+        ):
+            back = MS.read_manifest(
+                spark, out, schema="doc_id long, text string", version=version
+            )
+            rows += (
+                back.agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(F.length("text")).cast("long").alias("total_chars"),
+                    F.sum(checksum40).cast("long").alias("content_checksum"),
+                )
+                .select(F.lit(label).alias("snapshot"), "n_docs",
+                        "total_chars", "content_checksum")
+                .collect()  # one summary row per snapshot
+            )
+        return spark.createDataFrame(
+            rows,
+            "snapshot string, n_docs long, total_chars long, "
+            "content_checksum long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -36,6 +36,37 @@ sink is the lakehouse-shaped version of that landing contract:
   landing layer; callers whose batches legitimately repeat content
   must carry a batch id column (which changes the bytes).
 
+Round 9 grows the sink into a minimal lakehouse table format:
+
+- **Versioned manifests / time travel**: every commit also writes an
+  immutable ``manifests/manifest-<seq>.json`` snapshot stamped with a
+  monotonic ``commit_seq`` and a ``commit_kind``
+  (append/overwrite/compact/epoch); ``read_manifest(version=N)``
+  reads the table AS OF commit N and :func:`describe_history` lists
+  the retained log (the DESCRIBE HISTORY shape).
+- **Streaming READER** (:class:`ManifestShardStreamReader`): tails the
+  commit log — the offset is ONE integer (``{"seq": n}``), each
+  micro-batch replays the versions in ``(start, end]`` from their
+  history snapshots (shards with ``added_seq == v``), skipping
+  versions an in-range overwrite superseded and ``data_change=false``
+  rewrites. Appends/epoch replays that re-land identical content keep
+  the shard's original ``added_seq``, so a replayed batch is read
+  exactly once. This is CDF-over-the-landing-zone: ``writeStream ->
+  manifest -> readStream`` closes the lakehouse loop.
+- **Compaction** (:func:`compact`): rewrites the live rows into fewer
+  shards as one atomic commit with ``data_change=false`` (the Delta
+  ``dataChange`` contract — invisible to tailing readers), a hard
+  row-conservation guard, and epochs preserved; a deterministic epoch
+  replay after compaction is a manifest no-op (the epoch ledger
+  remembers the batch's content), so replays never duplicate rows the
+  compacted copies hold.
+- **Retention**: :func:`vacuum_unreferenced` keeps any shard a
+  retained history snapshot references (time travel / fresh-tail
+  replay stay valid); :func:`expire_history` is the log-retention
+  knob that releases old versions first — fresh tails past the
+  expired horizon fall back to live-manifest watermarks (the Delta
+  log-retention caveat).
+
 Storage goes through ``pyarrow.fs`` (same as the ST5 landing), so
 ``path`` may be a local directory or any ``scheme://`` URI pyarrow
 can mount (s3/gs/hdfs/file).
@@ -51,14 +82,22 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "shard_manifest"
 MANIFEST = "manifest.json"
+HISTORY_DIR = "manifests"  # immutable per-version snapshots for time travel
+
+
+def _history_name(seq: int) -> str:
+    return f"manifest-{seq:010d}.json"
 
 
 def _fs_for(path: str):
@@ -69,6 +108,24 @@ def _fs_for(path: str):
         f, root = pafs.FileSystem.from_uri(path)
         return f, root
     return pafs.LocalFileSystem(), path
+
+
+def _write_manifest(fs, root: str, manifest: dict) -> None:
+    """Publish one commit: the immutable per-version history snapshot
+    FIRST (``manifests/manifest-<seq>.json`` — time travel + stream
+    replay read these), then the ``manifest.json`` pointer (the live
+    table). A crash between the two leaves an orphan history file for a
+    seq the next commit will recompute from the pointer and atomically
+    overwrite — harmless, because shards are content-addressed and the
+    pointer is what readers resolve."""
+    data = json.dumps(manifest, sort_keys=True).encode("utf-8")
+    fs.create_dir(posixpath.join(root, HISTORY_DIR), recursive=True)
+    _write_atomic(
+        fs,
+        posixpath.join(root, HISTORY_DIR, _history_name(manifest["commit_seq"])),
+        data,
+    )
+    _write_atomic(fs, posixpath.join(root, MANIFEST), data)
 
 
 def _write_atomic(fs, final_path: str, data: bytes) -> None:
@@ -84,6 +141,18 @@ def _write_atomic(fs, final_path: str, data: bytes) -> None:
     with fs.open_output_stream(tmp) as out:
         out.write(data)
     fs.move(tmp, final_path)
+
+
+def _json_default(v):
+    """Canonical serialization for non-JSON scalars. Binary goes out as
+    base64 (the convention Spark's own JSON source reads/writes for
+    BinaryType, and what the stream reader's converters decode);
+    temporals/decimals as their ISO ``str()`` forms."""
+    if isinstance(v, (bytes, bytearray)):
+        import base64
+
+        return base64.b64encode(bytes(v)).decode("ascii")
+    return str(v)
 
 
 @dataclass
@@ -112,6 +181,12 @@ class ManifestShardWriter(DataSourceWriter):
         self.spill_threshold = int(
             options.get("spill_threshold_bytes", self.DEFAULT_SPILL_THRESHOLD)
         )
+        # compact=true: this write REWRITES the live rows into new
+        # shards (data_change=false) instead of adding data — see
+        # :func:`compact`
+        self.compact = str(options.get("compact", "")).lower() in (
+            "true", "1", "yes",
+        )
 
     # -- executor side ---------------------------------------------------
     def write(self, iterator) -> ShardCommit:
@@ -137,7 +212,10 @@ class ManifestShardWriter(DataSourceWriter):
                     d = dict(zip(fields, row))
                     line = (
                         json.dumps(
-                            d, sort_keys=True, default=str, ensure_ascii=False
+                            d,
+                            sort_keys=True,
+                            default=_json_default,
+                            ensure_ascii=False,
                         )
                         + "\n"
                     ).encode("utf-8")
@@ -166,37 +244,82 @@ class ManifestShardWriter(DataSourceWriter):
     # -- driver side -----------------------------------------------------
     def commit(self, messages) -> None:
         fs, root = _fs_for(self.path)
+        prev = read_manifest_dict(self.path)
+        # monotonic manifest version: every commit bumps `commit_seq` and
+        # stamps the shards it ADDS with `added_seq = commit_seq`. The
+        # stream reader tails the manifest on exactly this — its offset is
+        # one integer, never a growing shard list. Manifests written
+        # before this field existed read as seq 1.
+        seq = (prev.get("commit_seq", 1) + 1) if prev else 1
+        prev_seq = (
+            {s["file"]: s.get("added_seq", 1) for s in prev["shards"]}
+            if prev
+            else {}
+        )
         by_file: dict[str, dict] = {}
         for m in messages:
             if m.n_rows > 0:  # identical partitions collapse (module doc)
                 by_file[m.shard] = {
-                    "file": m.shard, "n_rows": m.n_rows, "digest": m.digest
+                    "file": m.shard,
+                    "n_rows": m.n_rows,
+                    "digest": m.digest,
+                    # an APPEND that re-lands content the table already
+                    # holds keeps the original added_seq (idempotent
+                    # replay stays invisible to a tailing reader); an
+                    # OVERWRITE is a new table version and restamps, so
+                    # readers see the full new snapshot.
+                    "added_seq": seq
+                    if self.overwrite
+                    else prev_seq.get(m.shard, seq),
                 }
-        shards = list(by_file.values())
         epochs: dict = {}
-        if not self.overwrite:
-            prev = read_manifest_dict(self.path)
-            if prev is not None:
-                seen = {s["file"] for s in shards}
-                shards = [
-                    s for s in prev["shards"] if s["file"] not in seen
-                ] + shards
-                # keep streaming epoch attribution intact so a later
-                # replayed batchId can still REPLACE its epoch
-                epochs = prev.get("epochs", {})
+        if self.compact:
+            # the write re-landed every LIVE row into new shards; the
+            # commit REPLACES the live set and marks the outputs as a
+            # rewrite (data_change=false — a tailing stream reader
+            # skips them; rows were already delivered via the original
+            # shards). Row conservation is a hard invariant: a lost
+            # task would silently drop data, so refuse to publish.
+            if prev is None:
+                raise ValueError("compact: no committed manifest to compact")
+            n_new = sum(s["n_rows"] for s in by_file.values())
+            if n_new != prev["n_rows"]:
+                raise ValueError(
+                    f"compact: row count changed ({prev['n_rows']} live -> "
+                    f"{n_new} rewritten) - refusing to publish; previous "
+                    "version stays live and the orphan shards are "
+                    "vacuumable"
+                )
+            shards = [
+                {**s, "data_change": False} for s in by_file.values()
+            ]
+            epochs = prev.get("epochs", {})
+            kind = "compact"
+        elif self.overwrite:
+            shards = list(by_file.values())
+            kind = "overwrite"
+        else:
+            kept = [
+                {**s, "added_seq": s.get("added_seq", 1)}
+                for s in (prev["shards"] if prev is not None else [])
+                if s["file"] not in by_file
+            ]
+            shards = kept + list(by_file.values())
+            # keep streaming epoch attribution intact so a later
+            # replayed batchId can still REPLACE its epoch
+            epochs = prev.get("epochs", {}) if prev is not None else {}
+            kind = "append"
         manifest = {
             "version": 1,
+            "commit_seq": seq,
+            "commit_kind": kind,
             "shards": sorted(shards, key=lambda s: s["file"]),
             "n_rows": sum(s["n_rows"] for s in shards),
         }
         if epochs:
             manifest["epochs"] = epochs
         fs.create_dir(root, recursive=True)
-        _write_atomic(
-            fs,
-            posixpath.join(root, MANIFEST),
-            json.dumps(manifest, sort_keys=True).encode("utf-8"),
-        )
+        _write_manifest(fs, root, manifest)
 
     def abort(self, messages) -> None:
         fs, root = _fs_for(self.path)
@@ -235,55 +358,280 @@ class ManifestShardStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         fs, root = _fs_for(self.path)
-        prev = read_manifest_dict(self.path) or {
+        prev_raw = read_manifest_dict(self.path)
+        seq = (prev_raw.get("commit_seq", 1) + 1) if prev_raw else 1
+        prev = prev_raw or {
             "version": 1, "shards": [], "n_rows": 0, "epochs": {}
+        }
+        prev_seq = {
+            s["file"]: s.get("added_seq", 1) for s in prev["shards"]
         }
         epochs = dict(prev.get("epochs", {}))
         by_file: dict[str, dict] = {}
         for m in messages:
             if m is not None and m.n_rows > 0:
                 by_file[m.shard] = {
-                    "file": m.shard, "n_rows": m.n_rows, "digest": m.digest
+                    "file": m.shard, "n_rows": m.n_rows, "digest": m.digest,
+                    # a replayed batchId re-landing identical content keeps
+                    # its original added_seq — a tailing stream reader sees
+                    # the epoch exactly once across replays
+                    "added_seq": prev_seq.get(m.shard, seq),
                 }
-        old_epoch_files = {
+        # a DETERMINISTIC replay (same batchId, same content) is a full
+        # no-op: the epoch ledger already records exactly these shards.
+        # Publishing nothing (not even a seq bump) keeps the replay
+        # invisible even when the original shards were since COMPACTED
+        # out of the live set — re-merging them here would duplicate
+        # rows the compacted copies already hold.
+        recorded = epochs.get(str(batchId))
+        if recorded is not None and {
+            (s["file"], s["digest"]) for s in recorded
+        } == {(s["file"], s["digest"]) for s in by_file.values()}:
+            return
+        # incremental epoch replacement: remove only the shards the
+        # REPLACED epoch contributed (a full live = non-epoch ∪ epochs
+        # rebuild would resurrect shards compaction rewrote away), but
+        # never a file another epoch still references (two batches can
+        # legitimately produce identical content-addressed shards).
+        replaced = {s["file"] for s in epochs.get(str(batchId), [])}
+        epochs[str(batchId)] = sorted(by_file.values(), key=lambda s: s["file"])
+        still_referenced = {
             s["file"]
-            for eshards in prev.get("epochs", {}).values()
+            for bid, eshards in epochs.items()
+            if bid != str(batchId)
             for s in eshards
         }
-        epochs[str(batchId)] = sorted(by_file.values(), key=lambda s: s["file"])
-        # batch-written (non-epoch) shards survive streaming commits
+        removable = replaced - still_referenced - set(by_file)
         merged: dict[str, dict] = {
-            s["file"]: s
+            s["file"]: {**s, "added_seq": s.get("added_seq", 1)}
             for s in prev["shards"]
-            if s["file"] not in old_epoch_files
+            if s["file"] not in removable
         }
-        for eshards in epochs.values():
-            for s in eshards:
-                merged[s["file"]] = s
+        for s in by_file.values():
+            merged[s["file"]] = {**s, "added_seq": s.get("added_seq", 1)}
         manifest = {
             "version": 1,
+            "commit_seq": seq,
+            "commit_kind": "epoch",
             "shards": sorted(merged.values(), key=lambda s: s["file"]),
             "n_rows": sum(s["n_rows"] for s in merged.values()),
             "epochs": epochs,
         }
         fs.create_dir(root, recursive=True)
-        _write_atomic(
-            fs,
-            posixpath.join(root, MANIFEST),
-            json.dumps(manifest, sort_keys=True).encode("utf-8"),
-        )
+        _write_manifest(fs, root, manifest)
 
     def abort(self, messages, batchId: int) -> None:
         self._inner.abort([m for m in messages if m is not None])
 
 
+@dataclass
+class ShardPartition(InputPartition):
+    path: str
+    shard: str
+
+
+def _row_converters(schema: StructType):
+    """Per-field JSON-value -> Spark-Python-value converters. The sink
+    serializes non-JSON scalars with ``default=str``, so temporal types
+    come back as ISO strings and must be re-parsed; everything else
+    (long/double/string/bool, arrays, maps) round-trips natively."""
+    import datetime as _dt
+    from pyspark.sql import types as T
+
+    def conv_for(dt):
+        if isinstance(dt, T.TimestampType) or isinstance(
+            dt, getattr(T, "TimestampNTZType", ())
+        ):
+            return lambda v: None if v is None else _dt.datetime.fromisoformat(v)
+        if isinstance(dt, T.DateType):
+            return lambda v: None if v is None else _dt.date.fromisoformat(v)
+        if isinstance(dt, T.DecimalType):
+            import decimal
+
+            return lambda v: None if v is None else decimal.Decimal(str(v))
+        if isinstance(dt, T.BinaryType):
+            import base64
+
+            return lambda v: None if v is None else base64.b64decode(v)
+        return lambda v: v
+
+    return [(f.name, conv_for(f.dataType)) for f in schema.fields]
+
+
+def _decode_shard(schema: StructType, path: str, shard: str):
+    """Executor-side shard decode shared by the batch and stream
+    readers: gunzip one content-addressed shard and yield typed row
+    tuples (converters invert the sink's canonical JSON encoding)."""
+    convs = _row_converters(schema)
+    fs, root = _fs_for(path)
+    spath = posixpath.join(root, "shards", shard)
+    # compression=None: pyarrow's extension sniffing would otherwise
+    # pre-decompress .gz and our explicit GzipFile would see JSON
+    with fs.open_input_stream(spath, compression=None) as raw:
+        with gzip.GzipFile(fileobj=raw, mode="rb") as gz:
+            for line in gz:
+                d = json.loads(line)
+                yield tuple(c(d.get(name)) for name, c in convs)
+
+
+class ManifestShardReader(DataSourceReader):
+    """Batch READER: ``spark.read.format("shard_manifest")`` resolves
+    the committed manifest (or the AS-OF snapshot when
+    ``option("version", n)`` is set — time travel through the
+    DataSource API) and decodes one content-addressed shard per task.
+    Completes all four surfaces (reader / streamReader / writer /
+    streamWriter) on one custom Python DataSource.
+
+    :func:`read_manifest` remains the fast default for plain snapshot
+    scans — it hands the shard list to Spark's native JSON source
+    (JVM-side parse); this reader adds the version option and the
+    typed decode (temporal/decimal/binary) the JSON source cannot
+    recover without casts."""
+
+    def __init__(self, schema: StructType, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("shard_manifest reader requires option 'path'")
+        self.path = path
+        self.schema = schema
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+
+    def partitions(self):
+        man = read_manifest_dict(self.path, version=self.version)
+        if man is None:
+            raise FileNotFoundError(
+                f"no committed manifest at {self.path}"
+                + (f" version {self.version}" if self.version else "")
+            )
+        shards = [s["file"] for s in man["shards"]]
+        if not shards:
+            return [ShardPartition(path=self.path, shard="")]
+        return [ShardPartition(path=self.path, shard=s) for s in shards]
+
+    def read(self, partition: ShardPartition):
+        if not partition.shard:
+            return
+        yield from _decode_shard(self.schema, partition.path, partition.shard)
+
+
+class ManifestShardStreamReader(DataSourceStreamReader):
+    """Streaming READER twin of the sink: tails manifest versions.
+
+    The writers stamp every manifest commit with a monotonic
+    ``commit_seq`` and every shard with the ``added_seq`` it first
+    appeared at, so this reader's offset is ONE integer — ``{"seq": n}``
+    — never a growing seen-set. Each micro-batch is exactly the shards
+    with ``start.seq < added_seq <= end.seq``; because appends and epoch
+    replays that re-land identical content keep the shard's original
+    ``added_seq``, a replayed epoch is read **exactly once**. This is
+    CDF-over-the-landing-zone: ``writeStream -> manifest ->
+    readStream`` closes the lakehouse loop (the streaming twin of
+    ``cdf_version_diff``).
+
+    Scale shape: ``latestOffset`` reads one small JSON on the driver;
+    ``partitions`` is a list comprehension over manifest entries; the
+    shard DECODE runs on executors, one task per content-addressed
+    shard. Retractions are out of scope — an overwrite restamps the new
+    snapshot (readers see the new rows; superseded rows are not
+    retracted), the standard append-only CDF contract.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("shard_manifest stream reader requires 'path'")
+        self.path = path
+        self.schema = schema
+
+    # -- driver side -------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"seq": 0}  # read the table from its first commit
+
+    def latestOffset(self) -> dict:
+        man = read_manifest_dict(self.path)
+        return {"seq": man.get("commit_seq", 1) if man else 0}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["seq"], end["seq"]
+        shards: list[str] = []
+        if hi > lo:
+            versions = list(range(lo + 1, hi + 1))
+            history = {v: read_manifest_dict(self.path, version=v)
+                       for v in versions}
+            if all(m is not None for m in history.values()):
+                # history replay: each version's ADDED data shards,
+                # dropping versions an overwrite in-range superseded
+                # (no retractions — the reader just never resurrects
+                # rows the overwrite replaced) and compaction rewrites
+                # (data_change=false: rows already delivered through
+                # the original shards, which v's snapshot still lists).
+                boundary = max(
+                    (v for v in versions
+                     if history[v].get("commit_kind") == "overwrite"),
+                    default=versions[0],
+                )
+                seen: set[str] = set()
+                for v in versions:
+                    if v < boundary:
+                        continue
+                    for s in history[v]["shards"]:
+                        if (
+                            s.get("added_seq", 1) == v
+                            and s.get("data_change", True)
+                            and s["file"] not in seen
+                        ):
+                            seen.add(s["file"])
+                            shards.append(s["file"])
+            else:
+                # a version in range was expired (log-retention horizon)
+                # or predates the history feature: fall back to the
+                # LIVE manifest's added_seq watermarks — compacted-away
+                # originals are no longer deliverable, the documented
+                # expire_history caveat.
+                man = read_manifest_dict(self.path)
+                shards = [
+                    s["file"]
+                    for s in (man["shards"] if man else [])
+                    if lo < s.get("added_seq", 1) <= hi
+                    and s.get("data_change", True)
+                ]
+        if not shards:  # planner still expects >=1 partition per batch
+            return [ShardPartition(path=self.path, shard="")]
+        return [ShardPartition(path=self.path, shard=s) for s in shards]
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the stream's own checkpoint
+
+    # -- executor side -----------------------------------------------
+    def read(self, partition: ShardPartition):
+        if not partition.shard:
+            return
+        yield from _decode_shard(self.schema, partition.path, partition.shard)
+
+
 class ManifestShardDataSource(DataSource):
-    """``df.write.format("shard_manifest").option("path", p).save()``
-    and ``df.writeStream.format("shard_manifest")`` (epoch manifests)."""
+    """All four DataSource surfaces on one format:
+    ``df.write.format("shard_manifest").option("path", p).save()``,
+    ``df.writeStream.format("shard_manifest")`` (epoch manifests),
+    ``spark.read.format("shard_manifest")`` (snapshot / as-of batch
+    reads via ``option("version", n)``), and
+    ``spark.readStream.format("shard_manifest")`` (commit-log
+    tailing)."""
 
     @classmethod
     def name(cls) -> str:
         return FORMAT_NAME
+
+    def schema(self):
+        raise ValueError(
+            "shard_manifest requires an explicit .schema(...): shards are "
+            "schemaless JSON lines and inference would need a blocking "
+            "scan of committed data"
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return ManifestShardReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return ManifestShardWriter(self.options, schema, overwrite)
@@ -293,31 +641,46 @@ class ManifestShardDataSource(DataSource):
     ) -> DataSourceStreamWriter:
         return ManifestShardStreamWriter(self.options, schema)
 
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return ManifestShardStreamReader(schema, self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(ManifestShardDataSource)
 
 
-# -- read side (manifest-resolved snapshot) -------------------------------
+# -- read side (manifest-resolved snapshot, time travel) ------------------
 
-def read_manifest_dict(path: str) -> dict | None:
+def read_manifest_dict(path: str, version: int | None = None) -> dict | None:
+    """The committed manifest — latest (``version=None``, the
+    ``manifest.json`` pointer) or the immutable AS-OF snapshot
+    ``manifests/manifest-<version>.json``. None if absent."""
     from pyarrow.fs import FileType
 
     fs, root = _fs_for(path)
-    mpath = posixpath.join(root, MANIFEST)
+    mpath = (
+        posixpath.join(root, MANIFEST)
+        if version is None
+        else posixpath.join(root, HISTORY_DIR, _history_name(version))
+    )
     if fs.get_file_info(mpath).type == FileType.NotFound:
         return None
     with fs.open_input_stream(mpath) as f:
         return json.loads(f.read().decode("utf-8"))
 
 
-def read_manifest(spark, path: str, schema=None):
+def read_manifest(spark, path: str, schema=None, version: int | None = None):
     """Snapshot read: ONLY the shards the committed manifest lists —
     stale shards from overwritten versions are invisible even though
-    their files still exist."""
-    man = read_manifest_dict(path)
+    their files still exist. ``version=N`` time-travels to the table AS
+    OF commit N (valid while the history file and its shards are
+    retained — see :func:`expire_history` / :func:`vacuum_unreferenced`)."""
+    man = read_manifest_dict(path, version=version)
     if man is None or not man["shards"]:
-        raise FileNotFoundError(f"no committed manifest at {path}")
+        raise FileNotFoundError(
+            f"no committed manifest at {path}"
+            + (f" version {version}" if version is not None else "")
+        )
     _fs, root = _fs_for(path)
     files = [
         posixpath.join(path, "shards", s["file"]) for s in man["shards"]
@@ -328,14 +691,99 @@ def read_manifest(spark, path: str, schema=None):
     return reader.json(files)
 
 
-def vacuum_unreferenced(path: str) -> list[str]:
-    """Delete shard files the committed manifest does not reference
-    (garbage from overwritten versions). Returns the deleted names."""
+def describe_history(path: str) -> list[dict]:
+    """The table's retained commit log, oldest first: one row per
+    history snapshot with version, commit kind, live shard count, and
+    live row count (the lakehouse DESCRIBE HISTORY shape)."""
     from pyarrow.fs import FileSelector, FileType
 
-    man = read_manifest_dict(path)
-    live = {s["file"] for s in man["shards"]} if man else set()
     fs, root = _fs_for(path)
+    hdir = posixpath.join(root, HISTORY_DIR)
+    if fs.get_file_info(hdir).type == FileType.NotFound:
+        return []
+    out = []
+    for info in fs.get_file_info(FileSelector(hdir)):
+        if info.type != FileType.File:
+            continue
+        with fs.open_input_stream(info.path) as f:
+            man = json.loads(f.read().decode("utf-8"))
+        out.append({
+            "version": man["commit_seq"],
+            "kind": man.get("commit_kind", "append"),
+            "n_shards": len(man["shards"]),
+            "n_rows": man["n_rows"],
+        })
+    return sorted(out, key=lambda h: h["version"])
+
+
+def compact(spark, path: str, schema, target_shards: int = 1) -> dict:
+    """Rewrite the table's LIVE rows into ``target_shards`` shards —
+    the lakehouse OPTIMIZE / small-file compaction, as ONE atomic
+    manifest commit. The rewrite runs distributed (a Spark read of the
+    manifest-listed shards, repartitioned, written back through the
+    same content-addressed sink with ``compact=true``); the commit
+    marks the outputs ``data_change=false`` so a tailing stream reader
+    skips them (rows were already delivered via the originals — the
+    Delta ``dataChange=false`` contract), replaces the live set, and
+    refuses to publish if the row count changed. Originals stay on
+    disk for time travel until :func:`expire_history` +
+    :func:`vacuum_unreferenced` release them. Returns the new
+    manifest dict."""
+    df = read_manifest(spark, path, schema=schema)
+    (
+        df.repartition(target_shards)
+        .write.format(FORMAT_NAME)
+        .option("path", path)
+        .option("compact", "true")
+        .mode("append")
+        .save()
+    )
+    return read_manifest_dict(path)
+
+
+def expire_history(path: str, keep_last: int = 1) -> list[str]:
+    """Delete all but the newest ``keep_last`` history snapshots (the
+    log-retention knob). Time travel and fresh-tail stream replay reach
+    back only as far as the oldest retained snapshot; after expiry,
+    :func:`vacuum_unreferenced` may collect shards only those versions
+    referenced. Returns the deleted snapshot file names."""
+    from pyarrow.fs import FileSelector, FileType
+
+    if keep_last < 1:
+        raise ValueError("expire_history: keep_last must be >= 1")
+    fs, root = _fs_for(path)
+    hdir = posixpath.join(root, HISTORY_DIR)
+    if fs.get_file_info(hdir).type == FileType.NotFound:
+        return []
+    names = sorted(
+        posixpath.basename(i.path)
+        for i in fs.get_file_info(FileSelector(hdir))
+        if i.type == FileType.File
+    )
+    doomed = names[:-keep_last] if keep_last < len(names) else []
+    for name in doomed:
+        fs.delete_file(posixpath.join(hdir, name))
+    return doomed
+
+
+def vacuum_unreferenced(path: str) -> list[str]:
+    """Delete shard files that neither the live manifest NOR any
+    retained history snapshot references — garbage from overwritten or
+    compacted versions whose history has been expired. Retained history
+    keeps its shards so time travel and stream replay stay valid; run
+    :func:`expire_history` first to release old versions. Returns the
+    deleted names."""
+    from pyarrow.fs import FileSelector, FileType
+
+    fs, root = _fs_for(path)
+    live: set[str] = set()
+    man = read_manifest_dict(path)
+    if man:
+        live |= {s["file"] for s in man["shards"]}
+    for h in describe_history(path):
+        hman = read_manifest_dict(path, version=h["version"])
+        if hman:
+            live |= {s["file"] for s in hman["shards"]}
     sdir = posixpath.join(root, "shards")
     if fs.get_file_info(sdir).type == FileType.NotFound:
         return []

@@ -1,0 +1,197 @@
+"""Time travel, versioned-manifest history, and compaction for the
+content-addressed shard sink (sources/manifest_sink.py): as-of reads,
+history replay in the stream reader (overwrite boundaries,
+data_change=false compaction rewrites), vacuum/expire retention."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from open_crime_etl_pipeline_spark.sources import manifest_sink as MS
+
+from tests.test_manifest_sink import _df, _drain_stream, _write
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    MS.register(spark)
+    return spark
+
+
+
+def test_time_travel_versions_and_history(registered, tmp_path):
+    """Every commit also writes an immutable manifests/manifest-<seq>
+    snapshot; read_manifest(version=N) reads the table AS OF that
+    commit; describe_history lists the commits."""
+    spark, p = registered, str(tmp_path / "tt1")
+    _write(_df(spark, 10, tag="a").coalesce(1), p, mode="append")   # v1
+    _write(_df(spark, 5, tag="b").coalesce(1), p, mode="append")    # v2
+    _write(_df(spark, 3, tag="c").coalesce(1), p, mode="overwrite")  # v3
+
+    def ids(version=None):
+        df = MS.read_manifest(
+            spark, p, schema="id long, s string", version=version
+        )
+        return sorted(r["s"] for r in df.collect())
+
+    assert ids(version=1) == [f"a{i}" for i in range(10)]
+    assert ids(version=2) == sorted(
+        [f"a{i}" for i in range(10)] + [f"b{i}" for i in range(5)]
+    )
+    assert ids(version=3) == ids() == [f"c{i}" for i in range(3)]
+    hist = MS.describe_history(p)
+    assert [(h["version"], h["kind"], h["n_rows"]) for h in hist] == [
+        (1, "append", 10), (2, "append", 15), (3, "overwrite", 3)
+    ]
+    with pytest.raises(FileNotFoundError):
+        MS.read_manifest(spark, p, schema="id long, s string", version=99)
+
+
+def test_compaction_preserves_rows_and_time_travel(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "ct1")
+    _write(_df(spark, 40, tag="a").repartition(4), p, mode="append")  # v1
+    _write(_df(spark, 8, tag="b").coalesce(1), p, mode="append")      # v2
+    pre = MS.read_manifest_dict(p)
+    assert len(pre["shards"]) == 5
+    MS.compact(spark, p, schema="id long, s string", target_shards=1)  # v3
+    man = MS.read_manifest_dict(p)
+    assert man["commit_seq"] == 3 and man["n_rows"] == 48
+    assert len(man["shards"]) == 1
+    assert man["shards"][0]["data_change"] is False  # rewrite, not new data
+    back = MS.read_manifest(spark, p, schema="id long, s string")
+    assert back.count() == 48
+    assert sorted(r["s"] for r in back.collect()) == sorted(
+        [f"a{i}" for i in range(40)] + [f"b{i}" for i in range(8)]
+    )
+    # time travel to the pre-compaction layout still works
+    v2 = MS.read_manifest(spark, p, schema="id long, s string", version=2)
+    assert v2.count() == 48
+    assert [h["kind"] for h in MS.describe_history(p)] == [
+        "append", "append", "compact"
+    ]
+
+
+def test_stream_tail_across_compaction_exactly_once(registered, tmp_path):
+    """Compaction rewrites live rows into fewer shards with
+    data_change=false — a RESUMED tail must deliver nothing for it, and
+    a FRESH tail replaying history must deliver every row exactly once
+    (originals from v1's snapshot, not the compacted copies)."""
+    spark, p = registered, str(tmp_path / "ct2")
+    ckpt = str(tmp_path / "ct2_ck")
+    _write(_df(spark, 6, tag="a").repartition(3), p, mode="append")   # v1
+    assert len(_drain_stream(spark, p, ckpt)) == 6
+    MS.compact(spark, p, schema="id long, s string", target_shards=1)  # v2
+    assert _drain_stream(spark, p, ckpt) == []  # rewrite invisible to tail
+    _write(_df(spark, 2, tag="b").coalesce(1), p, mode="append")      # v3
+    assert [s for _i, s in _drain_stream(spark, p, ckpt)] == ["b0", "b1"]
+    # fresh replay from seq 0: exactly-once across the compaction
+    full = _drain_stream(spark, p, str(tmp_path / "ct2_ck2"))
+    assert sorted(s for _i, s in full) == sorted(
+        [f"a{i}" for i in range(6)] + ["b0", "b1"]
+    )
+
+
+def test_stream_tail_overwrite_is_a_replay_boundary(registered, tmp_path):
+    """A fresh tail must not resurrect rows an overwrite superseded:
+    history replay stops at the last overwrite in the batch range."""
+    spark, p = registered, str(tmp_path / "ob1")
+    _write(_df(spark, 4, tag="old").coalesce(1), p, mode="append")    # v1
+    _write(_df(spark, 2, tag="new").coalesce(1), p, mode="overwrite")  # v2
+    full = _drain_stream(spark, p, str(tmp_path / "ob1_ck"))
+    assert sorted(s for _i, s in full) == ["new0", "new1"]
+    # a resumed reader that already saw v1 gets the new snapshot too
+    # (append-only CDF: no retractions) — pinned by the added_seq restamp
+    man = MS.read_manifest_dict(p)
+    assert all(s["added_seq"] == 2 for s in man["shards"])
+
+
+def test_vacuum_retains_history_referenced_shards(registered, tmp_path):
+    """vacuum keeps shards any RETAINED history version references
+    (time travel / fresh-tail replay stay valid); expire_history
+    releases them, after which vacuum may collect."""
+    spark, p = registered, str(tmp_path / "vh1")
+    _write(_df(spark, 6, tag="a").repartition(3), p, mode="append")   # v1
+    originals = {s["file"] for s in MS.read_manifest_dict(p)["shards"]}
+    MS.compact(spark, p, schema="id long, s string", target_shards=1)  # v2
+    assert MS.vacuum_unreferenced(p) == []  # v1 still references originals
+    assert originals <= set(os.listdir(os.path.join(p, "shards")))
+    expired = MS.expire_history(p, keep_last=1)
+    assert len(expired) == 1  # manifest-…01 released
+    deleted = set(MS.vacuum_unreferenced(p))
+    assert deleted == originals
+    # the live table is untouched
+    assert MS.read_manifest(spark, p, schema="id long, s string").count() == 6
+    # fresh tail past the expired horizon falls back to the live
+    # manifest: compacted copies are data_change=false, so rows landed
+    # before the horizon are not re-deliverable (the documented
+    # log-retention caveat) — but the reader must not crash
+    assert _drain_stream(spark, p, str(tmp_path / "vh1_ck")) == []
+
+
+def test_streaming_replay_is_noop_after_compaction(registered, tmp_path):
+    """A deterministic epoch replay AFTER its shards were compacted
+    away must not re-add rows: the epoch ledger remembers the batch's
+    content and makes the replay a manifest no-op."""
+    spark, p = registered, str(tmp_path / "rc1")
+    w = MS.ManifestShardStreamWriter({"path": p}, _df(spark, 1).schema)
+    m0 = w.write(iter([(1, "x"), (2, "y")]))
+    w.commit([m0], batchId=0)                                          # v1
+    MS.compact(spark, p, schema="id long, s string", target_shards=1)  # v2
+    man_before = MS.read_manifest_dict(p)
+    m0r = w.write(iter([(1, "x"), (2, "y")]))  # deterministic replay
+    w.commit([m0r], batchId=0)
+    assert MS.read_manifest_dict(p) == man_before  # exact no-op
+    assert MS.read_manifest(spark, p, schema="id long, s string").count() == 2
+
+
+def test_compact_row_count_guard(registered, tmp_path):
+    """compact()'s commit refuses to publish a manifest that changes
+    the row count — a lost task/shard must fail loudly, leaving the
+    previous committed version live."""
+    spark, p = registered, str(tmp_path / "cg1")
+    _write(_df(spark, 10, tag="a").coalesce(1), p, mode="append")
+    man_before = MS.read_manifest_dict(p)
+    w = MS.ManifestShardWriter(
+        {"path": p, "compact": "true"}, _df(spark, 1).schema, overwrite=False
+    )
+    short = w.write(iter([(1, "only")]))  # 1 row != live 10
+    with pytest.raises(Exception, match="row count"):
+        w.commit([short])
+    assert MS.read_manifest_dict(p) == man_before
+
+
+def test_batch_reader_completes_four_surface_datasource(registered, tmp_path):
+    """spark.read.format('shard_manifest') — the fourth surface: batch
+    snapshot reads through the DataSource API, with option('version')
+    time travel and the same typed decode the stream reader uses."""
+    import datetime as dt
+
+    spark, p = registered, str(tmp_path / "br1")
+    schema = "id long, s string, ts timestamp"
+    t0 = dt.datetime(2026, 8, 16, 1, 2, 3)
+    df1 = spark.createDataFrame([(1, "a", t0), (2, "b", None)], schema)
+    df2 = spark.createDataFrame([(3, "c", t0)], schema)
+    df1.coalesce(1).write.format(MS.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()                                                           # v1
+    df2.coalesce(1).write.format(MS.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()                                                           # v2
+
+    def rd(**opts):
+        r = spark.read.format(MS.FORMAT_NAME).schema(schema).option("path", p)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return sorted(tuple(x) for x in r.load().collect())
+
+    assert rd() == [(1, "a", t0), (2, "b", None), (3, "c", t0)]
+    assert rd(version=1) == [(1, "a", t0), (2, "b", None)]
+    # agrees with the JVM-json snapshot reader on the same manifest
+    jvm = MS.read_manifest(spark, p, schema=schema)
+    assert sorted(tuple(x) for x in jvm.collect()) == rd()
+    with pytest.raises(Exception, match="version 9"):
+        rd(version=9)

@@ -75,6 +75,10 @@ def test_overwrite_snapshot_isolation_and_vacuum(registered, tmp_path):
     # stale shard file still on disk but invisible to readers
     on_disk = set(os.listdir(os.path.join(p, "shards")))
     assert old_shards <= on_disk
+    # retained history (time travel to v1) keeps the old shards alive;
+    # expiring the log releases them for collection
+    assert MS.vacuum_unreferenced(p) == []
+    assert MS.expire_history(p, keep_last=1) == [MS._history_name(1)]
     deleted = MS.vacuum_unreferenced(p)
     assert set(deleted) == old_shards
     assert MS.read_manifest(spark, p, schema="id long, s string").count() == 20
@@ -250,6 +254,7 @@ def test_streaming_epoch_replacement_on_batch_replay(registered, tmp_path):
     man = MS.read_manifest_dict(p)
     assert man["n_rows"] == 3  # replaced, not 5
     assert [s["file"] for s in man["shards"]] == [m_b.shard]
+    MS.expire_history(p, keep_last=1)  # release v1 (references m_a)
     assert MS.vacuum_unreferenced(p) == [m_a.shard]
 
 
@@ -261,6 +266,118 @@ def test_streaming_commit_preserves_batch_written_shards(registered, tmp_path):
     w.commit([m], batchId=0)
     man = MS.read_manifest_dict(p)
     assert man["n_rows"] == 11  # batch shards survive streaming commits
+
+
+def _drain_stream(spark, p, ckpt, schema="id long, s string"):
+    """One availableNow run of the manifest STREAM READER into a fresh
+    memory sink; returns the rows this run delivered (resuming `ckpt`
+    means: only shards added since the last drained commit_seq)."""
+    got: list[tuple] = []
+    q = (
+        spark.readStream.format(MS.FORMAT_NAME)
+        .schema(schema)
+        .option("path", p)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _bid: got.extend(tuple(r) for r in df.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return sorted(got)
+
+
+def test_stream_reader_roundtrip_and_exactly_once_tail(registered, tmp_path):
+    """The lakehouse loop (round-8 verdict item 5): write-stream ->
+    manifest -> read-stream. A replayed epoch re-landing identical
+    content keeps its original added_seq, so a tailing reader sees it
+    EXACTLY ONCE; later commits are delivered incrementally."""
+    spark, p = registered, str(tmp_path / "tail1")
+    ckpt = str(tmp_path / "tail1_ck")
+    w = MS.ManifestShardStreamWriter({"path": p}, _df(spark, 1).schema)
+
+    # epoch 0 committed, then drained
+    m0 = w.write(iter([(1, "x"), (2, "y")]))
+    w.commit([m0], batchId=0)
+    assert _drain_stream(spark, p, ckpt) == [(1, "x"), (2, "y")]
+
+    # REPLAYED epoch 0, identical content: a full manifest no-op (the
+    # epoch ledger already records exactly these shards), so the
+    # resumed tail sees NOTHING
+    m0r = w.write(iter([(1, "x"), (2, "y")]))
+    w.commit([m0r], batchId=0)
+    assert MS.read_manifest_dict(p)["commit_seq"] == 1
+    assert _drain_stream(spark, p, ckpt) == []
+
+    # a genuinely new epoch is delivered incrementally (only its rows)
+    m1 = w.write(iter([(3, "z")]))
+    w.commit([m1], batchId=1)
+    assert _drain_stream(spark, p, ckpt) == [(3, "z")]
+
+    # a BATCH append lands in the same tail (batch/stream writers share
+    # the manifest sequence)
+    _write(_df(spark, 2, tag="b").coalesce(1), p, mode="append")
+    assert _drain_stream(spark, p, ckpt) == [(0, "b0"), (1, "b1")]
+
+    # idempotent batch replay: content-addressed no-op, tail stays dry
+    _write(_df(spark, 2, tag="b").coalesce(1), p, mode="append")
+    assert _drain_stream(spark, p, ckpt) == []
+
+    # a FRESH checkpoint replays the table from seq 0: full snapshot
+    full = _drain_stream(spark, p, str(tmp_path / "tail1_ck2"))
+    assert full == [(0, "b0"), (1, "b1"), (1, "x"), (2, "y"), (3, "z")]
+
+
+def test_stream_reader_typed_roundtrip(registered, tmp_path):
+    """Temporal/decimal/binary/array columns survive the JSON-lines
+    shard encoding through the STREAM reader (the sink serializes
+    non-JSON scalars canonically; the reader's converters invert it)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    spark, p = registered, str(tmp_path / "typed")
+    schema = (
+        "id long, ts timestamp, d date, amt decimal(10,2), "
+        "blob binary, xs array<int>"
+    )
+    rows = [
+        (
+            1,
+            dt.datetime(2026, 8, 16, 12, 30, 45, 123456),
+            dt.date(2026, 2, 28),
+            Decimal("12345.67"),
+            bytes([0, 255, 10, 32]),
+            [1, 2, 3],
+        ),
+        (2, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    _write(df.coalesce(1), p)
+    got = _drain_stream(spark, p, str(tmp_path / "typed_ck"), schema=schema)
+    assert got == sorted(tuple(r) for r in rows)
+    # and the BATCH manifest reader agrees on the same shard bytes
+    back = MS.read_manifest(spark, p, schema=schema)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in rows
+    )
+
+
+def test_stream_reader_requires_path_and_explicit_schema(registered, tmp_path):
+    with pytest.raises(Exception, match="path"):
+        MS.ManifestShardStreamReader(_df(registered, 1).schema, {})
+    with pytest.raises(Exception, match="schema"):
+        registered.readStream.format(MS.FORMAT_NAME).option(
+            "path", str(tmp_path / "nope")
+        ).load()
+
+
+def test_stream_reader_empty_table_delivers_nothing(registered, tmp_path):
+    spark = registered
+    p = str(tmp_path / "empty_tbl")
+    os.makedirs(p)
+    assert _drain_stream(spark, p, str(tmp_path / "empty_ck")) == []
 
 
 def test_batch_append_preserves_streaming_epochs(registered, tmp_path):
