@@ -24,7 +24,12 @@ from ..operators.textstats import (
     tokens,
     unique_token_ratio,
 )
-from ..operators.zorder import morton_key, morton_sql
+from ..operators.zorder import (
+    morton_key,
+    morton_key_nd,
+    morton_sql,
+    morton_sql_nd,
+)
 from ..queries.core import dec2, fmt_date
 from ..sources.socrata import month_windows
 
@@ -36,7 +41,9 @@ __all__ = [
     "fmt_date",
     "month_windows",
     "morton_key",
+    "morton_key_nd",
     "morton_sql",
+    "morton_sql_nd",
     "pii_counts",
     "pii_redact",
     "quality_score",

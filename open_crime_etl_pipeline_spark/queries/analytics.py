@@ -962,3 +962,72 @@ def zorder_multidim_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket", "n_rows", "n_match", (F.col("n_match") > 0).alias("touched")
         )
     )
+
+
+def _zorder_3d_oracle() -> str:
+    from ..operators.zorder import morton_sql_nd
+
+    z = morton_sql_nd(
+        ["user_id", "CAST(floor(value) AS BIGINT)", "CAST(hour(ts) AS BIGINT)"],
+        [16, 16, 5],
+    )
+    return f"""
+        WITH z AS (
+            SELECT user_id AS x, CAST(floor(value) AS BIGINT) AS y,
+                   CAST(hour(ts) AS BIGINT) AS h,
+                   {z} AS zkey
+            FROM events
+        )
+        SELECT zkey // 2147483648 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN h BETWEEN 3 AND 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match,
+               (sum(CASE WHEN h BETWEEN 3 AND 4 THEN 1 ELSE 0 END) > 0)
+                   AS touched
+        FROM z GROUP BY bucket
+    """
+
+
+@register(
+    "zorder_3d_uneven_pruning",
+    oracle=_zorder_3d_oracle(),
+    doc="3-D Morton layout with UNEVEN per-column bit budgets "
+        "(operators/zorder.py morton_key_nd — round-8 verdict item 6): "
+        "user_id (16 bits), floor(value) (16 bits), and hour-of-day "
+        "(5 bits — its natural width; a uniform budget would waste 11 "
+        "key bits encoding values that never exceed 23) interleave "
+        "level-major into one 37-bit long, bucketed by the key's high "
+        "bits. The predicate is selective ONLY on the THIRD, narrowest "
+        "dimension (hour IN [3,4]) — exactly the case one-column or "
+        "2-D layouts cannot prune — and the touched flags show which "
+        "zkey-range files a min-max reader skips. Pure shift/mask/add "
+        "in a codegen'd Project feeding one hash-aggregate Exchange; "
+        "bit-identical arithmetic restated verbatim by the oracle via "
+        "morton_sql_nd. tests/test_zorder.py pins the interleave "
+        "against a Python reference and quantifies 3-D locality vs an "
+        "x-major layout.",
+    tags=("layout", "scale", "zorder", "pruning"),
+)
+def zorder_3d_uneven_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import morton_key_nd
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("x"),
+        F.floor("value").cast("long").alias("y"),
+        F.hour("ts").cast("long").alias("h"),
+    )
+    z = ev.withColumn(
+        "zkey",
+        morton_key_nd([F.col("x"), F.col("y"), F.col("h")], [16, 16, 5]),
+    )
+    match = F.when(F.col("h").between(3, 4), 1).otherwise(0)
+    return (
+        z.groupBy(F.shiftright("zkey", 31).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(match).cast("long").alias("n_match"),
+        )
+        .select(
+            "bucket", "n_rows", "n_match", (F.col("n_match") > 0).alias("touched")
+        )
+    )

@@ -79,6 +79,8 @@ NOTES = {
     "phrase_match_positional_index": "each join side is the postings FILTERED TO ONE TERM (predicate reaches the scan) — the intersection shuffles only the phrase terms' posting lists, never the corpus",
     "longest_repeated_substring": "round 8: neighbor LCPs from the rank-table walk — per level TWO integer equi-joins of the (n-1)-pair table against that level's rank table, + one bounded w0-gram residual compare; NO unbounded substring anywhere (the plan signature ', 2147483647)' is absent, pinned in test_plan_shapes.py)",
     "zorder_multidim_pruning": "Morton interleave = shift/mask/add in a codegen'd Project; ONE Exchange (the bucket groupBy), no Sort, no Python — layout keys at scan speed",
+    "zorder_3d_uneven_pruning": "3-D uneven-budget Morton key (16+16+5 bits) is STILL a single codegen'd Project feeding one hash-aggregate Exchange — adding dimensions adds zero plan nodes; hour() stays JVM-side",
+    "maximal_repeats_min_len": "variable-length repeats from adjacent-rank LCPs: integer equi-joins against per-level rank tables + per-doc interval merge via one aggregate() HOF — no suffix strings in flight, no all-pairs, no window over corpus positions",
     "document_chunk_stride": "sequence+explode+slice, ZERO Exchange — chunking streams at scan speed; chunk_key md5 proves content",
     "language_id_ngram_classifier": "trigram explode map-side; profile (langs x top-50) BROADCAST into the scoring join; argmax window partitions on doc_id (5-row partitions)",
     "winnowing_similarity_pairs": "candidate join on fingerprint VALUES (density-bounded selection, never all grams), collision verify on real grams, then two groupBys + broadcast per-doc counts",
