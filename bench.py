@@ -118,6 +118,13 @@ def main() -> None:
         "winnowing_similarity_pairs",     # MOSS score: verified pair join + counts
         "weighted_percentiles_distributed",  # prefix-sum weighted percentile_disc
         "merkle_segment_diff_drilldown",  # anti-entropy checksums + pruned repair
+        # r9 new-family entries (the manifest sink/stream/time-travel
+        # queries are excluded like streaming_socrata_ingest: their
+        # wall clock is stream restarts + tiny temp-lake IO, invariant
+        # in SF — test_manifest_sink.py/test_manifest_history.py are
+        # their real measurement; the maximal-repeats family is in
+        # --slow below with its suffix-array siblings)
+        "zorder_3d_uneven_pruning",       # 3-D uneven-budget Morton + pruning stats
     ]
 
     # Iterative corpus-index queries: wall time is many scheduling
@@ -129,6 +136,8 @@ def main() -> None:
         "suffix_array_prefix_doubling",   # prefix-doubling rank rounds
         "longest_repeated_substring",     # SA + rank-table LCP walk
         "distinct_substring_count",       # SA + LCP + identity aggregate
+        "maximal_repeats_min_len",        # adjacent-LCP runs -> merged intervals
+        "exact_substr_variable_excision", # variable-length ExactSubstr cut
     ]
 
     # Warm-up phase (untimed). Three one-time cost families must not
