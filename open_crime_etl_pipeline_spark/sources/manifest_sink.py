@@ -67,6 +67,17 @@ Round 9 grows the sink into a minimal lakehouse table format:
   expired horizon fall back to live-manifest watermarks (the Delta
   log-retention caveat).
 
+Known scale bound, stated honestly: each manifest (live or history)
+is ONE JSON document listing every live shard — the single-checkpoint
+design Delta uses for snapshots, without its incremental action log.
+Driver cost is O(shards) per commit/read and O(versions × shards) for
+a stream tail catching up across many versions (bound the latter with
+``max_versions_per_trigger``). That is the right trade for this
+sink's contract — landing-zone tables with thousands of shards, the
+reference's 5k-row pages — and the documented evolution path at
+millions of shards is the same as Delta's: split the shard list into
+per-commit action files and checkpoint periodically.
+
 Storage goes through ``pyarrow.fs`` (same as the ST5 landing), so
 ``path`` may be a local directory or any ``scheme://`` URI pyarrow
 can mount (s3/gs/hdfs/file).
@@ -543,6 +554,18 @@ class ManifestShardStreamReader(DataSourceStreamReader):
             raise ValueError("shard_manifest stream reader requires 'path'")
         self.path = path
         self.schema = schema
+        # rate limit (the maxFilesPerTrigger analog): once the tail's
+        # position is known, advance at most this many commits per
+        # micro-batch — bounding the driver's per-batch history reads
+        # and the task count when many commits land while tailing.
+        # CAVEAT: the first batch of a run is uncapped (the engine asks
+        # for latestOffset before revealing the start offset, and the
+        # Python DataSource API has no ReadLimit hook); the cap binds
+        # from the second batch on. 0 = unthrottled.
+        self.max_versions = int(options.get("max_versions_per_trigger", 0))
+        if self.max_versions < 0:
+            raise ValueError("max_versions_per_trigger must be >= 0")
+        self._last_end: int | None = None  # last batch-end seq seen
 
     # -- driver side -------------------------------------------------
     def initialOffset(self) -> dict:
@@ -550,10 +573,17 @@ class ManifestShardStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         man = read_manifest_dict(self.path)
-        return {"seq": man.get("commit_seq", 1) if man else 0}
+        seq = man.get("commit_seq", 1) if man else 0
+        if self.max_versions and self._last_end is not None:
+            # cap the advance (position learned from partitions();
+            # the run's first batch is uncapped — class docstring)
+            seq = min(seq, max(self._last_end, 0) + self.max_versions)
+        return {"seq": seq}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["seq"], end["seq"]
+        if self._last_end is None or hi > self._last_end:
+            self._last_end = hi  # re-seed the throttle after recovery
         shards: list[str] = []
         if hi > lo:
             versions = list(range(lo + 1, hi + 1))

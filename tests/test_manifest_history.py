@@ -195,3 +195,61 @@ def test_batch_reader_completes_four_surface_datasource(registered, tmp_path):
     assert sorted(tuple(x) for x in jvm.collect()) == rd()
     with pytest.raises(Exception, match="version 9"):
         rd(version=9)
+
+
+def test_stream_reader_max_versions_per_trigger(registered, tmp_path):
+    """The rate limit bounds how many commits one micro-batch spans —
+    the maxFilesPerTrigger analog for a CONTINUOUS commit-log tail
+    catching up on commits that landed while it ran. (The run's FIRST
+    batch is uncapped — the engine asks latestOffset before revealing
+    the start, and the Python DataSource API has no ReadLimit hook —
+    so the test seeds the position with one drained commit first.)
+    The throttled tail still drains everything exactly once."""
+    import time as _t
+
+    spark, p = registered, str(tmp_path / "mv1")
+    _write(_df(spark, 2, tag="c0_").coalesce(1), p, mode="append")
+    ckpt = str(tmp_path / "mv1_ck")
+    batches: list[set] = []
+    got: list[tuple] = []
+
+    def fold(df, _bid):
+        rows = [tuple(r) for r in df.collect()]
+        if rows:
+            batches.append({s.split("_")[0] for _i, s in rows})
+            got.extend(rows)
+
+    q = (
+        spark.readStream.format(MS.FORMAT_NAME)
+        .schema("id long, s string")
+        .option("path", p)
+        .option("max_versions_per_trigger", "2")
+        .load()
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 60
+        while len(got) < 2 and _t.time() < deadline:
+            _t.sleep(0.25)  # batch 1 (position now known to the tail)
+        for i in range(1, 6):  # five commits land while it tails
+            _write(_df(spark, 2, tag=f"c{i}_").coalesce(1), p, mode="append")
+        deadline = _t.time() + 90
+        while len(got) < 12 and _t.time() < deadline:
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(got) == sorted(
+        (i, f"c{c}_{i}") for c in range(6) for i in range(2)
+    )
+    # catch-up batches spanned at most 2 commits -> the 5 landed
+    # commits arrived in at least 3 separate batches
+    assert all(len(tags) <= 2 for tags in batches)
+    assert len(batches) >= 4  # 1 seed + >=3 throttled catch-up batches
+    with pytest.raises(Exception, match="max_versions_per_trigger"):
+        MS.ManifestShardStreamReader(
+            _df(spark, 1).schema,
+            {"path": p, "max_versions_per_trigger": "-1"},
+        )

@@ -533,6 +533,15 @@ def test_zorder_key_is_codegen_single_shuffle(spark, sf_dir):
     assert "Sort" not in plan
 
 
+def test_zorder_3d_same_contract(spark, sf_dir):
+    """Adding a third (uneven-budget) dimension must add ZERO plan
+    nodes: still one codegen'd Project feeding one Exchange."""
+    plan = _plan(spark, sf_dir, "zorder_3d_uneven_pruning")
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1  # the groupBy(bucket) only
+    assert "Sort" not in plan
+
+
 def test_document_chunking_is_shuffle_free(spark, sf_dir):
     """Chunk exploding is narrow — sequence + explode + slice in one
     codegen stage; ANY Exchange here would shuffle the whole corpus."""
