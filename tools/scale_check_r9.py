@@ -180,12 +180,126 @@ def check_lcp_walk_hot_doc_pairs(spark, n_pairs: int) -> None:
     )
 
 
+
+
+def check_manifest_lakehouse_churn(spark) -> None:
+    """Round-9 manifest lakehouse under commit churn: 60 commits land
+    4 shards each (240 content-addressed shards), a throttled tail
+    (max_versions_per_trigger=10) catches up in bounded batches,
+    compaction rewrites the live set to 8 shards in one atomic commit,
+    and retention (expire + vacuum) collects exactly the originals —
+    with wall-clock receipts for the driver-side manifest operations
+    (the costs PERF.md's lakehouse notes claim are O(shards))."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_crime_etl_pipeline_spark.sources import manifest_sink as MS
+
+    MS.register(spark)
+    path = tempfile.mkdtemp(prefix="scale_r9_manifest_")
+    ckpt = tempfile.mkdtemp(prefix="scale_r9_manifest_ck_")
+    try:
+        n_commits, rows_per, cap = 60, 400, 10
+
+        def land(c):
+            (
+                spark.range(rows_per)
+                .select(
+                    (F.col("id") + c * rows_per).alias("id"),
+                    F.concat(F.lit(f"c{c}_"), F.col("id").cast("string")).alias("s"),
+                )
+                .repartition(4)
+                .write.format(MS.FORMAT_NAME)
+                .option("path", path)
+                .mode("append")
+                .save()
+            )
+
+        t0 = time.time()
+        for c in range(n_commits // 2):  # backlog before the tail starts
+            land(c)
+        t_land = time.time() - t0
+
+        batches: list[int] = []
+        seen = [0]
+
+        def fold(df, _bid):
+            n = df.count()
+            if n:
+                batches.append(n)
+                seen[0] += n
+
+        t0 = time.time()
+        q = (
+            spark.readStream.format(MS.FORMAT_NAME)
+            .schema("id long, s string")
+            .option("path", path)
+            .option("max_versions_per_trigger", str(cap))
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        for c in range(n_commits // 2, n_commits):  # land WHILE tailing
+            land(c)
+        deadline = time.time() + 240
+        while seen[0] < n_commits * rows_per and time.time() < deadline:
+            time.sleep(0.5)
+        q.stop()
+        t_tail = time.time() - t0
+        man = MS.read_manifest_dict(path)
+        assert man["commit_seq"] == n_commits
+        n_shards_before = len(man["shards"])
+        assert seen[0] == n_commits * rows_per, f"tail saw {seen[0]}"
+        # the run's first batch (the pre-tail backlog) is uncapped by
+        # design; every later batch spans <= cap commits (pytest pins
+        # the exact cap semantics; this is the at-scale receipt)
+        assert all(n <= cap * rows_per for n in batches[1:]), batches
+        assert len(batches) >= 3  # mid-tail landings arrived batched
+
+        t0 = time.time()
+        man2 = MS.compact(spark, path, schema="id long, s string",
+                          target_shards=8)
+        t_compact = time.time() - t0
+        assert man2["n_rows"] == n_commits * rows_per
+        assert len(man2["shards"]) == 8
+        assert all(s["data_change"] is False for s in man2["shards"])
+
+        t0 = time.time()
+        expired = MS.expire_history(path, keep_last=1)
+        deleted = MS.vacuum_unreferenced(path)
+        t_vacuum = time.time() - t0
+        assert len(expired) == n_commits  # all but the compact version
+        assert len(deleted) == n_shards_before
+        back = MS.read_manifest(spark, path, schema="id long, s string")
+        assert back.count() == n_commits * rows_per
+
+        print(
+            f"[3] manifest lakehouse churn: {n_commits} commits / "
+            f"{n_shards_before} shards (half landed live, mid-tail); "
+            f"throttled tail drained {seen[0]} rows in {len(batches)} "
+            f"batches (cap {cap} commits/batch after the backlog batch) "
+            f"in {t_tail:.1f}s; backlog landing {t_land:.1f}s; "
+            f"compact -> 8 shards "
+            f"in {t_compact:.1f}s; expire+vacuum collected "
+            f"{len(deleted)} originals in {t_vacuum:.1f}s"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> int:
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     spark = _spark()
     spark.sparkContext.setLogLevel("ERROR")
     check_planted_maximal_repeats(spark)
     check_lcp_walk_hot_doc_pairs(spark, n_pairs)
+    check_manifest_lakehouse_churn(spark)
     spark.stop()
     print("scale_check_r9: ALL OK")
     return 0
