@@ -973,3 +973,86 @@ def manifest_compact_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_stats_pruned_scan",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(sum(CAST('0x' || substring(
+                    md5(CAST(o_orderkey AS VARCHAR)), 1, 10)
+                    AS BIGINT)) AS BIGINT) AS key_checksum
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 2499
+        GROUP BY o_orderstatus
+    """,
+    doc="Shard-level min/max stats + data-skipping reads on the "
+        "manifest format (round 9): the orders table is landed "
+        "range-clustered on o_orderkey into 8 content-addressed shards "
+        "— the writer records per-column [min, max] in the SAME "
+        "serialization pass that content-addresses the shard — and the "
+        "read resolves the manifest, prunes to only the shards whose "
+        "key range overlaps BETWEEN 1000 AND 2499 (the query RAISES "
+        "unless at least half the shards were skipped), applies the "
+        "row filter, and aggregates per status. The oracle restates "
+        "the aggregates from the source table, so a hash match proves "
+        "skipping lost no rows and read no wrong ones — parquet "
+        "row-group pruning re-expressed at the lakehouse-shard layer "
+        "(Delta/Iceberg file stats). At 100 TB this is the difference "
+        "between opening 8 files and opening one.",
+    tags=("sink", "datasource", "pipeline", "layout", "pruning"),
+)
+def manifest_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_stats_q_")
+    try:
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .repartitionByRange(8, "o_orderkey")
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+        man = MS.read_manifest_dict(out)
+        kept, total = MS.prune_shards(man, {"o_orderkey": (1000, 2499)})
+        if not (len(kept) <= total // 2):
+            raise AssertionError(
+                f"manifest_stats_pruned_scan: expected stats to skip most "
+                f"shards, kept {len(kept)}/{total}"
+            )
+        rows = (
+            MS.read_manifest(
+                spark,
+                out,
+                schema="o_orderkey long, o_orderstatus string",
+                prune={"o_orderkey": (1000, 2499)},
+            )
+            .filter(F.col("o_orderkey").between(1000, 2499))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.sum(
+                    F.conv(
+                        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 10),
+                        16, 10,
+                    ).cast("long")
+                ).cast("long").alias("key_checksum"),
+            )
+            .collect()  # O(statuses) rows; the temp lake dir dies below
+        )
+        return spark.createDataFrame(
+            rows,
+            "o_orderstatus string, n_orders long, sum_key long, "
+            "key_checksum long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -166,11 +166,46 @@ def _json_default(v):
     return str(v)
 
 
+def _stat_val(v):
+    """A stats-safe JSON value: numbers pass through (numeric compare),
+    temporals become their ``str()`` ISO forms (fixed-width, so
+    lexicographic order == chronological order — the same encoding the
+    shard lines carry). Callers' prune bounds go through this too, so
+    both sides of every comparison share one domain."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return str(v)
+    return v
+
+
+def _stats_fields(schema: StructType) -> list[str]:
+    """Columns that get shard-level min/max stats: orderable scalars
+    whose serialized order is unambiguous (integral/floating types
+    numerically; strings/dates/timestamps lexicographically-as-ISO).
+    Decimals are SKIPPED on purpose: a float approximation of a
+    decimal bound could tighten the range and wrongly prune."""
+    from pyspark.sql import types as T
+
+    ok = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.StringType,
+        T.DateType, T.TimestampType,
+    )
+    ntz = getattr(T, "TimestampNTZType", None)
+    out = []
+    for f in schema.fields:
+        if isinstance(f.dataType, ok) or (ntz and isinstance(f.dataType, ntz)):
+            out.append(f.name)
+    return out
+
+
 @dataclass
 class ShardCommit(WriterCommitMessage):
     shard: str      # file name under shards/
     n_rows: int
     digest: str     # md5 of the uncompressed content
+    stats: dict | None = None  # per-column [min, max] over non-null values
 
 
 class ManifestShardWriter(DataSourceWriter):
@@ -215,12 +250,25 @@ class ManifestShardWriter(DataSourceWriter):
         import tempfile
 
         fields = self.schema.fieldNames()
+        stat_cols = set(_stats_fields(self.schema))
+        mins: dict = {}
+        maxs: dict = {}
         h = hashlib.md5()
         n_rows = 0
         with tempfile.SpooledTemporaryFile(max_size=self.spill_threshold) as spool:
             with gzip.GzipFile(fileobj=spool, mode="wb", mtime=0) as gz:
                 for row in iterator:
                     d = dict(zip(fields, row))
+                    for c in stat_cols:  # shard-level min/max, nulls skipped
+                        v = d.get(c)
+                        if v is None:
+                            continue
+                        if c not in mins:
+                            mins[c] = maxs[c] = v
+                        elif v < mins[c]:
+                            mins[c] = v
+                        elif v > maxs[c]:
+                            maxs[c] = v
                     line = (
                         json.dumps(
                             d,
@@ -250,7 +298,13 @@ class ManifestShardWriter(DataSourceWriter):
                             break
                         out.write(chunk)
                 fs.move(tmp, final)
-        return ShardCommit(shard=shard, n_rows=n_rows, digest=digest)
+        return ShardCommit(
+            shard=shard,
+            n_rows=n_rows,
+            digest=digest,
+            stats={c: [_stat_val(mins[c]), _stat_val(maxs[c])] for c in mins}
+            or None,
+        )
 
     # -- driver side -----------------------------------------------------
     def commit(self, messages) -> None:
@@ -282,6 +336,7 @@ class ManifestShardWriter(DataSourceWriter):
                     "added_seq": seq
                     if self.overwrite
                     else prev_seq.get(m.shard, seq),
+                    **({"stats": m.stats} if getattr(m, "stats", None) else {}),
                 }
         epochs: dict = {}
         if self.compact:
@@ -387,6 +442,7 @@ class ManifestShardStreamWriter(DataSourceStreamWriter):
                     # its original added_seq — a tailing stream reader sees
                     # the epoch exactly once across replays
                     "added_seq": prev_seq.get(m.shard, seq),
+                    **({"stats": m.stats} if getattr(m, "stats", None) else {}),
                 }
         # a DETERMINISTIC replay (same batchId, same content) is a full
         # no-op: the epoch ledger already records exactly these shards.
@@ -699,22 +755,64 @@ def read_manifest_dict(path: str, version: int | None = None) -> dict | None:
         return json.loads(f.read().decode("utf-8"))
 
 
-def read_manifest(spark, path: str, schema=None, version: int | None = None):
+def prune_shards(
+    man: dict, prune: dict[str, tuple]
+) -> tuple[list[dict], int]:
+    """Shard-level data skipping over the manifest's min/max stats:
+    keep a shard iff, for EVERY ``col: (lo, hi)`` bound (either side
+    None = unbounded, bounds inclusive), the shard's recorded
+    ``[min, max]`` overlaps the range. Shards without stats for a
+    bounded column are kept — skipping is an optimization and must
+    stay conservative. Returns ``(kept_shard_entries, n_total)``."""
+    kept = []
+    for s in man["shards"]:
+        keep = True
+        stats = s.get("stats") or {}
+        for col, (lo, hi) in prune.items():
+            if col not in stats:
+                continue  # no stats -> cannot skip safely
+            smin, smax = stats[col]
+            if lo is not None and smax < _stat_val(lo):
+                keep = False
+                break
+            if hi is not None and smin > _stat_val(hi):
+                keep = False
+                break
+        if keep:
+            kept.append(s)
+    return kept, len(man["shards"])
+
+
+def read_manifest(
+    spark,
+    path: str,
+    schema=None,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
+):
     """Snapshot read: ONLY the shards the committed manifest lists —
     stale shards from overwritten versions are invisible even though
     their files still exist. ``version=N`` time-travels to the table AS
     OF commit N (valid while the history file and its shards are
-    retained — see :func:`expire_history` / :func:`vacuum_unreferenced`)."""
+    retained — see :func:`expire_history` / :func:`vacuum_unreferenced`).
+    ``prune={col: (lo, hi)}`` applies shard-level min/max data skipping
+    (:func:`prune_shards`) so a selective range predicate opens only
+    the shards whose stats overlap it — the caller still applies the
+    row-level filter (stats skipping is file-granular, like parquet
+    row-group pruning)."""
     man = read_manifest_dict(path, version=version)
     if man is None or not man["shards"]:
         raise FileNotFoundError(
             f"no committed manifest at {path}"
             + (f" version {version}" if version is not None else "")
         )
+    shards = man["shards"]
+    if prune:
+        shards, _total = prune_shards(man, prune)
+        if not shards:  # every shard skipped: empty typed frame
+            return spark.createDataFrame([], schema)
     _fs, root = _fs_for(path)
-    files = [
-        posixpath.join(path, "shards", s["file"]) for s in man["shards"]
-    ]
+    files = [posixpath.join(path, "shards", s["file"]) for s in shards]
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

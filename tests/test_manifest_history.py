@@ -253,3 +253,112 @@ def test_stream_reader_max_versions_per_trigger(registered, tmp_path):
             _df(spark, 1).schema,
             {"path": p, "max_versions_per_trigger": "-1"},
         )
+
+
+# ---- shard-level min/max stats + data-skipping reads ---------------------
+
+
+def test_shard_stats_recorded_and_typed(registered, tmp_path):
+    import datetime as dt
+    from decimal import Decimal
+
+    spark, p = registered, str(tmp_path / "st1")
+    schema = "id long, s string, ts timestamp, amt decimal(10,2), xs array<int>"
+    rows = [
+        (5, "bbb", dt.datetime(2026, 1, 2, 3, 4, 5), Decimal("1.50"), [1]),
+        (2, "aaa", dt.datetime(2026, 1, 1, 0, 0, 0), Decimal("9.00"), None),
+        (9, None, None, None, [2, 3]),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.format(
+        MS.FORMAT_NAME
+    ).option("path", p).mode("append").save()
+    (shard,) = MS.read_manifest_dict(p)["shards"]
+    stats = shard["stats"]
+    assert stats["id"] == [2, 9]
+    assert stats["s"] == ["aaa", "bbb"]  # nulls skipped
+    assert stats["ts"] == ["2026-01-01 00:00:00", "2026-01-02 03:04:05"]
+    assert "amt" not in stats  # decimals skipped (float bounds could lie)
+    assert "xs" not in stats   # non-scalar
+
+
+def test_prune_shards_is_conservative(registered, tmp_path):
+    man = {"shards": [
+        {"file": "a", "stats": {"k": [10, 20]}},
+        {"file": "b", "stats": {"k": [21, 30]}},
+        {"file": "c"},                       # no stats: never skipped
+        {"file": "d", "stats": {"other": [1, 2]}},  # no stats for k
+    ]}
+    kept, total = MS.prune_shards(man, {"k": (20, 21)})  # inclusive overlap
+    assert total == 4 and [s["file"] for s in kept] == ["a", "b", "c", "d"]
+    kept, _ = MS.prune_shards(man, {"k": (31, None)})
+    assert [s["file"] for s in kept] == ["c", "d"]
+    kept, _ = MS.prune_shards(man, {"k": (None, 9)})
+    assert [s["file"] for s in kept] == ["c", "d"]
+    kept, _ = MS.prune_shards(man, {"k": (15, 25)})
+    assert [s["file"] for s in kept] == ["a", "b", "c", "d"]
+
+
+def test_pruned_read_skips_files_and_loses_no_rows(registered, tmp_path):
+    """Range-clustered landing -> disjoint per-shard key ranges -> a
+    selective range read opens few shards yet the row-level filter
+    result equals the unpruned truth (skipping is file-granular and
+    conservative)."""
+    spark, p = registered, str(tmp_path / "pr1")
+    (
+        _df(spark, 8000)
+        .repartitionByRange(8, "id")
+        .write.format(MS.FORMAT_NAME)
+        .option("path", p)
+        .mode("append")
+        .save()
+    )
+    man = MS.read_manifest_dict(p)
+    assert len(man["shards"]) == 8
+    kept, total = MS.prune_shards(man, {"id": (1000, 1999)})
+    assert total == 8 and 1 <= len(kept) <= 3  # range-clustered: few files
+    pruned = MS.read_manifest(
+        spark, p, schema="id long, s string", prune={"id": (1000, 1999)}
+    ).filter("id between 1000 and 1999")
+    assert pruned.count() == 1000
+    assert sorted(r["id"] for r in pruned.collect()) == list(
+        range(1000, 2000)
+    )
+    # pruning everything returns an empty typed frame
+    empty = MS.read_manifest(
+        spark, p, schema="id long, s string", prune={"id": (10**9, None)}
+    )
+    assert empty.count() == 0 and empty.schema.fieldNames() == ["id", "s"]
+
+
+def test_temporal_pruning_via_iso_bounds(registered, tmp_path):
+    import datetime as dt
+
+    spark, p = registered, str(tmp_path / "pr2")
+    rows = [
+        (i, dt.datetime(2026, 1, 1) + dt.timedelta(hours=i)) for i in range(48)
+    ]
+    (
+        spark.createDataFrame(rows, "id long, ts timestamp")
+        .repartitionByRange(4, "ts")
+        .write.format(MS.FORMAT_NAME)
+        .option("path", p)
+        .mode("append")
+        .save()
+    )
+    man = MS.read_manifest_dict(p)
+    lo = dt.datetime(2026, 1, 1, 5)
+    hi = dt.datetime(2026, 1, 1, 8)
+    kept, total = MS.prune_shards(man, {"ts": (lo, hi)})
+    assert total == 4 and len(kept) <= 2
+    got = MS.read_manifest(
+        spark, p, schema="id long, ts timestamp", prune={"ts": (lo, hi)}
+    ).filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+    assert sorted(r["id"] for r in got.collect()) == [5, 6, 7, 8]
+
+
+def test_compaction_recomputes_stats(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "pr3")
+    _write(_df(spark, 100).repartitionByRange(4, "id"), p, mode="append")
+    MS.compact(spark, p, schema="id long, s string", target_shards=1)
+    (shard,) = MS.read_manifest_dict(p)["shards"]
+    assert shard["stats"]["id"] == [0, 99]  # rewrite carries fresh stats
