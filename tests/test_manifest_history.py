@@ -362,3 +362,36 @@ def test_compaction_recomputes_stats(registered, tmp_path):
     MS.compact(spark, p, schema="id long, s string", target_shards=1)
     (shard,) = MS.read_manifest_dict(p)["shards"]
     assert shard["stats"]["id"] == [0, 99]  # rewrite carries fresh stats
+
+
+def test_schema_evolution_null_backfill(registered, tmp_path):
+    """Schema evolution falls out of the schemaless JSON-lines shard
+    encoding: append a batch with a NEW column and (a) reading with
+    the widened schema null-backfills old rows, (b) reading with the
+    old schema projects new rows down — on BOTH the JVM-json snapshot
+    reader and the typed DataSource stream reader."""
+    spark, p = registered, str(tmp_path / "se1")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").coalesce(
+        1
+    ).write.format(MS.FORMAT_NAME).option("path", p).mode("append").save()
+    spark.createDataFrame(
+        [(3, "c", 30), (4, "d", 40)], "id long, s string, extra long"
+    ).coalesce(1).write.format(MS.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()
+
+    wide = "id long, s string, extra long"
+    got = sorted(
+        tuple(r)
+        for r in MS.read_manifest(spark, p, schema=wide).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 30), (4, "d", 40)]
+    narrow = sorted(
+        tuple(r)
+        for r in MS.read_manifest(spark, p, schema="id long, s string").collect()
+    )
+    assert narrow == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # the typed stream reader sees the same widened view
+    assert _drain_stream(
+        spark, p, str(tmp_path / "se1_ck"), schema=wide
+    ) == got
