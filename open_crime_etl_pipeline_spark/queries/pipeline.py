@@ -1056,3 +1056,81 @@ def manifest_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_bloom_point_lookup",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(sum(CAST('0x' || substring(
+                    md5(CAST(o_orderkey AS VARCHAR)), 1, 10)
+                    AS BIGINT)) AS BIGINT) AS key_checksum
+        FROM orders WHERE o_custkey = 371
+    """,
+    doc="Per-shard Bloom filters close the equality gap min/max stats "
+        "leave open (round 9): orders land HASH-partitioned on "
+        "o_custkey into 8 shards — every shard's key range overlaps "
+        "every other, so range stats can prune nothing — with "
+        "option('bloom_columns','o_custkey') recording a 16-KiB/7-hash "
+        "membership filter per shard in the same serialization pass. "
+        "The point lookup prune_eq={o_custkey: 371} must open at most "
+        "half the shards (the query RAISES otherwise; the true holder "
+        "is exactly one, false positives only OVER-read), and the "
+        "aggregates over the pruned+filtered read hash-match the "
+        "oracle over the source table. At 100 TB this is the "
+        "content-addressed lake's point-lookup story: one file opened "
+        "instead of every file in the key's hash range.",
+    tags=("sink", "datasource", "pipeline", "pruning"),
+)
+def manifest_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_bloom_q_")
+    try:
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey")
+            .repartition(8, "o_custkey")
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .option("bloom_columns", "o_custkey")
+            .mode("append")
+            .save()
+        )
+        man = MS.read_manifest_dict(out)
+        kept, total = MS.prune_shards(man, prune_eq={"o_custkey": 371})
+        if not (len(kept) <= total // 2):
+            raise AssertionError(
+                f"manifest_bloom_point_lookup: expected the bloom to skip "
+                f"most shards, kept {len(kept)}/{total}"
+            )
+        rows = (
+            MS.read_manifest(
+                spark,
+                out,
+                schema="o_custkey long, o_orderkey long",
+                prune_eq={"o_custkey": 371},
+            )
+            .filter(F.col("o_custkey") == 371)
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.sum(
+                    F.conv(
+                        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 10),
+                        16, 10,
+                    ).cast("long")
+                ).cast("long").alias("key_checksum"),
+            )
+            .collect()  # ONE summary row; the temp lake dir dies below
+        )
+        return spark.createDataFrame(
+            rows, "n_orders long, sum_key long, key_checksum long"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

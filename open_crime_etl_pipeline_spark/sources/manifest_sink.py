@@ -200,12 +200,43 @@ def _stats_fields(schema: StructType) -> list[str]:
     return out
 
 
+#: per-shard Bloom filter geometry: 16 KiB of bits / 7 hashes keeps the
+#: false-positive rate ~1-2% at ~2k distinct values per shard (the
+#: landing-page scale this sink targets); FPs only OVER-read, never
+#: under-read, so geometry is a tuning knob, not a correctness one.
+_BLOOM_M = 16384
+_BLOOM_K = 7
+
+
+def _bloom_positions(value, m: int = _BLOOM_M, k: int = _BLOOM_K):
+    """k deterministic bit positions for a value — md5 over the SAME
+    canonical string form _stat_val gives bounds, so both engines and
+    both sides of a lookup share one domain. Engine-independent: pure
+    arithmetic on the digest."""
+    h = hashlib.md5(str(_stat_val(value)).encode("utf-8")).digest()
+    a = int.from_bytes(h[:8], "big")
+    b = int.from_bytes(h[8:], "big") | 1  # odd -> full cycle mod 2^n
+    return [((a + i * b) % (1 << 64)) % m for i in range(k)]
+
+
+def _bloom_test(bits_b64: str, value, m: int, k: int) -> bool:
+    """True if the value MAY be present (Bloom semantics)."""
+    import base64
+
+    bits = base64.b64decode(bits_b64)
+    for pos in _bloom_positions(value, m, k):
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 @dataclass
 class ShardCommit(WriterCommitMessage):
     shard: str      # file name under shards/
     n_rows: int
     digest: str     # md5 of the uncompressed content
     stats: dict | None = None  # per-column [min, max] over non-null values
+    blooms: dict | None = None  # per-column {m, k, bits(b64)} membership
 
 
 class ManifestShardWriter(DataSourceWriter):
@@ -233,6 +264,17 @@ class ManifestShardWriter(DataSourceWriter):
         self.compact = str(options.get("compact", "")).lower() in (
             "true", "1", "yes",
         )
+        # bloom_columns=a,b: record a per-shard Bloom filter over each
+        # listed column's non-null values — equality data skipping for
+        # point lookups on NON-clustered keys, where min/max ranges
+        # can't help (range stats + blooms = Delta/Iceberg file stats)
+        raw = options.get("bloom_columns", "")
+        self.bloom_columns = [c.strip() for c in raw.split(",") if c.strip()]
+        unknown = set(self.bloom_columns) - set(schema.fieldNames())
+        if unknown:
+            raise ValueError(
+                f"bloom_columns not in schema: {sorted(unknown)}"
+            )
 
     # -- executor side ---------------------------------------------------
     def write(self, iterator) -> ShardCommit:
@@ -253,6 +295,7 @@ class ManifestShardWriter(DataSourceWriter):
         stat_cols = set(_stats_fields(self.schema))
         mins: dict = {}
         maxs: dict = {}
+        bloom_bits = {c: bytearray(_BLOOM_M >> 3) for c in self.bloom_columns}
         h = hashlib.md5()
         n_rows = 0
         with tempfile.SpooledTemporaryFile(max_size=self.spill_threshold) as spool:
@@ -269,6 +312,11 @@ class ManifestShardWriter(DataSourceWriter):
                             mins[c] = v
                         elif v > maxs[c]:
                             maxs[c] = v
+                    for c, bits in bloom_bits.items():
+                        v = d.get(c)
+                        if v is not None:
+                            for pos in _bloom_positions(v):
+                                bits[pos >> 3] |= 1 << (pos & 7)
                     line = (
                         json.dumps(
                             d,
@@ -298,11 +346,22 @@ class ManifestShardWriter(DataSourceWriter):
                             break
                         out.write(chunk)
                 fs.move(tmp, final)
+        import base64
+
         return ShardCommit(
             shard=shard,
             n_rows=n_rows,
             digest=digest,
             stats={c: [_stat_val(mins[c]), _stat_val(maxs[c])] for c in mins}
+            or None,
+            blooms={
+                c: {
+                    "m": _BLOOM_M,
+                    "k": _BLOOM_K,
+                    "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+                }
+                for c, bits in bloom_bits.items()
+            }
             or None,
         )
 
@@ -337,6 +396,11 @@ class ManifestShardWriter(DataSourceWriter):
                     if self.overwrite
                     else prev_seq.get(m.shard, seq),
                     **({"stats": m.stats} if getattr(m, "stats", None) else {}),
+                    **(
+                        {"blooms": m.blooms}
+                        if getattr(m, "blooms", None)
+                        else {}
+                    ),
                 }
         epochs: dict = {}
         if self.compact:
@@ -443,6 +507,11 @@ class ManifestShardStreamWriter(DataSourceStreamWriter):
                     # the epoch exactly once across replays
                     "added_seq": prev_seq.get(m.shard, seq),
                     **({"stats": m.stats} if getattr(m, "stats", None) else {}),
+                    **(
+                        {"blooms": m.blooms}
+                        if getattr(m, "blooms", None)
+                        else {}
+                    ),
                 }
         # a DETERMINISTIC replay (same batchId, same content) is a full
         # no-op: the epoch ledger already records exactly these shards.
@@ -756,19 +825,26 @@ def read_manifest_dict(path: str, version: int | None = None) -> dict | None:
 
 
 def prune_shards(
-    man: dict, prune: dict[str, tuple]
+    man: dict,
+    prune: dict[str, tuple] | None = None,
+    prune_eq: dict | None = None,
 ) -> tuple[list[dict], int]:
-    """Shard-level data skipping over the manifest's min/max stats:
-    keep a shard iff, for EVERY ``col: (lo, hi)`` bound (either side
-    None = unbounded, bounds inclusive), the shard's recorded
-    ``[min, max]`` overlaps the range. Shards without stats for a
-    bounded column are kept — skipping is an optimization and must
-    stay conservative. Returns ``(kept_shard_entries, n_total)``."""
+    """Shard-level data skipping over the manifest's recorded stats.
+
+    ``prune={col: (lo, hi)}``: keep a shard iff its ``[min, max]``
+    overlaps every bound (either side None = unbounded, inclusive).
+    ``prune_eq={col: value}``: point lookups — a shard is skipped when
+    the value falls outside its min/max range OR its Bloom filter says
+    definitely-absent (Bloom false positives only OVER-read). Shards
+    missing stats/blooms for a constrained column are kept — skipping
+    is an optimization and must stay conservative. Returns
+    ``(kept_shard_entries, n_total)``."""
     kept = []
     for s in man["shards"]:
         keep = True
         stats = s.get("stats") or {}
-        for col, (lo, hi) in prune.items():
+        blooms = s.get("blooms") or {}
+        for col, (lo, hi) in (prune or {}).items():
             if col not in stats:
                 continue  # no stats -> cannot skip safely
             smin, smax = stats[col]
@@ -776,6 +852,17 @@ def prune_shards(
                 keep = False
                 break
             if hi is not None and smin > _stat_val(hi):
+                keep = False
+                break
+        for col, v in (prune_eq or {}).items() if keep else ():
+            if col in stats:
+                smin, smax = stats[col]
+                sv = _stat_val(v)
+                if sv < smin or sv > smax:
+                    keep = False
+                    break
+            b = blooms.get(col)
+            if b and not _bloom_test(b["bits"], v, b["m"], b["k"]):
                 keep = False
                 break
         if keep:
@@ -789,15 +876,17 @@ def read_manifest(
     schema=None,
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
+    prune_eq: dict | None = None,
 ):
     """Snapshot read: ONLY the shards the committed manifest lists —
     stale shards from overwritten versions are invisible even though
     their files still exist. ``version=N`` time-travels to the table AS
     OF commit N (valid while the history file and its shards are
     retained — see :func:`expire_history` / :func:`vacuum_unreferenced`).
-    ``prune={col: (lo, hi)}`` applies shard-level min/max data skipping
-    (:func:`prune_shards`) so a selective range predicate opens only
-    the shards whose stats overlap it — the caller still applies the
+    ``prune={col: (lo, hi)}`` / ``prune_eq={col: value}`` apply
+    shard-level data skipping (:func:`prune_shards` — min/max ranges
+    and Bloom point lookups) so a selective predicate opens only the
+    shards whose stats admit it — the caller still applies the
     row-level filter (stats skipping is file-granular, like parquet
     row-group pruning)."""
     man = read_manifest_dict(path, version=version)
@@ -807,8 +896,8 @@ def read_manifest(
             + (f" version {version}" if version is not None else "")
         )
     shards = man["shards"]
-    if prune:
-        shards, _total = prune_shards(man, prune)
+    if prune or prune_eq:
+        shards, _total = prune_shards(man, prune, prune_eq)
         if not shards:  # every shard skipped: empty typed frame
             return spark.createDataFrame([], schema)
     _fs, root = _fs_for(path)
@@ -857,15 +946,20 @@ def compact(spark, path: str, schema, target_shards: int = 1) -> dict:
     disk for time travel until :func:`expire_history` +
     :func:`vacuum_unreferenced` release them. Returns the new
     manifest dict."""
+    man = read_manifest_dict(path)
+    bloom_cols = sorted(
+        {c for s in (man["shards"] if man else []) for c in (s.get("blooms") or {})}
+    )
     df = read_manifest(spark, path, schema=schema)
-    (
+    w = (
         df.repartition(target_shards)
         .write.format(FORMAT_NAME)
         .option("path", path)
         .option("compact", "true")
-        .mode("append")
-        .save()
     )
+    if bloom_cols:  # rewrites keep the table's bloom-column discipline
+        w = w.option("bloom_columns", ",".join(bloom_cols))
+    w.mode("append").save()
     return read_manifest_dict(path)
 
 

@@ -395,3 +395,77 @@ def test_schema_evolution_null_backfill(registered, tmp_path):
     assert _drain_stream(
         spark, p, str(tmp_path / "se1_ck"), schema=wide
     ) == got
+
+
+def test_bloom_point_lookup_prunes_hash_partitioned_shards(registered, tmp_path):
+    """Equality skipping where min/max can't help: hash-partitioned
+    landing spreads every key range across ALL shards, but each key
+    lives in exactly one — the per-shard Bloom filter finds it. False
+    positives only over-read; the row filter result is exact."""
+    spark, p = registered, str(tmp_path / "bl1")
+    (
+        _df(spark, 4000)
+        .repartition(8, "id")  # hash partitioning: ranges all overlap
+        .write.format(MS.FORMAT_NAME)
+        .option("path", p)
+        .option("bloom_columns", "id")
+        .mode("append")
+        .save()
+    )
+    man = MS.read_manifest_dict(p)
+    assert len(man["shards"]) == 8
+    assert all("blooms" in s and "id" in s["blooms"] for s in man["shards"])
+    # min/max alone keeps everything (ranges overlap)...
+    kept_range, total = MS.prune_shards(man, prune={"id": (777, 777)})
+    assert total == 8 and len(kept_range) == 8
+    # ...the bloom narrows to the one holding shard (+ rare FPs)
+    kept_eq, _ = MS.prune_shards(man, prune_eq={"id": 777})
+    assert 1 <= len(kept_eq) <= 3
+    got = MS.read_manifest(
+        spark, p, schema="id long, s string", prune_eq={"id": 777}
+    ).filter("id = 777")
+    assert [(r["id"], r["s"]) for r in got.collect()] == [(777, "a777")]
+    # an absent key skips every shard (no FP across all 8 w.h.p. is
+    # not guaranteed — assert only that no MATCHING row is lost)
+    miss = MS.read_manifest(
+        spark, p, schema="id long, s string", prune_eq={"id": 10**9}
+    )
+    assert miss.filter(f"id = {10**9}").count() == 0
+
+
+def test_bloom_conservative_and_guarded(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "bl2")
+    with pytest.raises(Exception, match="bloom_columns not in schema"):
+        _df(spark, 4).write.format(MS.FORMAT_NAME).option("path", p).option(
+            "bloom_columns", "nope"
+        ).mode("append").save()
+    # shards written WITHOUT blooms are never skipped by prune_eq
+    _write(_df(spark, 10).coalesce(1), p, mode="append")
+    man = MS.read_manifest_dict(p)
+    kept, total = MS.prune_shards(man, prune_eq={"id": 3})
+    assert (len(kept), total) == (1, 1)
+    # min/max still serves equality even without a bloom
+    kept, _ = MS.prune_shards(man, prune_eq={"id": 999})
+    assert kept == []  # 999 outside [0, 9]
+
+
+def test_compaction_preserves_bloom_columns(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "bl3")
+    (
+        _df(spark, 100)
+        .repartition(4, "id")
+        .write.format(MS.FORMAT_NAME)
+        .option("path", p)
+        .option("bloom_columns", "id")
+        .mode("append")
+        .save()
+    )
+    MS.compact(spark, p, schema="id long, s string", target_shards=2)
+    man = MS.read_manifest_dict(p)
+    assert len(man["shards"]) == 2
+    assert all("id" in (s.get("blooms") or {}) for s in man["shards"])
+    kept, _ = MS.prune_shards(man, prune_eq={"id": 42})
+    got = MS.read_manifest(
+        spark, p, schema="id long, s string", prune_eq={"id": 42}
+    ).filter("id = 42")
+    assert got.count() == 1 and 1 <= len(kept) <= 2
