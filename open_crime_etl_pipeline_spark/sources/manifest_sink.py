@@ -211,8 +211,14 @@ _BLOOM_K = 7
 def _bloom_positions(value, m: int = _BLOOM_M, k: int = _BLOOM_K):
     """k deterministic bit positions for a value — md5 over the SAME
     canonical string form _stat_val gives bounds, so both engines and
-    both sides of a lookup share one domain. Engine-independent: pure
-    arithmetic on the digest."""
+    both sides of a lookup share one domain. Integral floats
+    canonicalize to ints FIRST: a caller probing a long column with
+    777.0 must hash identically to the 777 the writer saw, or the
+    bloom would say definitely-absent and wrongly skip the holding
+    shard (membership skipping must never under-read).
+    Engine-independent: pure arithmetic on the digest."""
+    if isinstance(value, float) and value.is_integer():
+        value = int(value)
     h = hashlib.md5(str(_stat_val(value)).encode("utf-8")).digest()
     a = int.from_bytes(h[:8], "big")
     b = int.from_bytes(h[8:], "big") | 1  # odd -> full cycle mod 2^n
@@ -848,19 +854,25 @@ def prune_shards(
             if col not in stats:
                 continue  # no stats -> cannot skip safely
             smin, smax = stats[col]
-            if lo is not None and smax < _stat_val(lo):
-                keep = False
-                break
-            if hi is not None and smin > _stat_val(hi):
-                keep = False
-                break
+            try:
+                if lo is not None and smax < _stat_val(lo):
+                    keep = False
+                    break
+                if hi is not None and smin > _stat_val(hi):
+                    keep = False
+                    break
+            except TypeError:
+                continue  # bound/stat domains differ: keep (conservative)
         for col, v in (prune_eq or {}).items() if keep else ():
             if col in stats:
                 smin, smax = stats[col]
                 sv = _stat_val(v)
-                if sv < smin or sv > smax:
-                    keep = False
-                    break
+                try:
+                    if sv < smin or sv > smax:
+                        keep = False
+                        break
+                except TypeError:
+                    pass  # mismatched domain: range can't decide
             b = blooms.get(col)
             if b and not _bloom_test(b["bits"], v, b["m"], b["k"]):
                 keep = False

@@ -469,3 +469,31 @@ def test_compaction_preserves_bloom_columns(registered, tmp_path):
         spark, p, schema="id long, s string", prune_eq={"id": 42}
     ).filter("id = 42")
     assert got.count() == 1 and 1 <= len(kept) <= 2
+
+
+def test_pruning_type_mismatch_stays_conservative(registered, tmp_path):
+    """Skipping must never under-read on sloppy caller types: an
+    integral-float point probe of a long column hashes like the int
+    the writer saw, and a range bound from a different domain keeps
+    the shard instead of crashing."""
+    spark, p = registered, str(tmp_path / "tm1")
+    (
+        _df(spark, 100)
+        .repartition(4, "id")
+        .write.format(MS.FORMAT_NAME)
+        .option("path", p)
+        .option("bloom_columns", "id")
+        .mode("append")
+        .save()
+    )
+    man = MS.read_manifest_dict(p)
+    kept_f, _ = MS.prune_shards(man, prune_eq={"id": 42.0})  # float probe
+    kept_i, _ = MS.prune_shards(man, prune_eq={"id": 42})
+    assert {s["file"] for s in kept_f} == {s["file"] for s in kept_i}
+    got = MS.read_manifest(
+        spark, p, schema="id long, s string", prune_eq={"id": 42.0}
+    ).filter("id = 42")
+    assert got.count() == 1  # the holding shard was NOT skipped
+    # mismatched-domain range bound: keep everything, never raise
+    kept, total = MS.prune_shards(man, prune={"id": ("zzz", None)})
+    assert len(kept) == total == 4
