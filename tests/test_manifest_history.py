@@ -125,11 +125,14 @@ def test_vacuum_retains_history_referenced_shards(registered, tmp_path):
     assert deleted == originals
     # the live table is untouched
     assert MS.read_manifest(spark, p, schema="id long, s string").count() == 6
-    # fresh tail past the expired horizon falls back to the live
-    # manifest: compacted copies are data_change=false, so rows landed
-    # before the horizon are not re-deliverable (the documented
-    # log-retention caveat) — but the reader must not crash
-    assert _drain_stream(spark, p, str(tmp_path / "vh1_ck")) == []
+    # a FRESH tail past the expired horizon gets the INITIAL SNAPSHOT —
+    # the live table regardless of data_change (after compact+expire
+    # the whole live set is a rewrite; filtering it out would silently
+    # deliver an empty table forever — round-9 ADVICE, Delta's
+    # initial-snapshot semantics)
+    assert _drain_stream(spark, p, str(tmp_path / "vh1_ck")) == sorted(
+        (i, f"a{i}") for i in range(6)
+    )
 
 
 def test_streaming_replay_is_noop_after_compaction(registered, tmp_path):
@@ -200,11 +203,10 @@ def test_batch_reader_completes_four_surface_datasource(registered, tmp_path):
 def test_stream_reader_max_versions_per_trigger(registered, tmp_path):
     """The rate limit bounds how many commits one micro-batch spans —
     the maxFilesPerTrigger analog for a CONTINUOUS commit-log tail
-    catching up on commits that landed while it ran. (The run's FIRST
-    batch is uncapped — the engine asks latestOffset before revealing
-    the start, and the Python DataSource API has no ReadLimit hook —
-    so the test seeds the position with one drained commit first.)
-    The throttled tail still drains everything exactly once."""
+    catching up on commits that landed while it ran. A fresh run is
+    capped from its FIRST batch (initialOffset seeds the position —
+    round-9 verdict item 7); the throttled tail still drains
+    everything exactly once."""
     import time as _t
 
     spark, p = registered, str(tmp_path / "mv1")
@@ -664,3 +666,257 @@ def test_binary_roundtrip_survives_compaction(registered, tmp_path):
     # and the stream reader agrees
     got = _drain_stream(spark, p, str(tmp_path / "bin1_ck"), schema=schema)
     assert norm(sorted(got)) == norm(want)
+
+
+# ---- round 10: action-log commit protocol + optimistic concurrency -------
+
+
+def test_commit_files_hold_only_the_delta(registered, tmp_path):
+    """Each commit writes O(delta) — its added/removed entries — never
+    the full live shard list (round-9 verdict item 5): commit cost
+    stays flat as the table grows."""
+    import json as _json
+
+    spark, p = registered, str(tmp_path / "al1")
+    for i in range(4):
+        _write(_df(spark, 10, tag=f"t{i}").coalesce(1), p, mode="append")
+    man = MS.read_manifest_dict(p)
+    assert man["commit_seq"] == 4 and len(man["shards"]) == 4
+    for seq in (2, 3, 4):
+        with open(
+            os.path.join(p, MS.HISTORY_DIR, MS._history_name(seq))
+        ) as fh:
+            doc = _json.load(fh)
+        assert "shards" not in doc            # an action, not a snapshot
+        assert len(doc["add"]) == 1           # one new shard per commit
+        assert doc["remove"] == []
+        assert doc["commit_kind"] == "append"
+    # ... and time travel still reconstructs every full state
+    for v in range(1, 5):
+        assert MS.read_manifest_dict(p, version=v)["n_rows"] == 10 * v
+
+
+def test_checkpoint_every_n_commits(registered, tmp_path):
+    """Every checkpoint_every commits the full state is materialized;
+    reconstruction replays at most checkpoint_every-1 actions on top
+    of the nearest checkpoint."""
+    spark, p = registered, str(tmp_path / "ck1")
+    for i in range(5):
+        (
+            _df(spark, 5, tag=f"c{i}").coalesce(1)
+            .write.format(MS.FORMAT_NAME)
+            .option("path", p)
+            .option("checkpoint_every", "3")
+            .mode("append")
+            .save()
+        )
+    names = set(os.listdir(os.path.join(p, MS.HISTORY_DIR)))
+    assert MS._checkpoint_name(3) in names
+    assert MS._checkpoint_name(1) not in names
+    # a version past the checkpoint reconstructs from it + the tail
+    assert MS.read_manifest_dict(p, version=4)["n_rows"] == 20
+    assert MS.read_manifest_dict(p, version=5)["n_rows"] == 25
+
+
+def test_concurrent_appends_both_land(registered, tmp_path):
+    """Two writers racing the same commit seq: the loser rebases and
+    retries; the final table holds BOTH row sets (round-9 verdict
+    item 1 — no silently lost commit)."""
+    import threading
+
+    spark, p = registered, str(tmp_path / "cc1")
+    schema = _df(spark, 1).schema
+    n_threads, per_thread = 6, 4
+    errors = []
+
+    def land(t):
+        try:
+            for i in range(per_thread):
+                w = MS.ManifestShardWriter({"path": p}, schema, overwrite=False)
+                msg = w.write(iter([(t * 1000 + i, f"w{t}_{i}")]))
+                w.commit([msg])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=land, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    man = MS.read_manifest_dict(p)
+    # every commit won SOME unique seq: no lost updates, full row set
+    assert man["commit_seq"] == n_threads * per_thread
+    assert man["n_rows"] == n_threads * per_thread
+    back = MS.read_manifest(spark, p, schema="id long, s string")
+    assert sorted(r["s"] for r in back.collect()) == sorted(
+        f"w{t}_{i}" for t in range(n_threads) for i in range(per_thread)
+    )
+    # the log is gapless and each action is a one-shard delta
+    hist = MS.describe_history(p)
+    assert [h["version"] for h in hist] == list(range(1, 25))
+    assert [h["n_rows"] for h in hist] == [i for i in range(1, 25)]
+
+
+def test_conflict_rebase_receipt(registered, tmp_path, monkeypatch):
+    """Deterministic interleaving: writer A resolves the table, then
+    writer B commits the SAME seq first; A's claim must fail, A rebases
+    onto B's state and retries — both commits land, exactly one claim
+    conflict observed."""
+    spark, p = registered, str(tmp_path / "cr1")
+    schema = _df(spark, 1).schema
+    _write(_df(spark, 2, tag="base").coalesce(1), p, mode="append")
+
+    wb = MS.ManifestShardWriter({"path": p}, schema, overwrite=False)
+    mb = wb.write(iter([(100, "from_b")]))
+    wa = MS.ManifestShardWriter({"path": p}, schema, overwrite=False)
+    ma = wa.write(iter([(200, "from_a")]))
+
+    real_claim = MS._claim_commit
+    calls = {"n": 0, "conflicts": 0}
+
+    def racing_claim(fs, final_path, data):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # B sneaks in a full commit for the seq A is about to claim
+            monkeypatch.setattr(MS, "_claim_commit", real_claim)
+            wb.commit([mb])
+            monkeypatch.setattr(MS, "_claim_commit", racing_claim)
+        ok = real_claim(fs, final_path, data)
+        if not ok:
+            calls["conflicts"] += 1
+        return ok
+
+    monkeypatch.setattr(MS, "_claim_commit", racing_claim)
+    wa.commit([ma])
+    monkeypatch.setattr(MS, "_claim_commit", real_claim)
+
+    assert calls["conflicts"] == 1  # A lost exactly one race, then won
+    man = MS.read_manifest_dict(p)
+    assert man["commit_seq"] == 3 and man["n_rows"] == 4
+    back = MS.read_manifest(spark, p, schema="id long, s string")
+    assert sorted(r["s"] for r in back.collect()) == [
+        "base0", "base1", "from_a", "from_b"
+    ]
+
+
+def test_time_travel_survives_expiry_via_horizon_checkpoint(
+    registered, tmp_path
+):
+    """expire_history materializes the oldest RETAINED version as a
+    checkpoint before deleting older actions, so every retained
+    version stays reconstructible."""
+    spark, p = registered, str(tmp_path / "hx1")
+    for i in range(5):
+        _write(_df(spark, 10, tag=f"e{i}").coalesce(1), p, mode="append")
+    deleted = MS.expire_history(p, keep_last=3)
+    assert deleted == [MS._history_name(1), MS._history_name(2)]
+    names = set(os.listdir(os.path.join(p, MS.HISTORY_DIR)))
+    assert MS._checkpoint_name(3) in names  # the horizon checkpoint
+    assert MS.read_manifest_dict(p, version=1) is None   # expired
+    assert MS.read_manifest_dict(p, version=3)["n_rows"] == 30
+    assert MS.read_manifest_dict(p, version=5)["n_rows"] == 50
+    assert [h["version"] for h in MS.describe_history(p)] == [3, 4, 5]
+
+
+def test_stale_pointer_cache_heals(registered, tmp_path):
+    """manifest.json is a CACHE: if it trails the action log (a crash
+    between claim and pointer write, or a concurrent winner), readers
+    replay the gap — a committed action is never invisible (closes the
+    round-9 orphan-manifest advice item by inversion)."""
+    spark, p = registered, str(tmp_path / "sp1")
+    _write(_df(spark, 3, tag="x").coalesce(1), p, mode="append")
+    import shutil
+
+    ptr = os.path.join(p, MS.MANIFEST)
+    stale = ptr + ".stale"
+    shutil.copy(ptr, stale)
+    _write(_df(spark, 2, tag="y").coalesce(1), p, mode="append")
+    shutil.copy(stale, ptr)  # simulate the crash: pointer never updated
+    man = MS.read_manifest_dict(p)
+    assert man["commit_seq"] == 2 and man["n_rows"] == 5  # healed
+    back = MS.read_manifest(spark, p, schema="id long, s string")
+    assert back.count() == 5
+    # the stream tail sees the hidden commit too
+    got = _drain_stream(spark, p, str(tmp_path / "sp1_ck"))
+    assert len(got) == 5
+
+
+def test_fresh_tail_throttled_from_first_batch(registered, tmp_path):
+    """A COLD tail over a long history must not plan one giant batch
+    (round-9 verdict item 7). The engine asks latestOffset BEFORE
+    revealing the position, so the cap needs the persisted watermark:
+    with position_path set and max_versions_per_trigger=10 over 30
+    commits, the REAL engine drains in exactly 3 capped batches — and
+    a RESTART over 10 more commits resumes capped from the watermark,
+    not from a giant catch-up batch."""
+    import time as _t
+
+    spark, p = registered, str(tmp_path / "ft1")
+    ckpt = str(tmp_path / "ft1_ck")
+    pos = str(tmp_path / "ft1_pos.json")
+    schema = _df(spark, 1).schema
+    w = MS.ManifestShardStreamWriter({"path": p}, schema)
+    for b in range(30):
+        m = w.write(iter([(b, f"b{b}")]))
+        w.commit([m], batchId=b)
+    assert MS.read_manifest_dict(p)["commit_seq"] == 30
+
+    import json as _json
+
+    def _pos_seq():
+        try:
+            with open(pos) as fh:
+                return _json.load(fh)["seq"]
+        except FileNotFoundError:
+            return 0
+
+    def run(expect_rows, expect_end):
+        batches: list[int] = []
+
+        def fold(df, _bid):
+            n = df.count()
+            if n:
+                batches.append(n)
+
+        q = (
+            spark.readStream.format(MS.FORMAT_NAME)
+            .schema("id long, s string")
+            .option("path", p)
+            .option("max_versions_per_trigger", "10")
+            .option("position_path", pos)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="150 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _t.time() + 90
+            while sum(batches) < expect_rows and _t.time() < deadline:
+                _t.sleep(0.25)
+            # let the reader's commit(end) land the watermark before
+            # stopping (it trails the last batch by one engine commit)
+            deadline = _t.time() + 15
+            while _pos_seq() < expect_end and _t.time() < deadline:
+                _t.sleep(0.25)
+        finally:
+            q.stop()
+        return batches
+
+    first_run = run(30, 20)
+    # one row per commit: the cold tail took exactly 3 batches of 10
+    assert first_run == [10, 10, 10]
+    # the watermark may trail by ONE batch (the engine calls
+    # reader.commit(end) only when planning the batch after) — that is
+    # exactly the staleness the blind-call widening covers
+    assert 20 <= _pos_seq() <= 30
+
+    for b in range(30, 40):  # more commits land while the tail is down
+        m = w.write(iter([(b, f"b{b}")]))
+        w.commit([m], batchId=b)
+    second_run = run(10, 30)
+    # restart resumed capped near the watermark: one batch of 10, never
+    # a giant catch-up (the blind widening may cost one empty trigger
+    # when the watermark trails, but offsets never regress)
+    assert second_run == [10]
