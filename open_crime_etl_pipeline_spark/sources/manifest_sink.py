@@ -949,36 +949,166 @@ class ShardPartition(InputPartition):
 
 def _row_converters(schema: StructType):
     """Per-field JSON-value -> Spark-Python-value converters. The sink
-    serializes non-JSON scalars with ``default=str``, so temporal types
-    come back as ISO strings and must be re-parsed; everything else
-    (long/double/string/bool, arrays, maps) round-trips natively."""
+    serializes non-JSON scalars canonically (``_json_default``:
+    temporals/decimals as ISO ``str()``, binary as base64) AT ANY
+    NESTING DEPTH — json.dumps applies the default recursively — so the
+    converters recurse through arrays/maps/structs too (nested temporal
+    decode was a round-9 gap the round-10 Arrow-path test exposed).
+    JSON object keys are always strings, so map KEYS also re-parse to
+    their declared type. Identity paths return None so JSON-native
+    columns pay no per-value call."""
     import datetime as _dt
     from pyspark.sql import types as T
 
-    def conv_for(dt):
-        if isinstance(dt, T.TimestampType) or isinstance(
-            dt, getattr(T, "TimestampNTZType", ())
-        ):
-            return lambda v: None if v is None else _dt.datetime.fromisoformat(v)
+    ntz = getattr(T, "TimestampNTZType", ())
+
+    def scalar_conv(dt):
+        """String -> value parser for a non-JSON-native scalar, else
+        None (the value round-trips natively)."""
+        if isinstance(dt, (T.TimestampType,) + ((ntz,) if ntz else ())):
+            return lambda v: _dt.datetime.fromisoformat(v)
         if isinstance(dt, T.DateType):
-            return lambda v: None if v is None else _dt.date.fromisoformat(v)
+            return lambda v: _dt.date.fromisoformat(v)
         if isinstance(dt, T.DecimalType):
             import decimal
 
-            return lambda v: None if v is None else decimal.Decimal(str(v))
+            return lambda v: decimal.Decimal(str(v))
         if isinstance(dt, T.BinaryType):
             import base64
 
-            return lambda v: None if v is None else base64.b64decode(v)
-        return lambda v: v
+            return lambda v: base64.b64decode(v)
+        return None
 
-    return [(f.name, conv_for(f.dataType)) for f in schema.fields]
+    def key_conv(dt):
+        """JSON keys are strings; re-parse to the declared key type."""
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return float
+        if isinstance(dt, T.BooleanType):
+            return lambda k: k == "true"
+        return scalar_conv(dt)  # temporal/decimal/binary keys, or None
+
+    def conv_for(dt):
+        """None = identity (JSON-native at every depth)."""
+        c = scalar_conv(dt)
+        if c is not None:
+            return c
+        if isinstance(dt, T.ArrayType):
+            ec = conv_for(dt.elementType)
+            if ec is None:
+                return None
+            return lambda v: [None if x is None else ec(x) for x in v]
+        if isinstance(dt, T.MapType):
+            kc = key_conv(dt.keyType)
+            vc = conv_for(dt.valueType)
+            if kc is None and vc is None:
+                return None
+            kc = kc or (lambda k: k)
+            vc = vc or (lambda x: x)
+            return lambda v: {
+                kc(k): (None if x is None else vc(x)) for k, x in v.items()
+            }
+        if isinstance(dt, T.StructType):
+            fcs = [(f.name, conv_for(f.dataType)) for f in dt.fields]
+            if all(fc is None for _n, fc in fcs):
+                return None
+            return lambda v: {
+                n: (
+                    v.get(n)
+                    if fc is None or v.get(n) is None
+                    else fc(v.get(n))
+                )
+                for n, fc in fcs
+            }
+        return None
+
+    def wrap(c):
+        if c is None:
+            return lambda v: v
+        return lambda v: None if v is None else c(v)
+
+    return [(f.name, wrap(conv_for(f.dataType))) for f in schema.fields]
 
 
-def _decode_shard(schema: StructType, path: str, shard: str):
-    """Executor-side shard decode shared by the batch and stream
-    readers: gunzip one content-addressed shard and yield typed row
-    tuples (converters invert the sink's canonical JSON encoding)."""
+class _RowDecodeNeeded(Exception):
+    """The schema has a shape Arrow's JSON reader cannot decode
+    faithfully; fall back to the row-at-a-time path."""
+
+
+def _wire_arrow_type(at):
+    """The Arrow type to hand ``pyarrow.json.read_json`` for a TARGET
+    type: tricky leaves (date / decimal / naive timestamp) come off the
+    wire as strings and CAST exactly to the target (Arrow casts are
+    recursive through lists/structs). Raises :class:`_RowDecodeNeeded`
+    for shapes the vectorized path cannot handle: maps (the JSON reader
+    parses objects as structs with fixed fields), and NESTED tz-aware
+    timestamps or binary (their decode needs per-value Python — see
+    :func:`_decode_shard` — which is only worth special-casing at the
+    top level)."""
+    import pyarrow as pa
+
+    if pa.types.is_map(at):
+        raise _RowDecodeNeeded("map column")
+    if pa.types.is_timestamp(at):
+        if at.tz is not None:
+            raise _RowDecodeNeeded("nested tz-aware timestamp")
+        return pa.string()
+    if pa.types.is_date(at) or pa.types.is_decimal(at):
+        return pa.string()
+    if pa.types.is_binary(at):
+        raise _RowDecodeNeeded("nested binary")
+    if pa.types.is_list(at):
+        return pa.list_(_wire_arrow_type(at.value_type))
+    if pa.types.is_struct(at):
+        return pa.struct(
+            [pa.field(f.name, _wire_arrow_type(f.type)) for f in at]
+        )
+    return at
+
+
+def _arrow_decode_plan(schema: StructType):
+    """(wire_schema, target_schema, per-column ops) for the vectorized
+    shard decode, or None when the schema needs the row path. The
+    target is EXACTLY ``to_arrow_schema(schema)`` — the same mapping
+    the Python DataSource worker applies to tuple output — so yielded
+    RecordBatches are byte-compatible with what the JVM expects."""
+    import pyarrow as pa
+
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(schema)
+    except Exception:
+        return None  # exotic type (UDT/variant): row path
+    fields: list = []
+    ops: list[str] = []
+    try:
+        for f in target:
+            if pa.types.is_timestamp(f.type) and f.type.tz is not None:
+                # tz-aware: naive wall-time strings must be localized
+                # with the SYSTEM zone per value (DST makes a single
+                # fixed offset wrong), matching the tuple converter's
+                # datetime.astimezone(utc) semantics exactly
+                fields.append(pa.field(f.name, pa.string()))
+                ops.append("ts")
+            elif pa.types.is_binary(f.type):
+                fields.append(pa.field(f.name, pa.string()))
+                ops.append("bin")  # base64 (no decode kernel in Arrow)
+            else:
+                w = _wire_arrow_type(f.type)
+                fields.append(pa.field(f.name, w))
+                ops.append("pass" if w == f.type else "cast")
+    except _RowDecodeNeeded:
+        return None
+    return pa.schema(fields), target, ops
+
+
+def _decode_shard_rows(schema: StructType, path: str, shard: str):
+    """Row-at-a-time decode (the pre-round-10 path): kept for schema
+    shapes the Arrow JSON reader cannot handle (maps, nested
+    binary/tz-timestamps) and as the safety net the vectorized path
+    falls back to."""
     convs = _row_converters(schema)
     fs, root = _fs_for(path)
     spath = posixpath.join(root, "shards", shard)
@@ -989,6 +1119,83 @@ def _decode_shard(schema: StructType, path: str, shard: str):
             for line in gz:
                 d = json.loads(line)
                 yield tuple(c(d.get(name)) for name, c in convs)
+
+
+def _decode_shard(schema: StructType, path: str, shard: str):
+    """Executor-side shard decode shared by the batch and stream
+    readers. Fast path (round-9 'what's wrong' 2): gunzip into
+    ``pyarrow.json.read_json`` (C++ line-delimited parse — no per-row
+    Python) against a wire schema, cast tricky columns to the exact
+    ``to_arrow_schema`` target, and yield ``pyarrow.RecordBatch``es,
+    which the Python DataSource API passes through without per-row
+    pickling. Only tz-aware timestamp and binary COLUMNS pay a
+    per-value Python pass (zone localization / base64 — neither has an
+    Arrow kernel). Schemas with maps or nested tz-timestamps/binary
+    take the row path; so does any Arrow parse/cast failure."""
+    plan = _arrow_decode_plan(schema)
+    if plan is None:
+        yield from _decode_shard_rows(schema, path, shard)
+        return
+    import base64
+    import datetime as _dt
+
+    import pyarrow as pa
+    from pyarrow import json as pajson
+
+    wire, target, ops = plan
+    fs, root = _fs_for(path)
+    spath = posixpath.join(root, "shards", shard)
+    try:
+        with fs.open_input_stream(spath, compression=None) as raw:
+            with gzip.GzipFile(fileobj=raw, mode="rb") as gz:
+                tbl = pajson.read_json(
+                    gz,
+                    parse_options=pajson.ParseOptions(
+                        explicit_schema=wire,
+                        unexpected_field_behavior="ignore",
+                    ),
+                )
+        cols = []
+        for f, op in zip(target, ops):
+            col = tbl.column(f.name)
+            if op == "cast":
+                col = col.cast(f.type)
+            elif op == "ts":
+                col = pa.chunked_array(
+                    [
+                        pa.array(
+                            [
+                                None
+                                if v is None
+                                else _dt.datetime.fromisoformat(v).astimezone(
+                                    _dt.timezone.utc
+                                )
+                                for v in col.to_pylist()
+                            ],
+                            type=f.type,
+                        )
+                    ]
+                )
+            elif op == "bin":
+                col = pa.chunked_array(
+                    [
+                        pa.array(
+                            [
+                                None if v is None else base64.b64decode(v)
+                                for v in col.to_pylist()
+                            ],
+                            type=f.type,
+                        )
+                    ]
+                )
+            cols.append(col)
+        out = pa.table(cols, schema=target)
+    except Exception:
+        # conservative safety net: anything the vectorized path chokes
+        # on decodes row-at-a-time instead (same bytes, same contract)
+        yield from _decode_shard_rows(schema, path, shard)
+        return
+    yield from out.combine_chunks().to_batches()
 
 
 class ManifestShardReader(DataSourceReader):

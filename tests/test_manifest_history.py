@@ -920,3 +920,80 @@ def test_fresh_tail_throttled_from_first_batch(registered, tmp_path):
     # a giant catch-up (the blind widening may cost one empty trigger
     # when the watermark trails, but offsets never regress)
     assert second_run == [10]
+
+
+def test_arrow_decode_path_engages(registered, tmp_path):
+    """The vectorized decode must actually BE the decode for common
+    schemas (the row fallback would silently hide an Arrow-path bug):
+    _decode_shard yields RecordBatches whose content matches the row
+    path exactly, including timestamp/decimal/binary columns."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    spark, p = registered, str(tmp_path / "ad1")
+    schema_str = (
+        "id long, ts timestamp, d date, amt decimal(10,2), "
+        "blob binary, xs array<int>, s string"
+    )
+    rows = [
+        (1, dt.datetime(2026, 8, 16, 12, 30, 45, 123456), dt.date(2026, 2, 28),
+         Decimal("12345.67"), bytes([0, 255, 7]), [1, 2], "x"),
+        (2, None, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema_str)
+    _write(df.coalesce(1), p)
+    (shard,) = (s["file"] for s in MS.read_manifest_dict(p)["shards"])
+    got = list(MS._decode_shard(df.schema, p, shard))
+    assert got and all(isinstance(b, pa.RecordBatch) for b in got)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    assert got[0].schema == to_arrow_schema(df.schema)
+    arrow_rows = [tuple(r.values()) for b in got for r in b.to_pylist()]
+    row_rows = list(MS._decode_shard_rows(df.schema, p, shard))
+    # the arrow path materializes tz-aware datetimes; normalize both to
+    # naive-UTC for comparison (the JVM sees identical instants)
+    def norm(v):
+        import datetime as _dt
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        return v
+    assert sorted(tuple(map(norm, r)) for r in arrow_rows) == sorted(
+        tuple(map(norm, r)) for r in row_rows
+    )
+
+
+def test_arrow_decode_plan_fallbacks(registered, tmp_path):
+    """Schemas the Arrow JSON reader cannot decode faithfully take the
+    row path: maps anywhere, nested binary, nested tz timestamps."""
+    from pyspark.sql.types import _parse_datatype_string as P
+
+    assert MS._arrow_decode_plan(P("m map<string,int>")) is None
+    assert MS._arrow_decode_plan(P("xs array<binary>")) is None
+    assert MS._arrow_decode_plan(P("xs array<timestamp>")) is None
+    assert MS._arrow_decode_plan(P("st struct<a:map<string,int>>")) is None
+    # ... and still roundtrip correctly end-to-end through the readers
+    spark, p = registered, str(tmp_path / "ad2")
+    schema_str = "id long, m map<string,int>, ats array<timestamp>"
+    import datetime as dt
+    rows = [
+        (1, {"a": 1, "b": 2}, [dt.datetime(2026, 1, 1, 2, 3, 4)]),
+        (2, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema_str)
+    _write(df.coalesce(1), p)
+    got = sorted(
+        (r["id"], dict(r["m"]) if r["m"] is not None else None,
+         list(r["ats"]) if r["ats"] is not None else None)
+        for r in spark.read.format(MS.FORMAT_NAME).schema(schema_str)
+        .option("path", p).load().collect()
+    )
+    assert got == sorted(rows)
+    # nested NTZ timestamps and decimals stay on the fast path
+    assert MS._arrow_decode_plan(P("xs array<timestamp_ntz>")) is not None
+    assert MS._arrow_decode_plan(P("xs array<decimal(10,2)>")) is not None
