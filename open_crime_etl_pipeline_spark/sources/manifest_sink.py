@@ -1243,6 +1243,124 @@ class ManifestShardReader(DataSourceReader):
         yield from _decode_shard(self.schema, partition.path, partition.shard)
 
 
+class ManifestShardPushdownReader(ManifestShardReader):
+    """Batch reader with the Spark 4.1 ``pushFilters`` hook (round-9
+    verdict item 4): a plain ``spark.read.format("shard_manifest")
+    .option("pushdown", "true").load().filter(...)`` now drives the
+    manifest's shard-level data skipping with NO hand-built
+    ``prune``/``prune_eq`` dicts — Catalyst hands the conjunctive
+    filters here, :func:`partitions` admits only the shards whose
+    min/max stats and Bloom filters allow, and EVERY filter is returned
+    to Spark unpushed, so the exact row-level predicate still runs
+    post-scan (shard skipping is file-granular, like parquet row-group
+    pruning; keeping the residual filter is what makes over-reads
+    harmless).
+
+    Opt-in via ``option("pushdown", "true")`` because merely DEFINING
+    pushFilters makes Spark raise unless
+    ``spark.sql.python.filterPushdown.enabled`` is set — the default
+    reader must keep working on sessions without that conf.
+
+    CONTRACT: build a FRESH ``load()`` per query. The engine caches the
+    planned scan (read function + partitions) on the relation and may
+    reuse it for a later query derived from the same DataFrame WITHOUT
+    re-entering Python — a filterless query reusing a
+    previously-filtered relation would silently read only the
+    previously admitted shards (verified empirically against Spark
+    4.1). Two guards bound the blast radius inside Python: pushFilters
+    RESETS accumulated conjuncts per call, and partitions() prunes only
+    when a pushFilters call immediately preceded this planning
+    (otherwise it reads everything) — but neither can help when the
+    engine skips Python planning entirely, hence the fresh-load()
+    contract.
+
+    Supported shapes (single top-level column, literal value):
+    EqualTo -> range+bloom admission; GreaterThan[OrEqual] /
+    LessThan[OrEqual] -> range admission (strict bounds relaxed to
+    inclusive — conservative); In -> admit if ANY listed value may be
+    present. Everything else (IsNull/Not/string matches/nested paths)
+    is ignored for skipping. One task per admitted shard, so the
+    receipt is observable as the scan's partition count."""
+
+    def __init__(self, schema: StructType, options: dict):
+        super().__init__(schema, options)
+        self._ranges: dict[str, list] = {}   # col -> [lo, hi]
+        self._eqs: list[tuple[str, object]] = []   # AND'ed point probes
+        self._ins: list[tuple[str, tuple]] = []    # AND'ed IN-lists
+        self._fresh = False  # a pushFilters call precedes THIS planning
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        # RESET accumulated state: the engine may reuse one reader
+        # instance across several query plans derived from the same
+        # load() relation, and each plan's pushFilters must see only
+        # its own conjuncts (stale filters would silently UNDER-read)
+        self._ranges, self._eqs, self._ins = {}, [], []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not (isinstance(attr, tuple) and len(attr) == 1):
+                continue  # nested path: not shard-stat addressable
+            col = attr[0]
+            if isinstance(f, EqualTo):
+                self._eqs.append((col, f.value))
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                r = self._ranges.setdefault(col, [None, None])
+                if r[0] is None or f.value > r[0]:
+                    r[0] = f.value
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                r = self._ranges.setdefault(col, [None, None])
+                if r[1] is None or f.value < r[1]:
+                    r[1] = f.value
+            elif isinstance(f, In):
+                self._ins.append((col, tuple(f.value)))
+        # every filter stays Spark's to re-apply row-level: skipping is
+        # an optimization, never the filter itself
+        self._fresh = True
+        return filters
+
+    def _admits(self, shard: dict) -> bool:
+        for col, (lo, hi) in self._ranges.items():
+            if not _shard_admits_range(shard, col, lo, hi):
+                return False
+        for col, v in self._eqs:
+            if not _shard_admits_eq(shard, col, v):
+                return False
+        for col, values in self._ins:
+            if values and not any(
+                _shard_admits_eq(shard, col, v) for v in values
+            ):
+                return False
+        return True
+
+    def partitions(self):
+        man = read_manifest_dict(self.path, version=self.version)
+        if man is None:
+            raise FileNotFoundError(
+                f"no committed manifest at {self.path}"
+                + (f" version {self.version}" if self.version else "")
+            )
+        if self._fresh:
+            # prune only when a pushFilters call set THIS planning's
+            # conjuncts; a replanning that skipped pushFilters (e.g. a
+            # filterless query reusing the relation) must read
+            # everything — stale filters would silently UNDER-read
+            self._fresh = False
+            shards = [s["file"] for s in man["shards"] if self._admits(s)]
+        else:
+            shards = [s["file"] for s in man["shards"]]
+        if not shards:
+            return [ShardPartition(path=self.path, shard="")]
+        return [ShardPartition(path=self.path, shard=s) for s in shards]
+
+
 class ManifestShardStreamReader(DataSourceStreamReader):
     """Streaming READER twin of the sink: tails manifest versions.
 
@@ -1451,6 +1569,10 @@ class ManifestShardDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if str(self.options.get("pushdown", "")).lower() in (
+            "true", "1", "yes",
+        ):
+            return ManifestShardPushdownReader(schema, self.options)
         return ManifestShardReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
@@ -1507,38 +1629,54 @@ def prune_shards(
     kept = []
     for s in man["shards"]:
         keep = True
-        stats = s.get("stats") or {}
-        blooms = s.get("blooms") or {}
         for col, (lo, hi) in (prune or {}).items():
-            if col not in stats:
-                continue  # no stats -> cannot skip safely
-            smin, smax = stats[col]
-            try:
-                if lo is not None and smax < _stat_val(lo):
-                    keep = False
-                    break
-                if hi is not None and smin > _stat_val(hi):
-                    keep = False
-                    break
-            except TypeError:
-                continue  # bound/stat domains differ: keep (conservative)
+            if not _shard_admits_range(s, col, lo, hi):
+                keep = False
+                break
         for col, v in (prune_eq or {}).items() if keep else ():
-            if col in stats:
-                smin, smax = stats[col]
-                sv = _stat_val(v)
-                try:
-                    if sv < smin or sv > smax:
-                        keep = False
-                        break
-                except TypeError:
-                    pass  # mismatched domain: range can't decide
-            b = blooms.get(col)
-            if b and not _bloom_test(b["bits"], v, b["m"], b["k"]):
+            if not _shard_admits_eq(s, col, v):
                 keep = False
                 break
         if keep:
             kept.append(s)
     return kept, len(man["shards"])
+
+
+def _shard_admits_range(shard: dict, col: str, lo, hi) -> bool:
+    """May the shard hold a value of `col` in [lo, hi] (either side
+    None = unbounded, inclusive)? Conservative: missing stats or a
+    mismatched value domain keeps the shard."""
+    stats = shard.get("stats") or {}
+    if col not in stats:
+        return True  # no stats -> cannot skip safely
+    smin, smax = stats[col]
+    try:
+        if lo is not None and smax < _stat_val(lo):
+            return False
+        if hi is not None and smin > _stat_val(hi):
+            return False
+    except TypeError:
+        pass  # bound/stat domains differ: keep (conservative)
+    return True
+
+
+def _shard_admits_eq(shard: dict, col: str, v) -> bool:
+    """May the shard hold `col == v`? Range stats first, then the Bloom
+    filter (false positives only OVER-read). Conservative on missing
+    stats/blooms or mismatched domains."""
+    stats = shard.get("stats") or {}
+    if col in stats:
+        smin, smax = stats[col]
+        sv = _stat_val(v)
+        try:
+            if sv < smin or sv > smax:
+                return False
+        except TypeError:
+            pass  # mismatched domain: range can't decide
+    b = (shard.get("blooms") or {}).get(col)
+    if b and not _bloom_test(b["bits"], v, b["m"], b["k"]):
+        return False
+    return True
 
 
 def read_manifest(

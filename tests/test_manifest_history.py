@@ -997,3 +997,108 @@ def test_arrow_decode_plan_fallbacks(registered, tmp_path):
     # nested NTZ timestamps and decimals stay on the fast path
     assert MS._arrow_decode_plan(P("xs array<timestamp_ntz>")) is not None
     assert MS._arrow_decode_plan(P("xs array<decimal(10,2)>")) is not None
+
+
+# ---- round 10: pushFilters shard skipping on the batch reader ------------
+
+
+@pytest.fixture()
+def pushdown_conf(registered):
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    yield registered
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def _pushdown_table(spark, p):
+    (
+        _df(spark, 8000)
+        .repartitionByRange(8, "id")
+        .write.format(MS.FORMAT_NAME)
+        .option("path", p)
+        .option("bloom_columns", "id")
+        .mode("overwrite")
+        .save()
+    )
+
+
+def _pushdown_read(spark, p):
+    """A FRESH load() per query — the pushdown contract (the engine
+    caches the planned scan per relation)."""
+    return (
+        spark.read.format(MS.FORMAT_NAME)
+        .schema("id long, s string")
+        .option("path", p)
+        .option("pushdown", "true")
+        .load()
+    )
+
+
+def test_pushdown_prunes_without_manual_dicts(pushdown_conf, tmp_path):
+    """spark.read.format('shard_manifest').option('pushdown','true')
+    .filter(...) drives shard skipping with no hand-built prune args
+    (round-9 verdict item 4): one task per ADMITTED shard, exact rows."""
+    spark, p = pushdown_conf, str(tmp_path / "pf1")
+    _pushdown_table(spark, p)
+
+    rng = _pushdown_read(spark, p).filter(
+        (F.col("id") >= 1000) & (F.col("id") <= 1999)
+    )
+    assert rng.rdd.getNumPartitions() <= 3  # range-clustered: few shards
+    assert rng.count() == 1000
+
+    eq = _pushdown_read(spark, p).filter(F.col("id") == 777)
+    assert eq.rdd.getNumPartitions() <= 2  # bloom point lookup
+    assert [(r["id"], r["s"]) for r in eq.collect()] == [(777, "a777")]
+
+    inq = _pushdown_read(spark, p).filter(F.col("id").isin(5, 7777))
+    assert inq.rdd.getNumPartitions() <= 4
+    assert sorted(r["id"] for r in inq.collect()) == [5, 7777]
+
+    # unsupported shapes are ignored for skipping, still row-filtered
+    like = _pushdown_read(spark, p).filter(F.col("s").startswith("a77"))
+    assert like.count() == 111  # a77, a770..a779, a7700..a7799
+    # filterless fresh read scans everything
+    full = _pushdown_read(spark, p)
+    assert full.rdd.getNumPartitions() == 8 and full.count() == 8000
+
+
+def test_pushdown_requires_conf(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "pf2")
+    _pushdown_table(spark, p)
+    assert (
+        registered.conf.get("spark.sql.python.filterPushdown.enabled")
+        == "false"
+    )
+    with pytest.raises(Exception, match="filterPushdown"):
+        _pushdown_read(spark, p).count()
+    # without the option the plain reader works regardless of the conf
+    plain = (
+        spark.read.format(MS.FORMAT_NAME)
+        .schema("id long, s string")
+        .option("path", p)
+        .load()
+    )
+    assert plain.count() == 8000
+
+
+def test_pushdown_reader_unit_contract(registered, tmp_path):
+    """Unit pin of the reader contract: every filter is returned (Spark
+    re-applies row-level), conjuncts reset per pushFilters call, and a
+    replanning WITHOUT pushFilters reads everything."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, LessThanOrEqual
+
+    spark, p = registered, str(tmp_path / "pf3")
+    _pushdown_table(spark, p)
+    r = MS.ManifestShardPushdownReader(
+        _df(spark, 1).schema, {"path": p, "pushdown": "true"}
+    )
+    filters = [GreaterThan(("id",), 6999), LessThanOrEqual(("id",), 7100)]
+    assert list(r.pushFilters(filters)) == filters  # all residual
+    kept = [pt for pt in r.partitions() if pt.shard]
+    assert 1 <= len(kept) <= 2
+    # next planning: new conjuncts REPLACE the old ones
+    assert list(r.pushFilters([EqualTo(("id",), 3)])) == [EqualTo(("id",), 3)]
+    kept2 = [pt for pt in r.partitions() if pt.shard]
+    assert 1 <= len(kept2) <= 2
+    # replanning without pushFilters: stale conjuncts must NOT prune
+    assert len([pt for pt in r.partitions() if pt.shard]) == 8
