@@ -125,6 +125,11 @@ def main() -> None:
         # their real measurement; the maximal-repeats family is in
         # --slow below with its suffix-array siblings)
         "zorder_3d_uneven_pruning",       # 3-D uneven-budget Morton + pruning stats
+        # r10: manifest_pushdown_pruned_scan is excluded under the same
+        # rule as its r9 siblings (temp-lake IO invariant in SF);
+        # its measurements are the task-count receipt inside the query
+        # itself plus tools/scale_check_r10.py (commit-cost flatness,
+        # concurrent writers, capped first-batch tail) in PERF.md
     ]
 
     # Iterative corpus-index queries: wall time is many scheduling

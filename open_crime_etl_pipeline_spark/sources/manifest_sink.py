@@ -567,6 +567,10 @@ class ShardCommit(WriterCommitMessage):
     digest: str     # md5 of the uncompressed content
     stats: dict | None = None  # per-column [min, max] over non-null values
     blooms: dict | None = None  # per-column {m, k, bits(b64)} membership
+    nulls: dict | None = None  # per-column null count (Delta nullCount):
+    #   0 skips IS NULL probes, == n_rows skips IS NOT NULL and every
+    #   value probe (an all-null shard has no min/max, which the
+    #   conservative range/eq admission would otherwise always keep)
 
 
 class ManifestShardWriter(DataSourceWriter):
@@ -631,6 +635,7 @@ class ManifestShardWriter(DataSourceWriter):
         stat_cols = set(_stats_fields(self.schema))
         mins: dict = {}
         maxs: dict = {}
+        nulls: dict = {c: 0 for c in stat_cols}
         bm, bk = self.bloom_m, self.bloom_k
         bloom_bits = {c: bytearray(bm >> 3) for c in self.bloom_columns}
         h = hashlib.md5()
@@ -639,9 +644,10 @@ class ManifestShardWriter(DataSourceWriter):
             with gzip.GzipFile(fileobj=spool, mode="wb", mtime=0) as gz:
                 for row in iterator:
                     d = dict(zip(fields, row))
-                    for c in stat_cols:  # shard-level min/max, nulls skipped
+                    for c in stat_cols:  # shard-level min/max, nulls counted
                         v = d.get(c)
                         if v is None:
+                            nulls[c] += 1
                             continue
                         if c not in mins:
                             mins[c] = maxs[c] = v
@@ -691,6 +697,7 @@ class ManifestShardWriter(DataSourceWriter):
             digest=digest,
             stats={c: [_stat_val(mins[c]), _stat_val(maxs[c])] for c in mins}
             or None,
+            nulls=dict(nulls) or None,
             blooms={
                 c: {
                     "m": bm,
@@ -743,6 +750,11 @@ class ManifestShardWriter(DataSourceWriter):
                         **(
                             {"blooms": m.blooms}
                             if getattr(m, "blooms", None)
+                            else {}
+                        ),
+                        **(
+                            {"nulls": m.nulls}
+                            if getattr(m, "nulls", None) is not None
                             else {}
                         ),
                     }
@@ -894,6 +906,11 @@ class ManifestShardStreamWriter(DataSourceStreamWriter):
                         **(
                             {"blooms": m.blooms}
                             if getattr(m, "blooms", None)
+                            else {}
+                        ),
+                        **(
+                            {"nulls": m.nulls}
+                            if getattr(m, "nulls", None) is not None
                             else {}
                         ),
                     }
@@ -1278,15 +1295,18 @@ class ManifestShardPushdownReader(ManifestShardReader):
     EqualTo -> range+bloom admission; GreaterThan[OrEqual] /
     LessThan[OrEqual] -> range admission (strict bounds relaxed to
     inclusive — conservative); In -> admit if ANY listed value may be
-    present. Everything else (IsNull/Not/string matches/nested paths)
-    is ignored for skipping. One task per admitted shard, so the
-    receipt is observable as the scan's partition count."""
+    present; IsNull / IsNotNull -> recorded per-shard null counts
+    (Delta nullCount: 0 refutes IS NULL, == n_rows refutes IS NOT NULL
+    and every value probe). Everything else (Not/string matches/nested
+    paths) is ignored for skipping. One task per admitted shard, so
+    the receipt is observable as the scan's partition count."""
 
     def __init__(self, schema: StructType, options: dict):
         super().__init__(schema, options)
         self._ranges: dict[str, list] = {}   # col -> [lo, hi]
         self._eqs: list[tuple[str, object]] = []   # AND'ed point probes
         self._ins: list[tuple[str, tuple]] = []    # AND'ed IN-lists
+        self._nullness: list[tuple[str, bool]] = []  # (col, want_null)
         self._fresh = False  # a pushFilters call precedes THIS planning
 
     def pushFilters(self, filters):
@@ -1295,6 +1315,8 @@ class ManifestShardPushdownReader(ManifestShardReader):
             GreaterThan,
             GreaterThanOrEqual,
             In,
+            IsNotNull,
+            IsNull,
             LessThan,
             LessThanOrEqual,
         )
@@ -1304,6 +1326,7 @@ class ManifestShardPushdownReader(ManifestShardReader):
         # load() relation, and each plan's pushFilters must see only
         # its own conjuncts (stale filters would silently UNDER-read)
         self._ranges, self._eqs, self._ins = {}, [], []
+        self._nullness = []
         for f in filters:
             attr = getattr(f, "attribute", None)
             if not (isinstance(attr, tuple) and len(attr) == 1):
@@ -1321,6 +1344,10 @@ class ManifestShardPushdownReader(ManifestShardReader):
                     r[1] = f.value
             elif isinstance(f, In):
                 self._ins.append((col, tuple(f.value)))
+            elif isinstance(f, IsNull):
+                self._nullness.append((col, True))
+            elif isinstance(f, IsNotNull):
+                self._nullness.append((col, False))
         # every filter stays Spark's to re-apply row-level: skipping is
         # an optimization, never the filter itself
         self._fresh = True
@@ -1338,6 +1365,14 @@ class ManifestShardPushdownReader(ManifestShardReader):
                 _shard_admits_eq(shard, col, v) for v in values
             ):
                 return False
+        for col, want_null in self._nullness:
+            n = (shard.get("nulls") or {}).get(col)
+            if n is None:
+                continue  # no null counts recorded: keep
+            if want_null and n == 0:
+                return False  # IS NULL cannot match a fully-valued shard
+            if not want_null and n == shard.get("n_rows"):
+                return False  # IS NOT NULL cannot match an all-null shard
         return True
 
     def partitions(self):
@@ -1642,10 +1677,20 @@ def prune_shards(
     return kept, len(man["shards"])
 
 
+def _shard_all_null(shard: dict, col: str) -> bool:
+    """True iff the shard RECORDS that every row's `col` is null (Delta
+    nullCount semantics) — no value probe can match it. Missing null
+    counts stay conservative (False)."""
+    n = (shard.get("nulls") or {}).get(col)
+    return n is not None and n == shard.get("n_rows")
+
+
 def _shard_admits_range(shard: dict, col: str, lo, hi) -> bool:
     """May the shard hold a value of `col` in [lo, hi] (either side
     None = unbounded, inclusive)? Conservative: missing stats or a
     mismatched value domain keeps the shard."""
+    if _shard_all_null(shard, col):
+        return False  # no non-null values at all
     stats = shard.get("stats") or {}
     if col not in stats:
         return True  # no stats -> cannot skip safely
@@ -1664,6 +1709,8 @@ def _shard_admits_eq(shard: dict, col: str, v) -> bool:
     """May the shard hold `col == v`? Range stats first, then the Bloom
     filter (false positives only OVER-read). Conservative on missing
     stats/blooms or mismatched domains."""
+    if _shard_all_null(shard, col):
+        return False  # no non-null values at all
     stats = shard.get("stats") or {}
     if col in stats:
         smin, smax = stats[col]

@@ -1102,3 +1102,40 @@ def test_pushdown_reader_unit_contract(registered, tmp_path):
     assert 1 <= len(kept2) <= 2
     # replanning without pushFilters: stale conjuncts must NOT prune
     assert len([pt for pt in r.partitions() if pt.shard]) == 8
+
+
+def test_null_count_skipping(pushdown_conf, tmp_path):
+    """Per-shard null counts (the Delta nullCount stat): IS NULL skips
+    fully-valued shards, IS NOT NULL and value probes skip all-null
+    shards (which have no min/max and were previously always kept)."""
+    spark, p = pushdown_conf, str(tmp_path / "nc1")
+    valued = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, s string"
+    )
+    allnull = spark.createDataFrame(
+        [(1000 + i, None) for i in range(50)], "id long, s string"
+    )
+    _write(valued.coalesce(1), p, mode="append")
+    allnull.coalesce(1).write.format(MS.FORMAT_NAME).option(
+        "path", p
+    ).mode("append").save()
+    man = MS.read_manifest_dict(p)
+    assert len(man["shards"]) == 2
+    by_null = {s["nulls"]["s"]: s for s in man["shards"]}
+    assert set(by_null) == {0, 50}
+    assert "s" not in (by_null[50].get("stats") or {})  # all-null: no range
+
+    # admission helpers
+    assert not MS._shard_admits_eq(by_null[50], "s", "v3")  # all-null
+    assert MS._shard_admits_eq(by_null[0], "s", "v3")
+    assert not MS._shard_admits_range(by_null[50], "s", "a", "z")
+    # pushdown end-to-end: one task each way, exact rows
+    isnull = _pushdown_read(spark, p).filter(F.col("s").isNull())
+    assert isnull.rdd.getNumPartitions() == 1
+    assert isnull.count() == 50
+    notnull = _pushdown_read(spark, p).filter(F.col("s").isNotNull())
+    assert notnull.rdd.getNumPartitions() == 1
+    assert notnull.count() == 100
+    eq = _pushdown_read(spark, p).filter(F.col("s") == "v3")
+    assert eq.rdd.getNumPartitions() == 1  # the all-null shard skipped
+    assert eq.count() == 1
