@@ -1232,3 +1232,209 @@ def manifest_pushdown_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev_conf)
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_delete_where",
+    oracle="""
+        SELECT CAST(doc_id % 7 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(CAST('0x' || substring(
+                    md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 10)
+                    AS BIGINT)) AS BIGINT) AS content_checksum
+        FROM documents
+        WHERE doc_id % 10 = 4 AND NOT (doc_id BETWEEN 100 AND 199)
+        GROUP BY bucket
+    """,
+    doc="Row-level DELETE WHERE on the manifest table (round 10): a "
+        "documents slice lands range-clustered on doc_id into 8 "
+        "content-addressed shards, then delete_where(doc_id BETWEEN "
+        "100 AND 199, prune={doc_id: (100, 199)}) rewrites ONLY the "
+        "shards whose recorded min/max admit the predicate — the query "
+        "RAISES unless at least half the original shards were never "
+        "touched (at 100 TB a selective delete rewrites a handful of "
+        "files, not the table) — and publishes the survivors as ONE "
+        "atomic copy-on-write commit (kind='delete', survivors "
+        "data_change=false, survivor-count guard = touched minus "
+        "matched exactly; concurrent-rewrite conflicts refuse to "
+        "publish). The oracle restates the post-delete aggregates from "
+        "the SOURCE with the deletion predicate negated, so a hash "
+        "match proves the delete removed exactly the matching rows and "
+        "no others. Time travel to the pre-delete version and "
+        "append-only CDF (deletions not retracted) are pinned in "
+        "test_manifest_history.py.",
+    tags=("sink", "datasource", "pipeline", "dml"),
+)
+def manifest_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_delete_q_")
+    try:
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 == 4
+        ).select("doc_id", "text")
+        (
+            docs.repartitionByRange(8, "doc_id")
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+        before = {s["file"] for s in MS.read_manifest_dict(out)["shards"]}
+        man2, n_deleted = MS.delete_where(
+            spark,
+            out,
+            "doc_id long, text string",
+            F.col("doc_id").between(100, 199),
+            prune={"doc_id": (100, 199)},
+        )
+        if n_deleted <= 0:
+            raise AssertionError(
+                "manifest_delete_where: expected matching rows to delete"
+            )
+        untouched = before & {s["file"] for s in man2["shards"]}
+        if not (len(untouched) >= len(before) // 2):
+            raise AssertionError(
+                "manifest_delete_where: expected a SCOPED rewrite, but "
+                f"only {len(untouched)}/{len(before)} shards survived "
+                "untouched"
+            )
+        back = MS.read_manifest(spark, out, schema="doc_id long, text string")
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("|"),
+                        F.col("text"),
+                    )
+                ),
+                1, 10,
+            ),
+            16, 10,
+        ).cast("long")
+        rows = (
+            back.groupBy((F.col("doc_id") % 7).cast("long").alias("bucket"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).cast("long").alias("total_chars"),
+                F.sum(h).cast("long").alias("content_checksum"),
+            )
+            .collect()  # O(buckets) rows; the temp lake dir dies below
+        )
+        return spark.createDataFrame(
+            rows,
+            "bucket long, n_docs long, total_chars long, "
+            "content_checksum long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_optimize_zorder",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(sum(CAST('0x' || substring(
+                    md5(CAST(o_orderkey AS VARCHAR)), 1, 10)
+                    AS BIGINT)) AS BIGINT) AS key_checksum
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+        GROUP BY o_orderstatus
+    """,
+    doc="OPTIMIZE ZORDER BY on the manifest format (round 10): orders "
+        "land round-robin-scattered into 8 shards — every shard's "
+        "o_orderkey AND o_custkey ranges cover the whole domain, so "
+        "min/max stats prune NOTHING on either column (asserted) — "
+        "then compact(zorder_by=[o_orderkey, o_custkey]) rewrites the "
+        "live rows range-partitioned + sorted on the Morton key "
+        "(io/layout.py:zorder_key, a pure codegen'd bit-interleave "
+        "after one 1-row min/max pre-scan), one atomic "
+        "data_change=false commit with the row-conservation guard. "
+        "After the rewrite each shard covers a z-tile, and the query "
+        "RAISES unless selective ranges on BOTH columns now skip at "
+        "least half the shards. The returned aggregates run over a "
+        "pruned read of the z-ordered table and hash-match the oracle "
+        "over the source — clustering changed the layout, not one row. "
+        "The Delta OPTIMIZE ZORDER story, re-derived on the "
+        "from-scratch format.",
+    tags=("sink", "datasource", "pipeline", "layout", "pruning"),
+)
+def manifest_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_zorder_q_")
+    try:
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus")
+            .repartition(8)  # round-robin: both key ranges fully overlap
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+        man = MS.read_manifest_dict(out)
+        kept_pre, total = MS.prune_shards(man, {"o_orderkey": (1000, 2999)})
+        if len(kept_pre) != total:
+            raise AssertionError(
+                "manifest_optimize_zorder: scattered landing should "
+                "prune nothing before clustering"
+            )
+        man2 = MS.compact(
+            spark,
+            out,
+            schema="o_orderkey long, o_custkey long, o_orderstatus string",
+            target_shards=16,  # 4 top z-bits: 2 tile bits per dimension
+            zorder_by=["o_orderkey", "o_custkey"],
+        )
+        n2 = len(man2["shards"])
+        kept_key, _ = MS.prune_shards(man2, {"o_orderkey": (1000, 2999)})
+        kept_cust, _ = MS.prune_shards(man2, {"o_custkey": (100, 199)})
+        if not (len(kept_key) <= n2 // 2 and len(kept_cust) <= n2 // 2):
+            raise AssertionError(
+                "manifest_optimize_zorder: z-ordered stats must prune "
+                f"BOTH dimensions, kept {len(kept_key)}/{n2} on "
+                f"o_orderkey and {len(kept_cust)}/{n2} on o_custkey"
+            )
+        rows = (
+            MS.read_manifest(
+                spark,
+                out,
+                schema=(
+                    "o_orderkey long, o_custkey long, o_orderstatus string"
+                ),
+                prune={"o_orderkey": (1000, 2999)},
+            )
+            .filter(F.col("o_orderkey").between(1000, 2999))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col("o_orderkey").cast("string")), 1, 10
+                        ),
+                        16, 10,
+                    ).cast("long")
+                ).cast("long").alias("key_checksum"),
+            )
+            .collect()  # O(statuses) rows; the temp lake dir dies below
+        )
+        return spark.createDataFrame(
+            rows,
+            "o_orderstatus string, n_orders long, sum_key long, "
+            "key_checksum long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

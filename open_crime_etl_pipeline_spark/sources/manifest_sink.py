@@ -615,6 +615,16 @@ class ManifestShardWriter(DataSourceWriter):
         )
         if self.checkpoint_every < 1:
             raise ValueError("checkpoint_every must be >= 1")
+        # delete_remove=<json list of shard files>: this write REPLACES
+        # exactly those live shards with the written survivors (the
+        # copy-on-write half of DELETE WHERE — see :func:`delete_where`)
+        raw_dr = options.get("delete_remove")
+        self.delete_remove = json.loads(raw_dr) if raw_dr else None
+        self.expect_rows = (
+            int(options["expect_rows"]) if "expect_rows" in options else None
+        )
+        if self.delete_remove is not None and self.compact:
+            raise ValueError("delete_remove and compact are exclusive")
 
     # -- executor side ---------------------------------------------------
     def write(self, iterator) -> ShardCommit:
@@ -758,6 +768,52 @@ class ManifestShardWriter(DataSourceWriter):
                             else {}
                         ),
                     }
+            if self.delete_remove is not None:
+                # copy-on-write DELETE: the written shards are the
+                # SURVIVORS of exactly `delete_remove`; the commit
+                # swaps them in one atomic action. A rebase onto a
+                # state where a replaced shard is no longer live means
+                # a concurrent rewrite (compact/overwrite/delete) won
+                # the race against the snapshot this delete read —
+                # publishing would resurrect or double rows, so fail
+                # loudly (the Delta write-conflict contract).
+                if prev is None:
+                    raise ValueError("delete: no committed manifest")
+                missing = [
+                    f for f in self.delete_remove if f not in prev_entries
+                ]
+                if missing:
+                    raise ValueError(
+                        "delete: shards to replace are no longer live "
+                        f"({missing[:3]}...) - a concurrent rewrite "
+                        "committed since the delete's snapshot was "
+                        "read; re-run the delete against the current "
+                        "table"
+                    )
+                n_new = sum(s["n_rows"] for s in by_file.values())
+                if self.expect_rows is not None and n_new != self.expect_rows:
+                    raise ValueError(
+                        f"delete: survivor row count {n_new} != expected "
+                        f"{self.expect_rows} - lost task, or identical "
+                        "survivor partitions collapsed onto one "
+                        "content-addressed shard; previous version "
+                        "stays live"
+                    )
+                return {
+                    "version": 2,
+                    "commit_seq": seq,
+                    "commit_kind": "delete",
+                    # survivors carry data_change=false: their rows were
+                    # already delivered through the replaced shards, and
+                    # this format's CDF contract is append-only (no
+                    # retractions — deletions are simply not re-sent)
+                    "add": sorted(
+                        ({**s, "added_seq": seq, "data_change": False}
+                         for s in by_file.values()),
+                        key=lambda s: s["file"],
+                    ),
+                    "remove": sorted(set(self.delete_remove) - set(by_file)),
+                }
             if self.compact:
                 # the write re-landed every LIVE row into new shards;
                 # the commit REPLACES the live set and marks the
@@ -1809,7 +1865,33 @@ def describe_history(path: str) -> list[dict]:
     ]
 
 
-def compact(spark, path: str, schema, target_shards: int = 1) -> dict:
+def _bloom_options(writer, shards: list[dict]):
+    """Carry a table's bloom-column set AND geometry onto a rewrite
+    (compaction / delete survivors): a rewritten shard holds as many
+    or more rows than the originals, so keep the largest recorded
+    filter rather than silently resetting to the default."""
+    blooms = [
+        (c, b) for s in shards for c, b in (s.get("blooms") or {}).items()
+    ]
+    bloom_cols = sorted({c for c, _b in blooms})
+    if not bloom_cols:
+        return writer
+    m, k = max(((b["m"], b["k"]) for _c, b in blooms))
+    return (
+        writer.option("bloom_columns", ",".join(bloom_cols))
+        .option("bloom_bits", str(m))
+        .option("bloom_hashes", str(k))
+    )
+
+
+def compact(
+    spark,
+    path: str,
+    schema,
+    target_shards: int = 1,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 10,
+) -> dict:
     """Rewrite the table's LIVE rows into ``target_shards`` shards —
     the lakehouse OPTIMIZE / small-file compaction, as ONE atomic
     manifest commit. The rewrite runs distributed (a Spark read of the
@@ -1820,31 +1902,118 @@ def compact(spark, path: str, schema, target_shards: int = 1) -> dict:
     Delta ``dataChange=false`` contract), replaces the live set, and
     refuses to publish if the row count changed. Originals stay on
     disk for time travel until :func:`expire_history` +
-    :func:`vacuum_unreferenced` release them. Returns the new
-    manifest dict."""
+    :func:`vacuum_unreferenced` release them.
+
+    ``zorder_by=[cols]`` is OPTIMIZE ZORDER BY: instead of round-robin
+    repartitioning, rows are range-partitioned and sorted on a Morton
+    key interleaving the listed columns (``io/layout.py:zorder_key`` —
+    one cheap 1-row min/max pre-scan, then a pure codegen'd bit
+    expression), so each rewritten shard covers a hyper-rectangle tile
+    of the key space and the recorded min/max stats turn narrow on
+    EVERY listed column simultaneously — selective predicates on any
+    of them prune shards after compaction that a single-column sort
+    could only prune for its leading key. Returns the new manifest
+    dict."""
+    from pyspark.sql import functions as F
+
     man = read_manifest_dict(path)
-    blooms = [
-        (c, b)
-        for s in (man["shards"] if man else [])
-        for c, b in (s.get("blooms") or {}).items()
-    ]
-    bloom_cols = sorted({c for c, _b in blooms})
     df = read_manifest(spark, path, schema=schema)
+    if zorder_by:
+        from ..io.layout import zorder_key
+
+        stats = df.agg(
+            *[F.min(c).cast("double").alias(f"mn_{c}") for c in zorder_by],
+            *[F.max(c).cast("double").alias(f"mx_{c}") for c in zorder_by],
+        ).first()
+        z = zorder_key(
+            zorder_by,
+            bits=zorder_bits,
+            mins=[stats[f"mn_{c}"] for c in zorder_by],
+            maxs=[stats[f"mx_{c}"] for c in zorder_by],
+        )
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(target_shards, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        df = df.repartition(target_shards)
     w = (
-        df.repartition(target_shards)
-        .write.format(FORMAT_NAME)
+        df.write.format(FORMAT_NAME)
         .option("path", path)
         .option("compact", "true")
     )
-    if bloom_cols:  # rewrites keep the table's bloom-column discipline
-        w = w.option("bloom_columns", ",".join(bloom_cols))
-        # ... and its geometry: a compacted shard holds MORE rows than
-        # the originals, so keep the largest recorded filter (its k
-        # rides along) rather than silently resetting to the default
-        m, k = max(((b["m"], b["k"]) for _c, b in blooms))
-        w = w.option("bloom_bits", str(m)).option("bloom_hashes", str(k))
+    w = _bloom_options(w, man["shards"] if man else [])
     w.mode("append").save()
     return read_manifest_dict(path)
+
+
+def delete_where(
+    spark,
+    path: str,
+    schema,
+    predicate,
+    prune: dict[str, tuple] | None = None,
+    prune_eq: dict | None = None,
+) -> tuple[dict, int]:
+    """Row-level ``DELETE WHERE`` on the manifest table — copy-on-write
+    shard rewrites published as ONE atomic commit (the Delta DML
+    shape). ``predicate`` (a Column or SQL string) selects the rows to
+    DELETE; SQL three-valued logic applies, so NULL-evaluating rows
+    SURVIVE. ``prune``/``prune_eq`` bound the rewrite scope with the
+    same shard-stats admission reads use: only shards that MAY hold
+    matching rows are rewritten — at 100 TB a selective delete
+    rewrites a handful of files, not the table — and the row predicate
+    still runs inside the rewrite, so over-admission only costs IO.
+
+    Guards: the commit verifies the survivor row count equals
+    (touched rows − matched rows) exactly, and REFUSES to publish if
+    any replaced shard is no longer live (a concurrent
+    compact/overwrite/delete won the race — the write-conflict
+    contract; re-run against the new state). Survivor shards carry
+    ``data_change=false``: their rows were already delivered, and this
+    format's CDF is append-only (deletions are not retracted).
+    Returns ``(new_manifest, n_deleted)``; a delete matching zero rows
+    publishes nothing."""
+    from pyspark.sql import functions as F
+
+    man = read_manifest_dict(path)
+    if man is None or not man["shards"]:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    if prune or prune_eq:
+        touched, _total = prune_shards(man, prune, prune_eq)
+    else:
+        touched = list(man["shards"])
+    if not touched:
+        return man, 0  # stats refute the predicate everywhere: no-op
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    files = [posixpath.join(path, "shards", s["file"]) for s in touched]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(files)
+    counts = df.agg(
+        F.sum(F.when(cond, 1).otherwise(0)).alias("matched"),
+        F.count(F.lit(1)).alias("total"),
+    ).first()
+    n_deleted = int(counts["matched"] or 0)
+    if n_deleted == 0:
+        return man, 0  # nothing matched: publish nothing
+    survivors = df.filter(~F.coalesce(cond, F.lit(False)))
+    w = (
+        survivors.repartition(max(1, len(touched)))
+        .write.format(FORMAT_NAME)
+        .option("path", path)
+        .option(
+            "delete_remove",
+            json.dumps(sorted(s["file"] for s in touched)),
+        )
+        .option("expect_rows", str(int(counts["total"]) - n_deleted))
+    )
+    w = _bloom_options(w, touched)
+    w.mode("append").save()
+    return read_manifest_dict(path), n_deleted
 
 
 def expire_history(path: str, keep_last: int = 1) -> list[str]:

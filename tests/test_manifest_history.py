@@ -1139,3 +1139,125 @@ def test_null_count_skipping(pushdown_conf, tmp_path):
     eq = _pushdown_read(spark, p).filter(F.col("s") == "v3")
     assert eq.rdd.getNumPartitions() == 1  # the all-null shard skipped
     assert eq.count() == 1
+
+
+# ---- round 10: DELETE WHERE (copy-on-write) + OPTIMIZE ZORDER BY ----------
+
+
+def test_delete_where_scoped_rewrite(registered, tmp_path):
+    """Row-level DELETE as copy-on-write: only shards whose stats admit
+    the predicate are rewritten (scoped by prune hints), survivors are
+    exact, untouched shards keep their entries, the commit is one
+    atomic action, and the tail sees nothing (data_change=false)."""
+    spark, p = registered, str(tmp_path / "dw1")
+    ckpt = str(tmp_path / "dw1_ck")
+    _write(_df(spark, 8000).repartitionByRange(8, "id"), p, mode="append")
+    assert len(_drain_stream(spark, p, ckpt)) == 8000
+    before = {s["file"] for s in MS.read_manifest_dict(p)["shards"]}
+
+    man2, n_del = MS.delete_where(
+        spark, p, "id long, s string",
+        (F.col("id") >= 1000) & (F.col("id") <= 1999),
+        prune={"id": (1000, 1999)},
+    )
+    assert n_del == 1000
+    assert man2["commit_kind"] == "delete"
+    assert man2["n_rows"] == 7000
+    after = {s["file"] for s in man2["shards"]}
+    # scoped: at least half the original shards were never rewritten
+    assert len(before & after) >= 4
+    back = MS.read_manifest(spark, p, schema="id long, s string")
+    got = sorted(r["id"] for r in back.collect())
+    assert got == [i for i in range(8000) if not 1000 <= i <= 1999]
+    # deletions are not retracted; survivors are data_change=false
+    assert _drain_stream(spark, p, ckpt) == []
+    # time travel to the pre-delete version still sees every row
+    v1 = MS.read_manifest(spark, p, schema="id long, s string", version=1)
+    assert v1.count() == 8000
+    # expire + vacuum release the replaced shards
+    MS.expire_history(p, keep_last=1)
+    deleted = set(MS.vacuum_unreferenced(p))
+    assert deleted == before - after and deleted
+
+
+def test_delete_where_null_predicate_rows_survive(registered, tmp_path):
+    """SQL three-valued logic: rows where the predicate is NULL are NOT
+    deleted (DELETE removes rows where the condition IS TRUE)."""
+    spark, p = registered, str(tmp_path / "dw2")
+    rows = [(1, "drop"), (2, "keep"), (3, None)]
+    _write(
+        spark.createDataFrame(rows, "id long, s string").coalesce(1),
+        p, mode="append",
+    )
+    _man, n_del = MS.delete_where(
+        spark, p, "id long, s string", F.col("s") == "drop"
+    )
+    assert n_del == 1
+    back = MS.read_manifest(spark, p, schema="id long, s string")
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [
+        (2, "keep"), (3, None)
+    ]
+
+
+def test_delete_where_noop_and_conflict(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "dw3")
+    _write(_df(spark, 100).repartitionByRange(2, "id"), p, mode="append")
+    seq_before = MS.read_manifest_dict(p)["commit_seq"]
+    # zero matches: publish nothing (no seq bump)
+    man, n_del = MS.delete_where(
+        spark, p, "id long, s string", F.col("id") > 10**9
+    )
+    assert n_del == 0 and man["commit_seq"] == seq_before
+    # stats-refuted scope: no read at all, still a no-op
+    man, n_del = MS.delete_where(
+        spark, p, "id long, s string", F.col("id") == -5,
+        prune={"id": (-5, -5)},
+    )
+    assert n_del == 0 and man["commit_seq"] == seq_before
+
+    # write-conflict: a compact lands between the delete's snapshot
+    # read and its commit -> the replaced shards are no longer live
+    # and the commit must refuse (not resurrect/double rows)
+    live = sorted(s["file"] for s in MS.read_manifest_dict(p)["shards"])
+    w = MS.ManifestShardWriter(
+        {"path": p, "delete_remove": __import__("json").dumps(live),
+         "expect_rows": "99"},
+        _df(spark, 1).schema, overwrite=False,
+    )
+    msg = w.write(iter((i, f"a{i}") for i in range(99)))
+    MS.compact(spark, p, schema="id long, s string", target_shards=1)
+    with pytest.raises(Exception, match="no longer live"):
+        w.commit([msg])
+    assert MS.read_manifest_dict(p)["n_rows"] == 100  # table unharmed
+
+
+def test_compact_zorder_by_multi_column_pruning(registered, tmp_path):
+    """OPTIMIZE ZORDER BY on the manifest format: hash-scattered
+    landing prunes nothing on either column; after a z-ordered compact
+    the recorded min/max stats turn narrow on BOTH interleaved columns
+    and selective ranges on EITHER prune most shards. Rows byte-exact
+    (the compact row-conservation guard rode along)."""
+    spark, p = registered, str(tmp_path / "zc1")
+    df = spark.range(8192).selectExpr(
+        "id", "CAST(pmod(id * 2654435761, 8192) AS LONG) AS k",
+        "concat('v', id) AS s",
+    )
+    _write(df.repartition(8), p, mode="append")  # round-robin scatter
+    man = MS.read_manifest_dict(p)
+    kept_id, total = MS.prune_shards(man, {"id": (0, 511)})
+    kept_k, _ = MS.prune_shards(man, {"k": (0, 511)})
+    assert total == 8 and len(kept_id) == 8 and len(kept_k) == 8
+
+    man2 = MS.compact(
+        spark, p, schema="id long, k long, s string",
+        target_shards=8, zorder_by=["id", "k"],
+    )
+    assert man2["n_rows"] == 8192 and len(man2["shards"]) == 8
+    kept_id2, _ = MS.prune_shards(man2, {"id": (0, 511)})
+    kept_k2, _ = MS.prune_shards(man2, {"k": (0, 511)})
+    assert len(kept_id2) <= 4 and len(kept_k2) <= 4  # both dims prune
+    back = MS.read_manifest(
+        spark, p, schema="id long, k long, s string",
+        prune={"id": (0, 511)},
+    ).filter("id <= 511")
+    assert back.count() == 512
