@@ -1438,3 +1438,117 @@ def manifest_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_merge_into",
+    oracle="""
+        SELECT st AS o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(k) AS BIGINT) AS sum_key,
+               CAST(sum(CAST('0x' || substring(
+                    md5(CAST(k AS VARCHAR)), 1, 10)
+                    AS BIGINT)) AS BIGINT) AS key_checksum
+        FROM (
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey BETWEEN 1000 AND 2999
+                        THEN 'X' ELSE o_orderstatus END AS st
+            FROM orders WHERE o_orderkey % 10 = 3
+            UNION ALL
+            SELECT * FROM (VALUES (-1, 'Z'), (-2, 'Z'), (-3, 'Z'))
+                 AS v(k, st)
+        ) GROUP BY st
+    """,
+    doc="MERGE INTO the manifest table (round 10): an orders slice "
+        "lands range-clustered on o_orderkey into 8 shards, then a "
+        "source batch of UPDATES (the slice's keys in [1000, 2999] "
+        "with status rewritten to 'X') plus three INSERTS (keys -1/-2/"
+        "-3) merges by key through merge_into() — matched rows "
+        "replaced, unseen keys inserted, ONE atomic copy-on-write "
+        "commit scoped to the shards whose stats admit the source key "
+        "range (the query RAISES unless at least half the shards stay "
+        "untouched). CDF semantics are exact and pinned in pytest: "
+        "survivors ride data_change=false, the upserted batch lands "
+        "data_change=true at this commit's seq, so a tailing reader "
+        "receives exactly the merge delta. Both row classes are "
+        "count-guarded and concurrent-rewrite conflicts refuse to "
+        "publish. The oracle restates the merged state in pure SQL "
+        "(CASE for updates, UNION ALL VALUES for inserts) over the "
+        "source table — a hash match proves the upsert touched exactly "
+        "the matching keys. The lakehouse half of J1/ST7: the "
+        "reference's insert-on-conflict, as one atomic commit on the "
+        "landing format itself.",
+    tags=("sink", "datasource", "pipeline", "dml"),
+)
+def manifest_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_merge_q_")
+    try:
+        target = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 10 == 3
+        ).select("o_orderkey", "o_orderstatus")
+        (
+            target.repartitionByRange(8, "o_orderkey")
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+        before = {s["file"] for s in MS.read_manifest_dict(out)["shards"]}
+        updates = target.filter(
+            F.col("o_orderkey").between(1000, 2999)
+        ).withColumn("o_orderstatus", F.lit("X"))
+        inserts = spark.createDataFrame(
+            [(-1, "Z"), (-2, "Z"), (-3, "Z")],
+            "o_orderkey long, o_orderstatus string",
+        )
+        man2, n_up, n_ins = MS.merge_into(
+            spark,
+            out,
+            "o_orderkey long, o_orderstatus string",
+            updates.unionByName(inserts),
+            ["o_orderkey"],
+        )
+        if n_up <= 0 or n_ins != 3:
+            raise AssertionError(
+                f"manifest_merge_into: expected updates and 3 inserts, "
+                f"got ({n_up}, {n_ins})"
+            )
+        untouched = before & {s["file"] for s in man2["shards"]}
+        if not (len(untouched) >= len(before) // 2):
+            raise AssertionError(
+                "manifest_merge_into: expected a SCOPED rewrite, but "
+                f"only {len(untouched)}/{len(before)} shards survived "
+                "untouched"
+            )
+        rows = (
+            MS.read_manifest(
+                spark, out, schema="o_orderkey long, o_orderstatus string"
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col("o_orderkey").cast("string")), 1, 10
+                        ),
+                        16, 10,
+                    ).cast("long")
+                ).cast("long").alias("key_checksum"),
+            )
+            .collect()  # O(statuses) rows; the temp lake dir dies below
+        )
+        return spark.createDataFrame(
+            rows,
+            "o_orderstatus string, n_orders long, sum_key long, "
+            "key_checksum long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

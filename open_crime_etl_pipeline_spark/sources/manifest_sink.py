@@ -615,16 +615,16 @@ class ManifestShardWriter(DataSourceWriter):
         )
         if self.checkpoint_every < 1:
             raise ValueError("checkpoint_every must be >= 1")
-        # delete_remove=<json list of shard files>: this write REPLACES
-        # exactly those live shards with the written survivors (the
-        # copy-on-write half of DELETE WHERE — see :func:`delete_where`)
-        raw_dr = options.get("delete_remove")
-        self.delete_remove = json.loads(raw_dr) if raw_dr else None
-        self.expect_rows = (
-            int(options["expect_rows"]) if "expect_rows" in options else None
-        )
-        if self.delete_remove is not None and self.compact:
-            raise ValueError("delete_remove and compact are exclusive")
+        # stage_commit_path=<file>: write the shard FILES but publish
+        # NOTHING — commit() records the would-be entries to that
+        # staging JSON instead of the log. The DML functions
+        # (:func:`delete_where`, :func:`merge_into`) stage each row
+        # class this way and then publish ONE driver-side action
+        # commit; a crash mid-stage leaves only vacuumable unreferenced
+        # shards and a staging file, never a torn table.
+        self.stage_commit_path = options.get("stage_commit_path")
+        if self.stage_commit_path and self.compact:
+            raise ValueError("stage_commit_path and compact are exclusive")
 
     # -- executor side ---------------------------------------------------
     def write(self, iterator) -> ShardCommit:
@@ -726,9 +726,43 @@ class ManifestShardWriter(DataSourceWriter):
         action holds only this commit's delta, and a concurrent writer
         losing the sequence-number race rebases onto the winner's state
         and retries — two concurrent appends both land (round-9 verdict
-        item 1). The ``build_action`` closure below is pure in
+        item 1). With ``stage_commit_path`` set, nothing is published:
+        the written shard entries are recorded to the staging JSON for
+        a later single-action DML commit (:func:`_commit_replace`) — a
+        crash mid-stage leaves only vacuumable unreferenced shards.
+        The ``build_action`` closure below is pure in
         ``(prev, seq)``, so a rebase recomputes ``added_seq`` stamps
         and the compact row-conservation guard against the NEW state."""
+        if self.stage_commit_path:
+            entries = sorted(
+                (
+                    {
+                        "file": m.shard,
+                        "n_rows": m.n_rows,
+                        "digest": m.digest,
+                        **({"stats": m.stats} if m.stats else {}),
+                        **({"blooms": m.blooms} if m.blooms else {}),
+                        **(
+                            {"nulls": m.nulls}
+                            if getattr(m, "nulls", None) is not None
+                            else {}
+                        ),
+                    }
+                    for m in messages
+                    if m.n_rows > 0
+                ),
+                key=lambda s: s["file"],
+            )
+            sfs, spath = _fs_for(self.stage_commit_path)
+            parent = posixpath.dirname(spath)
+            if parent:
+                sfs.create_dir(parent, recursive=True)
+            _write_atomic(
+                sfs,
+                spath,
+                json.dumps({"shards": entries}, sort_keys=True).encode(),
+            )
+            return
 
         def build_action(prev: dict | None, seq: int) -> dict:
             prev_entries = (
@@ -768,52 +802,6 @@ class ManifestShardWriter(DataSourceWriter):
                             else {}
                         ),
                     }
-            if self.delete_remove is not None:
-                # copy-on-write DELETE: the written shards are the
-                # SURVIVORS of exactly `delete_remove`; the commit
-                # swaps them in one atomic action. A rebase onto a
-                # state where a replaced shard is no longer live means
-                # a concurrent rewrite (compact/overwrite/delete) won
-                # the race against the snapshot this delete read —
-                # publishing would resurrect or double rows, so fail
-                # loudly (the Delta write-conflict contract).
-                if prev is None:
-                    raise ValueError("delete: no committed manifest")
-                missing = [
-                    f for f in self.delete_remove if f not in prev_entries
-                ]
-                if missing:
-                    raise ValueError(
-                        "delete: shards to replace are no longer live "
-                        f"({missing[:3]}...) - a concurrent rewrite "
-                        "committed since the delete's snapshot was "
-                        "read; re-run the delete against the current "
-                        "table"
-                    )
-                n_new = sum(s["n_rows"] for s in by_file.values())
-                if self.expect_rows is not None and n_new != self.expect_rows:
-                    raise ValueError(
-                        f"delete: survivor row count {n_new} != expected "
-                        f"{self.expect_rows} - lost task, or identical "
-                        "survivor partitions collapsed onto one "
-                        "content-addressed shard; previous version "
-                        "stays live"
-                    )
-                return {
-                    "version": 2,
-                    "commit_seq": seq,
-                    "commit_kind": "delete",
-                    # survivors carry data_change=false: their rows were
-                    # already delivered through the replaced shards, and
-                    # this format's CDF contract is append-only (no
-                    # retractions — deletions are simply not re-sent)
-                    "add": sorted(
-                        ({**s, "added_seq": seq, "data_change": False}
-                         for s in by_file.values()),
-                        key=lambda s: s["file"],
-                    ),
-                    "remove": sorted(set(self.delete_remove) - set(by_file)),
-                }
             if self.compact:
                 # the write re-landed every LIVE row into new shards;
                 # the commit REPLACES the live set and marks the
@@ -1949,6 +1937,88 @@ def compact(
     return read_manifest_dict(path)
 
 
+def _stage_write(df, path: str, tag: str, bloom_source: list[dict]):
+    """Write ``df``'s rows as content-addressed shard FILES under the
+    table WITHOUT publishing (``stage_commit_path``), and return the
+    staged shard entries. The staging JSON is consumed and deleted
+    here; a crash before the final commit leaves only unreferenced
+    shards (vacuumable) plus a tiny stale staging file — the table
+    untouched either way."""
+    import uuid
+
+    fs, root = _fs_for(path)
+    stage = posixpath.join(root, "staging", f"{tag}-{uuid.uuid4().hex}.json")
+    w = (
+        df.write.format(FORMAT_NAME)
+        .option("path", path)
+        .option("stage_commit_path", stage)
+    )
+    w = _bloom_options(w, bloom_source)
+    w.mode("append").save()
+    doc = _read_json_opt(fs, stage)
+    fs.delete_file(stage)
+    return doc["shards"] if doc else []
+
+
+def _commit_replace(
+    path: str,
+    kind: str,
+    remove_files: list[str],
+    unchanged: list[dict],
+    changed: list[dict],
+    expect_unchanged: int,
+    expect_changed: int,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> dict:
+    """Publish a copy-on-write DML result as ONE action commit through
+    the optimistic claim loop: ``remove_files`` leave the live set,
+    ``unchanged`` shards ride as ``data_change=false`` (a tailing
+    reader already has those rows) and ``changed`` shards as new data
+    stamped with this commit's seq (the tail receives EXACTLY them).
+    Guards: per-class row counts must match exactly, and the commit
+    REFUSES to publish if any replaced shard is no longer live — a
+    concurrent rewrite won the race against the DML's snapshot read
+    (the Delta write-conflict contract); re-run against the new
+    state."""
+    n_unchanged = sum(s["n_rows"] for s in unchanged)
+    n_changed = sum(s["n_rows"] for s in changed)
+    for got, want, cls in (
+        (n_unchanged, expect_unchanged, "survivor"),
+        (n_changed, expect_changed, "upserted"),
+    ):
+        if got != want:
+            raise ValueError(
+                f"{kind}: {cls} row count {got} != expected {want} - "
+                "lost task, or identical partitions collapsed onto one "
+                "content-addressed shard; nothing was published"
+            )
+
+    def build_action(prev: dict | None, seq: int) -> dict:
+        prev_files = {s["file"] for s in prev["shards"]} if prev else set()
+        missing = [f for f in remove_files if f not in prev_files]
+        if missing:
+            raise ValueError(
+                f"{kind}: shards to replace are no longer live "
+                f"({missing[:3]}...) - a concurrent rewrite committed "
+                "since this DML's snapshot was read; re-run against "
+                "the current table"
+            )
+        add = [
+            {**s, "added_seq": seq, "data_change": False} for s in unchanged
+        ] + [{**s, "added_seq": seq} for s in changed]
+        return {
+            "version": 2,
+            "commit_seq": seq,
+            "commit_kind": kind,
+            "add": sorted(add, key=lambda s: s["file"]),
+            "remove": sorted(
+                set(remove_files) - {s["file"] for s in add}
+            ),
+        }
+
+    return _commit_with_retries(path, build_action, checkpoint_every)
+
+
 def delete_where(
     spark,
     path: str,
@@ -2000,20 +2070,121 @@ def delete_where(
     n_deleted = int(counts["matched"] or 0)
     if n_deleted == 0:
         return man, 0  # nothing matched: publish nothing
-    survivors = df.filter(~F.coalesce(cond, F.lit(False)))
-    w = (
-        survivors.repartition(max(1, len(touched)))
-        .write.format(FORMAT_NAME)
-        .option("path", path)
-        .option(
-            "delete_remove",
-            json.dumps(sorted(s["file"] for s in touched)),
-        )
-        .option("expect_rows", str(int(counts["total"]) - n_deleted))
+    survivors = df.filter(~F.coalesce(cond, F.lit(False))).repartition(
+        max(1, len(touched))
     )
-    w = _bloom_options(w, touched)
-    w.mode("append").save()
-    return read_manifest_dict(path), n_deleted
+    staged = _stage_write(survivors, path, "delete", touched)
+    man2 = _commit_replace(
+        path,
+        kind="delete",
+        remove_files=sorted(s["file"] for s in touched),
+        unchanged=staged,
+        changed=[],
+        expect_unchanged=int(counts["total"]) - n_deleted,
+        expect_changed=0,
+    )
+    return man2, n_deleted
+
+
+def merge_into(
+    spark,
+    path: str,
+    schema,
+    source_df,
+    key_cols: list[str],
+) -> tuple[dict, int, int]:
+    """``MERGE INTO`` the manifest table — upsert by key, copy-on-write,
+    ONE atomic commit (the Delta DML shape on the from-scratch format):
+    target rows whose key appears in ``source_df`` are REPLACED by the
+    source row (matched → UPDATE), source rows with unseen keys are
+    INSERTED, and everything else is untouched.
+
+    Scope: the rewrite touches only shards whose recorded stats admit
+    the source's key RANGE (one 1-row min/max pre-scan per key column)
+    — on a key-clustered table a narrow upsert batch rewrites a
+    handful of files. CDF semantics are exact: untouched-survivor
+    shards ride the commit as ``data_change=false`` (a tailing reader
+    already has those rows) while the upserted rows land in
+    ``data_change=true`` shards stamped with this commit's seq — the
+    tail receives EXACTLY the merged batch, once. Both row classes are
+    count-guarded (survivors = touched − matched; upserts = |source|)
+    and the commit refuses to publish if a replaced shard is no longer
+    live (concurrent-rewrite conflict). ``source_df`` must be
+    key-unique — pre-dedup with ``operators.merge.dedup_last_writer_
+    wins`` — because "which duplicate wins" is not this layer's call.
+    Returns ``(new_manifest, n_updated, n_inserted)``."""
+    from pyspark.sql import functions as F
+
+    man = read_manifest_dict(path)
+    if man is None or not man["shards"]:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    src = source_df
+    n_src = src.count()
+    if n_src == 0:
+        return man, 0, 0
+    if src.select(*key_cols).distinct().count() != n_src:
+        raise ValueError(
+            "merge_into: source has duplicate keys - resolve them first "
+            "(operators.merge.dedup_last_writer_wins) so which row wins "
+            "is explicit"
+        )
+    bounds = src.agg(
+        *[F.min(k).alias(f"mn_{k}") for k in key_cols],
+        *[F.max(k).alias(f"mx_{k}") for k in key_cols],
+    ).first()
+    prune = {k: (bounds[f"mn_{k}"], bounds[f"mx_{k}"]) for k in key_cols}
+    touched, _total = prune_shards(man, prune=prune)
+    keys = src.select(*key_cols)
+    if touched:
+        files = [posixpath.join(path, "shards", s["file"]) for s in touched]
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        tdf = reader.json(files)
+        survivors = tdf.join(F.broadcast(keys), on=key_cols, how="left_anti")
+        n_touched = tdf.count()
+        n_survive = survivors.count()
+    else:
+        survivors = None
+        n_touched = n_survive = 0
+    n_updated = n_touched - n_survive
+    matched_keys = (
+        keys.join(tdf.select(*key_cols), on=key_cols, how="left_semi")
+        .distinct()
+        .count()
+        if touched
+        else 0
+    )
+    n_inserted = n_src - matched_keys
+    # stage each row class separately (a shard is all-survivor or
+    # all-upsert, never mixed), then publish ONE atomic action commit
+    bloom_src = touched or man["shards"]
+    staged_unchanged = (
+        _stage_write(
+            survivors.repartition(max(1, len(touched))),
+            path,
+            "merge-survivors",
+            bloom_src,
+        )
+        if survivors is not None
+        else []
+    )
+    staged_changed = _stage_write(
+        src.repartition(max(1, min(len(touched) or 1, 8))),
+        path,
+        "merge-upserts",
+        bloom_src,
+    )
+    man2 = _commit_replace(
+        path,
+        kind="merge",
+        remove_files=sorted(s["file"] for s in touched),
+        unchanged=staged_unchanged,
+        changed=staged_changed,
+        expect_unchanged=n_survive,
+        expect_changed=n_src,
+    )
+    return man2, n_updated, n_inserted
 
 
 def expire_history(path: str, keep_last: int = 1) -> list[str]:

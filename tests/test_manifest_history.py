@@ -1219,16 +1219,22 @@ def test_delete_where_noop_and_conflict(registered, tmp_path):
     # read and its commit -> the replaced shards are no longer live
     # and the commit must refuse (not resurrect/double rows)
     live = sorted(s["file"] for s in MS.read_manifest_dict(p)["shards"])
-    w = MS.ManifestShardWriter(
-        {"path": p, "delete_remove": __import__("json").dumps(live),
-         "expect_rows": "99"},
-        _df(spark, 1).schema, overwrite=False,
+    staged = MS._stage_write(
+        _df(spark, 99).coalesce(1), p, "conflict-test", []
     )
-    msg = w.write(iter((i, f"a{i}") for i in range(99)))
     MS.compact(spark, p, schema="id long, s string", target_shards=1)
     with pytest.raises(Exception, match="no longer live"):
-        w.commit([msg])
+        MS._commit_replace(
+            p, kind="delete", remove_files=live, unchanged=staged,
+            changed=[], expect_unchanged=99, expect_changed=0,
+        )
     assert MS.read_manifest_dict(p)["n_rows"] == 100  # table unharmed
+    # ... and a count mismatch refuses BEFORE claiming anything
+    with pytest.raises(Exception, match="row count"):
+        MS._commit_replace(
+            p, kind="delete", remove_files=[], unchanged=staged,
+            changed=[], expect_unchanged=98, expect_changed=0,
+        )
 
 
 def test_compact_zorder_by_multi_column_pruning(registered, tmp_path):
@@ -1250,14 +1256,89 @@ def test_compact_zorder_by_multi_column_pruning(registered, tmp_path):
 
     man2 = MS.compact(
         spark, p, schema="id long, k long, s string",
-        target_shards=8, zorder_by=["id", "k"],
+        target_shards=16, zorder_by=["id", "k"],  # 2 tile bits per dim
     )
-    assert man2["n_rows"] == 8192 and len(man2["shards"]) == 8
+    n2 = len(man2["shards"])
+    assert man2["n_rows"] == 8192 and n2 >= 12
     kept_id2, _ = MS.prune_shards(man2, {"id": (0, 511)})
     kept_k2, _ = MS.prune_shards(man2, {"k": (0, 511)})
-    assert len(kept_id2) <= 4 and len(kept_k2) <= 4  # both dims prune
+    assert len(kept_id2) <= n2 // 2 and len(kept_k2) <= n2 // 2
     back = MS.read_manifest(
         spark, p, schema="id long, k long, s string",
         prune={"id": (0, 511)},
     ).filter("id <= 511")
     assert back.count() == 512
+
+
+def test_merge_into_upsert_and_cdf(registered, tmp_path):
+    """MERGE INTO the manifest table: matched keys updated, unseen keys
+    inserted, ONE atomic commit — and the CDF split is exact: a tail
+    that was current before the merge receives EXACTLY the upserted
+    batch (survivor shards ride as data_change=false)."""
+    spark, p = registered, str(tmp_path / "mi1")
+    ckpt = str(tmp_path / "mi1_ck")
+    _write(_df(spark, 8000).repartitionByRange(8, "id"), p, mode="append")
+    assert len(_drain_stream(spark, p, ckpt)) == 8000
+    before = {s["file"] for s in MS.read_manifest_dict(p)["shards"]}
+
+    src = spark.createDataFrame(
+        [(i, f"UP{i}") for i in range(1000, 1010)]     # 10 updates
+        + [(100_000 + i, f"NEW{i}") for i in range(5)],  # 5 inserts
+        "id long, s string",
+    )
+    man2, n_up, n_ins = MS.merge_into(
+        spark, p, "id long, s string", src, ["id"]
+    )
+    assert (n_up, n_ins) == (10, 5)
+    assert man2["commit_kind"] == "merge"
+    assert man2["n_rows"] == 8005
+    # scoped: the source key range [1000, 100004] overlaps every shard
+    # except those entirely below 1000 — at least one survives untouched
+    untouched = before & {s["file"] for s in man2["shards"]}
+    assert untouched
+    back = MS.read_manifest(spark, p, schema="id long, s string")
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert len(got) == 8005
+    assert all(got[i] == f"UP{i}" for i in range(1000, 1010))
+    assert all(got[100_000 + i] == f"NEW{i}" for i in range(5))
+    assert got[999] == "a999" and got[1010] == "a1010"
+    # CDF: the resumed tail receives EXACTLY the merged batch
+    delta = _drain_stream(spark, p, ckpt)
+    assert sorted(delta) == sorted(tuple(r) for r in src.collect())
+    # time travel to the pre-merge version
+    v1 = MS.read_manifest(spark, p, schema="id long, s string", version=1)
+    assert v1.count() == 8000
+
+
+def test_merge_into_guards(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "mi2")
+    _write(_df(spark, 100).repartitionByRange(2, "id"), p, mode="append")
+    seq0 = MS.read_manifest_dict(p)["commit_seq"]
+    # duplicate source keys must be resolved by the caller
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "id long, s string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        MS.merge_into(spark, p, "id long, s string", dup, ["id"])
+    # empty source: no commit
+    empty = spark.createDataFrame([], "id long, s string")
+    man, n_up, n_ins = MS.merge_into(
+        spark, p, "id long, s string", empty, ["id"]
+    )
+    assert (n_up, n_ins) == (0, 0)
+    assert man["commit_seq"] == seq0
+    # pure-insert merge (keys beyond every shard range)
+    ins = spark.createDataFrame([(10**6, "new")], "id long, s string")
+    man, n_up, n_ins = MS.merge_into(
+        spark, p, "id long, s string", ins, ["id"]
+    )
+    assert (n_up, n_ins) == (0, 1) and man["n_rows"] == 101
+    # staging leaves the table untouched until the final commit: the
+    # staged shards exist on disk but the manifest never saw them
+    seq_now = MS.read_manifest_dict(p)["commit_seq"]
+    staged = MS._stage_write(_df(spark, 7, tag="st").coalesce(1), p, "t", [])
+    assert len(staged) == 1 and staged[0]["n_rows"] == 7
+    assert MS.read_manifest_dict(p)["commit_seq"] == seq_now
+    assert os.path.exists(os.path.join(p, "shards", staged[0]["file"]))
+    # an unpublished staged shard is unreferenced garbage: vacuumable
+    assert staged[0]["file"] in MS.vacuum_unreferenced(p)
