@@ -103,6 +103,22 @@ its evolution path — the Delta transaction-log shape:
   coordination service); on real filesystems hard-link publish is
   atomic and exclusive.
 
+Round 10 also completes the DML surface on the same log:
+
+- **DELETE WHERE** (:func:`delete_where`) — copy-on-write rewrites
+  scoped by stats/bloom admission to the shards that MAY hold matches;
+  **MERGE INTO** (:func:`merge_into`) — upsert by key, scoped by the
+  source key range plus per-key bloom probes for small batches. Both
+  stage their shard files without publishing (``stage_commit_path``)
+  and then publish ONE driver-side action commit with per-class
+  row-count guards and a write-conflict refusal when a replaced shard
+  is no longer live. CDF stays exact: survivors ride
+  ``data_change=false``, merge upserts land as new data — a tailing
+  reader receives exactly the DML delta; :func:`table_changes` is the
+  batch twin of that tail. ``compact(zorder_by=[cols])`` is OPTIMIZE
+  ZORDER BY (Morton-clustered rewrite; stats turn narrow on every
+  listed column).
+
 Remaining driver costs: one listing + one small-JSON read per snapshot
 resolution; O(versions-in-range) small reads per stream micro-batch
 (bound with ``max_versions_per_trigger``, which binds from the FIRST
@@ -2135,6 +2151,21 @@ def merge_into(
     prune = {k: (bounds[f"mn_{k}"], bounds[f"mx_{k}"]) for k in key_cols}
     touched, _total = prune_shards(man, prune=prune)
     keys = src.select(*key_cols)
+    if len(key_cols) == 1 and n_src <= 10_000 and touched:
+        # bloom refinement for SMALL single-column batches: range
+        # admission is useless on hash-partitioned tables (every
+        # shard's key range covers the domain), but the per-shard
+        # Bloom filters identify the actual holders per key — a
+        # 10k-key upsert rewrites the few shards that hold its keys,
+        # not the table. Bounded driver work: O(keys) hashes +
+        # O(keys x shards) bit probes; larger batches keep the
+        # range-only scope (collecting their keys would not be).
+        k = key_cols[0]
+        vals = [r[0] for r in keys.collect()]
+        touched = [
+            s for s in touched
+            if any(_shard_admits_eq(s, k, v) for v in vals)
+        ]
     if touched:
         files = [posixpath.join(path, "shards", s["file"]) for s in touched]
         reader = spark.read
@@ -2185,6 +2216,45 @@ def merge_into(
         expect_changed=n_src,
     )
     return man2, n_updated, n_inserted
+
+
+def table_changes(
+    spark,
+    path: str,
+    schema,
+    start_version: int,
+    end_version: int | None = None,
+):
+    """Batch CDF read — the rows ADDED in commits ``(start_version,
+    end_version]``, exactly what a stream tail positioned at
+    ``start_version`` would deliver over that range (same rules, same
+    code: the stream reader's partition selection is reused verbatim —
+    overwrite boundaries drop superseded versions, rewrites with
+    ``data_change=false`` are invisible, replayed content keeps its
+    original ``added_seq``). ``start_version=0`` with expired history
+    returns the initial snapshot. The Delta ``table_changes`` shape on
+    this format; rows come back through the JVM JSON fast path."""
+    if schema is None:
+        raise ValueError(
+            "table_changes requires an explicit schema - the change "
+            "set can legitimately be empty, and an empty result still "
+            "needs typed columns"
+        )
+    if end_version is None:
+        man = read_manifest_dict(path)
+        end_version = man.get("commit_seq", 0) if man else 0
+    r = ManifestShardStreamReader(
+        StructType(), {"path": path}
+    )
+    parts = r.partitions(
+        {"seq": int(start_version)}, {"seq": int(end_version)}
+    )
+    files = [
+        posixpath.join(path, "shards", p.shard) for p in parts if p.shard
+    ]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
 
 
 def expire_history(path: str, keep_last: int = 1) -> list[str]:

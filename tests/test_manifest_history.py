@@ -1342,3 +1342,70 @@ def test_merge_into_guards(registered, tmp_path):
     assert os.path.exists(os.path.join(p, "shards", staged[0]["file"]))
     # an unpublished staged shard is unreferenced garbage: vacuumable
     assert staged[0]["file"] in MS.vacuum_unreferenced(p)
+
+
+def test_table_changes_batch_cdf(registered, tmp_path):
+    """table_changes(start, end) = the batch twin of the stream tail:
+    rows ADDED in (start, end], compaction rewrites invisible,
+    overwrite boundaries honored, merge deltas exact."""
+    spark, p = registered, str(tmp_path / "tc1")
+    schema = "id long, s string"
+    _write(_df(spark, 4, tag="a").coalesce(1), p, mode="append")     # v1
+    _write(_df(spark, 2, tag="b").coalesce(1), p, mode="append")     # v2
+    MS.compact(spark, p, schema=schema, target_shards=1)             # v3
+    src = spark.createDataFrame([(0, "UP"), (900, "NEW")], schema)
+    MS.merge_into(spark, p, schema, src, ["id"])                     # v4
+
+    def ch(lo, hi=None):
+        return sorted(
+            tuple(r) for r in
+            MS.table_changes(spark, p, schema, lo, hi).collect()
+        )
+
+    assert ch(0, 1) == [(i, f"a{i}") for i in range(4)]
+    assert ch(1, 2) == [(0, "b0"), (1, "b1")]
+    assert ch(2, 3) == []                      # compaction: no new data
+    assert ch(3, 4) == [(0, "UP"), (900, "NEW")]  # the merge delta
+    assert ch(0) == sorted(
+        [(i, f"a{i}") for i in range(4)] + [(0, "b0"), (1, "b1")]
+        + [(0, "UP"), (900, "NEW")]
+    )
+    # an overwrite is a replay boundary for the batch reader too
+    _write(_df(spark, 3, tag="z").coalesce(1), p, mode="overwrite")  # v5
+    assert ch(0) == [(i, f"z{i}") for i in range(3)]
+    with pytest.raises(ValueError, match="explicit schema"):
+        MS.table_changes(spark, p, None, 0)
+
+
+def test_merge_into_bloom_scoped_on_hash_partitioned_table(
+    registered, tmp_path
+):
+    """A small upsert batch on a HASH-partitioned table: key ranges
+    overlap everywhere (range admission keeps all shards), but the
+    per-shard blooms identify the true holders — the merge rewrites
+    only those."""
+    spark, p = registered, str(tmp_path / "mb1")
+    (
+        _df(spark, 4000)
+        .repartition(8, "id")
+        .write.format(MS.FORMAT_NAME)
+        .option("path", p)
+        .option("bloom_columns", "id")
+        .mode("append")
+        .save()
+    )
+    before = {s["file"] for s in MS.read_manifest_dict(p)["shards"]}
+    src = spark.createDataFrame(
+        [(777, "UP777"), (5000, "NEW")], "id long, s string"
+    )
+    man2, n_up, n_ins = MS.merge_into(
+        spark, p, "id long, s string", src, ["id"]
+    )
+    assert (n_up, n_ins) == (1, 1)
+    untouched = before & {s["file"] for s in man2["shards"]}
+    # range admission alone would rewrite all 8; blooms scope it down
+    assert len(untouched) >= 5
+    got = {r["id"]: r["s"] for r in MS.read_manifest(
+        spark, p, schema="id long, s string"
+    ).collect()}
+    assert got[777] == "UP777" and got[5000] == "NEW" and len(got) == 4001
