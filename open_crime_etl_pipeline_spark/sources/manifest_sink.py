@@ -2128,6 +2128,11 @@ def merge_into(
     live (concurrent-rewrite conflict). ``source_df`` must be
     key-unique — pre-dedup with ``operators.merge.dedup_last_writer_
     wins`` — because "which duplicate wins" is not this layer's call.
+    Like :func:`compact` and :func:`delete_where`, the rewrite
+    PROJECTS touched rows through ``schema`` — pass the table's FULL
+    schema, or columns outside it are dropped from the rewritten
+    shards (schemaless JSON-lines shards make evolution a read-side
+    concern, but a rewrite re-serializes).
     Returns ``(new_manifest, n_updated, n_inserted)``."""
     from pyspark.sql import functions as F
 
@@ -2172,7 +2177,10 @@ def merge_into(
         if schema is not None:
             reader = reader.schema(schema)
         tdf = reader.json(files)
-        survivors = tdf.join(F.broadcast(keys), on=key_cols, how="left_anti")
+        # broadcast the key set only while it is broadcast-SIZED; a
+        # bulk merge's keys join shuffled (AQE picks the strategy)
+        keys_side = F.broadcast(keys) if n_src <= 100_000 else keys
+        survivors = tdf.join(keys_side, on=key_cols, how="left_anti")
         n_touched = tdf.count()
         n_survive = survivors.count()
     else:
@@ -2320,11 +2328,20 @@ def vacuum_unreferenced(path: str) -> list[str]:
     retained history snapshot references — garbage from overwritten or
     compacted versions whose history has been expired. Retained history
     keeps its shards so time travel and stream replay stay valid; run
-    :func:`expire_history` first to release old versions. Returns the
-    deleted names."""
+    :func:`expire_history` first to release old versions. Stale DML
+    staging files (crashed :func:`delete_where`/:func:`merge_into`
+    runs) are collected too. Like Delta's VACUUM, this assumes no
+    write is in flight on the table — a concurrent DML's staged-but-
+    unpublished shards look exactly like garbage. Returns the deleted
+    shard names (staging housekeeping is not reported)."""
     from pyarrow.fs import FileSelector, FileType
 
     fs, root = _fs_for(path)
+    sdir_stage = posixpath.join(root, "staging")
+    if fs.get_file_info(sdir_stage).type != FileType.NotFound:
+        for info in fs.get_file_info(FileSelector(sdir_stage)):
+            if info.type == FileType.File:
+                fs.delete_file(info.path)
     live: set[str] = set()
     man = read_manifest_dict(path)
     if man:
