@@ -1923,6 +1923,8 @@ def compact(
     man = read_manifest_dict(path)
     df = read_manifest(spark, path, schema=schema)
     if zorder_by:
+        import math
+
         from ..io.layout import zorder_key
 
         stats = df.agg(
@@ -1935,11 +1937,50 @@ def compact(
             mins=[stats[f"mn_{c}"] for c in zorder_by],
             maxs=[stats[f"mx_{c}"] for c in zorder_by],
         )
+        # EXACT tile -> shard assignment. Each output shard must hold
+        # exactly one z-TILE (the top ceil(log2(target)) key bits):
+        # range-partitioning the key (or even the tile id) lets the
+        # sampled quantile boundaries land mid-tile, and a shard
+        # straddling a tile edge widens its min/max to the union of
+        # BOTH tiles — measurably weaker pruning under some samplings
+        # (caught by the suite). Hash partitioning is exact but
+        # collides tiles; so remap each tile id to a PROBE value whose
+        # murmur3 hash lands in its own partition — computed with one
+        # tiny driver-side job replicating HashPartitioning's
+        # pmod(hash, n) — and repartition on the remapped column:
+        # tile t goes to partition t, deterministically, no sampling.
+        n = len(zorder_by)
+        eff_bits = zorder_bits if zorder_bits * n <= 63 else 63 // n
+        tile_bits = max(1, math.ceil(math.log2(max(2, target_shards))))
+        shift = max(0, eff_bits * n - tile_bits)
+        n_tiles = 1 << tile_bits  # shard count rounds UP to a power of 2
+        probes = {
+            int(r["p"]): int(r["probe"])
+            for r in spark.range(0, 64 * n_tiles)
+            .select(
+                "id", F.pmod(F.hash(F.col("id")), F.lit(n_tiles)).alias("p")
+            )
+            .groupBy("p")
+            .agg(F.min("id").alias("probe"))
+            .collect()
+        }
+        if len(probes) < n_tiles:  # astronomically unlikely at 64x
+            raise ValueError(
+                "compact zorder_by: could not find a probe value for "
+                f"every tile partition ({len(probes)}/{n_tiles})"
+            )
+        remap = F.create_map(
+            *[F.lit(v) for t in range(n_tiles) for v in (t, probes[t])]
+        )
         df = (
             df.withColumn("__z", z)
-            .repartitionByRange(target_shards, "__z")
+            .withColumn(
+                "__zp",
+                remap[F.shiftright(F.col("__z"), shift)].cast("long"),
+            )
+            .repartition(n_tiles, "__zp")
             .sortWithinPartitions("__z")
-            .drop("__z")
+            .drop("__z", "__zp")
         )
     else:
         df = df.repartition(target_shards)
