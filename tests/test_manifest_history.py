@@ -1351,7 +1351,10 @@ def test_table_changes_batch_cdf(registered, tmp_path):
     spark, p = registered, str(tmp_path / "tc1")
     schema = "id long, s string"
     _write(_df(spark, 4, tag="a").coalesce(1), p, mode="append")     # v1
-    _write(_df(spark, 2, tag="b").coalesce(1), p, mode="append")     # v2
+    # v2's keys must NOT collide with v1's: merge_into refuses
+    # duplicate-key targets (the round-10 ADVICE guard)
+    b = spark.createDataFrame([(100, "b100"), (101, "b101")], schema)
+    _write(b.coalesce(1), p, mode="append")                          # v2
     MS.compact(spark, p, schema=schema, target_shards=1)             # v3
     src = spark.createDataFrame([(0, "UP"), (900, "NEW")], schema)
     MS.merge_into(spark, p, schema, src, ["id"])                     # v4
@@ -1363,11 +1366,11 @@ def test_table_changes_batch_cdf(registered, tmp_path):
         )
 
     assert ch(0, 1) == [(i, f"a{i}") for i in range(4)]
-    assert ch(1, 2) == [(0, "b0"), (1, "b1")]
+    assert ch(1, 2) == [(100, "b100"), (101, "b101")]
     assert ch(2, 3) == []                      # compaction: no new data
     assert ch(3, 4) == [(0, "UP"), (900, "NEW")]  # the merge delta
     assert ch(0) == sorted(
-        [(i, f"a{i}") for i in range(4)] + [(0, "b0"), (1, "b1")]
+        [(i, f"a{i}") for i in range(4)] + [(100, "b100"), (101, "b101")]
         + [(0, "UP"), (900, "NEW")]
     )
     # an overwrite is a replay boundary for the batch reader too

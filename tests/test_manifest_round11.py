@@ -1,0 +1,402 @@
+"""Round-11 manifest-format guarantees: truncated string stats
+(prefix-bound admission stays conservative and exact-byte-small action
+files on text tables), UPDATE WHERE SET (the third DML verb), the
+protocol min_reader guard, metadata-only table_stats, filtered stream
+tails, the legacy-snapshot replay dedup, independent bloom-geometry
+maxes on rewrite, and the merge target-duplicate guard."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from open_crime_etl_pipeline_spark.sources import manifest_sink as MS
+
+from tests.test_manifest_sink import _df, _write
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    MS.register(spark)
+    return spark
+
+
+# -- _truncate_string_bounds unit contract --------------------------------
+
+def test_truncate_string_bounds_unit():
+    # short values pass through untouched
+    assert MS._truncate_string_bounds("abc", "xyz", 32) == (
+        "abc", "xyz", False,
+    )
+    lo, hi, t = MS._truncate_string_bounds("a" * 40, "b" * 40, 8)
+    assert t and lo == "a" * 8
+    # prefix-successor: strictly above EVERY string with that prefix
+    assert hi == "b" * 7 + "c" and hi > "b" * 40
+    assert lo <= "a" * 40
+    # only one side long
+    lo, hi, t = MS._truncate_string_bounds("a", "z" * 40, 4)
+    assert (lo, t) == ("a", True) and hi == "zzz{" and hi > "z" * 40
+    # no successor exists: unbounded above
+    top = chr(0x10FFFF) * 6
+    lo, hi, t = MS._truncate_string_bounds("m", top, 4)
+    assert t and hi is None
+    # an increment landing in the surrogate gap skips to U+E000
+    m = "k" + chr(0xD7FF)
+    lo, hi, t = MS._truncate_string_bounds("a", m + "tail", 2)
+    assert t and hi == "k" + chr(0xE000) and hi > m + "tail"
+    # the bound encodes cleanly (it must survive json round-trips)
+    assert json.loads(json.dumps(hi)) == hi
+
+
+def test_truncated_stats_admission_is_conservative(registered, tmp_path):
+    """Planted strings either side of the truncation point: range and
+    point admission must KEEP every true holder under truncated
+    bounds (they may over-admit, never under-admit)."""
+    spark, p = registered, str(tmp_path / "tr1")
+    vals = [
+        "a" * 40,            # truncates the lower bound
+        "m" + "q" * 40,      # interior long value
+        "z" * 40,            # truncates the upper bound
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, s string")
+    (
+        df.coalesce(1).write.format(MS.FORMAT_NAME)
+        .option("path", p)
+        .option("stats_trunc_len", "8")
+        .option("bloom_columns", "s")
+        .mode("append").save()
+    )
+    man = MS.read_manifest_dict(p)
+    (shard,) = man["shards"]
+    assert shard["stats_trunc"] == ["s"]
+    smin, smax = shard["stats"]["s"]
+    assert len(smin) <= 8 and len(smax) <= 8
+    assert smin <= min(vals) and smax > max(vals)
+    # every stored value must be admitted by its own shard's stats
+    for v in vals:
+        assert MS._shard_admits_eq(shard, "s", v)
+        assert MS._shard_admits_range(shard, "s", v, v)
+    # ...and values outside the REAL range but inside the widened
+    # truncated range stay admitted (over-read, harmless) while values
+    # beyond the prefix bounds are skipped
+    assert not MS._shard_admits_range(shard, "s", "A", "Z")  # below lo
+    assert not MS._shard_admits_eq(shard, "s", "zzzzzzzzz")  # bloom says no
+    # a None upper bound admits everything above
+    shard2 = {
+        "n_rows": 1,
+        "stats": {"s": ["a", None]},
+        "stats_trunc": ["s"],
+    }
+    assert MS._shard_admits_range(shard2, "s", "zzz", None)
+    assert MS._shard_admits_eq(shard2, "s", chr(0x10FFFF) * 5)
+
+
+def test_truncation_keeps_action_files_small(registered, tmp_path):
+    """The round-10 verdict's headline case: a documents-style table
+    whose text column holds whole bodies. With the default truncation
+    the action file stays O(delta) in BYTES; disabling it embeds the
+    bodies."""
+    spark = registered
+    body = "lorem ipsum " * 2000  # ~24 KB per value
+    df = spark.createDataFrame(
+        [(i, f"{body}{i:06d}") for i in range(4)], "doc_id long, text string"
+    )
+    p_on = str(tmp_path / "small")
+    p_off = str(tmp_path / "big")
+    df.coalesce(1).write.format(MS.FORMAT_NAME).option("path", p_on) \
+        .mode("append").save()
+    df.coalesce(1).write.format(MS.FORMAT_NAME).option("path", p_off) \
+        .option("stats_trunc_len", "0").mode("append").save()
+    act_on = os.path.getsize(
+        os.path.join(p_on, MS.HISTORY_DIR, MS._history_name(1))
+    )
+    act_off = os.path.getsize(
+        os.path.join(p_off, MS.HISTORY_DIR, MS._history_name(1))
+    )
+    assert act_on < 2_000, f"truncated action file is {act_on}B"
+    assert act_off > 40_000  # untruncated embeds both bodies
+    # same rows read back either way
+    a = MS.read_manifest(spark, p_on, "doc_id long, text string")
+    b = MS.read_manifest(spark, p_off, "doc_id long, text string")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# -- protocol guard --------------------------------------------------------
+
+def test_protocol_min_reader_guard(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "proto1")
+    _write(_df(spark, 5).coalesce(1), p, mode="append")
+    act = os.path.join(p, MS.HISTORY_DIR, MS._history_name(1))
+    doc = json.load(open(act))
+    assert doc["min_reader"] == MS._READER_VERSION  # writers stamp it
+    doc["min_reader"] = MS._READER_VERSION + 97
+    json.dump(doc, open(act, "w"))
+    with pytest.raises(MS.ManifestProtocolError, match="protocol"):
+        MS.read_manifest_dict(p)
+    with pytest.raises(MS.ManifestProtocolError):
+        MS.read_manifest_dict(p, version=1)
+    # pre-round-11 documents (no field) keep reading: default 0
+    doc.pop("min_reader")
+    json.dump(doc, open(act, "w"))
+    assert MS.read_manifest_dict(p)["n_rows"] == 5
+
+
+# -- legacy full-snapshot replay dedup (round-10 ADVICE) -------------------
+
+def test_legacy_snapshot_tail_not_redelivered_across_batches(
+    registered, tmp_path
+):
+    """Two legacy full-snapshot log entries both listing the same shard
+    WITHOUT added_seq: a tail replaying them across separate batches
+    must deliver the shard once (default 1 = the documented
+    pre-added_seq rule), not once per window."""
+    spark, p = registered, str(tmp_path / "leg1")
+    _write(_df(spark, 3).coalesce(1), p, mode="append")
+    man = MS.read_manifest_dict(p)
+    strip = [
+        {k: v for k, v in s.items() if k != "added_seq"}
+        for s in man["shards"]
+    ]
+    hdir = os.path.join(p, MS.HISTORY_DIR)
+    for v in (1, 2):
+        json.dump(
+            {"version": 1, "commit_seq": v, "commit_kind": "append",
+             "shards": strip, "n_rows": man["n_rows"]},
+            open(os.path.join(hdir, MS._history_name(v)), "w"),
+        )
+    json.dump({"version": 2, "commit_seq": 2, "checkpoint_seq": 0},
+              open(os.path.join(p, MS.MANIFEST), "w"))
+    r = MS.ManifestShardStreamReader(None, {"path": p})
+    batch1 = [x.shard for x in r.partitions({"seq": 0}, {"seq": 1})
+              if x.shard]
+    batch2 = [x.shard for x in r.partitions({"seq": 1}, {"seq": 2})
+              if x.shard]
+    assert len(batch1) == 1          # delivered in the seq-1 window...
+    assert batch2 == []              # ...and never again
+
+
+# -- UPDATE WHERE SET ------------------------------------------------------
+
+def test_update_where_basic_and_cdf(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "up1")
+    schema = "id long, s string"
+    (
+        _df(spark, 400).repartitionByRange(4, "id")
+        .write.format(MS.FORMAT_NAME).option("path", p)
+        .mode("append").save()
+    )
+    before = {s["file"] for s in MS.read_manifest_dict(p)["shards"]}
+    man2, n_up = MS.update_where(
+        spark, p, schema,
+        F.col("id").between(100, 199),
+        {"s": F.concat(F.lit("UPD"), F.col("id").cast("string"))},
+        prune={"id": (100, 199)},
+    )
+    assert n_up == 100
+    assert man2["n_rows"] == 400                    # row conservation
+    assert man2["commit_kind"] == "update"
+    untouched = before & {s["file"] for s in man2["shards"]}
+    assert len(untouched) >= len(before) // 2       # scoped rewrite
+    back = MS.read_manifest(spark, p, schema)
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert len(got) == 400
+    for i in range(400):
+        assert got[i] == (f"UPD{i}" if 100 <= i <= 199 else f"a{i}")
+    # CDF: the update delta is exactly the post-image of updated rows
+    delta = sorted(
+        tuple(r) for r in MS.table_changes(
+            spark, p, schema, man2["commit_seq"] - 1, man2["commit_seq"]
+        ).collect()
+    )
+    assert delta == [(i, f"UPD{i}") for i in range(100, 200)]
+
+
+def test_update_where_set_sees_pre_update_row(registered, tmp_path):
+    """Assignments evaluate against the PRE-update row: swapping two
+    columns through each other must not chain."""
+    spark, p = registered, str(tmp_path / "up2")
+    schema = "a long, b long"
+    df = spark.createDataFrame([(1, 10), (2, 20)], schema)
+    df.coalesce(1).write.format(MS.FORMAT_NAME).option("path", p) \
+        .mode("append").save()
+    MS.update_where(
+        spark, p, schema, F.lit(True), {"a": F.col("b"), "b": F.col("a")}
+    )
+    got = sorted(
+        tuple(r) for r in MS.read_manifest(spark, p, schema).collect()
+    )
+    assert got == [(10, 1), (20, 2)]
+
+
+def test_update_where_null_predicate_rows_survive(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "up3")
+    schema = "id long, v long"
+    df = spark.createDataFrame([(1, None), (2, 5), (3, 50)], schema)
+    df.coalesce(1).write.format(MS.FORMAT_NAME).option("path", p) \
+        .mode("append").save()
+    _man, n_up = MS.update_where(
+        spark, p, schema, F.col("v") > 10, {"v": F.lit(0)}
+    )
+    assert n_up == 1  # NULL > 10 is NULL, not TRUE: row 1 survives
+    got = sorted(
+        tuple(r) for r in MS.read_manifest(spark, p, schema).collect()
+    )
+    assert got == [(1, None), (2, 5), (3, 0)]
+
+
+def test_update_where_noop_guards_and_conflict(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "up4")
+    schema = "id long, s string"
+    # two shards: the racing compact below collapses them into ONE, so
+    # the update's snapshot-read shard set is genuinely no longer live
+    # (a single-shard table compacted to 1 is content-addressed to the
+    # SAME file and would not conflict)
+    _write(_df(spark, 20).repartitionByRange(2, "id"), p, mode="append")
+    man0 = MS.read_manifest_dict(p)
+    # zero matches: publish nothing
+    man1, n = MS.update_where(
+        spark, p, schema, F.col("id") > 10_000, {"s": F.lit("x")}
+    )
+    assert n == 0 and man1["commit_seq"] == man0["commit_seq"]
+    # bad SET target
+    with pytest.raises(ValueError, match="not in schema"):
+        MS.update_where(spark, p, schema, F.lit(True), {"nope": F.lit(1)})
+    with pytest.raises(ValueError, match="non-empty"):
+        MS.update_where(spark, p, schema, F.lit(True), {})
+    # write-conflict: a compact between snapshot read and publish
+    orig = MS._commit_replace
+
+    def racing(path, **kw):
+        MS.compact(spark, path, schema=schema, target_shards=1)
+        return orig(path, **kw)
+
+    MS._commit_replace = racing
+    try:
+        with pytest.raises(ValueError, match="no longer live"):
+            MS.update_where(
+                spark, p, schema, F.col("id") < 5, {"s": F.lit("x")}
+            )
+    finally:
+        MS._commit_replace = orig
+
+
+# -- merge target-duplicate guard (round-10 ADVICE) ------------------------
+
+def test_merge_into_refuses_duplicate_key_target(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "mdup")
+    schema = "id long, s string"
+    dup = spark.createDataFrame([(7, "x"), (7, "y"), (8, "z")], schema)
+    dup.coalesce(1).write.format(MS.FORMAT_NAME).option("path", p) \
+        .mode("append").save()
+    src = spark.createDataFrame([(7, "UP")], schema)
+    with pytest.raises(ValueError, match="duplicate keys among matched"):
+        MS.merge_into(spark, p, schema, src, ["id"])
+    # the table is untouched and nothing was published
+    assert MS.read_manifest_dict(p)["commit_seq"] == 1
+    # a merge NOT touching the duplicated key still works
+    man2, n_up, n_ins = MS.merge_into(
+        spark, p, schema,
+        spark.createDataFrame([(8, "UP8"), (9, "NEW")], schema), ["id"],
+    )
+    assert (n_up, n_ins) == (1, 1)
+
+
+# -- metadata-only table stats ---------------------------------------------
+
+def test_table_stats_metadata_only(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "ts1")
+    body = "x" * 200
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else i * 2, body + str(i))
+         for i in range(50)],
+        "id long, v long, text string",
+    )
+    df.repartition(4).write.format(MS.FORMAT_NAME).option("path", p) \
+        .mode("append").save()
+    st = MS.table_stats(p)
+    assert st["n_rows"] == 50
+    assert st["columns"]["id"] == {"min": 0, "max": 49, "null_count": 0}
+    assert st["columns"]["v"]["min"] == 2
+    assert st["columns"]["v"]["max"] == 98
+    assert st["columns"]["v"]["null_count"] == 10
+    # truncated string column: null_count still exact, min/max omitted
+    assert "min" not in st["columns"]["text"]
+    assert st["columns"]["text"]["null_count"] == 0
+    # as-of stats
+    MS.delete_where(spark, p, "id long, v long, text string",
+                    F.col("id") < 10)
+    st2 = MS.table_stats(p)
+    assert st2["n_rows"] == 40
+    assert MS.table_stats(p, version=1)["n_rows"] == 50
+
+
+# -- filtered stream tail ---------------------------------------------------
+
+def test_stream_tail_prune_options(registered, tmp_path):
+    """A filtered tail over a range-clustered table plans FEWER shard
+    partitions per batch; delivered rows (plus the row-level filter)
+    are identical to an unfiltered tail."""
+    spark, p = registered, str(tmp_path / "sp1")
+    (
+        _df(spark, 800).repartitionByRange(8, "id")
+        .write.format(MS.FORMAT_NAME).option("path", p)
+        .mode("append").save()
+    )
+    man = MS.read_manifest_dict(p)
+    full = MS.ManifestShardStreamReader(None, {"path": p})
+    pruned = MS.ManifestShardStreamReader(
+        None, {"path": p, "prune": json.dumps({"id": [100, 199]})}
+    )
+    hi = {"seq": man["commit_seq"]}
+    n_full = len([x for x in full.partitions({"seq": 0}, hi) if x.shard])
+    kept = [x for x in pruned.partitions({"seq": 0}, hi) if x.shard]
+    assert n_full == 8
+    assert 1 <= len(kept) <= 2  # only the admitting tiles
+    # identical results: decode the kept shards, row-filter, compare
+    schema = "id long, s string"
+    got = sorted(
+        tuple(r)
+        for r in spark.read.schema(schema).json(
+            [os.path.join(p, "shards", x.shard) for x in kept]
+        ).filter(F.col("id").between(100, 199)).collect()
+    )
+    assert got == [(i, f"a{i}") for i in range(100, 200)]
+    # prune_eq rides the blooms the same way
+    eq = MS.ManifestShardStreamReader(
+        None, {"path": p, "prune_eq": json.dumps({"id": 150})}
+    )
+    kept_eq = [x for x in eq.partitions({"seq": 0}, hi) if x.shard]
+    assert len(kept_eq) <= 2
+
+
+# -- bloom geometry carried independently (round-10 ADVICE) ----------------
+
+def test_bloom_rewrite_geometry_independent_max(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "bg1")
+    (
+        _df(spark, 100).coalesce(1)
+        .write.format(MS.FORMAT_NAME).option("path", p)
+        .option("bloom_columns", "id")
+        .option("bloom_bits", "32768").option("bloom_hashes", "3")
+        .mode("append").save()
+    )
+    (
+        spark.createDataFrame([(1000 + i, f"b{i}") for i in range(50)],
+                              "id long, s string")
+        .coalesce(1)
+        .write.format(MS.FORMAT_NAME).option("path", p)
+        .option("bloom_columns", "s")
+        .option("bloom_bits", "16384").option("bloom_hashes", "11")
+        .mode("append").save()
+    )
+    man2 = MS.compact(spark, p, schema="id long, s string",
+                      target_shards=1)
+    (shard,) = man2["shards"]
+    geo = {(b["m"], b["k"]) for b in shard["blooms"].values()}
+    # m and k maxed INDEPENDENTLY: k=11 must ride with m=32768
+    assert geo == {(32768, 11)}
