@@ -139,7 +139,9 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
@@ -558,6 +560,40 @@ def _string_fields(schema: StructType) -> set[str]:
     }
 
 
+def _needs_row_norm(dt) -> bool:
+    """Does this type tree contain a struct? Struct values reach the
+    ROW write path as :class:`Row` objects — a tuple subclass that
+    ``json.dumps`` would serialize as a JSON ARRAY, which every read
+    path (the custom decoders and Spark's JSON source alike) reads
+    back as NULL for a struct column. Such columns get normalized to
+    dicts per value (:func:`_norm_nested_rows`) before serialization;
+    everything else pays nothing."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _needs_row_norm(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _needs_row_norm(dt.keyType) or _needs_row_norm(dt.valueType)
+    return False
+
+
+def _norm_nested_rows(v):
+    """Row -> dict at every depth (Row.asDict(True) recurses through
+    nested Rows, lists, and dicts); lists/dicts that may HOLD Rows
+    recurse here."""
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return v.asDict(True)
+    if isinstance(v, list):
+        return [_norm_nested_rows(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _norm_nested_rows(x) for k, x in v.items()}
+    return v
+
+
 def _stats_fields(schema: StructType) -> list[str]:
     """Columns that get shard-level min/max stats: orderable scalars
     whose serialized order is unambiguous (integral/floating types
@@ -760,6 +796,9 @@ class ManifestShardWriter(DataSourceWriter):
 
         fields = self.schema.fieldNames()
         stat_cols = set(_stats_fields(self.schema))
+        norm_cols = [
+            f.name for f in self.schema.fields if _needs_row_norm(f.dataType)
+        ]
         mins: dict = {}
         maxs: dict = {}
         nulls: dict = {c: 0 for c in stat_cols}
@@ -771,6 +810,10 @@ class ManifestShardWriter(DataSourceWriter):
             with gzip.GzipFile(fileobj=spool, mode="wb", mtime=0) as gz:
                 for row in iterator:
                     d = dict(zip(fields, row))
+                    for c in norm_cols:  # nested Row -> dict (JSON object)
+                        v = d.get(c)
+                        if v is not None:
+                            d[c] = _norm_nested_rows(v)
                     for c in stat_cols:  # shard-level min/max, nulls counted
                         v = d.get(c)
                         if v is None:
@@ -802,20 +845,35 @@ class ManifestShardWriter(DataSourceWriter):
             digest = h.hexdigest()
             shard = f"shard-{digest}.jsonl.gz"
             if n_rows:  # empty partitions contribute no shard
-                import uuid
+                self._upload(spool, shard)
+        return self._emit(shard, n_rows, digest, mins, maxs, nulls,
+                          bloom_bits)
 
-                fs, root = _fs_for(self.path)
-                fs.create_dir(posixpath.join(root, "shards"), recursive=True)
-                final = posixpath.join(root, "shards", shard)
-                tmp = f"{final}.{uuid.uuid4().hex}.tmp"
-                spool.seek(0)
-                with fs.open_output_stream(tmp) as out:
-                    while True:
-                        chunk = spool.read(1 << 20)
-                        if not chunk:
-                            break
-                        out.write(chunk)
-                fs.move(tmp, final)
+    def _upload(self, spool, shard: str) -> None:
+        """Stream the spooled COMPRESSED bytes to their final
+        content-addressed name via a unique temp + atomic move."""
+        import uuid
+
+        fs, root = _fs_for(self.path)
+        fs.create_dir(posixpath.join(root, "shards"), recursive=True)
+        final = posixpath.join(root, "shards", shard)
+        tmp = f"{final}.{uuid.uuid4().hex}.tmp"
+        spool.seek(0)
+        with fs.open_output_stream(tmp) as out:
+            while True:
+                chunk = spool.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+        fs.move(tmp, final)
+
+    def _emit(
+        self, shard: str, n_rows: int, digest: str,
+        mins: dict, maxs: dict, nulls: dict, bloom_bits: dict,
+    ) -> ShardCommit:
+        """Build the commit message — stats truncation and bloom
+        encoding shared by the row and Arrow write paths, so the two
+        can never diverge on manifest semantics."""
         import base64
 
         stats_out: dict = {}
@@ -839,8 +897,8 @@ class ManifestShardWriter(DataSourceWriter):
             nulls=dict(nulls) or None,
             blooms={
                 c: {
-                    "m": bm,
-                    "k": bk,
+                    "m": self.bloom_m,
+                    "k": self.bloom_k,
                     "bits": base64.b64encode(bytes(bits)).decode("ascii"),
                 }
                 for c, bits in bloom_bits.items()
@@ -1040,6 +1098,189 @@ class ManifestShardWriter(DataSourceWriter):
                 pass  # best effort; unreferenced shards are vacuumable
 
 
+def _arrow_write_ok(schema: StructType) -> bool:
+    """May the Arrow write path serve this schema byte-identically to
+    the row path? Leaf allowlist = the types whose ``to_pylist()``
+    values are EXACTLY what the row-path worker conversion delivers
+    (so ``json.dumps`` emits the same bytes and the content address is
+    stable across paths). Excluded, falling back to the row writer:
+    maps anywhere (``to_pylist`` yields tuple-lists, not dicts),
+    NESTED tz-aware timestamps (their per-value local-zone conversion
+    is only special-cased at the top level — the mirror of the READ
+    plan's exclusions), and anything exotic (UDT/Variant/char)."""
+    from pyspark.sql import types as T
+
+    ntz = getattr(T, "TimestampNTZType", None)
+    # EXACT types, not isinstance: a StringType SUBCLASS (char/varchar/
+    # collated variants) may convert differently — unknown means row path
+    leaves = {
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.BooleanType, T.StringType,
+        T.BinaryType, T.DateType, T.DecimalType,
+    } | ({ntz} if ntz else set())
+
+    def ok(dt, top: bool) -> bool:
+        if type(dt) is T.TimestampType:
+            return top
+        if type(dt) is T.ArrayType:
+            return ok(dt.elementType, False)
+        if type(dt) is T.StructType:
+            return all(ok(f.dataType, False) for f in dt.fields)
+        return type(dt) in leaves
+
+    try:
+        return all(ok(f.dataType, True) for f in schema.fields)
+    except Exception:
+        return False
+
+
+class ManifestArrowShardWriter(ManifestShardWriter, DataSourceArrowWriter):
+    """Arrow-vectorized batch write path (round-10 verdict item 2):
+    the engine hands ``write()`` ``pyarrow.RecordBatch``es directly —
+    no per-row pickling or Row construction in the worker conversion
+    layer (the write-side twin of the round-10 Arrow READ path).
+
+    What stays per-row Python is only what the FORMAT requires:
+    ``json.dumps`` per line (the shard encoding is canonical JSON
+    lines) and Bloom bit-setting per value. Everything else is
+    vectorized: null counts come from Arrow validity bitmaps, min/max
+    from the C++ ``min_max`` kernel, and tz-aware timestamp columns
+    convert per COLUMN (the two min/max scalars convert after the
+    kernel — ``astimezone`` is monotonic, so instant order equals
+    converted order).
+
+    BYTE-IDENTITY CONTRACT: shard content — and therefore the content
+    address and every idempotent-replay guarantee — is identical to
+    the row path's. ``to_pylist()`` values match the row-path worker
+    conversion for every type :func:`_arrow_write_ok` admits;
+    tz-aware timestamps are normalized with the exact same call the
+    row conversion uses (``v.astimezone().replace(tzinfo=None)`` —
+    pyspark's ArrowTableToRowsConversion). Schemas outside the
+    allowlist get the row writer (the DataSource picks per schema;
+    ``option("arrow_write", "false")`` forces the row path).
+
+    Float stats caveat: a float column CONTAINING NaN records no
+    min/max for that shard (NaN ordering differs between Python
+    comparisons and Arrow kernels, and a NaN bound would poison
+    lexicographic admission) — conservative, the shard is always
+    admitted on that column."""
+
+    def write(self, iterator) -> ShardCommit:  # Iterator[pa.RecordBatch]
+        import tempfile
+
+        from pyarrow import compute as pc
+        from pyspark.sql import types as T
+
+        fields = self.schema.fieldNames()
+        stat_cols = set(_stats_fields(self.schema))
+        ts_cols = {
+            f.name
+            for f in self.schema.fields
+            if type(f.dataType) is T.TimestampType
+        }
+        float_cols = {
+            f.name
+            for f in self.schema.fields
+            if type(f.dataType) in (T.FloatType, T.DoubleType)
+        }
+        mins: dict = {}
+        maxs: dict = {}
+        poisoned: set[str] = set()  # float cols with NaN: no min/max
+        nulls: dict = {c: 0 for c in stat_cols}
+        bm, bk = self.bloom_m, self.bloom_k
+        bloom_bits = {c: bytearray(bm >> 3) for c in self.bloom_columns}
+        h = hashlib.md5()
+        n_rows = 0
+        with tempfile.SpooledTemporaryFile(
+            max_size=self.spill_threshold
+        ) as spool:
+            with gzip.GzipFile(fileobj=spool, mode="wb", mtime=0) as gz:
+                for batch in iterator:
+                    if batch.num_rows == 0:
+                        continue
+                    cols: list[list] = []
+                    for name in fields:
+                        col = batch.column(
+                            batch.schema.get_field_index(name)
+                        )
+                        vals = col.to_pylist()
+                        if name in ts_cols:
+                            # the EXACT row-path conversion (pyspark
+                            # ArrowTableToRowsConversion), applied per
+                            # column instead of per row
+                            vals = [
+                                None
+                                if v is None
+                                else v.astimezone().replace(tzinfo=None)
+                                for v in vals
+                            ]
+                        cols.append(vals)
+                        if name in stat_cols:
+                            nulls[name] += col.null_count
+                            if col.null_count == len(vals):
+                                continue
+                            if name in float_cols and pc.any(
+                                pc.is_nan(col)
+                            ).as_py():
+                                poisoned.add(name)
+                                continue
+                            mm = pc.min_max(col)
+                            bmn = mm["min"].as_py()
+                            bmx = mm["max"].as_py()
+                            if name in ts_cols:
+                                bmn = bmn.astimezone().replace(tzinfo=None)
+                                bmx = bmx.astimezone().replace(tzinfo=None)
+                            if name not in mins:
+                                mins[name], maxs[name] = bmn, bmx
+                            else:
+                                if bmn < mins[name]:
+                                    mins[name] = bmn
+                                if bmx > maxs[name]:
+                                    maxs[name] = bmx
+                    for c, bits in bloom_bits.items():
+                        vals = cols[fields.index(c)]
+                        try:
+                            # bloom bit-setting is idempotent per value:
+                            # hash each DISTINCT value once per batch
+                            # (identical bits, md5 calls drop from
+                            # O(rows) to O(ndv) on repetitive columns)
+                            vals = set(vals)
+                        except TypeError:
+                            pass  # unhashable (array column): every row
+                        for v in vals:
+                            if v is not None:
+                                for pos in _bloom_positions(v, bm, bk):
+                                    bits[pos >> 3] |= 1 << (pos & 7)
+                    # one digest update + one gzip write per BATCH (the
+                    # joined bytes are identical to per-line writes:
+                    # zlib output is chunking-independent at a fixed
+                    # level, and md5 is a stream)
+                    blob = (
+                        "\n".join(
+                            json.dumps(
+                                dict(zip(fields, tup)),
+                                sort_keys=True,
+                                default=_json_default,
+                                ensure_ascii=False,
+                            )
+                            for tup in zip(*cols)
+                        )
+                        + "\n"
+                    ).encode("utf-8")
+                    h.update(blob)
+                    gz.write(blob)
+                    n_rows += batch.num_rows
+            digest = h.hexdigest()
+            shard = f"shard-{digest}.jsonl.gz"
+            if n_rows:
+                self._upload(spool, shard)
+        for c in poisoned:
+            mins.pop(c, None)
+            maxs.pop(c, None)
+        return self._emit(shard, n_rows, digest, mins, maxs, nulls,
+                          bloom_bits)
+
+
 class ManifestShardStreamWriter(DataSourceStreamWriter):
     """Streaming sink twin: one committed EPOCH per micro-batch.
 
@@ -1055,8 +1296,11 @@ class ManifestShardStreamWriter(DataSourceStreamWriter):
     a streaming epoch racing a concurrent batch append rebases and
     both land."""
 
+    #: the per-task write engine; the Arrow stream twin overrides it
+    _INNER = ManifestShardWriter
+
     def __init__(self, options: dict, schema: StructType):
-        self._inner = ManifestShardWriter(options, schema, overwrite=False)
+        self._inner = self._INNER(options, schema, overwrite=False)
         self.path = self._inner.path
 
     def write(self, iterator) -> ShardCommit:
@@ -1144,6 +1388,18 @@ class ManifestShardStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:
         self._inner.abort([m for m in messages if m is not None])
+
+
+class ManifestShardStreamArrowWriter(
+    ManifestShardStreamWriter, DataSourceStreamArrowWriter
+):
+    """Streaming twin of :class:`ManifestArrowShardWriter`: each
+    micro-batch task receives ``RecordBatch``es (the engine dispatches
+    on ``isinstance(..., DataSourceStreamArrowWriter)``) and the epoch
+    commit logic is inherited unchanged — same shard bytes, same
+    manifest semantics, no per-row pickling."""
+
+    _INNER = ManifestArrowShardWriter
 
 
 @dataclass
@@ -1844,12 +2100,24 @@ class ManifestShardDataSource(DataSource):
             return ManifestShardPushdownReader(schema, self.options)
         return ManifestShardReader(schema, self.options)
 
+    def _arrow_write(self, schema: StructType) -> bool:
+        # arrow_write=false forces the row path (debug/pinning knob);
+        # otherwise the Arrow path serves every schema it can serve
+        # byte-identically, and the rest falls back per schema
+        return str(
+            self.options.get("arrow_write", "true")
+        ).lower() in ("true", "1", "yes") and _arrow_write_ok(schema)
+
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        if self._arrow_write(schema):
+            return ManifestArrowShardWriter(self.options, schema, overwrite)
         return ManifestShardWriter(self.options, schema, overwrite)
 
     def streamWriter(
         self, schema: StructType, overwrite: bool
     ) -> DataSourceStreamWriter:
+        if self._arrow_write(schema):
+            return ManifestShardStreamArrowWriter(self.options, schema)
         return ManifestShardStreamWriter(self.options, schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:

@@ -400,3 +400,176 @@ def test_bloom_rewrite_geometry_independent_max(registered, tmp_path):
     geo = {(b["m"], b["k"]) for b in shard["blooms"].values()}
     # m and k maxed INDEPENDENTLY: k=11 must ride with m=32768
     assert geo == {(32768, 11)}
+
+
+# -- Arrow write path (round-10 verdict item 2) -----------------------------
+
+def _land(spark, df, path, arrow, **opts):
+    w = (
+        df.write.format(MS.FORMAT_NAME)
+        .option("path", path)
+        .option("arrow_write", "true" if arrow else "false")
+    )
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.mode("append").save()
+    return MS.read_manifest_dict(path)
+
+
+def test_arrow_write_byte_identical_to_row_path(registered, tmp_path):
+    """THE content-address contract across write engines: the Arrow
+    path must produce byte-identical shard FILES (same names, same
+    bytes) and identical manifest entries (stats, truncation markers,
+    blooms, null counts) as the row path, over every admitted type —
+    including tz-aware timestamps (converted with the exact row-path
+    call), decimals, binary, arrays, structs, nulls, and long strings
+    (truncation applies identically)."""
+    import datetime
+    import decimal
+    import hashlib
+
+    spark = registered
+    df = spark.createDataFrame(
+        [(i,
+          float(i) * 1.5 if i % 7 else None,
+          ("s" + "x" * i) if i % 5 else None,
+          datetime.date(2024, 1, 1 + i % 28),
+          datetime.datetime(2024, 1, 2, 3, 4, 5, 123456 + i),
+          datetime.datetime(2024, 1, 2, 3, 4, i % 60),
+          decimal.Decimal(f"{i}.25"),
+          bytes([i % 256, 1]),
+          [i, None, i + 1],
+          (i, f"n{i}"),
+          i % 3 == 0)
+         for i in range(300)],
+        "i long, d double, s string, dt date, ts timestamp, "
+        "tsn timestamp_ntz, dec decimal(10,2), bin binary, "
+        "arr array<int>, st struct<a:long,b:string>, bl boolean",
+    )
+    pa_dir, pr_dir = str(tmp_path / "aw"), str(tmp_path / "rw")
+    man_a = _land(spark, df.repartition(3, "i"), pa_dir, True,
+                  bloom_columns="i,s")
+    man_r = _land(spark, df.repartition(3, "i"), pr_dir, False,
+                  bloom_columns="i,s")
+    ea = {s["file"]: s for s in man_a["shards"]}
+    er = {s["file"]: s for s in man_r["shards"]}
+    assert sorted(ea) == sorted(er)  # same content addresses
+    for f in ea:
+        da = hashlib.md5(
+            open(os.path.join(pa_dir, "shards", f), "rb").read()
+        ).hexdigest()
+        dr = hashlib.md5(
+            open(os.path.join(pr_dir, "shards", f), "rb").read()
+        ).hexdigest()
+        assert da == dr  # same bytes on disk
+        assert ea[f] == er[f]  # same stats/trunc/blooms/nulls/added_seq
+    # and the engine actually USED the arrow writer for this schema
+    ds = MS.ManifestShardDataSource(options={"path": pa_dir})
+    assert isinstance(
+        ds.writer(df.schema, False), MS.ManifestArrowShardWriter
+    )
+
+
+def test_arrow_write_fallback_selection(registered, tmp_path):
+    """Schemas outside the byte-identity allowlist take the row path:
+    maps anywhere, NESTED tz-aware timestamps; arrow_write=false forces
+    it."""
+    from pyspark.sql.types import (
+        ArrayType, LongType, MapType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    ds = MS.ManifestShardDataSource(options={"path": str(tmp_path)})
+    ok = StructType([StructField("i", LongType())])
+    assert isinstance(ds.writer(ok, False), MS.ManifestArrowShardWriter)
+    m = StructType([StructField("m", MapType(StringType(), LongType()))])
+    w = ds.writer(m, False)
+    assert type(w) is MS.ManifestShardWriter
+    nested_ts = StructType(
+        [StructField("a", ArrayType(TimestampType()))]
+    )
+    assert type(ds.writer(nested_ts, False)) is MS.ManifestShardWriter
+    top_ts = StructType([StructField("ts", TimestampType())])
+    assert isinstance(
+        ds.writer(top_ts, False), MS.ManifestArrowShardWriter
+    )
+    forced = MS.ManifestShardDataSource(
+        options={"path": str(tmp_path), "arrow_write": "false"}
+    )
+    assert type(forced.writer(ok, False)) is MS.ManifestShardWriter
+    # streaming twin dispatches the same way
+    assert isinstance(
+        ds.streamWriter(ok, False), MS.ManifestShardStreamArrowWriter
+    )
+    assert type(forced.streamWriter(ok, False)) is MS.ManifestShardStreamWriter
+
+
+def test_struct_columns_roundtrip_as_json_objects(registered, tmp_path):
+    """Nested struct values must serialize as JSON OBJECTS on BOTH
+    write paths (a Row is a tuple subclass — unnormalized it became a
+    JSON array, which every read path decoded as NULL; round-11 fix)."""
+    import gzip as _gzip
+    import glob
+    import json as _json
+
+    spark = registered
+    schema = "i long, st struct<a:long,b:string>, arr array<struct<c:long>>"
+    df = spark.createDataFrame([(1, (7, "x"), [(9,)])], schema)
+    for arrow, sub in ((True, "a"), (False, "r")):
+        p = str(tmp_path / sub)
+        _land(spark, df.coalesce(1), p, arrow)
+        (f,) = glob.glob(p + "/shards/*.gz")
+        line = _json.loads(_gzip.open(f, "rt").read())
+        assert line["st"] == {"a": 7, "b": "x"}  # object, not array
+        assert line["arr"] == [{"c": 9}]
+        back = MS.read_manifest(spark, p, schema).collect()
+        assert [tuple(r) for r in back][0][1] == (7, "x")
+        # the custom DataSource reader decodes it too
+        got = (
+            spark.read.format(MS.FORMAT_NAME).schema(schema)
+            .option("path", p).load().collect()
+        )
+        assert got[0]["st"]["a"] == 7 and got[0]["arr"][0]["c"] == 9
+
+
+def test_streaming_sink_uses_arrow_writer(registered, tmp_path):
+    """The writeStream epoch path through the Arrow stream writer:
+    same manifest semantics, same replay no-op."""
+    spark, p = registered, str(tmp_path / "saw")
+    w = MS.ManifestShardStreamArrowWriter(
+        {"path": p}, _df(spark, 1).schema
+    )
+    import pyarrow as pa
+
+    batch = pa.record_batch(
+        {"id": pa.array([1, 2], pa.int64()),
+         "s": pa.array(["x", "y"], pa.string())}
+    )
+    m0 = w.write(iter([batch]))
+    w.commit([m0], batchId=0)
+    man = MS.read_manifest_dict(p)
+    assert man["n_rows"] == 2 and man["commit_kind"] == "epoch"
+    # deterministic replay: manifest no-op
+    m0r = w.write(iter([batch]))
+    w.commit([m0r], batchId=0)
+    assert MS.read_manifest_dict(p)["commit_seq"] == man["commit_seq"]
+    rows = sorted(
+        tuple(r)
+        for r in MS.read_manifest(spark, p, "id long, s string").collect()
+    )
+    assert rows == [(1, "x"), (2, "y")]
+
+
+def test_arrow_write_nan_floats_keep_shard_admitted(registered, tmp_path):
+    """A float column containing NaN records NO min/max on the Arrow
+    path (NaN ordering is engine-specific) — the shard must stay
+    admitted on every probe of that column."""
+    spark, p = registered, str(tmp_path / "nan1")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 9.0)], "i long, d double"
+    )
+    _land(spark, df.coalesce(1), p, True)
+    (shard,) = MS.read_manifest_dict(p)["shards"]
+    assert "d" not in (shard.get("stats") or {})  # poisoned: no bounds
+    assert shard["stats"]["i"] == [1, 3]          # others unaffected
+    assert MS._shard_admits_range(shard, "d", 100.0, 200.0)  # conservative
