@@ -28,6 +28,15 @@ import sys
 import time
 
 
+def _canary_loop(n: int = 10_000_000) -> int:
+    """Fixed single-core work unit shared by the serial and PARALLEL
+    canaries (module-level so ProcessPoolExecutor can pickle it)."""
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -277,9 +286,7 @@ def main() -> None:
     # a pure-Python single-core loop and a fixed JVM shuffle+agg. Both
     # run AFTER warm-up and OUTSIDE the per-query timers.
     t0 = time.perf_counter()
-    x = 0
-    for i in range(10_000_000):
-        x += i * i
+    _canary_loop()
     py_canary = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     (
@@ -289,6 +296,21 @@ def main() -> None:
         .count()
     )
     jvm_canary = round(time.perf_counter() - t0, 3)
+    # PARALLEL canary (round-10 verdict item 7): the single-stream
+    # probes above missed a whole-machine contention episode that
+    # inflated every query ~x1.5 at near-parity serial canaries (the
+    # BENCH_r10 artifact). N concurrent copies of the same fixed loop
+    # measure whether the machine can actually deliver N cores: idle
+    # host -> wall ~= py_loop (+pool spawn); contended/stolen host ->
+    # inflates with the same factor the multi-core queries feel.
+    # Compare rounds on par_loop_sec too, not just the serial pair.
+    import concurrent.futures as _cf
+
+    n_workers = min(int(cpus), os.cpu_count() or int(cpus))
+    t0 = time.perf_counter()
+    with _cf.ProcessPoolExecutor(max_workers=n_workers) as pool:
+        list(pool.map(_canary_loop, [10_000_000] * n_workers))
+    par_canary = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for name in headline:
@@ -318,8 +340,11 @@ def main() -> None:
         "sf": sf_val,
         # fixed-work probes for cross-boot comparability (see comment
         # above): py = 1e7-iteration single-core loop, jvm = 2e7-row
-        # shuffle+agg. Compare rounds as value/canary, not raw value.
+        # shuffle+agg, par = cpus-wide concurrent copies of the py loop
+        # (whole-machine contention detector). Compare rounds as
+        # value/canary, not raw value.
         "canary": {"py_loop_sec": py_canary, "jvm_shuffle_sec": jvm_canary,
+                   "par_loop_sec": par_canary, "par_workers": n_workers,
                    "cpus": int(cpus)},
     }))
     if "--slow" in sys.argv:
@@ -337,7 +362,9 @@ def main() -> None:
             "queries": slow_timings,
             "sf": sf_val,
             "canary": {"py_loop_sec": py_canary,
-                       "jvm_shuffle_sec": jvm_canary, "cpus": int(cpus)},
+                       "jvm_shuffle_sec": jvm_canary,
+                       "par_loop_sec": par_canary,
+                       "par_workers": n_workers, "cpus": int(cpus)},
         }))
     spark.stop()
 

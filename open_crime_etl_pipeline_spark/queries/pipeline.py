@@ -1748,3 +1748,99 @@ def manifest_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_recorded_schema_read",
+    oracle="""
+        SELECT pri,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(k) AS BIGINT) AS sum_key,
+               strftime(min(od), '%Y-%m-%d') AS min_date,
+               strftime(max(od), '%Y-%m-%d') AS max_date
+        FROM (
+            SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS od,
+                   NULL AS pri
+            FROM orders WHERE o_orderkey % 10 = 1
+            UNION ALL
+            SELECT o_orderkey, CAST(o_orderdate AS DATE),
+                   o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 2
+        ) GROUP BY pri
+    """,
+    doc="Recorded table schema + evolution on the manifest format "
+        "(round 11 — the Delta metaData action shape): slice A lands "
+        "typed (o_orderkey long, od DATE) and stamps the log with its "
+        "schema; slice B appends under a WIDER schema (+pri string), "
+        "which restamps (latest wins, O(delta): unchanged schemas "
+        "cost later action files nothing). The table is then read "
+        "back with spark.read.format('shard_manifest').load() and NO "
+        ".schema() call — the DataSource resolves the RECORDED schema "
+        "from the log, so the scan is exactly typed with no inference "
+        "pass (the query RAISES unless the resolved schema is the "
+        "3-column evolved one with od typed DATE, and unless "
+        "table_schema(version=1) still shows the 2-column schema "
+        "slice A was written under — per-version schema fidelity). "
+        "Old rows surface the added column as NULL (asserted via the "
+        "NULL group). The oracle restates the union relationally; "
+        "dates are emitted as yyyy-MM-dd strings on both sides "
+        "(pandas DATE-dtype divergence). The no-schema path for "
+        "read_manifest/table_changes/DML defaults is pinned in "
+        "test_manifest_round11.py.",
+    tags=("sink", "datasource", "pipeline", "schema"),
+)
+def manifest_recorded_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_schema_q_")
+    try:
+        orders = _t(spark, sf_dir, "orders")
+        a = orders.filter(F.col("o_orderkey") % 10 == 1).select(
+            F.col("o_orderkey"),
+            F.col("o_orderdate").cast("date").alias("od"),
+        )
+        a.repartition(2).write.format(MS.FORMAT_NAME) \
+            .option("path", out).mode("append").save()
+        b = orders.filter(F.col("o_orderkey") % 10 == 2).select(
+            F.col("o_orderkey"),
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        b.repartition(2).write.format(MS.FORMAT_NAME) \
+            .option("path", out).mode("append").save()
+        got = spark.read.format(MS.FORMAT_NAME).option("path", out).load()
+        names = [f.name for f in got.schema.fields]
+        if names != ["o_orderkey", "od", "pri"] or (
+            got.schema["od"].dataType.typeName() != "date"
+        ):
+            raise AssertionError(
+                "manifest_recorded_schema_read: expected the evolved "
+                f"3-column schema with od typed DATE, got {got.schema}"
+            )
+        v1 = MS.table_schema(out, version=1)
+        if [f.name for f in v1.fields] != ["o_orderkey", "od"]:
+            raise AssertionError(
+                "manifest_recorded_schema_read: version 1 must keep "
+                "the 2-column schema it was written under"
+            )
+        rows = (
+            got.groupBy("pri")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.date_format(F.min("od"), "yyyy-MM-dd").alias("min_date"),
+                F.date_format(F.max("od"), "yyyy-MM-dd").alias("max_date"),
+            )
+            .collect()  # O(priorities) rows; the temp lake dies below
+        )
+        return spark.createDataFrame(
+            rows,
+            "pri string, n_orders long, sum_key long, "
+            "min_date string, max_date string",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

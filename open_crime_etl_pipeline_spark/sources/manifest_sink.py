@@ -119,6 +119,29 @@ Round 10 also completes the DML surface on the same log:
   ZORDER BY (Morton-clustered rewrite; stats turn narrow on every
   listed column).
 
+Round 11 hardens the format's production story:
+
+- **Truncated string stats** (``stats_trunc_len``, default 32): string
+  min/max in the action log are prefix bounds (lower = prefix,
+  upper = prefix-successor), so commit bytes stay O(delta) on
+  text-heavy tables; admission is conservative by theorem and
+  ``table_stats`` omits truncated columns rather than report bounds
+  as values.
+- **Arrow write path** (:class:`ManifestArrowShardWriter`): write
+  tasks receive ``RecordBatch``es — byte-identical shards to the row
+  path (pinned), stats via Arrow kernels, measured ×1.43.
+- **UPDATE WHERE SET** (:func:`update_where`) completes the DML triad;
+  **metadata-only aggregates** (:func:`table_stats`) answer
+  count/min/max/nullCount with zero shard reads; the stream tail
+  accepts ``prune``/``prune_eq`` for shard-skipped filtered tails.
+- **Recorded table schema** (the Delta ``metaData`` shape): writers
+  stamp schema changes into the log, so ``load()`` without
+  ``.schema()``, ``read_manifest(schema=None)``, ``table_changes``,
+  and the DML verbs all resolve exact types per VERSION — no
+  inference scan; evolution restamps latest-wins.
+- **Protocol guard**: every log document carries ``min_reader``;
+  readers fail loudly on a newer protocol instead of misreading.
+
 Remaining driver costs: one listing + one small-JSON read per snapshot
 resolution; O(versions-in-range) small reads per stream micro-batch
 (bound with ``max_versions_per_trigger``, which binds from the FIRST
@@ -265,6 +288,12 @@ def _apply_action(prev: dict | None, action: dict) -> dict:
         "shards": sorted(live.values(), key=lambda s: s["file"]),
         "n_rows": sum(s["n_rows"] for s in live.values()),
     }
+    # the RECORDED table schema (Delta metaData shape, round 11):
+    # writers stamp it when it changes; every later state carries it
+    # forward, so any version resolves to the schema that governed it
+    sch = action.get("schema") or (prev or {}).get("schema")
+    if sch:
+        state["schema"] = sch
     if epochs:
         state["epochs"] = epochs
     return state
@@ -960,6 +989,17 @@ class ManifestShardWriter(DataSourceWriter):
             prev_entries = (
                 {s["file"]: s for s in prev["shards"]} if prev else {}
             )
+            # record the writer's schema when it (re)defines the
+            # table's: first commit, overwrite, or an evolution —
+            # carry-forward is _apply_action's job, so unchanged
+            # schemas cost the action file nothing (O(delta) holds)
+            sj = self.schema.json()
+            sch = (
+                {"schema": sj}
+                if self.overwrite or prev is None
+                or prev.get("schema") != sj
+                else {}
+            )
             by_file: dict[str, dict] = {}
             for m in messages:
                 if m.n_rows > 0:  # identical partitions collapse (module doc)
@@ -1048,6 +1088,7 @@ class ManifestShardWriter(DataSourceWriter):
                     "version": 2,
                     "commit_seq": seq,
                     "commit_kind": "compact",
+                    **sch,
                     "add": sorted(
                         ({**s, "added_seq": seq, "data_change": False}
                          for s in by_file.values()),
@@ -1062,6 +1103,7 @@ class ManifestShardWriter(DataSourceWriter):
                     "version": 2,
                     "commit_seq": seq,
                     "commit_kind": "overwrite",
+                    **sch,
                     "add": sorted(
                         by_file.values(), key=lambda s: s["file"]
                     ),
@@ -1073,6 +1115,7 @@ class ManifestShardWriter(DataSourceWriter):
                 "version": 2,
                 "commit_seq": seq,
                 "commit_kind": "append",
+                **sch,
                 # re-landed live files ride along with their ORIGINAL
                 # added_seq (refreshing stats/blooms without looking
                 # like new data to a tailing reader); genuinely new
@@ -1373,10 +1416,12 @@ class ManifestShardStreamWriter(DataSourceStreamWriter):
             }
             removable = replaced - still_referenced - set(by_file)
             new_epoch = sorted(by_file.values(), key=lambda s: s["file"])
+            sj = self._inner.schema.json()
             return {
                 "version": 2,
                 "commit_seq": seq,
                 "commit_kind": "epoch",
+                **({"schema": sj} if prev.get("schema") != sj else {}),
                 "add": new_epoch,
                 "remove": sorted(removable),
                 "epoch": {"batch_id": str(batchId), "shards": new_epoch},
@@ -2087,10 +2132,21 @@ class ManifestShardDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self):
+        # round 11: the log records the table schema (the Delta
+        # metaData shape), so `spark.read.format("shard_manifest")
+        # .option("path", p).load()` works without .schema(...) — the
+        # AS-OF version's recorded schema governs a time-travel read.
+        path = self.options.get("path")
+        if path:
+            v = self.options.get("version")
+            sch = table_schema(path, version=int(v) if v is not None else None)
+            if sch is not None:
+                return sch
         raise ValueError(
-            "shard_manifest requires an explicit .schema(...): shards are "
-            "schemaless JSON lines and inference would need a blocking "
-            "scan of committed data"
+            "shard_manifest requires an explicit .schema(...): this "
+            "table's log records no schema (written pre-round-11, or "
+            "not yet committed) and shards are schemaless JSON lines — "
+            "inference would need a blocking scan of committed data"
         )
 
     def reader(self, schema: StructType) -> DataSourceReader:
@@ -2146,6 +2202,21 @@ def read_manifest_dict(path: str, version: int | None = None) -> dict | None:
     if version not in commits:
         return None  # expired or never committed: not a readable version
     return _state_at(fs, root, version, commits, ckpts)
+
+
+def _schema_from_state(man: dict | None) -> StructType | None:
+    """The StructType a state dict records, or None (legacy table)."""
+    if man and man.get("schema"):
+        return StructType.fromJson(json.loads(man["schema"]))
+    return None
+
+
+def table_schema(path: str, version: int | None = None) -> StructType | None:
+    """The table's RECORDED schema — latest, or AS OF ``version`` (the
+    schema that governed that commit: an evolution restamps, earlier
+    versions keep what they were written under). None for tables whose
+    retained log predates schema recording (round 11)."""
+    return _schema_from_state(read_manifest_dict(path, version=version))
 
 
 def prune_shards(
@@ -2250,19 +2321,26 @@ def read_manifest(
     and Bloom point lookups) so a selective predicate opens only the
     shards whose stats admit it — the caller still applies the
     row-level filter (stats skipping is file-granular, like parquet
-    row-group pruning)."""
-    if (prune or prune_eq) and schema is None:
-        raise ValueError(
-            "read_manifest: prune/prune_eq require an explicit schema - "
-            "skipping can legitimately drop EVERY shard, and an empty "
-            "result still needs typed columns (spark.createDataFrame "
-            "with schema=None cannot infer them)"
-        )
+    row-group pruning). ``schema=None`` uses the schema the log
+    RECORDS for this version (round 11 — exact types, no inference
+    scan); only tables written before schema recording fall back to
+    Spark's JSON inference, which needs a blocking scan and reads
+    temporals as strings."""
     man = read_manifest_dict(path, version=version)
     if man is None or not man["shards"]:
         raise FileNotFoundError(
             f"no committed manifest at {path}"
             + (f" version {version}" if version is not None else "")
+        )
+    if schema is None:
+        schema = _schema_from_state(man)
+    if (prune or prune_eq) and schema is None:
+        raise ValueError(
+            "read_manifest: prune/prune_eq require a schema - this "
+            "table's log records none (pre-round-11), skipping can "
+            "legitimately drop EVERY shard, and an empty result still "
+            "needs typed columns (spark.createDataFrame with "
+            "schema=None cannot infer them)"
         )
     shards = man["shards"]
     if prune or prune_eq:
@@ -2632,6 +2710,8 @@ def delete_where(
     man = read_manifest_dict(path)
     if man is None or not man["shards"]:
         raise FileNotFoundError(f"no committed manifest at {path}")
+    if schema is None:
+        schema = _schema_from_state(man)  # the log's recorded schema
     if prune or prune_eq:
         touched, _total = prune_shards(man, prune, prune_eq)
     else:
@@ -2708,6 +2788,8 @@ def update_where(
     man = read_manifest_dict(path)
     if man is None or not man["shards"]:
         raise FileNotFoundError(f"no committed manifest at {path}")
+    if schema is None:
+        schema = _schema_from_state(man)  # the log's recorded schema
     if not assignments:
         raise ValueError("update_where: assignments must be non-empty")
     if prune or prune_eq:
@@ -2809,6 +2891,8 @@ def merge_into(
     man = read_manifest_dict(path)
     if man is None or not man["shards"]:
         raise FileNotFoundError(f"no committed manifest at {path}")
+    if schema is None:
+        schema = _schema_from_state(man)  # the log's recorded schema
     src = source_df
     n_src = src.count()
     if n_src == 0:
@@ -2941,10 +3025,13 @@ def table_changes(
     returns the initial snapshot. The Delta ``table_changes`` shape on
     this format; rows come back through the JVM JSON fast path."""
     if schema is None:
+        schema = table_schema(path)  # the log's recorded schema
+    if schema is None:
         raise ValueError(
-            "table_changes requires an explicit schema - the change "
-            "set can legitimately be empty, and an empty result still "
-            "needs typed columns"
+            "table_changes requires an explicit schema - this table's "
+            "log records none (pre-round-11), the change set can "
+            "legitimately be empty, and an empty result still needs "
+            "typed columns"
         )
     if end_version is None:
         man = read_manifest_dict(path)

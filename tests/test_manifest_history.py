@@ -624,13 +624,26 @@ def test_compact_duplicate_content_collapse_is_named(registered, tmp_path):
     assert MS.read_manifest_dict(p)["n_rows"] == 10
 
 
-def test_prune_requires_explicit_schema(registered, tmp_path):
+def test_prune_schema_resolution(registered, tmp_path):
+    """Round 11: the log records the table schema, so pruned reads no
+    longer need an explicit one — but a LEGACY table (no recorded
+    schema) still refuses, because an all-skipped result needs typed
+    columns."""
+    import json as _json
+    import os as _os
+
     spark, p = registered, str(tmp_path / "ps1")
     _write(_df(spark, 10).coalesce(1), p, mode="append")
-    with pytest.raises(ValueError, match="explicit schema"):
+    got = MS.read_manifest(spark, p, prune={"id": (0, 5)}).collect()
+    assert {r["id"] for r in got} == set(range(10))  # one shard, admitted
+    assert MS.read_manifest(spark, p, prune_eq={"id": 3}).count() == 10
+    # strip the recorded schema -> the pre-round-11 refusal returns
+    act = _os.path.join(p, MS.HISTORY_DIR, MS._history_name(1))
+    doc = _json.load(open(act))
+    doc.pop("schema")
+    _json.dump(doc, open(act, "w"))
+    with pytest.raises(ValueError, match="require a schema"):
         MS.read_manifest(spark, p, prune={"id": (0, 5)})
-    with pytest.raises(ValueError, match="explicit schema"):
-        MS.read_manifest(spark, p, prune_eq={"id": 3})
 
 
 def test_binary_roundtrip_survives_compaction(registered, tmp_path):
@@ -1376,8 +1389,11 @@ def test_table_changes_batch_cdf(registered, tmp_path):
     # an overwrite is a replay boundary for the batch reader too
     _write(_df(spark, 3, tag="z").coalesce(1), p, mode="overwrite")  # v5
     assert ch(0) == [(i, f"z{i}") for i in range(3)]
-    with pytest.raises(ValueError, match="explicit schema"):
-        MS.table_changes(spark, p, None, 0)
+    # round 11: schema=None resolves the log's RECORDED schema
+    got = sorted(
+        tuple(r) for r in MS.table_changes(spark, p, None, 0).collect()
+    )
+    assert got == [(i, f"z{i}") for i in range(3)]
 
 
 def test_merge_into_bloom_scoped_on_hash_partitioned_table(

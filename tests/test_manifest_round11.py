@@ -573,3 +573,107 @@ def test_arrow_write_nan_floats_keep_shard_admitted(registered, tmp_path):
     assert "d" not in (shard.get("stats") or {})  # poisoned: no bounds
     assert shard["stats"]["i"] == [1, 3]          # others unaffected
     assert MS._shard_admits_range(shard, "d", 100.0, 200.0)  # conservative
+
+
+# -- recorded table schema (round 11, Delta metaData shape) -----------------
+
+def test_recorded_schema_typed_reads_without_explicit(registered, tmp_path):
+    """The log records the writer's schema: load() without .schema()
+    and read_manifest(schema=None) both return EXACT types (no
+    inference scan, dates stay dates)."""
+    import datetime
+
+    spark, p = registered, str(tmp_path / "rs1")
+    df = spark.createDataFrame(
+        [(1, "a", datetime.date(2024, 1, 2), 1.5)],
+        "id long, s string, dt date, d double",
+    )
+    df.coalesce(1).write.format(MS.FORMAT_NAME).option("path", p) \
+        .mode("append").save()
+    sch = MS.table_schema(p)
+    assert [f.name for f in sch.fields] == ["id", "s", "dt", "d"]
+    assert sch["dt"].dataType.typeName() == "date"
+    got = (
+        spark.read.format(MS.FORMAT_NAME).option("path", p).load()
+    )
+    assert got.schema == sch
+    assert got.collect()[0]["dt"] == datetime.date(2024, 1, 2)
+    back = MS.read_manifest(spark, p)  # schema=None -> recorded
+    assert back.schema["dt"].dataType.typeName() == "date"
+    # DML verbs default to the recorded schema too
+    man2, n = MS.update_where(
+        spark, p, None, F.col("id") == 1, {"s": F.lit("upd")}
+    )
+    assert n == 1
+    assert MS.read_manifest(spark, p).collect()[0]["s"] == "upd"
+
+
+def test_schema_evolution_restamps_latest_wins(registered, tmp_path):
+    """An append under a WIDER schema restamps the recorded schema
+    (latest wins); earlier versions keep the schema they were written
+    under — time travel reads each version typed as it was."""
+    spark, p = registered, str(tmp_path / "rs2")
+    _write(_df(spark, 3).coalesce(1), p, mode="append")            # v1
+    wide = spark.createDataFrame(
+        [(100, "w", 7.5)], "id long, s string, score double"
+    )
+    wide.coalesce(1).write.format(MS.FORMAT_NAME).option("path", p) \
+        .mode("append").save()                                      # v2
+    assert [f.name for f in MS.table_schema(p).fields] == [
+        "id", "s", "score",
+    ]
+    assert [f.name for f in MS.table_schema(p, version=1).fields] == [
+        "id", "s",
+    ]
+    got = MS.read_manifest(spark, p)  # latest schema governs
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[100]["score"] == 7.5
+    assert rows[0]["score"] is None  # old shards: missing -> null
+    # time travel AS OF v1 uses v1's recorded schema
+    v1 = MS.read_manifest(spark, p, version=1)
+    assert [f.name for f in v1.schema.fields] == ["id", "s"]
+    # the version option on the DataSource resolves the same way
+    ds = (
+        spark.read.format(MS.FORMAT_NAME)
+        .option("path", p).option("version", "1").load()
+    )
+    assert [f.name for f in ds.schema.fields] == ["id", "s"]
+
+
+def test_schema_stamp_is_o_delta(registered, tmp_path):
+    """Unchanged schemas cost the action log nothing: only the FIRST
+    commit (and evolutions/overwrites) carry the schema field."""
+    spark, p = registered, str(tmp_path / "rs3")
+    _write(_df(spark, 2, tag="a").coalesce(1), p, mode="append")   # v1
+    _write(_df(spark, 2, tag="b").coalesce(1), p, mode="append")   # v2
+    hdir = os.path.join(p, MS.HISTORY_DIR)
+    a1 = json.load(open(os.path.join(hdir, MS._history_name(1))))
+    a2 = json.load(open(os.path.join(hdir, MS._history_name(2))))
+    assert "schema" in a1 and "schema" not in a2
+    # ...but the v2 STATE still carries it forward
+    assert MS.table_schema(p, version=2) is not None
+
+
+def test_streaming_epochs_record_schema(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "rs4")
+    w = MS.ManifestShardStreamWriter({"path": p}, _df(spark, 1).schema)
+    m = w.write(iter([(1, "x")]))
+    w.commit([m], batchId=0)
+    assert [f.name for f in MS.table_schema(p).fields] == ["id", "s"]
+    # table_changes without a schema rides the recorded one
+    got = MS.table_changes(spark, p, None, 0).collect()
+    assert [tuple(r) for r in got] == [(1, "x")]
+
+
+def test_legacy_table_without_schema_still_refuses(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "rs5")
+    _write(_df(spark, 2).coalesce(1), p, mode="append")
+    act = os.path.join(p, MS.HISTORY_DIR, MS._history_name(1))
+    doc = json.load(open(act))
+    doc.pop("schema")
+    json.dump(doc, open(act, "w"))
+    assert MS.table_schema(p) is None
+    with pytest.raises(Exception, match="schema"):
+        spark.read.format(MS.FORMAT_NAME).option("path", p).load().collect()
+    with pytest.raises(ValueError, match="schema"):
+        MS.table_changes(spark, p, None, 0)
