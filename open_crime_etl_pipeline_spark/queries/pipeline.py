@@ -1844,3 +1844,107 @@ def manifest_recorded_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_optimize_small_files",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(sum(CAST('0x' || substring(
+                    md5(CAST(o_orderkey AS VARCHAR)), 1, 10)
+                    AS BIGINT)) AS BIGINT) AS key_checksum
+        FROM orders
+        WHERE o_orderkey % 10 = 9
+           OR (o_orderkey % 10 = 5 AND o_orderkey % 1500 < 500
+               AND o_orderkey >= 0 AND o_orderkey < 12000)
+        GROUP BY o_orderstatus
+    """,
+    doc="Small-file OPTIMIZE on the manifest format (round 11 — the "
+        "Delta OPTIMIZE shape that matters at 100 TB): one well-sized "
+        "shard lands first, then 8 small epoch-ish appends accrete a "
+        "tiny-shard tail (the streaming-sink pathology). "
+        "compact_small(min_rows=500, target_shards=2) bin-packs ONLY "
+        "the 8 qualifying shards into 2 — the query RAISES unless the "
+        "big shard survives byte-untouched (same content-addressed "
+        "file) and the live set shrinks to exactly big+2 — published "
+        "as ONE atomic data_change=false commit with exact row "
+        "conservation over the touched subset (a tailing reader "
+        "receives nothing; pinned via an empty table_changes delta in "
+        "pytest). The rewrite cost scales with the small-file TAIL, "
+        "never the table — a full-table compact() at 100 TB is "
+        "prohibitive, and this is the operation a real lakehouse runs "
+        "nightly. The oracle restates the union of all landed slices "
+        "relationally; a hash match proves bin-packing moved bytes, "
+        "not rows (sources/manifest_sink.py:compact_small).",
+    tags=("sink", "datasource", "pipeline", "layout"),
+)
+def manifest_optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_smallopt_q_")
+    try:
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 10 == 9)
+            .repartition(1)
+            .write.format(MS.FORMAT_NAME).option("path", out)
+            .mode("append").save()
+        )
+        for k in range(8):  # the small-file tail: 8 tiny appends
+            (
+                orders.filter(
+                    (F.col("o_orderkey") % 10 == 5)
+                    & F.col("o_orderkey").between(k * 1500, k * 1500 + 499)
+                )
+                .repartition(1)
+                .write.format(MS.FORMAT_NAME).option("path", out)
+                .mode("append").save()
+            )
+        man = MS.read_manifest_dict(out)
+        big_file = max(man["shards"], key=lambda s: s["n_rows"])["file"]
+        man2, n_comp = MS.compact_small(
+            spark, out, min_rows=500, target_shards=2
+        )
+        files2 = {s["file"] for s in man2["shards"]}
+        if not (
+            n_comp == 8 and big_file in files2 and len(files2) == 3
+            and man2["n_rows"] == man["n_rows"]
+        ):
+            raise AssertionError(
+                "manifest_optimize_small_files: expected 8 small shards "
+                f"binned to 2 beside the untouched big one, got "
+                f"{n_comp} compacted / {len(files2)} live / "
+                f"{man2['n_rows']} vs {man['n_rows']} rows"
+            )
+        rows = (
+            MS.read_manifest(spark, out)  # recorded schema drives types
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col("o_orderkey").cast("string")), 1, 10
+                        ),
+                        16, 10,
+                    ).cast("long")
+                ).cast("long").alias("key_checksum"),
+            )
+            .collect()  # O(statuses) rows; the temp lake dies below
+        )
+        return spark.createDataFrame(
+            rows,
+            "o_orderstatus string, n_orders long, sum_key long, "
+            "key_checksum long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

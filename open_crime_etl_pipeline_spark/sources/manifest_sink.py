@@ -133,7 +133,11 @@ Round 11 hardens the format's production story:
 - **UPDATE WHERE SET** (:func:`update_where`) completes the DML triad;
   **metadata-only aggregates** (:func:`table_stats`) answer
   count/min/max/nullCount with zero shard reads; the stream tail
-  accepts ``prune``/``prune_eq`` for shard-skipped filtered tails.
+  accepts ``prune``/``prune_eq`` for shard-skipped filtered tails;
+  **small-file OPTIMIZE** (:func:`compact_small`) bin-packs only the
+  tiny-shard tail (cost scales with the tail, never the table) and
+  :func:`vacuum_unreferenced` gains the Delta retention window
+  (``min_age_seconds`` protects in-flight staged shards).
 - **Recorded table schema** (the Delta ``metaData`` shape): writers
   stamp schema changes into the log, so ``load()`` without
   ``.schema()``, ``read_manifest(schema=None)``, ``table_changes``,
@@ -2596,6 +2600,57 @@ def compact(
     return read_manifest_dict(path)
 
 
+def compact_small(
+    spark,
+    path: str,
+    schema=None,
+    min_rows: int = 1,
+    target_shards: int = 1,
+) -> tuple[dict, int]:
+    """Small-file OPTIMIZE (round 11): bin-pack ONLY the live shards
+    holding fewer than ``min_rows`` rows into ``target_shards`` new
+    shards, as ONE atomic ``data_change=false`` commit — well-sized
+    shards are left untouched. This is the Delta OPTIMIZE shape that
+    matters at 100 TB: a streaming sink accretes a long tail of tiny
+    epoch shards, and rewriting the WHOLE table (:func:`compact`) to
+    fix them is prohibitive — the rewrite cost must scale with the
+    small-file tail, not the table. Row conservation over the touched
+    subset is guarded exactly, tailing readers see nothing (rows were
+    already delivered), and a concurrent rewrite of a touched shard
+    refuses to publish (the write-conflict contract). ``schema=None``
+    uses the log's recorded schema. Returns ``(new_manifest,
+    n_compacted_shards)``; fewer than two qualifying shards publish
+    nothing (no gain)."""
+    man = read_manifest_dict(path)
+    if man is None or not man["shards"]:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    if schema is None:
+        schema = _schema_from_state(man)
+    small = [s for s in man["shards"] if s["n_rows"] < min_rows]
+    if len(small) <= max(1, target_shards):
+        return man, 0  # nothing to gain: publish nothing
+    files = [posixpath.join(path, "shards", s["file"]) for s in small]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    staged = _stage_write(
+        reader.json(files).repartition(target_shards),
+        path,
+        "optimize",
+        small,
+    )
+    man2 = _commit_replace(
+        path,
+        kind="compact",
+        remove_files=sorted(s["file"] for s in small),
+        unchanged=staged,
+        changed=[],
+        expect_unchanged=sum(s["n_rows"] for s in small),
+        expect_changed=0,
+    )
+    return man2, len(small)
+
+
 def _stage_write(df, path: str, tag: str, bloom_source: list[dict]):
     """Write ``df``'s rows as content-addressed shard FILES under the
     table WITHOUT publishing (``stage_commit_path``), and return the
@@ -3111,24 +3166,47 @@ def expire_history(path: str, keep_last: int = 1) -> list[str]:
     return deleted
 
 
-def vacuum_unreferenced(path: str) -> list[str]:
+def vacuum_unreferenced(path: str, min_age_seconds: float = 0.0) -> list[str]:
     """Delete shard files that neither the live manifest NOR any
     retained history snapshot references — garbage from overwritten or
     compacted versions whose history has been expired. Retained history
     keeps its shards so time travel and stream replay stay valid; run
     :func:`expire_history` first to release old versions. Stale DML
     staging files (crashed :func:`delete_where`/:func:`merge_into`
-    runs) are collected too. Like Delta's VACUUM, this assumes no
-    write is in flight on the table — a concurrent DML's staged-but-
-    unpublished shards look exactly like garbage. Returns the deleted
-    shard names (staging housekeeping is not reported)."""
+    runs) are collected too.
+
+    ``min_age_seconds`` is the Delta VACUUM retention window (round
+    11): files younger than it are SKIPPED, so a concurrent DML's
+    staged-but-unpublished shards — which look exactly like garbage —
+    survive until their writer publishes or abandons them. With the
+    default 0 this keeps the documented r10 contract: assume no write
+    is in flight. Returns the deleted shard names (staging
+    housekeeping is not reported)."""
+    import datetime as _dt
+
     from pyarrow.fs import FileSelector, FileType
 
     fs, root = _fs_for(path)
+    cutoff = None
+    if min_age_seconds > 0:
+        cutoff = _dt.datetime.now(_dt.timezone.utc) - _dt.timedelta(
+            seconds=min_age_seconds
+        )
+
+    def _old_enough(info) -> bool:
+        if cutoff is None:
+            return True
+        mt = info.mtime
+        if mt is None:
+            return True  # filesystem reports no mtime: keep old contract
+        if mt.tzinfo is None:
+            mt = mt.replace(tzinfo=_dt.timezone.utc)
+        return mt <= cutoff
+
     sdir_stage = posixpath.join(root, "staging")
     if fs.get_file_info(sdir_stage).type != FileType.NotFound:
         for info in fs.get_file_info(FileSelector(sdir_stage)):
-            if info.type == FileType.File:
+            if info.type == FileType.File and _old_enough(info):
                 fs.delete_file(info.path)
     live: set[str] = set()
     man = read_manifest_dict(path)
@@ -3142,7 +3220,11 @@ def vacuum_unreferenced(path: str) -> list[str]:
     deleted = []
     for info in fs.get_file_info(FileSelector(sdir)):
         name = posixpath.basename(info.path)
-        if info.type == FileType.File and name not in live:
+        if (
+            info.type == FileType.File
+            and name not in live
+            and _old_enough(info)
+        ):
             fs.delete_file(info.path)
             deleted.append(name)
     return sorted(deleted)
