@@ -1856,9 +1856,7 @@ def manifest_recorded_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame
                     md5(CAST(o_orderkey AS VARCHAR)), 1, 10)
                     AS BIGINT)) AS BIGINT) AS key_checksum
         FROM orders
-        WHERE o_orderkey % 10 = 9
-           OR (o_orderkey % 10 = 5 AND o_orderkey % 1500 < 500
-               AND o_orderkey >= 0 AND o_orderkey < 12000)
+        WHERE o_orderkey % 10 IN (5, 9)
         GROUP BY o_orderstatus
     """,
     doc="Small-file OPTIMIZE on the manifest format (round 11 — the "
@@ -1898,20 +1896,31 @@ def manifest_optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame
             .write.format(MS.FORMAT_NAME).option("path", out)
             .mode("append").save()
         )
-        for k in range(8):  # the small-file tail: 8 tiny appends
+        # the small-file tail: 8 tiny appends that PARTITION the
+        # %10==5 rows by ((key-5)/10) % 8 — each ~1/80 of the table at
+        # ANY scale factor (vs the big shard's 1/10), so the min_rows
+        # threshold below separates them at every SF
+        for k in range(8):
             (
                 orders.filter(
                     (F.col("o_orderkey") % 10 == 5)
-                    & F.col("o_orderkey").between(k * 1500, k * 1500 + 499)
+                    & (
+                        F.pmod(
+                            ((F.col("o_orderkey") - 5) / 10).cast("long"),
+                            F.lit(8),
+                        )
+                        == k
+                    )
                 )
                 .repartition(1)
                 .write.format(MS.FORMAT_NAME).option("path", out)
                 .mode("append").save()
             )
         man = MS.read_manifest_dict(out)
+        n_big = max(s["n_rows"] for s in man["shards"])
         big_file = max(man["shards"], key=lambda s: s["n_rows"])["file"]
         man2, n_comp = MS.compact_small(
-            spark, out, min_rows=500, target_shards=2
+            spark, out, min_rows=n_big, target_shards=2
         )
         files2 = {s["file"] for s in man2["shards"]}
         if not (
@@ -1945,6 +1954,98 @@ def manifest_optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame
             rows,
             "o_orderstatus string, n_orders long, sum_key long, "
             "key_checksum long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_txn_timestamp_travel",
+    oracle="""
+        SELECT 'asof_v1' AS snap,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders WHERE o_orderkey % 10 = 8
+        UNION ALL
+        SELECT 'final',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_orderkey % 10 IN (4, 8)
+    """,
+    doc="Idempotent writer transactions + TIMESTAMP AS OF on the "
+        "manifest format (round 11 — Delta's setTransaction and "
+        "inCommitTimestamp shapes): slice A lands under txn "
+        "(loader, 1); a REPLAY with the same (app, version) but "
+        "DIFFERENT content — the recomputed-batch case that "
+        "content-addressing cannot catch — must publish NOTHING (the "
+        "query RAISES if commit_seq moved); slice B then lands under "
+        "txn (loader, 2). Time travel by wall time: the query resolves "
+        "version_at_timestamp(midpoint between the two commits' "
+        "in-log timestamps) and RAISES unless it names commit 1, then "
+        "reads read_manifest(timestamp=midpoint) — the pre-B snapshot "
+        "— and the final table, returning both aggregates tagged "
+        "'asof_v1'/'final'. The oracle restates both snapshots "
+        "relationally (A alone; A union B), so a hash match proves "
+        "the replay deduped exactly and the timestamp resolved to the "
+        "right version (sources/manifest_sink.py:version_at_timestamp, "
+        "txn ledger in _apply_action).",
+    tags=("sink", "datasource", "pipeline", "txn"),
+)
+def manifest_txn_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_txn_q_")
+    try:
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        a = orders.filter(F.col("o_orderkey") % 10 == 8)
+        b = orders.filter(F.col("o_orderkey") % 10 == 4)
+
+        def land(df, ver):
+            (
+                df.repartition(2).write.format(MS.FORMAT_NAME)
+                .option("path", out)
+                .option("txn_app", "loader")
+                .option("txn_version", str(ver))
+                .mode("append").save()
+            )
+
+        land(a, 1)                                   # v1
+        seq1 = MS.read_manifest_dict(out)["commit_seq"]
+        land(b, 1)                                   # REPLAY: must no-op
+        if MS.read_manifest_dict(out)["commit_seq"] != seq1:
+            raise AssertionError(
+                "manifest_txn_timestamp_travel: a replayed txn version "
+                "must publish nothing"
+            )
+        land(b, 2)                                   # v2: new version lands
+        hist = MS.describe_history(out)
+        ts1, ts2 = hist[0]["ts"], hist[-1]["ts"]
+        mid = (ts1 + ts2) / 2 if ts2 > ts1 else ts1
+        if MS.version_at_timestamp(out, mid) != seq1:
+            raise AssertionError(
+                "manifest_txn_timestamp_travel: the midpoint timestamp "
+                "must resolve to the pre-B commit"
+            )
+
+        def agg(df, tag):
+            return df.agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("sum_key"),
+            ).select(F.lit(tag).alias("snap"), "n_orders", "sum_key")
+
+        asof = MS.read_manifest(spark, out, timestamp=mid)
+        final = MS.read_manifest(spark, out)
+        rows = (
+            agg(asof, "asof_v1").unionByName(agg(final, "final")).collect()
+        )
+        return spark.createDataFrame(
+            rows, "snap string, n_orders long, sum_key long"
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)

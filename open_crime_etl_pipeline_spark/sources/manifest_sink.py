@@ -145,6 +145,13 @@ Round 11 hardens the format's production story:
   inference scan; evolution restamps latest-wins.
 - **Protocol guard**: every log document carries ``min_reader``;
   readers fail loudly on a newer protocol instead of misreading.
+- **Idempotent writer transactions** (``txn_app``/``txn_version`` —
+  the Delta setTransaction shape): a replayed batch job whose content
+  DIFFERS between attempts still lands exactly once; the ledger rides
+  the state through checkpoints and overwrites. **TIMESTAMP AS OF**:
+  every commit is stamped with an in-log timestamp;
+  ``read_manifest(timestamp=...)`` /
+  :func:`version_at_timestamp` resolve wall time to a version.
 
 Remaining driver costs: one listing + one small-JSON read per snapshot
 resolution; O(versions-in-range) small reads per stream micro-batch
@@ -275,6 +282,10 @@ def _apply_action(prev: dict | None, action: dict) -> dict:
     trails by."""
     live = {s["file"]: s for s in (prev or {}).get("shards", [])}
     epochs = dict((prev or {}).get("epochs", {}))
+    # the idempotent-writer ledger (Delta setTransaction): survives
+    # overwrites on purpose — it records what each WRITER has applied,
+    # not what data is live
+    txns = dict((prev or {}).get("txns", {}))
     kind = action["commit_kind"]
     if kind == "overwrite":
         live, epochs = {}, {}  # a new table version replaces everything
@@ -298,6 +309,13 @@ def _apply_action(prev: dict | None, action: dict) -> dict:
     sch = action.get("schema") or (prev or {}).get("schema")
     if sch:
         state["schema"] = sch
+    t = action.get("txn")
+    if t:
+        txns[t["app"]] = max(txns.get(t["app"], t["version"]), t["version"])
+    if txns:
+        state["txns"] = txns
+    if "ts" in action:  # the commit's in-log timestamp (time travel)
+        state["ts"] = action["ts"]
     if epochs:
         state["epochs"] = epochs
     return state
@@ -453,7 +471,17 @@ def _commit_with_retries(
         action = build_action(prev, seq)
         if action is None:
             return None
-        action = {**action, "min_reader": _READER_VERSION}
+        import time as _time
+
+        # in-commit timestamp (Delta inCommitTimestamp shape): the
+        # basis for TIMESTAMP AS OF time travel. Wall clock of the
+        # CLAIMING writer — monotonicity across writers is best-effort
+        # (clock skew), and version_at_timestamp documents the rule.
+        action = {
+            **action,
+            "min_reader": _READER_VERSION,
+            "ts": round(_time.time(), 3),
+        }
         data = json.dumps(action, sort_keys=True).encode("utf-8")
         claim = posixpath.join(root, HISTORY_DIR, _history_name(seq))
         if not _claim_commit(fs, claim, data):
@@ -811,6 +839,23 @@ class ManifestShardWriter(DataSourceWriter):
         self.stage_commit_path = options.get("stage_commit_path")
         if self.stage_commit_path and self.compact:
             raise ValueError("stage_commit_path and compact are exclusive")
+        # txn_app + txn_version: the Delta setTransaction contract for
+        # EXTERNAL batch writers. A commit carrying (app, v) is a
+        # complete no-op when the table has already applied version
+        # >= v for that app — exactly-once for replayed jobs whose
+        # batch CONTENT differs between attempts (a recomputed column,
+        # a new ingest timestamp), which content-addressing alone
+        # cannot catch. The streaming writer's epoch ledger is the
+        # same idea keyed by batchId.
+        app = options.get("txn_app")
+        ver = options.get("txn_version")
+        if (app is None) != (ver is None):
+            raise ValueError(
+                "txn_app and txn_version must be given together (the "
+                "idempotent-write contract needs both the writer "
+                "identity and its monotonic version)"
+            )
+        self.txn = (str(app), int(ver)) if app is not None else None
 
     # -- executor side ---------------------------------------------------
     def write(self, iterator) -> ShardCommit:
@@ -989,7 +1034,11 @@ class ManifestShardWriter(DataSourceWriter):
             )
             return
 
-        def build_action(prev: dict | None, seq: int) -> dict:
+        def build_action(prev: dict | None, seq: int) -> dict | None:
+            if self.txn is not None:
+                done = (prev or {}).get("txns", {}).get(self.txn[0])
+                if done is not None and done >= self.txn[1]:
+                    return None  # already applied: idempotent no-op
             prev_entries = (
                 {s["file"]: s for s in prev["shards"]} if prev else {}
             )
@@ -1004,6 +1053,11 @@ class ManifestShardWriter(DataSourceWriter):
                 or prev.get("schema") != sj
                 else {}
             )
+            if self.txn is not None:
+                sch = {
+                    **sch,
+                    "txn": {"app": self.txn[0], "version": self.txn[1]},
+                }
             by_file: dict[str, dict] = {}
             for m in messages:
                 if m.n_rows > 0:  # identical partitions collapse (module doc)
@@ -2314,6 +2368,7 @@ def read_manifest(
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
     prune_eq: dict | None = None,
+    timestamp: float | None = None,
 ):
     """Snapshot read: ONLY the shards the committed manifest lists —
     stale shards from overwritten versions are invisible even though
@@ -2329,7 +2384,19 @@ def read_manifest(
     RECORDS for this version (round 11 — exact types, no inference
     scan); only tables written before schema recording fall back to
     Spark's JSON inference, which needs a blocking scan and reads
-    temporals as strings."""
+    temporals as strings. ``timestamp=<unix seconds>`` is TIMESTAMP AS
+    OF: reads the newest retained commit at or before that wall time
+    (:func:`version_at_timestamp`); exclusive with ``version``."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "read_manifest: version and timestamp are exclusive"
+            )
+        version = version_at_timestamp(path, timestamp)
+        if version is None:
+            raise FileNotFoundError(
+                f"no commit at or before timestamp {timestamp} at {path}"
+            )
     man = read_manifest_dict(path, version=version)
     if man is None or not man["shards"]:
         raise FileNotFoundError(
@@ -2392,9 +2459,35 @@ def describe_history(path: str) -> list[dict]:
             "kind": state.get("commit_kind", "append"),
             "n_shards": len(state["shards"]),
             "n_rows": state["n_rows"],
+            **(
+                {"ts": state["ts"]} if state.get("ts") is not None else {}
+            ),
         }
         for v, state in _iter_retained_states(path)
     ]
+
+
+def version_at_timestamp(path: str, ts: float) -> int | None:
+    """TIMESTAMP AS OF resolution: the newest RETAINED commit whose
+    in-commit timestamp is <= ``ts`` (unix seconds), or None when every
+    retained commit is newer. Commit timestamps are each claiming
+    writer's wall clock, so cross-writer monotonicity is best-effort
+    (the Delta caveat); under skew this picks the newest qualifying
+    version by SEQUENCE, which is the snapshot a reader at that wall
+    time would have at-least seen. Cost: O(retained versions) small
+    JSON reads — time travel is an interactive operation, not a hot
+    path."""
+    fs, root = _fs_for(path)
+    commits, _ckpts = _list_log(fs, root)
+    best = None
+    for v in sorted(commits):
+        doc = _read_json_opt(fs, commits[v])
+        if doc is None:
+            continue  # expired between listing and read
+        t = doc.get("ts")
+        if t is not None and t <= ts:
+            best = v
+    return best
 
 
 def table_stats(path: str, version: int | None = None) -> dict:

@@ -750,3 +750,101 @@ def test_vacuum_min_age_protects_young_files(registered, tmp_path):
     assert len(deleted) == 1
     # the live table is intact
     assert MS.read_manifest(spark, p).count() == 10
+
+
+# -- idempotent writer transactions (Delta txn action, round 11) ------------
+
+def test_txn_idempotent_batch_writes(registered, tmp_path):
+    """An external batch job replaying with the SAME (app, version)
+    publishes nothing — even when the replay's CONTENT differs (the
+    case content-addressing cannot catch); a higher version lands;
+    apps are independent."""
+    spark, p = registered, str(tmp_path / "txn1")
+
+    def land(df, app, ver):
+        (
+            df.coalesce(1).write.format(MS.FORMAT_NAME)
+            .option("path", p)
+            .option("txn_app", app).option("txn_version", str(ver))
+            .mode("append").save()
+        )
+
+    land(_df(spark, 3, tag="a"), "loader", 1)
+    man1 = MS.read_manifest_dict(p)
+    assert man1["n_rows"] == 3 and man1["txns"] == {"loader": 1}
+    # replay v1 with DIFFERENT content (e.g. a recomputed batch with a
+    # new timestamp column value): must be a complete no-op
+    land(_df(spark, 5, tag="DIFFERENT"), "loader", 1)
+    man2 = MS.read_manifest_dict(p)
+    assert man2["commit_seq"] == man1["commit_seq"]
+    assert man2["n_rows"] == 3
+    # an OLDER version replay is a no-op too
+    land(_df(spark, 9, tag="older"), "loader", 0)
+    assert MS.read_manifest_dict(p)["n_rows"] == 3
+    # the next version lands, and another app is independent
+    land(_df(spark, 2, tag="b"), "loader", 2)
+    land(_df(spark, 1, tag="c"), "other", 1)
+    man3 = MS.read_manifest_dict(p)
+    assert man3["txns"] == {"loader": 2, "other": 1}
+    assert man3["n_rows"] == 3 + 2 + 1
+    # half-specified options refuse loudly
+    with pytest.raises(Exception, match="txn_app and txn_version"):
+        (
+            _df(spark, 1).write.format(MS.FORMAT_NAME)
+            .option("path", p).option("txn_app", "x")
+            .mode("append").save()
+        )
+
+
+def test_txn_survives_checkpoint_and_conflict_rebase(registered, tmp_path):
+    """The txn ledger rides the state through checkpoints, and a
+    rebase after losing the claim race re-checks it (build_action is
+    re-invoked against the winner's state)."""
+    spark, p = registered, str(tmp_path / "txn2")
+    (
+        _df(spark, 2).coalesce(1).write.format(MS.FORMAT_NAME)
+        .option("path", p).option("checkpoint_every", "2")
+        .option("txn_app", "a").option("txn_version", "7")
+        .mode("append").save()
+    )
+    _write(_df(spark, 2, tag="x").coalesce(1), p, mode="append")  # ckpt at 2
+    # reconstruct v2 from its checkpoint: the ledger must be there
+    assert MS.read_manifest_dict(p, version=2)["txns"] == {"a": 7}
+    # a replay AFTER the checkpoint (resolves via checkpoint) no-ops
+    (
+        _df(spark, 4, tag="y").coalesce(1).write.format(MS.FORMAT_NAME)
+        .option("path", p)
+        .option("txn_app", "a").option("txn_version", "7")
+        .mode("append").save()
+    )
+    assert MS.read_manifest_dict(p)["n_rows"] == 4
+
+
+# -- timestamp time travel (round 11) ---------------------------------------
+
+def test_timestamp_time_travel(registered, tmp_path):
+    import time as _time
+
+    spark, p = registered, str(tmp_path / "tsv1")
+    _write(_df(spark, 2, tag="a").coalesce(1), p, mode="append")   # v1
+    _time.sleep(0.2)
+    _write(_df(spark, 3, tag="b").coalesce(1), p, mode="append")   # v2
+    _time.sleep(0.2)
+    _write(_df(spark, 4, tag="c").coalesce(1), p, mode="overwrite")  # v3
+    hist = MS.describe_history(p)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    ts = [h["ts"] for h in hist]
+    assert ts == sorted(ts) and all(isinstance(t, float) for t in ts)
+    # between v1 and v2 -> v1; exactly v2 -> v2; after v3 -> v3
+    assert MS.version_at_timestamp(p, (ts[0] + ts[1]) / 2) == 1
+    assert MS.version_at_timestamp(p, ts[1]) == 2
+    assert MS.version_at_timestamp(p, ts[2] + 100) == 3
+    assert MS.version_at_timestamp(p, ts[0] - 100) is None
+    got = MS.read_manifest(spark, p, timestamp=(ts[0] + ts[1]) / 2)
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (0, "a0"), (1, "a1"),
+    ]
+    with pytest.raises(FileNotFoundError, match="timestamp"):
+        MS.read_manifest(spark, p, timestamp=ts[0] - 100)
+    with pytest.raises(ValueError, match="exclusive"):
+        MS.read_manifest(spark, p, version=1, timestamp=ts[1])
