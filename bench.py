@@ -139,6 +139,12 @@ def main() -> None:
         # its measurements are the task-count receipt inside the query
         # itself plus tools/scale_check_r10.py (commit-cost flatness,
         # concurrent writers, capped first-batch tail) in PERF.md
+        # r11: the new manifest queries (update_where, count_pushdown,
+        # recorded_schema, small-file optimize, txn/timestamp) follow
+        # the same exclusion rule; their measurements are the in-query
+        # admitted-shard assertions plus tools/scale_check_r11.py
+        # (truncated-stats action bytes, arrow write throughput,
+        # persisted-merge timing, metadata-only stats, filtered tail)
     ]
 
     # Iterative corpus-index queries: wall time is many scheduling
