@@ -805,12 +805,31 @@ class ManifestShardWriter(DataSourceWriter):
         # can't help (range stats + blooms = Delta/Iceberg file stats)
         raw = options.get("bloom_columns", "")
         self.bloom_columns = [c.strip() for c in raw.split(",") if c.strip()]
+        self.bloom_m, self.bloom_k = _bloom_geometry(options)
+        # bloom_geometry='{"col": {"m": bits, "k": hashes}}' (JSON):
+        # PER-COLUMN geometry overriding the global pair — columns
+        # listed here are implicitly bloom columns. Rewrites
+        # (compaction/DML survivors) use this to carry each column's
+        # recorded geometry EXACTLY instead of one global max pair
+        # (round-10 ADVICE's "better" branch): a table with
+        # {m=32768,k=3} on one column and {m=16384,k=11} on another
+        # rewrites each at its own geometry.
+        self.bloom_geom: dict = {}
+        for c, g in json.loads(options.get("bloom_geometry", "{}")).items():
+            m, k = int(g["m"]), int(g["k"])
+            if m < 8 or not (1 <= k <= 64):
+                raise ValueError(
+                    f"bloom_geometry out of range for column {c!r}: "
+                    "need m >= 8 bits and 1 <= k <= 64"
+                )
+            self.bloom_geom[c] = ((m + 7) & ~7, k)
+            if c not in self.bloom_columns:
+                self.bloom_columns.append(c)
         unknown = set(self.bloom_columns) - set(schema.fieldNames())
         if unknown:
             raise ValueError(
                 f"bloom_columns not in schema: {sorted(unknown)}"
             )
-        self.bloom_m, self.bloom_k = _bloom_geometry(options)
         # stats_trunc_len=N caps STRING min/max stats at N chars
         # (prefix lower bound / prefix-successor upper bound — see
         # :func:`_truncate_string_bounds`); 0 stores full values. The
@@ -880,8 +899,10 @@ class ManifestShardWriter(DataSourceWriter):
         mins: dict = {}
         maxs: dict = {}
         nulls: dict = {c: 0 for c in stat_cols}
-        bm, bk = self.bloom_m, self.bloom_k
-        bloom_bits = {c: bytearray(bm >> 3) for c in self.bloom_columns}
+        geoms = self._bloom_geoms()
+        bloom_bits = {
+            c: bytearray(geoms[c][0] >> 3) for c in self.bloom_columns
+        }
         h = hashlib.md5()
         n_rows = 0
         with tempfile.SpooledTemporaryFile(max_size=self.spill_threshold) as spool:
@@ -906,7 +927,8 @@ class ManifestShardWriter(DataSourceWriter):
                     for c, bits in bloom_bits.items():
                         v = d.get(c)
                         if v is not None:
-                            for pos in _bloom_positions(v, bm, bk):
+                            gm, gk = geoms[c]
+                            for pos in _bloom_positions(v, gm, gk):
                                 bits[pos >> 3] |= 1 << (pos & 7)
                     line = (
                         json.dumps(
@@ -945,6 +967,13 @@ class ManifestShardWriter(DataSourceWriter):
                 out.write(chunk)
         fs.move(tmp, final)
 
+    def _bloom_geoms(self) -> dict:
+        """{column: (m, k)} — per-column overrides, global fallback."""
+        return {
+            c: self.bloom_geom.get(c, (self.bloom_m, self.bloom_k))
+            for c in self.bloom_columns
+        }
+
     def _emit(
         self, shard: str, n_rows: int, digest: str,
         mins: dict, maxs: dict, nulls: dict, bloom_bits: dict,
@@ -954,6 +983,7 @@ class ManifestShardWriter(DataSourceWriter):
         can never diverge on manifest semantics."""
         import base64
 
+        geoms = self._bloom_geoms()
         stats_out: dict = {}
         trunc_cols: list[str] = []
         str_cols = _string_fields(self.schema) if self.stats_trunc_len else ()
@@ -975,8 +1005,8 @@ class ManifestShardWriter(DataSourceWriter):
             nulls=dict(nulls) or None,
             blooms={
                 c: {
-                    "m": self.bloom_m,
-                    "k": self.bloom_k,
+                    "m": geoms[c][0],
+                    "k": geoms[c][1],
                     "bits": base64.b64encode(bytes(bits)).decode("ascii"),
                 }
                 for c, bits in bloom_bits.items()
@@ -1288,8 +1318,10 @@ class ManifestArrowShardWriter(ManifestShardWriter, DataSourceArrowWriter):
         maxs: dict = {}
         poisoned: set[str] = set()  # float cols with NaN: no min/max
         nulls: dict = {c: 0 for c in stat_cols}
-        bm, bk = self.bloom_m, self.bloom_k
-        bloom_bits = {c: bytearray(bm >> 3) for c in self.bloom_columns}
+        geoms = self._bloom_geoms()
+        bloom_bits = {
+            c: bytearray(geoms[c][0] >> 3) for c in self.bloom_columns
+        }
         h = hashlib.md5()
         n_rows = 0
         with tempfile.SpooledTemporaryFile(
@@ -1348,9 +1380,10 @@ class ManifestArrowShardWriter(ManifestShardWriter, DataSourceArrowWriter):
                             vals = set(vals)
                         except TypeError:
                             pass  # unhashable (array column): every row
+                        gm, gk = geoms[c]
                         for v in vals:
                             if v is not None:
-                                for pos in _bloom_positions(v, bm, bk):
+                                for pos in _bloom_positions(v, gm, gk):
                                     bits[pos >> 3] |= 1 << (pos & 7)
                     # one digest update + one gzip write per BATCH (the
                     # joined bytes are identical to per-line writes:
@@ -1943,6 +1976,55 @@ class ManifestShardPushdownReader(ManifestShardReader):
         return [ShardPartition(path=self.path, shard=s) for s in shards]
 
 
+def _log_adds(
+    fs, root: str, lo: int, hi: int
+) -> list[tuple[int, dict]] | None:
+    """CDF log replay shared by the stream tail and batch
+    :func:`table_changes`: ``[(version, shard_entry)]`` for the data
+    shards ADDED in ``(lo, hi]``, straight from the action files
+    (O(delta) per version, no snapshot reconstruction) — dropping
+    versions an in-range overwrite superseded (no retractions: the
+    reader just never resurrects rows the overwrite replaced) and
+    rewrites (``data_change=false``: rows were already delivered
+    through the originals). Legacy full-snapshot log entries replay
+    identically — their "added at v" set is the entries stamped
+    ``added_seq == v``, with MISSING added_seq defaulting to 1 (the
+    documented pre-added_seq rule; defaulting to v would deliver the
+    same shard once per micro-batch window — round-10 ADVICE). Action
+    docs always stamp added_seq, so their default is unreachable.
+    Returns None when a commit in range was expired (the caller falls
+    back to live-state watermarks)."""
+    commits, _ckpts = _list_log(fs, root)
+    versions = list(range(lo + 1, hi + 1))
+    docs = {
+        v: _read_json_opt(fs, commits[v]) for v in versions if v in commits
+    }
+    if not all(docs.get(v) is not None for v in versions):
+        return None
+    boundary = max(
+        (v for v in versions if docs[v].get("commit_kind") == "overwrite"),
+        default=versions[0] if versions else 0,
+    )
+    seen: set[str] = set()
+    out: list[tuple[int, dict]] = []
+    for v in versions:
+        if v < boundary:
+            continue
+        doc = docs[v]
+        legacy = "add" not in doc
+        adds = doc["shards"] if legacy else doc["add"]
+        dflt = 1 if legacy else v
+        for s in adds:
+            if (
+                s.get("added_seq", dflt) == v
+                and s.get("data_change", True)
+                and s["file"] not in seen
+            ):
+                seen.add(s["file"])
+                out.append((v, s))
+    return out
+
+
 class ManifestShardStreamReader(DataSourceStreamReader):
     """Streaming READER twin of the sink: tails manifest versions.
 
@@ -2074,54 +2156,11 @@ class ManifestShardStreamReader(DataSourceStreamReader):
         shards: list[str] = []
         if hi > lo:
             fs, root = _fs_for(self.path)
-            commits, _ckpts = _list_log(fs, root)
-            versions = list(range(lo + 1, hi + 1))
-            docs = {
-                v: _read_json_opt(fs, commits[v])
-                for v in versions
-                if v in commits
-            }
-            if all(docs.get(v) is not None for v in versions):
-                # log replay: each in-range commit's ADDED data shards,
-                # straight from the action files (O(delta) per version,
-                # no snapshot reconstruction), dropping versions an
-                # overwrite in-range superseded (no retractions — the
-                # reader just never resurrects rows the overwrite
-                # replaced) and compaction rewrites (data_change=false:
-                # rows already delivered through the original shards).
-                # Legacy full-snapshot log entries replay identically:
-                # their "added at v" set is the entries stamped
-                # added_seq == v.
-                boundary = max(
-                    (v for v in versions
-                     if docs[v].get("commit_kind") == "overwrite"),
-                    default=versions[0],
-                )
-                seen: set[str] = set()
-                for v in versions:
-                    if v < boundary:
-                        continue
-                    doc = docs[v]
-                    legacy = "add" not in doc
-                    adds = doc["shards"] if legacy else doc["add"]
-                    # an entry missing added_seq defaults to 1 (the
-                    # documented pre-added_seq rule) in LEGACY full
-                    # snapshots — defaulting to v would count the same
-                    # shard as "added at v" in EVERY snapshot listing
-                    # it, delivering it once per micro-batch window
-                    # (the seen-set only dedups within one batch;
-                    # round-10 ADVICE). Action docs always stamp
-                    # added_seq, so their default is unreachable.
-                    dflt = 1 if legacy else v
-                    for s in adds:
-                        if (
-                            s.get("added_seq", dflt) == v
-                            and s.get("data_change", True)
-                            and s["file"] not in seen
-                            and self._admits(s)
-                        ):
-                            seen.add(s["file"])
-                            shards.append(s["file"])
+            adds = _log_adds(fs, root, lo, hi)
+            if adds is not None:
+                shards = [
+                    s["file"] for _v, s in adds if self._admits(s)
+                ]
             else:
                 # a commit in range was expired (log-retention horizon):
                 # fall back to the LIVE state. A FRESH tail (lo == 0)
@@ -2563,27 +2602,27 @@ def table_stats(path: str, version: int | None = None) -> dict:
 
 def _bloom_options(writer, shards: list[dict]):
     """Carry a table's bloom-column set AND geometry onto a rewrite
-    (compaction / delete survivors): a rewritten shard holds as many
-    or more rows than the originals, so keep the largest recorded
-    filter rather than silently resetting to the default."""
-    blooms = [
-        (c, b) for s in shards for c, b in (s.get("blooms") or {}).items()
-    ]
-    bloom_cols = sorted({c for c, _b in blooms})
-    if not bloom_cols:
+    (compaction / delete survivors) PER COLUMN (round-10 ADVICE's
+    "better" branch): each column keeps the largest {m, k} any source
+    shard recorded for it — a table with {m=32768,k=3} on one column
+    and {m=16384,k=11} on another rewrites each at its own geometry,
+    never a global pair that weakens one of them. A rewritten shard
+    holds as many or more rows than the originals, so "largest
+    recorded" is the conservative choice; geometry is tuning-only (FPs
+    over-read, never under-read)."""
+    geom: dict[str, tuple[int, int]] = {}
+    for s in shards:
+        for c, b in (s.get("blooms") or {}).items():
+            m0, k0 = geom.get(c, (0, 0))
+            geom[c] = (max(m0, b["m"]), max(k0, b["k"]))
+    if not geom:
         return writer
-    # max m and max k INDEPENDENTLY: a lexicographic max over (m, k)
-    # tuples would ride along whichever k was paired with the largest
-    # m — a table with geometries {m=32768,k=3} and {m=16384,k=11}
-    # must rewrite at (32768, 11), not (32768, 3). Tuning-only (FPs
-    # over-read, never under-read) but it keeps point-lookup skipping
-    # strong after compaction/DML (round-10 ADVICE).
-    m = max(b["m"] for _c, b in blooms)
-    k = max(b["k"] for _c, b in blooms)
-    return (
-        writer.option("bloom_columns", ",".join(bloom_cols))
-        .option("bloom_bits", str(m))
-        .option("bloom_hashes", str(k))
+    return writer.option(
+        "bloom_geometry",
+        json.dumps(
+            {c: {"m": m, "k": k} for c, (m, k) in sorted(geom.items())},
+            sort_keys=True,
+        ),
     )
 
 
@@ -3162,16 +3201,23 @@ def table_changes(
     schema,
     start_version: int,
     end_version: int | None = None,
+    with_version: bool = False,
 ):
     """Batch CDF read — the rows ADDED in commits ``(start_version,
     end_version]``, exactly what a stream tail positioned at
     ``start_version`` would deliver over that range (same rules, same
-    code: the stream reader's partition selection is reused verbatim —
+    code: :func:`_log_adds` is shared with the stream reader —
     overwrite boundaries drop superseded versions, rewrites with
     ``data_change=false`` are invisible, replayed content keeps its
     original ``added_seq``). ``start_version=0`` with expired history
-    returns the initial snapshot. The Delta ``table_changes`` shape on
-    this format; rows come back through the JVM JSON fast path."""
+    returns the initial snapshot. ``with_version=True`` appends a
+    ``_commit_version`` LONG column — the commit each row arrived in
+    (the Delta CDF ``_commit_version`` shape; shards are
+    version-homogeneous, so the tag is a per-file literal, not a scan
+    cost). The Delta ``table_changes`` shape on this format; rows come
+    back through the JVM JSON fast path."""
+    from pyspark.sql import functions as F
+
     if schema is None:
         schema = table_schema(path)  # the log's recorded schema
     if schema is None:
@@ -3184,18 +3230,50 @@ def table_changes(
     if end_version is None:
         man = read_manifest_dict(path)
         end_version = man.get("commit_seq", 0) if man else 0
-    r = ManifestShardStreamReader(
-        StructType(), {"path": path}
-    )
-    parts = r.partitions(
-        {"seq": int(start_version)}, {"seq": int(end_version)}
-    )
-    files = [
-        posixpath.join(path, "shards", p.shard) for p in parts if p.shard
+    lo, hi = int(start_version), int(end_version)
+    fs, root = _fs_for(path)
+    adds = _log_adds(fs, root, lo, hi) if hi > lo else []
+    if adds is None:
+        # expired history: live-state watermarks, the stream reader's
+        # documented fallback (initial snapshot for lo == 0)
+        man = read_manifest_dict(path)
+        entries = man["shards"] if man else []
+        if lo == 0:
+            adds = [(s.get("added_seq", 1), s) for s in entries]
+        else:
+            adds = [
+                (s.get("added_seq", 1), s)
+                for s in entries
+                if lo < s.get("added_seq", 1) <= hi
+                and s.get("data_change", True)
+            ]
+    if not adds:
+        out = spark.createDataFrame([], schema)
+        return (
+            out.withColumn("_commit_version", F.lit(None).cast("long"))
+            if with_version
+            else out
+        )
+    if not with_version:
+        files = [
+            posixpath.join(path, "shards", s["file"]) for _v, s in adds
+        ]
+        return spark.read.schema(schema).json(files)
+    by_version: dict[int, list[str]] = {}
+    for v, s in adds:
+        by_version.setdefault(v, []).append(
+            posixpath.join(path, "shards", s["file"])
+        )
+    frames = [
+        spark.read.schema(schema).json(files).withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        )
+        for v, files in sorted(by_version.items())
     ]
-    if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).json(files)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def expire_history(path: str, keep_last: int = 1) -> list[str]:

@@ -397,9 +397,14 @@ def test_bloom_rewrite_geometry_independent_max(registered, tmp_path):
     man2 = MS.compact(spark, p, schema="id long, s string",
                       target_shards=1)
     (shard,) = man2["shards"]
-    geo = {(b["m"], b["k"]) for b in shard["blooms"].values()}
-    # m and k maxed INDEPENDENTLY: k=11 must ride with m=32768
-    assert geo == {(32768, 11)}
+    geo = {c: (b["m"], b["k"]) for c, b in shard["blooms"].items()}
+    # PER-COLUMN carry: each column keeps ITS recorded geometry — no
+    # global pair that would weaken one of them (round-10 ADVICE,
+    # "better" branch)
+    assert geo == {"id": (32768, 3), "s": (16384, 11)}
+    # and a point probe through the carried filters still admits/skips
+    assert MS._shard_admits_eq(shard, "id", 50)
+    assert not MS._shard_admits_eq(shard, "id", 777_777)
 
 
 # -- Arrow write path (round-10 verdict item 2) -----------------------------
@@ -848,3 +853,37 @@ def test_timestamp_time_travel(registered, tmp_path):
         MS.read_manifest(spark, p, timestamp=ts[0] - 100)
     with pytest.raises(ValueError, match="exclusive"):
         MS.read_manifest(spark, p, version=1, timestamp=ts[1])
+
+
+# -- CDF _commit_version column (round 11) ----------------------------------
+
+def test_table_changes_with_commit_version(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "cv1")
+    schema = "id long, s string"
+    _write(_df(spark, 2, tag="a").coalesce(1), p, mode="append")   # v1
+    _write(
+        spark.createDataFrame([(100, "b")], schema).coalesce(1),
+        p, mode="append",
+    )                                                               # v2
+    MS.compact(spark, p, schema=schema, target_shards=1)            # v3
+    src = spark.createDataFrame([(100, "UP"), (7, "NEW")], schema)
+    man4, *_ = MS.merge_into(spark, p, schema, src, ["id"])         # v4
+    got = sorted(
+        tuple(r)
+        for r in MS.table_changes(
+            spark, p, None, 0, with_version=True
+        ).collect()
+    )
+    assert got == [
+        (0, "a0", 1), (1, "a1", 1), (7, "NEW", 4), (100, "UP", 4),
+        (100, "b", 2),
+    ]
+    # compaction contributed no versions; the column is typed long
+    df = MS.table_changes(spark, p, None, 2, 3, with_version=True)
+    assert df.schema["_commit_version"].dataType.typeName() == "long"
+    assert df.count() == 0
+    # the version-free path is unchanged
+    plain = sorted(
+        tuple(r) for r in MS.table_changes(spark, p, None, 0).collect()
+    )
+    assert plain == [(t[0], t[1]) for t in got]
