@@ -2026,7 +2026,16 @@ def manifest_txn_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame
         land(b, 2)                                   # v2: new version lands
         hist = MS.describe_history(out)
         ts1, ts2 = hist[0]["ts"], hist[-1]["ts"]
-        mid = (ts1 + ts2) / 2 if ts2 > ts1 else ts1
+        # in-commit timestamps are clamped strictly increasing at the
+        # writer (round-12: the Delta inCommitTimestamp monotonicity
+        # contract), so the midpoint always falls strictly between the
+        # two commits and resolves to the pre-B snapshot
+        if not ts2 > ts1:
+            raise AssertionError(
+                "manifest_txn_timestamp_travel: commit timestamps must "
+                f"be strictly increasing (got {ts1} then {ts2})"
+            )
+        mid = (ts1 + ts2) / 2
         if MS.version_at_timestamp(out, mid) != seq1:
             raise AssertionError(
                 "manifest_txn_timestamp_travel: the midpoint timestamp "

@@ -474,13 +474,20 @@ def _commit_with_retries(
         import time as _time
 
         # in-commit timestamp (Delta inCommitTimestamp shape): the
-        # basis for TIMESTAMP AS OF time travel. Wall clock of the
-        # CLAIMING writer — monotonicity across writers is best-effort
-        # (clock skew), and version_at_timestamp documents the rule.
+        # basis for TIMESTAMP AS OF time travel. Clamped STRICTLY
+        # INCREASING against the previous commit's recorded ts — under
+        # clock skew/NTP steps (or two commits inside one millisecond,
+        # since ts rounds to 3 decimals) raw wall clock could run
+        # backwards and version_at_timestamp would resolve the wrong
+        # snapshot; Delta's inCommitTimestamp enforces the same
+        # monotonicity (round-11 ADVICE). The clamp is safe under the
+        # claim race: a loser rebases onto the winner's state and
+        # re-clamps against the winner's ts.
+        prev_ts = float((prev or {}).get("ts") or 0.0)
         action = {
             **action,
             "min_reader": _READER_VERSION,
-            "ts": round(_time.time(), 3),
+            "ts": max(round(_time.time(), 3), round(prev_ts + 0.001, 3)),
         }
         data = json.dumps(action, sort_keys=True).encode("utf-8")
         claim = posixpath.join(root, HISTORY_DIR, _history_name(seq))
@@ -2509,13 +2516,14 @@ def describe_history(path: str) -> list[dict]:
 def version_at_timestamp(path: str, ts: float) -> int | None:
     """TIMESTAMP AS OF resolution: the newest RETAINED commit whose
     in-commit timestamp is <= ``ts`` (unix seconds), or None when every
-    retained commit is newer. Commit timestamps are each claiming
-    writer's wall clock, so cross-writer monotonicity is best-effort
-    (the Delta caveat); under skew this picks the newest qualifying
-    version by SEQUENCE, which is the snapshot a reader at that wall
-    time would have at-least seen. Cost: O(retained versions) small
-    JSON reads — time travel is an interactive operation, not a hot
-    path."""
+    retained commit is newer. In-commit timestamps are clamped
+    STRICTLY INCREASING at the writer (round 12 — the Delta
+    inCommitTimestamp monotonicity contract), so sequence order and
+    timestamp order agree even under clock skew or same-millisecond
+    commits; tables written before the clamp may carry non-monotonic
+    stamps, for which this picks the newest qualifying version by
+    SEQUENCE. Cost: O(retained versions) small JSON reads — time
+    travel is an interactive operation, not a hot path."""
     fs, root = _fs_for(path)
     commits, _ckpts = _list_log(fs, root)
     best = None
@@ -2736,7 +2744,7 @@ def compact_small(
     spark,
     path: str,
     schema=None,
-    min_rows: int = 1,
+    min_rows: int | None = None,
     target_shards: int = 1,
 ) -> tuple[dict, int]:
     """Small-file OPTIMIZE (round 11): bin-pack ONLY the live shards
@@ -2750,9 +2758,20 @@ def compact_small(
     subset is guarded exactly, tailing readers see nothing (rows were
     already delivered), and a concurrent rewrite of a touched shard
     refuses to publish (the write-conflict contract). ``schema=None``
-    uses the log's recorded schema. Returns ``(new_manifest,
-    n_compacted_shards)``; fewer than two qualifying shards publish
-    nothing (no gain)."""
+    uses the log's recorded schema. ``min_rows`` is REQUIRED and an
+    EXCLUSIVE lower threshold — a shard qualifies iff it holds fewer
+    than ``min_rows`` rows; committed shards always hold >= 1 row, so
+    a default of 1 could never select anything and a defaults call
+    would be a guaranteed silent no-op (round-11 ADVICE). Returns
+    ``(new_manifest, n_compacted_shards)``; fewer than two qualifying
+    shards publish nothing (no gain)."""
+    if min_rows is None:
+        raise ValueError(
+            "compact_small: min_rows is required (the small-shard "
+            "threshold is table-specific; shards holding fewer than "
+            "min_rows rows are bin-packed - note the threshold is "
+            "EXCLUSIVE, so min_rows=1 selects nothing)"
+        )
     man = read_manifest_dict(path)
     if man is None or not man["shards"]:
         raise FileNotFoundError(f"no committed manifest at {path}")
@@ -2910,18 +2929,25 @@ def delete_where(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.json(files)
-    counts = df.agg(
-        F.sum(F.when(cond, 1).otherwise(0)).alias("matched"),
-        F.count(F.lit(1)).alias("total"),
-    ).first()
-    n_deleted = int(counts["matched"] or 0)
-    if n_deleted == 0:
-        return man, 0  # nothing matched: publish nothing
-    survivors = df.filter(~F.coalesce(cond, F.lit(False))).repartition(
-        max(1, len(touched))
-    )
-    staged = _stage_write(survivors, path, "delete", touched)
+    # persist the touched-shard read: it feeds the matched/total count
+    # aggregation AND the survivor staging write — without the cache
+    # each consumer re-gunzips and re-parses the same shards (the same
+    # multi-consumer pattern merge_into caches; round-11 ADVICE)
+    df = reader.json(files).persist()
+    try:
+        counts = df.agg(
+            F.sum(F.when(cond, 1).otherwise(0)).alias("matched"),
+            F.count(F.lit(1)).alias("total"),
+        ).first()
+        n_deleted = int(counts["matched"] or 0)
+        if n_deleted == 0:
+            return man, 0  # nothing matched: publish nothing
+        survivors = df.filter(~F.coalesce(cond, F.lit(False))).repartition(
+            max(1, len(touched))
+        )
+        staged = _stage_write(survivors, path, "delete", touched)
+    finally:
+        df.unpersist()
     man2 = _commit_replace(
         path,
         kind="delete",
@@ -2990,42 +3016,52 @@ def update_where(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.json(files)
-    bad = set(assignments) - set(df.columns)
-    if bad:
-        raise ValueError(
-            f"update_where: SET targets not in schema: {sorted(bad)}"
+    # persist the touched-shard read: it feeds THREE consumers — the
+    # matched/total count aggregation, the survivor staging write, and
+    # the updated-rows staging write — and without the cache each one
+    # re-gunzips and re-parses the same shards (the same multi-consumer
+    # pattern merge_into caches; round-11 ADVICE)
+    df = reader.json(files).persist()
+    try:
+        bad = set(assignments) - set(df.columns)
+        if bad:
+            raise ValueError(
+                f"update_where: SET targets not in schema: {sorted(bad)}"
+            )
+        counts = df.agg(
+            F.sum(F.when(cond, 1).otherwise(0)).alias("matched"),
+            F.count(F.lit(1)).alias("total"),
+        ).first()
+        n_updated = int(counts["matched"] or 0)
+        if n_updated == 0:
+            return man, 0  # nothing matched: publish nothing
+        hit = F.coalesce(cond, F.lit(False))
+        sets = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        survivors = df.filter(~hit).repartition(max(1, len(touched)))
+        # SET expressions see the PRE-update row (select, not chained
+        # withColumn — a chain would let one assignment observe
+        # another's result, which is not UPDATE semantics); casting
+        # back to the declared type keeps the rewrite schema-stable.
+        updated = df.filter(hit).select(
+            *[
+                sets[f.name].cast(f.dataType).alias(f.name)
+                if f.name in sets
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
         )
-    counts = df.agg(
-        F.sum(F.when(cond, 1).otherwise(0)).alias("matched"),
-        F.count(F.lit(1)).alias("total"),
-    ).first()
-    n_updated = int(counts["matched"] or 0)
-    if n_updated == 0:
-        return man, 0  # nothing matched: publish nothing
-    hit = F.coalesce(cond, F.lit(False))
-    sets = {
-        c: (F.expr(e) if isinstance(e, str) else e)
-        for c, e in assignments.items()
-    }
-    survivors = df.filter(~hit).repartition(max(1, len(touched)))
-    # SET expressions see the PRE-update row (select, not chained
-    # withColumn — a chain would let one assignment observe another's
-    # result, which is not UPDATE semantics); casting back to the
-    # declared type keeps the rewrite schema-stable.
-    updated = df.filter(hit).select(
-        *[
-            sets[f.name].cast(f.dataType).alias(f.name)
-            if f.name in sets
-            else F.col(f.name)
-            for f in df.schema.fields
-        ]
-    )
-    n_shards_upd = max(1, min(len(touched), 8))
-    staged_survivors = _stage_write(survivors, path, "update-surv", touched)
-    staged_updated = _stage_write(
-        updated.repartition(n_shards_upd), path, "update-rows", touched
-    )
+        n_shards_upd = max(1, min(len(touched), 8))
+        staged_survivors = _stage_write(
+            survivors, path, "update-surv", touched
+        )
+        staged_updated = _stage_write(
+            updated.repartition(n_shards_upd), path, "update-rows", touched
+        )
+    finally:
+        df.unpersist()
     man2 = _commit_replace(
         path,
         kind="update",
