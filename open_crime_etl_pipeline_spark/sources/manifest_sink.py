@@ -202,8 +202,32 @@ _MAX_COMMIT_RETRIES = 50
 #: would silently misinterpret bumps the stamp, and every resolve path
 #: then fails LOUDLY (:func:`_read_json_opt`) instead of returning a
 #: wrong table. Documents without the field (pre-round-11 tables)
-#: read as 0 — always readable.
-_READER_VERSION = 2
+#: read as 0 — always readable. Protocol 3 (round 12) marks tables
+#: holding PARQUET shards (``shard_format=parquet``): a protocol-2
+#: reader would feed the parquet bytes to a JSON parse and misread,
+#: so only the actions/checkpoints that actually involve parquet
+#: shards carry the bump — JSON-only tables keep stamping 2 and stay
+#: readable by older code.
+_READER_VERSION = 3
+
+#: what a JSON-only commit stamps; parquet-involving commits stamp 3
+_BASE_MIN_READER = 2
+
+
+def _shard_is_parquet(name: str) -> bool:
+    """Per-shard codec dispatch: the extension is part of the shard's
+    content-addressed name, so every log entry self-describes."""
+    return name.endswith(".parquet")
+
+
+def _min_reader_for(add_entries) -> int:
+    """The protocol floor an action needs: 3 when it adds parquet
+    shards (a protocol-2 reader would JSON-parse them), else 2."""
+    return (
+        _READER_VERSION
+        if any(_shard_is_parquet(e["file"]) for e in add_entries)
+        else _BASE_MIN_READER
+    )
 
 
 class ManifestProtocolError(RuntimeError):
@@ -303,12 +327,24 @@ def _apply_action(prev: dict | None, action: dict) -> dict:
         "shards": sorted(live.values(), key=lambda s: s["file"]),
         "n_rows": sum(s["n_rows"] for s in live.values()),
     }
+    # the protocol floor of the STATE: what a reader of this snapshot
+    # must understand. Derived from the live set, not carried forward
+    # blindly — an overwrite that replaces parquet shards with JSON
+    # ones drops the floor back to 2, so checkpoints/hints of the new
+    # state stay readable by protocol-2 code.
+    state["min_reader"] = _min_reader_for(live.values())
     # the RECORDED table schema (Delta metaData shape, round 11):
     # writers stamp it when it changes; every later state carries it
     # forward, so any version resolves to the schema that governed it
     sch = action.get("schema") or (prev or {}).get("schema")
     if sch:
         state["schema"] = sch
+    # the recorded shard codec (round 12): stamped by writers when it
+    # changes, carried forward like the schema, so appends and DML
+    # resolve the table's codec without options
+    codec = action.get("codec") or (prev or {}).get("codec")
+    if codec:
+        state["codec"] = codec
     t = action.get("txn")
     if t:
         txns[t["app"]] = max(txns.get(t["app"], t["version"]), t["version"])
@@ -486,7 +522,12 @@ def _commit_with_retries(
         prev_ts = float((prev or {}).get("ts") or 0.0)
         action = {
             **action,
-            "min_reader": _READER_VERSION,
+            # each ACTION carries only the floor it itself needs: a
+            # JSON-only commit on a parquet table stamps 2 (the action
+            # alone is protocol-2 parseable; the STATE's floor — what
+            # checkpoints and hints stamp — still reflects the live
+            # parquet shards via _apply_action)
+            "min_reader": _min_reader_for(action.get("add", ())),
             "ts": max(round(_time.time(), 3), round(prev_ts + 0.001, 3)),
         }
         data = json.dumps(action, sort_keys=True).encode("utf-8")
@@ -496,13 +537,13 @@ def _commit_with_retries(
         state = _apply_action(prev, action)
         ckpt_seq = 0
         if checkpoint_every and seq % checkpoint_every == 0:
+            # the checkpoint IS the state, floor included (_apply_action
+            # stamps min_reader from the live set — 3 only when parquet
+            # shards are live, so JSON-only tables stay protocol-2)
             _write_atomic(
                 fs,
                 posixpath.join(root, HISTORY_DIR, _checkpoint_name(seq)),
-                json.dumps(
-                    {**state, "min_reader": _READER_VERSION},
-                    sort_keys=True,
-                ).encode("utf-8"),
+                json.dumps(state, sort_keys=True).encode("utf-8"),
             )
             ckpt_seq = seq
         else:
@@ -519,7 +560,9 @@ def _commit_with_retries(
             json.dumps(
                 {
                     "version": 2,
-                    "min_reader": _READER_VERSION,
+                    "min_reader": state.get(
+                        "min_reader", _BASE_MIN_READER
+                    ),
                     "commit_seq": seq,
                     "checkpoint_seq": ckpt_seq,
                 },
@@ -789,6 +832,12 @@ class ManifestShardWriter(DataSourceWriter):
     #: shard sizes an O(partition-bytes) buffer is an OOM, and local
     #: scratch is exactly where Spark already spills shuffles.
     DEFAULT_SPILL_THRESHOLD = 64 << 20
+
+    #: the shard payload codec this writer class produces; the
+    #: DataSource picks the class from the resolved ``shard_format``
+    #: (explicit option, else the table's recorded codec), and the
+    #: commit stamps it into the log so later appends/DML inherit it
+    _CODEC = "jsonl"
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         path = options.get("path")
@@ -1090,6 +1139,15 @@ class ManifestShardWriter(DataSourceWriter):
                 or prev.get("schema") != sj
                 else {}
             )
+            # record the table's shard CODEC when this write
+            # (re)defines it — appends and DML then inherit it without
+            # an explicit option (the Delta metaData format field)
+            if (
+                self.overwrite
+                or prev is None
+                or prev.get("codec", "jsonl") != self._CODEC
+            ):
+                sch = {**sch, "codec": self._CODEC}
             if self.txn is not None:
                 sch = {
                     **sch,
@@ -1422,6 +1480,158 @@ class ManifestArrowShardWriter(ManifestShardWriter, DataSourceArrowWriter):
                           bloom_bits)
 
 
+class ManifestParquetShardWriter(ManifestShardWriter, DataSourceArrowWriter):
+    """COLUMNAR shard codec (round 12, verdict item 1):
+    ``option("shard_format", "parquet")`` writes each task's partition
+    as ONE parquet file — ``shards/shard-<md5-of-file-bytes>.parquet``
+    — instead of gzip-JSON lines. Same action log, same stats/Bloom/
+    pushdown machinery, same optimistic commit; what changes is the
+    shard payload, and with it the 100-TB scan economics: reads go
+    through Spark's NATIVE parquet source (or Arrow's parquet reader
+    on the DataSource path), so a selective-column analytical scan
+    decodes only the columns it needs (column pruning INSIDE a shard,
+    which the row-oriented JSON codec structurally cannot do), gets
+    row-group statistics and vectorized decode for free, and the
+    write floor is Arrow's C++ encoder, not ``json.dumps`` per line.
+
+    CONTENT-ADDRESS CONTRACT: the shard name is the md5 of the parquet
+    FILE bytes. Those bytes are deterministic because (a) all batches
+    are combined into one chunk before writing (``combine_chunks`` —
+    engine batch-chunking cannot leak into the layout), (b) the table
+    is cast to the canonical ``to_arrow_schema(schema)`` (tz labels
+    and field order pinned), and (c) the writer settings are frozen in
+    ``_PQ_SETTINGS``. A replayed task therefore rewrites byte-identical
+    files under the same name — the same idempotence contract as the
+    JSON codec — within a fixed pyarrow version (the parquet footer
+    embeds ``created_by``; cross-version replays may re-land content
+    under a new name, which the manifest treats as a plain append —
+    correct, just not deduped).
+
+    Stats/bloom parity: min/max come from Arrow ``min_max`` kernels
+    and null counts from validity bitmaps, converted into the SAME
+    stats value domain the JSON codec records (naive-local ISO
+    timestamps via ``astimezone().replace(tzinfo=None)`` — pyspark's
+    own Arrow-to-row conversion), so shard pruning, ``table_stats``,
+    and DML scoping are codec-blind. Float columns containing NaN
+    record no min/max (same conservative rule as the Arrow JSON
+    writer). Actions adding parquet shards stamp ``min_reader`` 3 — a
+    protocol-2 reader would JSON-parse the bytes and misread.
+
+    Memory: the task's partition is held as ONE Arrow table before
+    writing (columnar, dictionary-encodable — not the decoded-JSON
+    blow-up), then spooled compressed; size write partitions as you
+    would parquet output files (~128 MB-1 GB)."""
+
+    _CODEC = "parquet"
+    #: frozen writer settings — part of the content-address contract.
+    #: zstd: best scan-speed/size tradeoff of the deterministic codecs;
+    #: 128k-row groups keep row-group stats meaningful without
+    #: fragmenting the file.
+    _PQ_SETTINGS = {"compression": "zstd", "row_group_size": 1 << 17}
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        super().__init__(options, schema, overwrite)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        try:
+            self._target = to_arrow_schema(schema)
+        except Exception as e:
+            raise ValueError(
+                "shard_format=parquet cannot serve this schema (no "
+                f"Arrow mapping: {e}); use the default jsonl codec"
+            ) from e
+
+    def write(self, iterator) -> ShardCommit:  # Iterator[pa.RecordBatch]
+        import tempfile
+
+        import pyarrow as pa
+        from pyarrow import compute as pc
+        from pyarrow import parquet as pq
+        from pyspark.sql import types as T
+
+        target = self._target
+        fields = self.schema.fieldNames()
+        stat_cols = set(_stats_fields(self.schema))
+        ts_cols = {
+            f.name
+            for f in self.schema.fields
+            if type(f.dataType) is T.TimestampType
+        }
+        float_cols = {
+            f.name
+            for f in self.schema.fields
+            if type(f.dataType) in (T.FloatType, T.DoubleType)
+        }
+        batches = [b for b in iterator if b.num_rows]
+        n_rows = sum(b.num_rows for b in batches)
+        geoms = self._bloom_geoms()
+        bloom_bits = {
+            c: bytearray(geoms[c][0] >> 3) for c in self.bloom_columns
+        }
+        nulls: dict = {c: 0 for c in stat_cols}
+        mins: dict = {}
+        maxs: dict = {}
+        if n_rows == 0:
+            return self._emit(
+                "", 0, hashlib.md5(b"").hexdigest(), mins, maxs, nulls,
+                bloom_bits,
+            )
+        tbl = (
+            pa.Table.from_batches(batches)
+            .select(fields)
+            .cast(target)
+            .combine_chunks()
+        )
+
+        def _local(v):
+            # the row-path value conversion for tz-aware timestamps
+            # (naive local wall time) — keeps the stats/bloom domain
+            # identical across codecs
+            return v.astimezone().replace(tzinfo=None)
+
+        for name in stat_cols:
+            col = tbl.column(name)
+            nulls[name] = col.null_count
+            if col.null_count == len(col):
+                continue
+            if name in float_cols and pc.any(pc.is_nan(col)).as_py():
+                continue  # NaN poisons ordering: no min/max (admit-all)
+            mm = pc.min_max(col)
+            bmn, bmx = mm["min"].as_py(), mm["max"].as_py()
+            if name in ts_cols:
+                bmn, bmx = _local(bmn), _local(bmx)
+            mins[name], maxs[name] = bmn, bmx
+        for c, bits in bloom_bits.items():
+            col = tbl.column(c)
+            try:
+                vals = pc.unique(col).to_pylist()
+            except pa.ArrowNotImplementedError:
+                vals = col.to_pylist()  # nested type: per row
+            gm, gk = geoms[c]
+            for v in vals:
+                if v is not None:
+                    if c in ts_cols:
+                        v = _local(v)
+                    for pos in _bloom_positions(v, gm, gk):
+                        bits[pos >> 3] |= 1 << (pos & 7)
+        with tempfile.SpooledTemporaryFile(
+            max_size=self.spill_threshold
+        ) as spool:
+            pq.write_table(tbl, spool, **self._PQ_SETTINGS)
+            spool.seek(0)
+            h = hashlib.md5()
+            while True:
+                chunk = spool.read(1 << 20)
+                if not chunk:
+                    break
+                h.update(chunk)
+            digest = h.hexdigest()
+            shard = f"shard-{digest}.parquet"
+            self._upload(spool, shard)
+        return self._emit(shard, n_rows, digest, mins, maxs, nulls,
+                          bloom_bits)
+
+
 class ManifestShardStreamWriter(DataSourceStreamWriter):
     """Streaming sink twin: one committed EPOCH per micro-batch.
 
@@ -1515,11 +1725,17 @@ class ManifestShardStreamWriter(DataSourceStreamWriter):
             removable = replaced - still_referenced - set(by_file)
             new_epoch = sorted(by_file.values(), key=lambda s: s["file"])
             sj = self._inner.schema.json()
+            codec = self._inner._CODEC
             return {
                 "version": 2,
                 "commit_seq": seq,
                 "commit_kind": "epoch",
                 **({"schema": sj} if prev.get("schema") != sj else {}),
+                **(
+                    {"codec": codec}
+                    if prev.get("codec", "jsonl") != codec
+                    else {}
+                ),
                 "add": new_epoch,
                 "remove": sorted(removable),
                 "epoch": {"batch_id": str(batchId), "shards": new_epoch},
@@ -1543,6 +1759,16 @@ class ManifestShardStreamArrowWriter(
     manifest semantics, no per-row pickling."""
 
     _INNER = ManifestArrowShardWriter
+
+
+class ManifestShardStreamParquetWriter(
+    ManifestShardStreamWriter, DataSourceStreamArrowWriter
+):
+    """Streaming twin of :class:`ManifestParquetShardWriter`: each
+    micro-batch's epochs land as parquet shards — same epoch-replay
+    exactly-once contract, columnar payload."""
+
+    _INNER = ManifestParquetShardWriter
 
 
 @dataclass
@@ -1725,9 +1951,42 @@ def _decode_shard_rows(schema: StructType, path: str, shard: str):
                 yield tuple(c(d.get(name)) for name, c in convs)
 
 
+def _decode_parquet_shard(schema: StructType, path: str, shard: str):
+    """Executor-side PARQUET shard decode (round 12): Arrow's parquet
+    reader with column projection to the target schema — columnar,
+    vectorized, no per-row Python anywhere. Columns the file lacks
+    (schema evolution: the shard predates a new column) come back
+    null, matching the JSON codec's missing-field behavior; present
+    columns cast to the exact ``to_arrow_schema`` target (tz-aware
+    timestamps re-label without changing instants)."""
+    import pyarrow as pa
+    from pyarrow import parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    fs, root = _fs_for(path)
+    spath = posixpath.join(root, "shards", shard)
+    with fs.open_input_file(spath) as f:
+        pf = pq.ParquetFile(f)
+        avail = set(pf.schema_arrow.names)
+        want = [n for n in target.names if n in avail]
+        tbl = pf.read(columns=want)
+    cols = []
+    for fld in target:
+        if fld.name in avail:
+            cols.append(tbl.column(fld.name).cast(fld.type))
+        else:
+            cols.append(pa.nulls(len(tbl), fld.type))
+    out = pa.table(cols, schema=target)
+    yield from out.combine_chunks().to_batches()
+
+
 def _decode_shard(schema: StructType, path: str, shard: str):
     """Executor-side shard decode shared by the batch and stream
-    readers. Fast path (round-9 'what's wrong' 2): gunzip into
+    readers, dispatching on the shard's codec (the extension is part
+    of its content-addressed name). Parquet shards:
+    :func:`_decode_parquet_shard` (columnar projection + cast). JSON
+    shards, fast path (round-9 'what's wrong' 2): gunzip into
     ``pyarrow.json.read_json`` (C++ line-delimited parse — no per-row
     Python) against a wire schema, cast tricky columns to the exact
     ``to_arrow_schema`` target, and yield ``pyarrow.RecordBatch``es,
@@ -1736,6 +1995,9 @@ def _decode_shard(schema: StructType, path: str, shard: str):
     per-value Python pass (zone localization / base64 — neither has an
     Arrow kernel). Schemas with maps or nested tz-timestamps/binary
     take the row path; so does any Arrow parse/cast failure."""
+    if _shard_is_parquet(shard):
+        yield from _decode_parquet_shard(schema, path, shard)
+        return
     plan = _arrow_decode_plan(schema)
     if plan is None:
         yield from _decode_shard_rows(schema, path, shard)
@@ -2268,7 +2530,34 @@ class ManifestShardDataSource(DataSource):
             self.options.get("arrow_write", "true")
         ).lower() in ("true", "1", "yes") and _arrow_write_ok(schema)
 
+    def _codec(self) -> str:
+        """The shard codec for this write: an explicit
+        ``shard_format`` option wins; otherwise the table's RECORDED
+        codec (one small log resolve — appends and DML stick to the
+        codec the table was created with); new tables default to
+        jsonl."""
+        fmt = str(self.options.get("shard_format", "")).lower()
+        if fmt in ("jsonl", "parquet"):
+            return fmt
+        if fmt:
+            raise ValueError(
+                f"shard_format must be 'jsonl' or 'parquet', got {fmt!r}"
+            )
+        path = self.options.get("path")
+        if path:
+            try:
+                man = read_manifest_dict(path)
+            except ManifestProtocolError:
+                raise
+            except Exception:
+                man = None
+            if man:
+                return _table_codec(man)
+        return "jsonl"
+
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        if self._codec() == "parquet":
+            return ManifestParquetShardWriter(self.options, schema, overwrite)
         if self._arrow_write(schema):
             return ManifestArrowShardWriter(self.options, schema, overwrite)
         return ManifestShardWriter(self.options, schema, overwrite)
@@ -2276,6 +2565,8 @@ class ManifestShardDataSource(DataSource):
     def streamWriter(
         self, schema: StructType, overwrite: bool
     ) -> DataSourceStreamWriter:
+        if self._codec() == "parquet":
+            return ManifestShardStreamParquetWriter(self.options, schema)
         if self._arrow_write(schema):
             return ManifestShardStreamArrowWriter(self.options, schema)
         return ManifestShardStreamWriter(self.options, schema)
@@ -2306,6 +2597,49 @@ def read_manifest_dict(path: str, version: int | None = None) -> dict | None:
     if version not in commits:
         return None  # expired or never committed: not a readable version
     return _state_at(fs, root, version, commits, ckpts)
+
+
+def _table_codec(man: dict | None) -> str:
+    """The table's shard codec: the log's recorded ``codec`` when
+    stamped (round 12+ writers), else inferred from the live shard
+    names (a pre-stamp table whose shards are all parquet reads/DMLs
+    as parquet), else jsonl."""
+    if not man:
+        return "jsonl"
+    c = man.get("codec")
+    if c:
+        return c
+    shards = man.get("shards") or []
+    if shards and all(_shard_is_parquet(s["file"]) for s in shards):
+        return "parquet"
+    return "jsonl"
+
+
+def _spark_read_shard_files(spark, files: list[str], schema):
+    """ONE DataFrame over a shard file list, dispatching per-shard by
+    codec: parquet shards go through Spark's NATIVE parquet source —
+    columnar vectorized decode, column pruning, and predicate pushdown
+    reach inside the shard — and JSON shards through the native JSON
+    source; a mixed-codec list (a table mid-migration) unions by name.
+    Every snapshot/DML/CDF read path funnels through here, so codec
+    dispatch can never diverge between them."""
+    pq_files = [f for f in files if _shard_is_parquet(f)]
+    js_files = [f for f in files if not _shard_is_parquet(f)]
+    frames = []
+    if pq_files:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        frames.append(r.parquet(*pq_files))
+    if js_files:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        frames.append(r.json(js_files))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _schema_from_state(man: dict | None) -> StructType | None:
@@ -2464,12 +2798,8 @@ def read_manifest(
         shards, _total = prune_shards(man, prune, prune_eq)
         if not shards:  # every shard skipped: empty typed frame
             return spark.createDataFrame([], schema)
-    _fs, root = _fs_for(path)
     files = [posixpath.join(path, "shards", s["file"]) for s in shards]
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    return reader.json(files)
+    return _spark_read_shard_files(spark, files, schema)
 
 
 def _iter_retained_states(path: str):
@@ -2781,14 +3111,14 @@ def compact_small(
     if len(small) <= max(1, target_shards):
         return man, 0  # nothing to gain: publish nothing
     files = [posixpath.join(path, "shards", s["file"]) for s in small]
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
     staged = _stage_write(
-        reader.json(files).repartition(target_shards),
+        _spark_read_shard_files(spark, files, schema).repartition(
+            target_shards
+        ),
         path,
         "optimize",
         small,
+        codec=_table_codec(man),
     )
     man2 = _commit_replace(
         path,
@@ -2802,13 +3132,21 @@ def compact_small(
     return man2, len(small)
 
 
-def _stage_write(df, path: str, tag: str, bloom_source: list[dict]):
+def _stage_write(
+    df,
+    path: str,
+    tag: str,
+    bloom_source: list[dict],
+    codec: str | None = None,
+):
     """Write ``df``'s rows as content-addressed shard FILES under the
     table WITHOUT publishing (``stage_commit_path``), and return the
-    staged shard entries. The staging JSON is consumed and deleted
-    here; a crash before the final commit leaves only unreferenced
-    shards (vacuumable) plus a tiny stale staging file — the table
-    untouched either way."""
+    staged shard entries. ``codec`` pins the shard format; None lets
+    the DataSource resolve the table's RECORDED codec (so DML rewrites
+    stay in the codec the table was created with). The staging JSON is
+    consumed and deleted here; a crash before the final commit leaves
+    only unreferenced shards (vacuumable) plus a tiny stale staging
+    file — the table untouched either way."""
     import uuid
 
     fs, root = _fs_for(path)
@@ -2818,6 +3156,8 @@ def _stage_write(df, path: str, tag: str, bloom_source: list[dict]):
         .option("path", path)
         .option("stage_commit_path", stage)
     )
+    if codec is not None:
+        w = w.option("shard_format", codec)
     w = _bloom_options(w, bloom_source)
     w.mode("append").save()
     doc = _read_json_opt(fs, stage)
@@ -2926,14 +3266,11 @@ def delete_where(
         return man, 0  # stats refute the predicate everywhere: no-op
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     files = [posixpath.join(path, "shards", s["file"]) for s in touched]
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
     # persist the touched-shard read: it feeds the matched/total count
     # aggregation AND the survivor staging write — without the cache
-    # each consumer re-gunzips and re-parses the same shards (the same
+    # each consumer re-decodes the same shards (the same
     # multi-consumer pattern merge_into caches; round-11 ADVICE)
-    df = reader.json(files).persist()
+    df = _spark_read_shard_files(spark, files, schema).persist()
     try:
         counts = df.agg(
             F.sum(F.when(cond, 1).otherwise(0)).alias("matched"),
@@ -3013,15 +3350,12 @@ def update_where(
         return man, 0  # stats refute the predicate everywhere: no-op
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     files = [posixpath.join(path, "shards", s["file"]) for s in touched]
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
     # persist the touched-shard read: it feeds THREE consumers — the
     # matched/total count aggregation, the survivor staging write, and
     # the updated-rows staging write — and without the cache each one
-    # re-gunzips and re-parses the same shards (the same multi-consumer
-    # pattern merge_into caches; round-11 ADVICE)
-    df = reader.json(files).persist()
+    # re-decodes the same shards (the same multi-consumer pattern
+    # merge_into caches; round-11 ADVICE)
+    df = _spark_read_shard_files(spark, files, schema).persist()
     try:
         bad = set(assignments) - set(df.columns)
         if bad:
@@ -3154,15 +3488,12 @@ def merge_into(
             files = [
                 posixpath.join(path, "shards", s["file"]) for s in touched
             ]
-            reader = spark.read
-            if schema is not None:
-                reader = reader.schema(schema)
             # persist the touched-shard read: it feeds FOUR consumers
             # (n_touched, the survivor anti-join + its count, the
             # matched-keys semi-join, and the survivor staging write) —
-            # without the cache each one re-gunzips and re-parses the
-            # same JSON shards (round-10 verdict item 4)
-            tdf = reader.json(files).persist()
+            # without the cache each one re-decodes the same shards
+            # (round-10 verdict item 4)
+            tdf = _spark_read_shard_files(spark, files, schema).persist()
             # broadcast the key set only while it is broadcast-SIZED; a
             # bulk merge's keys join shuffled (AQE picks the strategy)
             keys_side = F.broadcast(keys) if n_src <= 100_000 else keys
@@ -3294,14 +3625,14 @@ def table_changes(
         files = [
             posixpath.join(path, "shards", s["file"]) for _v, s in adds
         ]
-        return spark.read.schema(schema).json(files)
+        return _spark_read_shard_files(spark, files, schema)
     by_version: dict[int, list[str]] = {}
     for v, s in adds:
         by_version.setdefault(v, []).append(
             posixpath.join(path, "shards", s["file"])
         )
     frames = [
-        spark.read.schema(schema).json(files).withColumn(
+        _spark_read_shard_files(spark, files, schema).withColumn(
             "_commit_version", F.lit(v).cast("long")
         )
         for v, files in sorted(by_version.items())
@@ -3331,6 +3662,13 @@ def expire_history(path: str, keep_last: int = 1) -> list[str]:
     if not doomed:
         return []
     oldest_kept = seqs[len(doomed)]
+    # the LIVE state's protocol floor, for the refreshed hint below
+    # (the hint fronts the newest commit, so it guards for what a
+    # reader of the live table must understand)
+    live = _state_at(fs, root, seqs[-1], commits, ckpts)
+    live_mr = max(
+        (live or {}).get("min_reader", 0), _BASE_MIN_READER
+    )
     if oldest_kept not in ckpts:
         # the horizon checkpoint: reconstruct WHILE the chain is intact
         state = _state_at(fs, root, oldest_kept, commits, ckpts)
@@ -3344,7 +3682,15 @@ def expire_history(path: str, keep_last: int = 1) -> list[str]:
             fs,
             posixpath.join(root, HISTORY_DIR, _checkpoint_name(oldest_kept)),
             json.dumps(
-                {**state, "min_reader": _READER_VERSION}, sort_keys=True
+                {
+                    **state,
+                    "min_reader": max(
+                        state.get("min_reader", 0),
+                        _min_reader_for(state.get("shards", ())),
+                        _BASE_MIN_READER,
+                    ),
+                },
+                sort_keys=True,
             ).encode("utf-8"),
         )
     deleted = []
@@ -3363,7 +3709,7 @@ def expire_history(path: str, keep_last: int = 1) -> list[str]:
         json.dumps(
             {
                 "version": 2,
-                "min_reader": _READER_VERSION,
+                "min_reader": live_mr,
                 "commit_seq": seqs[-1],
                 "checkpoint_seq": oldest_kept,
             },

@@ -133,7 +133,9 @@ def test_protocol_min_reader_guard(registered, tmp_path):
     _write(_df(spark, 5).coalesce(1), p, mode="append")
     act = os.path.join(p, MS.HISTORY_DIR, MS._history_name(1))
     doc = json.load(open(act))
-    assert doc["min_reader"] == MS._READER_VERSION  # writers stamp it
+    # writers stamp the floor the ACTION needs: 2 for JSON-only
+    # commits (protocol 3 is reserved for parquet-shard actions)
+    assert doc["min_reader"] == MS._BASE_MIN_READER
     doc["min_reader"] = MS._READER_VERSION + 97
     json.dump(doc, open(act, "w"))
     with pytest.raises(MS.ManifestProtocolError, match="protocol"):
