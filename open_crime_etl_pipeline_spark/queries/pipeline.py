@@ -2058,3 +2058,132 @@ def manifest_txn_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_cdf_change_types",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS s
+            FROM orders WHERE o_orderkey % 10 = 2
+        )
+        SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS commit_version,
+                   'insert' AS change_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(k) AS BIGINT) AS sum_key,
+                   CAST(sum(ascii(s)) AS BIGINT) AS status_sum
+            FROM base
+            UNION ALL
+            SELECT 2, 'update_preimage', CAST(count(*) AS BIGINT),
+                   CAST(sum(k) AS BIGINT), CAST(sum(ascii(s)) AS BIGINT)
+            FROM base WHERE k % 100 < 20
+            UNION ALL
+            SELECT 2, 'update_postimage', CAST(count(*) AS BIGINT),
+                   CAST(sum(k) AS BIGINT),
+                   CAST(count(*) * ascii('U') AS BIGINT)
+            FROM base WHERE k % 100 < 20
+            UNION ALL
+            SELECT 3, 'delete', CAST(count(*) AS BIGINT),
+                   CAST(sum(k) AS BIGINT), CAST(sum(ascii(s)) AS BIGINT)
+            FROM base WHERE k % 100 >= 80
+            UNION ALL
+            SELECT 4, 'update_preimage', CAST(count(*) AS BIGINT),
+                   CAST(sum(k) AS BIGINT), CAST(sum(ascii(s)) AS BIGINT)
+            FROM base WHERE k % 100 BETWEEN 40 AND 44
+            UNION ALL
+            SELECT 4, 'update_postimage', CAST(count(*) AS BIGINT),
+                   CAST(sum(k) AS BIGINT),
+                   CAST(count(*) * ascii('M') AS BIGINT)
+            FROM base WHERE k % 100 BETWEEN 40 AND 44
+            UNION ALL
+            SELECT 4, 'insert', CAST(count(*) AS BIGINT),
+                   CAST(sum(k + 1) AS BIGINT),
+                   CAST(count(*) * ascii('M') AS BIGINT)
+            FROM base WHERE k % 100 BETWEEN 40 AND 44
+        )
+        WHERE n_rows > 0
+        ORDER BY commit_version, change_type
+    """,
+    doc="COMPLETE change data feed on the manifest format (round 12 — "
+        "the Delta CDF _change_type quartet): an orders slice lands "
+        "(v1), UPDATE WHERE rewrites a key band (v2), DELETE WHERE "
+        "removes another (v3), and a MERGE both updates matched keys "
+        "and inserts unseen ones (v4). table_changes(with_change_type"
+        "=True) then delivers every class: plain adds as 'insert', "
+        "UPDATE/MERGE-matched rows as 'update_postimage' (the new "
+        "data shards, class-tagged in the log) PLUS their "
+        "'update_preimage' pre-images and DELETE's removed rows as "
+        "'delete' — both materialized by the DML verbs as CDF-ONLY "
+        "shards (the action's cdf_add; Delta's _change_data "
+        "directory) that snapshot reads never see and vacuum protects "
+        "while the action is retained. The query aggregates the feed "
+        "per (commit_version, change_type); the oracle restates every "
+        "class relationally from the SOURCE table (disjoint key "
+        "bands, so pre-images are original rows by construction) — a "
+        "hash match proves the feed is exact, which is precisely the "
+        "property that lets a downstream replica apply DML verbatim "
+        "(pinned end-to-end by test_cdf_replica_reconverges). "
+        "Delta parity: sources/manifest_sink.py:table_changes, "
+        "_log_adds(include_cdf), _commit_replace(cdf_only).",
+    tags=("sink", "datasource", "pipeline", "cdf"),
+)
+def manifest_cdf_change_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_cdf_q_")
+    sch = "k long, s string"
+    try:
+        base = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 == 2)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+            )
+        )
+        (
+            base.repartitionByRange(8, "k")
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .mode("append")
+            .save()
+        )                                                          # v1
+        MS.update_where(spark, out, sch, "k % 100 < 20", {"s": "'U'"})  # v2
+        MS.delete_where(spark, out, sch, "k % 100 >= 80")          # v3
+        matched = base.filter(
+            (F.col("k") % 100).between(40, 44)
+        ).select("k", F.lit("M").alias("s"))
+        inserts = matched.select(
+            (F.col("k") + 1).alias("k"), F.col("s")
+        )
+        MS.merge_into(
+            spark, out, sch, matched.unionByName(inserts), ["k"]
+        )                                                          # v4
+        ch = MS.table_changes(
+            spark, out, sch, 0, with_version=True, with_change_type=True
+        )
+        rows = (
+            ch.groupBy(
+                F.col("_commit_version").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("k").cast("long").alias("sum_key"),
+                F.sum(F.ascii("s")).cast("long").alias("status_sum"),
+            )
+            .orderBy("commit_version", "change_type")
+            .collect()  # O(versions x classes) rows; temp dir dies below
+        )
+        return spark.createDataFrame(
+            rows,
+            "commit_version long, change_type string, n_rows long, "
+            "sum_key long, status_sum long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -526,8 +526,12 @@ def _commit_with_retries(
             # JSON-only commit on a parquet table stamps 2 (the action
             # alone is protocol-2 parseable; the STATE's floor — what
             # checkpoints and hints stamp — still reflects the live
-            # parquet shards via _apply_action)
-            "min_reader": _min_reader_for(action.get("add", ())),
+            # parquet shards via _apply_action). build_action may
+            # raise the floor itself (cdf_add carriers stamp 3).
+            "min_reader": max(
+                _min_reader_for(action.get("add", ())),
+                action.get("min_reader", 0),
+            ),
             "ts": max(round(_time.time(), 3), round(prev_ts + 0.001, 3)),
         }
         data = json.dumps(action, sort_keys=True).encode("utf-8")
@@ -2246,7 +2250,7 @@ class ManifestShardPushdownReader(ManifestShardReader):
 
 
 def _log_adds(
-    fs, root: str, lo: int, hi: int
+    fs, root: str, lo: int, hi: int, include_cdf: bool = False
 ) -> list[tuple[int, dict]] | None:
     """CDF log replay shared by the stream tail and batch
     :func:`table_changes`: ``[(version, shard_entry)]`` for the data
@@ -2261,8 +2265,16 @@ def _log_adds(
     documented pre-added_seq rule; defaulting to v would deliver the
     same shard once per micro-batch window — round-10 ADVICE). Action
     docs always stamp added_seq, so their default is unreachable.
+
+    ``include_cdf=True`` (round 12 — the full Delta CDF) additionally
+    yields each version's CDF-ONLY shards (``cdf_add``: delete rows
+    and update pre-images, materialized by the DML verbs; invisible to
+    snapshot reads) with a ``_cdf_class`` key injected into the
+    returned entry — ``insert`` (plain adds), ``update_postimage``
+    (UPDATE/MERGE-matched rewrites), ``update_preimage``, ``delete``.
     Returns None when a commit in range was expired (the caller falls
-    back to live-state watermarks)."""
+    back to live-state watermarks — adds-only; change classes are not
+    reconstructible from a snapshot)."""
     commits, _ckpts = _list_log(fs, root)
     versions = list(range(lo + 1, hi + 1))
     docs = {
@@ -2290,7 +2302,18 @@ def _log_adds(
                 and s["file"] not in seen
             ):
                 seen.add(s["file"])
-                out.append((v, s))
+                out.append(
+                    (v, {**s, "_cdf_class": s.get("cdf_class", "insert")})
+                    if include_cdf
+                    else (v, s)
+                )
+        if include_cdf:
+            for s in doc.get("cdf_add", []):
+                # CDF-only shards are per-version and class-tagged;
+                # the content-address dedup above does not apply (a
+                # pre-image shard may legitimately share bytes — and
+                # therefore a name — with a live shard)
+                out.append((v, {**s, "_cdf_class": s["cdf_class"]}))
     return out
 
 
@@ -3174,23 +3197,43 @@ def _commit_replace(
     expect_unchanged: int,
     expect_changed: int,
     checkpoint_every: int = _CHECKPOINT_EVERY,
+    cdf_only: list[dict] | None = None,
+    expect_cdf: int | None = None,
 ) -> dict:
     """Publish a copy-on-write DML result as ONE action commit through
     the optimistic claim loop: ``remove_files`` leave the live set,
     ``unchanged`` shards ride as ``data_change=false`` (a tailing
     reader already has those rows) and ``changed`` shards as new data
     stamped with this commit's seq (the tail receives EXACTLY them).
+    ``changed`` entries may carry a ``cdf_class`` (update_postimage /
+    insert) that CDF readers surface as ``_change_type``.
+
+    ``cdf_only`` (round 12) are CDF-ONLY shard entries — delete rows
+    and update pre-images, each tagged ``cdf_class`` — recorded under
+    the action's ``cdf_add``: snapshot reads never see them (they are
+    not in the live set), CDF readers deliver them with their class,
+    and vacuum protects them while the action is retained (Delta's
+    ``_change_data`` directory shape). An action carrying them stamps
+    ``min_reader`` 3 — an older vacuum would misclassify the files as
+    garbage.
+
     Guards: per-class row counts must match exactly, and the commit
     REFUSES to publish if any replaced shard is no longer live — a
     concurrent rewrite won the race against the DML's snapshot read
     (the Delta write-conflict contract); re-run against the new
     state."""
+    cdf_only = cdf_only or []
     n_unchanged = sum(s["n_rows"] for s in unchanged)
     n_changed = sum(s["n_rows"] for s in changed)
-    for got, want, cls in (
+    checks = [
         (n_unchanged, expect_unchanged, "survivor"),
         (n_changed, expect_changed, "upserted"),
-    ):
+    ]
+    if expect_cdf is not None:
+        checks.append(
+            (sum(s["n_rows"] for s in cdf_only), expect_cdf, "change-data")
+        )
+    for got, want, cls in checks:
         if got != want:
             raise ValueError(
                 f"{kind}: {cls} row count {got} != expected {want} - "
@@ -3219,6 +3262,16 @@ def _commit_replace(
             "remove": sorted(
                 set(remove_files) - {s["file"] for s in add}
             ),
+            **(
+                {
+                    "cdf_add": sorted(
+                        cdf_only, key=lambda s: (s["cdf_class"], s["file"])
+                    ),
+                    "min_reader": _READER_VERSION,
+                }
+                if cdf_only
+                else {}
+            ),
         }
 
     return _commit_with_retries(path, build_action, checkpoint_every)
@@ -3231,6 +3284,7 @@ def delete_where(
     predicate,
     prune: dict[str, tuple] | None = None,
     prune_eq: dict | None = None,
+    change_data: bool = True,
 ) -> tuple[dict, int]:
     """Row-level ``DELETE WHERE`` on the manifest table — copy-on-write
     shard rewrites published as ONE atomic commit (the Delta DML
@@ -3247,8 +3301,16 @@ def delete_where(
     any replaced shard is no longer live (a concurrent
     compact/overwrite/delete won the race — the write-conflict
     contract; re-run against the new state). Survivor shards carry
-    ``data_change=false``: their rows were already delivered, and this
-    format's CDF is append-only (deletions are not retracted).
+    ``data_change=false``: their rows were already delivered.
+
+    ``change_data=True`` (round 12 — the full Delta CDF) additionally
+    materializes the DELETED rows as a CDF-ONLY shard (the action's
+    ``cdf_add``; Delta's ``_change_data`` directory): snapshot reads
+    never see it, but ``table_changes(with_change_type=True)``
+    delivers those rows as ``_change_type='delete'`` — a downstream
+    replica tailing the CDF can now APPLY the delete instead of
+    requiring Merkle reconciliation. ``change_data=False`` skips the
+    extra staged write (the pre-r12 adds-only contract).
     Returns ``(new_manifest, n_deleted)``; a delete matching zero rows
     publishes nothing."""
     from pyspark.sql import functions as F
@@ -3279,10 +3341,24 @@ def delete_where(
         n_deleted = int(counts["matched"] or 0)
         if n_deleted == 0:
             return man, 0  # nothing matched: publish nothing
-        survivors = df.filter(~F.coalesce(cond, F.lit(False))).repartition(
-            max(1, len(touched))
-        )
+        hit = F.coalesce(cond, F.lit(False))
+        survivors = df.filter(~hit).repartition(max(1, len(touched)))
         staged = _stage_write(survivors, path, "delete", touched)
+        staged_cdf = (
+            [
+                {**e, "cdf_class": "delete"}
+                for e in _stage_write(
+                    df.filter(hit).repartition(
+                        max(1, min(len(touched), 8))
+                    ),
+                    path,
+                    "delete-cdf",
+                    touched,
+                )
+            ]
+            if change_data
+            else []
+        )
     finally:
         df.unpersist()
     man2 = _commit_replace(
@@ -3293,6 +3369,8 @@ def delete_where(
         changed=[],
         expect_unchanged=int(counts["total"]) - n_deleted,
         expect_changed=0,
+        cdf_only=staged_cdf,
+        expect_cdf=n_deleted if change_data else None,
     )
     return man2, n_deleted
 
@@ -3305,6 +3383,7 @@ def update_where(
     assignments: dict,
     prune: dict[str, tuple] | None = None,
     prune_eq: dict | None = None,
+    change_data: bool = True,
 ) -> tuple[dict, int]:
     """Row-level ``UPDATE WHERE ... SET`` on the manifest table — the
     third Delta DML verb, completing the triad with
@@ -3322,6 +3401,11 @@ def update_where(
     rows) while the UPDATED rows land as new data stamped with this
     commit's seq — the CDF delta is exactly the post-image of the
     updated rows, the same contract as :func:`merge_into`'s upserts.
+    ``change_data=True`` (round 12) additionally materializes the
+    PRE-update rows as a CDF-only shard, so
+    ``table_changes(with_change_type=True)`` delivers the Delta
+    quartet exactly: these rows as ``update_preimage`` and the
+    rewritten rows as ``update_postimage``.
     Both row classes are count-guarded (survivors = touched − matched,
     updated = matched, exactly) and the commit refuses to publish if a
     replaced shard is no longer live (concurrent-rewrite conflict —
@@ -3391,8 +3475,27 @@ def update_where(
         staged_survivors = _stage_write(
             survivors, path, "update-surv", touched
         )
-        staged_updated = _stage_write(
-            updated.repartition(n_shards_upd), path, "update-rows", touched
+        staged_updated = [
+            {**e, "cdf_class": "update_postimage"}
+            for e in _stage_write(
+                updated.repartition(n_shards_upd),
+                path,
+                "update-rows",
+                touched,
+            )
+        ]
+        staged_cdf = (
+            [
+                {**e, "cdf_class": "update_preimage"}
+                for e in _stage_write(
+                    df.filter(hit).repartition(n_shards_upd),
+                    path,
+                    "update-cdf",
+                    touched,
+                )
+            ]
+            if change_data
+            else []
         )
     finally:
         df.unpersist()
@@ -3404,6 +3507,8 @@ def update_where(
         changed=staged_updated,
         expect_unchanged=int(counts["total"]) - n_updated,
         expect_changed=n_updated,
+        cdf_only=staged_cdf,
+        expect_cdf=n_updated if change_data else None,
     )
     return man2, n_updated
 
@@ -3414,6 +3519,7 @@ def merge_into(
     schema,
     source_df,
     key_cols: list[str],
+    change_data: bool = True,
 ) -> tuple[dict, int, int]:
     """``MERGE INTO`` the manifest table — upsert by key, copy-on-write,
     ONE atomic commit (the Delta DML shape on the from-scratch format):
@@ -3428,7 +3534,12 @@ def merge_into(
     shards ride the commit as ``data_change=false`` (a tailing reader
     already has those rows) while the upserted rows land in
     ``data_change=true`` shards stamped with this commit's seq — the
-    tail receives EXACTLY the merged batch, once. Both row classes are
+    tail receives EXACTLY the merged batch, once. Round 12 classes
+    them: matched-source rows stage as ``update_postimage`` shards and
+    unseen-key rows as ``insert`` shards, and with ``change_data=True``
+    the replaced target rows are additionally materialized as an
+    ``update_preimage`` CDF-only shard — the Delta MERGE change-feed
+    quartet, exactly. Both row classes are
     count-guarded (survivors = touched − matched; upserts = |source|)
     and the commit refuses to publish if a replaced shard is no longer
     live (concurrent-rewrite conflict). ``source_df`` must be
@@ -3527,10 +3638,12 @@ def merge_into(
                 "(e.g. delete_where or a dedup rewrite)"
             )
         n_inserted = n_src - matched_keys
-        # stage each row class separately (a shard is all-survivor or
-        # all-upsert, never mixed), then publish ONE atomic action
-        # commit
+        # stage each row class separately (a shard is all-survivor,
+        # all-updated, or all-inserted, never mixed — CDF readers
+        # surface the class as _change_type), then publish ONE atomic
+        # action commit
         bloom_src = touched or man["shards"]
+        n_up_shards = max(1, min(len(touched) or 1, 8))
         staged_unchanged = (
             _stage_write(
                 survivors.repartition(max(1, len(touched))),
@@ -3541,15 +3654,54 @@ def merge_into(
             if survivors is not None
             else []
         )
+        staged_changed: list[dict] = []
+        if touched and matched_keys:
+            matched_src = src.join(
+                tdf.select(*key_cols), on=key_cols, how="left_semi"
+            )
+            staged_changed += [
+                {**e, "cdf_class": "update_postimage"}
+                for e in _stage_write(
+                    matched_src.repartition(n_up_shards),
+                    path,
+                    "merge-upd",
+                    bloom_src,
+                )
+            ]
+        if n_inserted:
+            new_src = (
+                src.join(
+                    tdf.select(*key_cols), on=key_cols, how="left_anti"
+                )
+                if touched
+                else src
+            )
+            staged_changed += [
+                {**e, "cdf_class": "insert"}
+                for e in _stage_write(
+                    new_src.repartition(n_up_shards),
+                    path,
+                    "merge-ins",
+                    bloom_src,
+                )
+            ]
+        staged_cdf = (
+            [
+                {**e, "cdf_class": "update_preimage"}
+                for e in _stage_write(
+                    tdf.join(keys, on=key_cols, how="left_semi")
+                    .repartition(n_up_shards),
+                    path,
+                    "merge-cdf",
+                    bloom_src,
+                )
+            ]
+            if change_data and touched and n_updated
+            else []
+        )
     finally:
         if tdf is not None:
             tdf.unpersist()
-    staged_changed = _stage_write(
-        src.repartition(max(1, min(len(touched) or 1, 8))),
-        path,
-        "merge-upserts",
-        bloom_src,
-    )
     man2 = _commit_replace(
         path,
         kind="merge",
@@ -3558,6 +3710,10 @@ def merge_into(
         changed=staged_changed,
         expect_unchanged=n_survive,
         expect_changed=n_src,
+        cdf_only=staged_cdf,
+        expect_cdf=(
+            n_updated if (change_data and touched and n_updated) else None
+        ),
     )
     return man2, n_updated, n_inserted
 
@@ -3569,6 +3725,7 @@ def table_changes(
     start_version: int,
     end_version: int | None = None,
     with_version: bool = False,
+    with_change_type: bool = False,
 ):
     """Batch CDF read — the rows ADDED in commits ``(start_version,
     end_version]``, exactly what a stream tail positioned at
@@ -3581,8 +3738,25 @@ def table_changes(
     ``_commit_version`` LONG column — the commit each row arrived in
     (the Delta CDF ``_commit_version`` shape; shards are
     version-homogeneous, so the tag is a per-file literal, not a scan
-    cost). The Delta ``table_changes`` shape on this format; rows come
-    back through the JVM JSON fast path."""
+    cost).
+
+    ``with_change_type=True`` (round 12 — the COMPLETE Delta CDF)
+    appends a ``_change_type`` STRING column and additionally delivers
+    the CDF-only shards the DML verbs materialize: ``insert`` (plain
+    appends and merge-inserted rows), ``update_postimage`` /
+    ``update_preimage`` (UPDATE WHERE and MERGE-matched rows, post-
+    and pre-image), and ``delete`` (the rows a DELETE WHERE removed) —
+    shards are class-homogeneous, so the tag is a per-file literal. A
+    replica applying the feed verbatim (delete ``delete`` +
+    ``update_preimage`` rows, insert ``insert`` +
+    ``update_postimage`` rows, per version in order) reconverges with
+    the table after any DML sequence — pinned by
+    ``test_cdf_replica_reconverges``. Expired-history fallback is
+    adds-only (classes live in the action files): rows come back
+    tagged ``insert``, the initial-snapshot convention.
+
+    The Delta ``table_changes`` shape on this format; rows come back
+    through the JVM parquet/JSON fast path."""
     from pyspark.sql import functions as F
 
     if schema is None:
@@ -3599,7 +3773,11 @@ def table_changes(
         end_version = man.get("commit_seq", 0) if man else 0
     lo, hi = int(start_version), int(end_version)
     fs, root = _fs_for(path)
-    adds = _log_adds(fs, root, lo, hi) if hi > lo else []
+    adds = (
+        _log_adds(fs, root, lo, hi, include_cdf=with_change_type)
+        if hi > lo
+        else []
+    )
     if adds is None:
         # expired history: live-state watermarks, the stream reader's
         # documented fallback (initial snapshot for lo == 0)
@@ -3616,27 +3794,35 @@ def table_changes(
             ]
     if not adds:
         out = spark.createDataFrame([], schema)
-        return (
-            out.withColumn("_commit_version", F.lit(None).cast("long"))
-            if with_version
-            else out
-        )
-    if not with_version:
+        if with_change_type:
+            out = out.withColumn(
+                "_change_type", F.lit(None).cast("string")
+            )
+        if with_version:
+            out = out.withColumn(
+                "_commit_version", F.lit(None).cast("long")
+            )
+        return out
+    if not with_version and not with_change_type:
         files = [
             posixpath.join(path, "shards", s["file"]) for _v, s in adds
         ]
         return _spark_read_shard_files(spark, files, schema)
-    by_version: dict[int, list[str]] = {}
+    # group per (version, class): both tags are per-file literals
+    by_key: dict[tuple[int, str], list[str]] = {}
     for v, s in adds:
-        by_version.setdefault(v, []).append(
+        k = (v, s.get("_cdf_class", "insert"))
+        by_key.setdefault(k, []).append(
             posixpath.join(path, "shards", s["file"])
         )
-    frames = [
-        _spark_read_shard_files(spark, files, schema).withColumn(
-            "_commit_version", F.lit(v).cast("long")
-        )
-        for v, files in sorted(by_version.items())
-    ]
+    frames = []
+    for (v, cls), files in sorted(by_key.items()):
+        f = _spark_read_shard_files(spark, files, schema)
+        if with_change_type:
+            f = f.withColumn("_change_type", F.lit(cls))
+        if with_version:
+            f = f.withColumn("_commit_version", F.lit(v).cast("long"))
+        frames.append(f)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -3767,6 +3953,16 @@ def vacuum_unreferenced(path: str, min_age_seconds: float = 0.0) -> list[str]:
         live |= {s["file"] for s in man["shards"]}
     for _v, state in _iter_retained_states(path):
         live |= {s["file"] for s in state["shards"]}
+    # CDF-only shards (cdf_add: delete rows / update pre-images) are
+    # referenced by the ACTION that created them, never by any state —
+    # protect them while that action is retained; expire_history
+    # releasing the action releases them too (the Delta _change_data
+    # retention coupling)
+    commits, _ckpts = _list_log(fs, root)
+    for v in commits:
+        doc = _read_json_opt(fs, commits[v])
+        for e in (doc or {}).get("cdf_add", ()):
+            live.add(e["file"])
     sdir = posixpath.join(root, "shards")
     if fs.get_file_info(sdir).type == FileType.NotFound:
         return []

@@ -1168,10 +1168,17 @@ def test_delete_where_scoped_rewrite(registered, tmp_path):
     assert len(_drain_stream(spark, p, ckpt)) == 8000
     before = {s["file"] for s in MS.read_manifest_dict(p)["shards"]}
 
+    # change_data=False: this test pins the pre-CDF vacuum-release
+    # contract (replaced shards become collectable once expired). With
+    # change data on, a deleted-rows CDF shard can be byte-identical
+    # to a replaced shard (the delete exactly covers it) and the
+    # retained delete action then rightly PROTECTS that file — covered
+    # by test_manifest_cdf.py's retention-coupling test.
     man2, n_del = MS.delete_where(
         spark, p, "id long, s string",
         (F.col("id") >= 1000) & (F.col("id") <= 1999),
         prune={"id": (1000, 1999)},
+        change_data=False,
     )
     assert n_del == 1000
     assert man2["commit_kind"] == "delete"
