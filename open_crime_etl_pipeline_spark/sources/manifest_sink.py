@@ -2598,6 +2598,37 @@ class ManifestShardDataSource(DataSource):
         return ManifestShardStreamReader(schema, self.options)
 
 
+class ManifestShardParquetDefaultDataSource(ManifestShardDataSource):
+    """The SAME format with the session default flipped to the parquet
+    codec: registering this class under the shared format name makes
+    every ``shard_manifest`` write whose table records no codec and
+    whose options name none land parquet shards — the migration knob
+    for moving a deployment to the columnar codec without touching
+    call sites (an explicit ``shard_format`` option still wins, and
+    existing tables keep their RECORDED codec). Also how the test
+    suite proves the manifest queries are codec-blind."""
+
+    def _codec(self) -> str:
+        fmt = str(self.options.get("shard_format", "")).lower()
+        if fmt in ("jsonl", "parquet"):
+            return fmt
+        if fmt:
+            raise ValueError(
+                f"shard_format must be 'jsonl' or 'parquet', got {fmt!r}"
+            )
+        path = self.options.get("path")
+        if path:
+            try:
+                man = read_manifest_dict(path)
+            except ManifestProtocolError:
+                raise
+            except Exception:
+                man = None
+            if man:
+                return _table_codec(man)
+        return "parquet"
+
+
 def register(spark) -> None:
     spark.dataSource.register(ManifestShardDataSource)
 
