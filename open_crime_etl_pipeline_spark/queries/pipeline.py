@@ -1613,11 +1613,12 @@ def manifest_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("append")
             .save()
         )
+        from ..sources.manifest_table import ManifestTable
+
         before = {s["file"] for s in MS.read_manifest_dict(out)["shards"]}
-        man2, n_updated = MS.update_where(
-            spark,
-            out,
-            "doc_id long, text string",
+        # the round-12 facade: recorded schema, no schema= plumbing
+        t = ManifestTable(spark, out)
+        n_updated = t.update(
             F.col("doc_id").between(100, 199),
             {"text": F.upper(F.substring(F.col("text"), 1, 40))},
             prune={"doc_id": (100, 199)},
@@ -1626,7 +1627,7 @@ def manifest_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 "manifest_update_where: expected matching rows to update"
             )
-        untouched = before & {s["file"] for s in man2["shards"]}
+        untouched = before & {s["file"] for s in t.manifest()["shards"]}
         if not (len(untouched) >= len(before) // 2):
             raise AssertionError(
                 "manifest_update_where: expected a SCOPED rewrite, but "

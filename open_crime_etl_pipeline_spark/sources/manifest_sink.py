@@ -158,6 +158,26 @@ resolution; O(versions-in-range) small reads per stream micro-batch
 (bound with ``max_versions_per_trigger``, which binds from the FIRST
 batch of a fresh run).
 
+API ceilings (verified against pyspark 4.1.2, round 12):
+
+- **No aggregate pushdown hook.** The Python DataSource API exposes
+  exactly ``partitions``/``read``/``pushFilters`` on batch readers —
+  there is no ``SupportsPushDownAggregates`` analog, so
+  ``spark.read.format("shard_manifest").load().count()`` cannot be
+  answered from the log through the DataSource. The metadata-only
+  fast path is therefore the EXPLICIT API: :func:`table_stats`
+  answers count/min/max/nullCount with zero shard reads (2-3 ms on a
+  200-shard table, no Spark job), and ``manifest_count_pushdown``
+  keeps it under the oracle gate.
+- **No stream-side filter pushdown.** ``DataSourceStreamReader``
+  exposes ``initialOffset``/``latestOffset``/``partitions``/``read``/
+  ``commit``/``stop`` — no ``pushFilters`` — so a
+  ``readStream.load().filter(...)`` cannot drive shard skipping
+  automatically. The filtered-tail contract is therefore the explicit
+  ``prune``/``prune_eq`` options (same conservative ``_shard_admits_*``
+  admission as every batch path; pinned by the round-11 filtered-tail
+  test), paired with the same row-level ``.filter`` on the stream.
+
 Storage goes through ``pyarrow.fs`` (same as the ST5 landing), so
 ``path`` may be a local directory or any ``scheme://`` URI pyarrow
 can mount (s3/gs/hdfs/file).
