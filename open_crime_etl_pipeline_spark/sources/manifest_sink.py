@@ -1799,6 +1799,11 @@ class ManifestShardStreamParquetWriter(
 class ShardPartition(InputPartition):
     path: str
     shard: str
+    #: set only on change-feed stream partitions (round 12): the
+    #: commit the shard arrived in and its change class — both
+    #: per-file constants the reader appends as metadata columns
+    version: int | None = None
+    cdf_class: str | None = None
 
 
 def _row_converters(schema: StructType):
@@ -2409,6 +2414,29 @@ class ManifestShardStreamReader(DataSourceStreamReader):
             for c, b in json.loads(options.get("prune", "{}")).items()
         }
         self.prune_eq = dict(json.loads(options.get("prune_eq", "{}")))
+        # read_change_feed=true (round 12): tail the COMPLETE change
+        # feed — every micro-batch delivers the window's typed changes
+        # (insert / update_preimage / update_postimage / delete,
+        # including the DML-materialized CDF-only shards) with
+        # _change_type and _commit_version appended, the streaming
+        # twin of table_changes(with_change_type=True). The schema
+        # must END with those two fields; the DataSource's schema()
+        # appends them automatically when the option is set, so a
+        # plain .load() works. A replica can foreachBatch-apply the
+        # feed verbatim and stay converged with the table.
+        self.read_cdf = str(
+            options.get("read_change_feed", "")
+        ).lower() in ("true", "1", "yes")
+        if self.read_cdf:
+            names = [f.name for f in schema.fields]
+            if names[-2:] != ["_change_type", "_commit_version"]:
+                raise ValueError(
+                    "read_change_feed=true needs the schema to end "
+                    "with _change_type string, _commit_version long "
+                    "(omit .schema() to use the recorded schema with "
+                    f"both appended); got {names}"
+                )
+            self._data_schema = StructType(schema.fields[:-2])
         self._last_end: int | None = None  # last batch-end seq seen
         self._blind_calls = 0  # latestOffset calls before position known
 
@@ -2465,11 +2493,25 @@ class ManifestShardStreamReader(DataSourceStreamReader):
         lo, hi = start["seq"], end["seq"]
         if self._last_end is None or hi > self._last_end:
             self._last_end = hi  # re-seed the throttle after recovery
-        shards: list[str] = []
+        shards: list = []
         if hi > lo:
             fs, root = _fs_for(self.path)
-            adds = _log_adds(fs, root, lo, hi)
+            adds = _log_adds(fs, root, lo, hi, include_cdf=self.read_cdf)
             if adds is not None:
+                if self.read_cdf:
+                    parts = [
+                        ShardPartition(
+                            path=self.path,
+                            shard=s["file"],
+                            version=v,
+                            cdf_class=s["_cdf_class"],
+                        )
+                        for v, s in adds
+                        if self._admits(s)
+                    ]
+                    return parts or [
+                        ShardPartition(path=self.path, shard="")
+                    ]
                 shards = [
                     s["file"] for _v, s in adds if self._admits(s)
                 ]
@@ -2488,19 +2530,37 @@ class ManifestShardStreamReader(DataSourceStreamReader):
                 # expire_history caveat.
                 man = read_manifest_dict(self.path)
                 if lo == 0:
-                    shards = [
-                        s["file"]
+                    kept = [
+                        s
                         for s in (man["shards"] if man else [])
                         if self._admits(s)
                     ]
                 else:
-                    shards = [
-                        s["file"]
+                    kept = [
+                        s
                         for s in (man["shards"] if man else [])
                         if lo < s.get("added_seq", 1) <= hi
                         and s.get("data_change", True)
                         and self._admits(s)
                     ]
+                if self.read_cdf:
+                    # expired history: classes live in the action
+                    # files, so the initial-snapshot fallback is
+                    # adds-only — rows arrive tagged 'insert' (the
+                    # same convention as table_changes' fallback)
+                    parts = [
+                        ShardPartition(
+                            path=self.path,
+                            shard=s["file"],
+                            version=s.get("added_seq", 1),
+                            cdf_class="insert",
+                        )
+                        for s in kept
+                    ]
+                    return parts or [
+                        ShardPartition(path=self.path, shard="")
+                    ]
+                shards = [s["file"] for s in kept]
         if not shards:  # planner still expects >=1 partition per batch
             return [ShardPartition(path=self.path, shard="")]
         return [ShardPartition(path=self.path, shard=s) for s in shards]
@@ -2524,7 +2584,39 @@ class ManifestShardStreamReader(DataSourceStreamReader):
     def read(self, partition: ShardPartition):
         if not partition.shard:
             return
-        yield from _decode_shard(self.schema, partition.path, partition.shard)
+        if not self.read_cdf:
+            yield from _decode_shard(
+                self.schema, partition.path, partition.shard
+            )
+            return
+        # change-feed read: decode the DATA schema, then append the
+        # two per-file-constant metadata columns (class + version) —
+        # Arrow-side for batch output, tuple-side for the row path
+        import pyarrow as pa
+
+        target = None
+        for item in _decode_shard(
+            self._data_schema, partition.path, partition.shard
+        ):
+            if isinstance(item, pa.RecordBatch):
+                if target is None:
+                    from pyspark.sql.pandas.types import to_arrow_schema
+
+                    target = to_arrow_schema(self.schema)
+                n = item.num_rows
+                yield pa.RecordBatch.from_arrays(
+                    list(item.columns)
+                    + [
+                        pa.array([partition.cdf_class] * n, pa.string()),
+                        pa.array([partition.version] * n, pa.int64()),
+                    ],
+                    schema=target,
+                )
+            else:
+                yield tuple(item) + (
+                    partition.cdf_class,
+                    partition.version,
+                )
 
 
 class ManifestShardDataSource(DataSource):
@@ -2550,6 +2642,22 @@ class ManifestShardDataSource(DataSource):
             v = self.options.get("version")
             sch = table_schema(path, version=int(v) if v is not None else None)
             if sch is not None:
+                if str(
+                    self.options.get("read_change_feed", "")
+                ).lower() in ("true", "1", "yes"):
+                    # change-feed reads append the metadata columns,
+                    # so a plain .load() tails the typed feed
+                    from pyspark.sql import types as T
+
+                    sch = StructType(
+                        sch.fields
+                        + [
+                            T.StructField("_change_type", T.StringType()),
+                            T.StructField(
+                                "_commit_version", T.LongType()
+                            ),
+                        ]
+                    )
                 return sch
         raise ValueError(
             "shard_manifest requires an explicit .schema(...): this "

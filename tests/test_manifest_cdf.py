@@ -224,3 +224,82 @@ def test_merge_insert_only_and_update_only_classes(registered, tmp_path):
         (3, "update_preimage"): 1,
         (3, "update_postimage"): 1,
     }
+
+
+def test_stream_read_change_feed(registered, tmp_path):
+    """readStream with read_change_feed=true tails the TYPED feed —
+    _change_type/_commit_version appended by the DataSource schema
+    (plain .load(), no .schema()) — and a foreachBatch replica
+    applying it verbatim reconverges; resuming from the checkpoint
+    delivers only post-cursor changes."""
+    spark, p = registered, str(tmp_path / "scdf")
+    ck = str(tmp_path / "scdf_ck")
+    _mk(spark, p)                                                   # v1
+    MS.update_where(spark, p, SCH, "k < 5", {"s": "concat(s,'-u')"})  # v2
+    got: list = []
+
+    def drain():
+        got.clear()
+        q = (
+            spark.readStream.format(MS.FORMAT_NAME)
+            .option("path", p)
+            .option("read_change_feed", "true")
+            .load()
+            .writeStream.foreachBatch(
+                lambda d, b: got.extend(d.collect())
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return list(got)
+
+    first = drain()
+    assert Counter(
+        (r["_commit_version"], r["_change_type"]) for r in first
+    ) == {(1, "insert"): 20, (2, "update_preimage"): 5,
+          (2, "update_postimage"): 5}
+    # more DML, then RESUME: only the new versions arrive
+    MS.delete_where(spark, p, SCH, "k >= 15")                       # v3
+    second = drain()
+    assert Counter(
+        (r["_commit_version"], r["_change_type"]) for r in second
+    ) == {(3, "delete"): 5}
+    # full replica over both drains reconverges
+    replica: dict = {}
+    for r in sorted(first + second, key=lambda r: r["_commit_version"]):
+        if r["_change_type"] in ("delete", "update_preimage"):
+            replica.pop(r["k"], None)
+    for v in sorted({r["_commit_version"] for r in first + second}):
+        batch = [
+            r for r in first + second if r["_commit_version"] == v
+        ]
+        for r in batch:
+            if r["_change_type"] in ("delete", "update_preimage"):
+                replica.pop(r["k"], None)
+        for r in batch:
+            if r["_change_type"] in ("insert", "update_postimage"):
+                replica[r["k"]] = r["s"]
+    final = {
+        r["k"]: r["s"] for r in MS.read_manifest(spark, p).collect()
+    }
+    assert replica == final
+
+
+def test_stream_change_feed_rejects_bad_schema(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "scdf_bad")
+    _mk(spark, p)
+    with pytest.raises(Exception, match="_change_type"):
+        (
+            spark.readStream.format(MS.FORMAT_NAME)
+            .option("path", p)
+            .option("read_change_feed", "true")
+            .schema(SCH)  # missing the metadata columns
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckb"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
