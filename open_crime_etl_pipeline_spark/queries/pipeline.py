@@ -2188,3 +2188,103 @@ def manifest_cdf_change_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_parquet_codec_pipeline",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS s
+            FROM orders WHERE o_orderkey % 10 = 4
+        ), final AS (
+            SELECT k, c,
+                   CASE WHEN k % 100 < 10 THEN 'Z' ELSE s END AS s
+            FROM base WHERE k % 100 < 90
+        )
+        SELECT s AS status,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(k) AS BIGINT) AS sum_key,
+               CAST(sum(c) AS BIGINT) AS sum_cust
+        FROM final GROUP BY s ORDER BY s
+    """,
+    doc="The COLUMNAR shard codec end-to-end under the oracle gate "
+        "(round 12): an orders slice lands with shard_format=parquet "
+        "(content address = md5 of the deterministic parquet bytes; "
+        "the log records codec=parquet and stamps min_reader 3), "
+        "UPDATE WHERE rewrites a band and DELETE WHERE removes one - "
+        "both DML rewrites INHERIT the recorded codec with no option "
+        "- then OPTIMIZE bin-packs the table and the final state is "
+        "aggregated through read_manifest, which routes parquet "
+        "shards to Spark's NATIVE parquet source (columnar vectorized "
+        "decode; column pruning reaches inside the shard - the "
+        "structural 100-TB win over the row-oriented JSON codec, "
+        "measured x8.0 write / x1.78 selective-scan in PERF.md). The "
+        "query RAISES unless every live shard is .parquet after the "
+        "full verb sequence. The oracle restates the final state "
+        "relationally from the source table. Codec parity is pinned "
+        "separately: per-shard stats/bloom/null metadata is "
+        "byte-identical across codecs (test_manifest_parquet.py), so "
+        "pruning and DML scoping are codec-blind "
+        "(sources/manifest_sink.py:ManifestParquetShardWriter).",
+    tags=("sink", "datasource", "pipeline", "parquet"),
+)
+def manifest_parquet_codec_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+    from ..sources.manifest_table import ManifestTable
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_pqc_q_")
+    try:
+        base = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 == 4)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_custkey").alias("c"),
+                F.col("o_orderstatus").alias("s"),
+            )
+        )
+        (
+            base.repartitionByRange(8, "k")
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .option("shard_format", "parquet")
+            .mode("append")
+            .save()
+        )
+        t = ManifestTable(spark, out)
+        if t.codec() != "parquet":
+            raise AssertionError(
+                "manifest_parquet_codec_pipeline: log must record "
+                "codec=parquet"
+            )
+        t.update("k % 100 < 10", {"s": "'Z'"})      # inherits parquet
+        t.delete("k % 100 >= 90")                   # inherits parquet
+        t.optimize_small(min_rows=10**9, target_shards=4)
+        man = t.manifest()
+        if not all(s["file"].endswith(".parquet") for s in man["shards"]):
+            raise AssertionError(
+                "manifest_parquet_codec_pipeline: every DML/OPTIMIZE "
+                "rewrite must stay in the recorded parquet codec"
+            )
+        rows = (
+            t.to_df()
+            .groupBy(F.col("s").alias("status"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("k").cast("long").alias("sum_key"),
+                F.sum("c").cast("long").alias("sum_cust"),
+            )
+            .orderBy("status")
+            .collect()  # O(statuses) rows; the temp lake dir dies below
+        )
+        return spark.createDataFrame(
+            rows, "status string, n_rows long, sum_key long, sum_cust long"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
