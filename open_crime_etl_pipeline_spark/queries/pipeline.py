@@ -2288,3 +2288,124 @@ def manifest_parquet_codec_pipeline(
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_check_constraints",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                       AS price
+            FROM orders WHERE o_orderkey % 10 = 6
+        ), final AS (
+            SELECT k,
+                   CASE WHEN k % 100 < 10 THEN price + 1000.0
+                        ELSE price END AS price
+            FROM base
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(k) AS BIGINT) AS sum_key,
+               CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS sum_price
+        FROM final
+    """,
+    doc="Recorded CHECK constraints on the manifest format (round 12 "
+        "— the Delta ALTER TABLE ADD CONSTRAINT shape): an orders "
+        "slice lands via the ManifestTable facade's ENFORCED append, "
+        "then price_positive (price > 0) and key_band (k % 10 = 6) "
+        "are recorded in the log as a metadata-only commit — adding "
+        "one validates EXISTING rows first (a violating "
+        "add_constraint raises; asserted in-query). Enforcement is "
+        "SQL CHECK (violation iff the predicate is FALSE; NULL "
+        "passes), judged in ONE agg pass at every enforced write "
+        "path: a negative-price UPDATE and an out-of-band MERGE "
+        "source are both REFUSED atomically (asserted: version and "
+        "rows unchanged), then a compliant UPDATE (+1000 on a key "
+        "band) publishes. The oracle restates the surviving state "
+        "relationally — a hash match proves refused DML left no "
+        "trace and enforced DML applied exactly "
+        "(sources/manifest_sink.py:set_constraints, "
+        "_enforce_constraints; manifest_table.py facade verbs).",
+    tags=("sink", "datasource", "pipeline", "constraints"),
+)
+def manifest_check_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+    from ..sources.manifest_table import ManifestTable
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_cons_q_")
+    try:
+        base = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 == 6)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                dec2("o_totalprice").cast("double").alias("price"),
+            )
+        )
+        t = ManifestTable(spark, out)
+        t.append(base.repartitionByRange(4, "k"))
+        t.add_constraint("price_positive", "price > 0")
+        t.add_constraint("key_band", "k % 10 = 6")
+        v0, n0 = t.version(), t.count()
+
+        def must_refuse(tag, fn):
+            try:
+                fn()
+            except ValueError:
+                pass
+            else:
+                raise AssertionError(
+                    f"manifest_check_constraints: {tag} must be refused"
+                )
+            if t.version() != v0 or t.count() != n0:
+                raise AssertionError(
+                    f"manifest_check_constraints: refused {tag} must "
+                    "leave the table untouched"
+                )
+
+        must_refuse(
+            "violating add_constraint",
+            lambda: t.add_constraint("impossible", "price > 1e12"),
+        )
+        must_refuse(
+            "negative-price UPDATE",
+            lambda: t.update("k % 100 < 10", {"price": "-price"}),
+        )
+        must_refuse(
+            "out-of-band MERGE",
+            lambda: t.merge(
+                spark.createDataFrame(
+                    [(7, 10.0)], "k long, price double"
+                ),
+                ["k"],
+            ),
+        )
+        n_upd = t.update("k % 100 < 10", {"price": "price + 1000.0"})
+        if n_upd <= 0:
+            raise AssertionError(
+                "manifest_check_constraints: the compliant UPDATE "
+                "must match rows"
+            )
+        rows = (
+            t.to_df()
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("k").cast("long").alias("sum_key"),
+                F.round(F.sum(dec2("price")), 2)
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .collect()  # 1 row; the temp lake dir dies below
+        )
+        return spark.createDataFrame(
+            rows, "n_rows long, sum_key long, sum_price double"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

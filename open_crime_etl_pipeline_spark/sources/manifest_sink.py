@@ -365,6 +365,16 @@ def _apply_action(prev: dict | None, action: dict) -> dict:
     codec = action.get("codec") or (prev or {}).get("codec")
     if codec:
         state["codec"] = codec
+    # recorded CHECK constraints (round 12, the Delta constraints
+    # shape): a 'constraints' key REPLACES the map (empty dict clears
+    # — hence the explicit membership test), else carried forward
+    cons = (
+        action["constraints"]
+        if "constraints" in action
+        else (prev or {}).get("constraints")
+    )
+    if cons:
+        state["constraints"] = cons
     t = action.get("txn")
     if t:
         txns[t["app"]] = max(txns.get(t["app"], t["version"]), t["version"])
@@ -3314,6 +3324,82 @@ def compact_small(
     return man2, len(small)
 
 
+def table_constraints(path: str) -> dict[str, str]:
+    """The table's recorded CHECK constraints ``{name: sql}``."""
+    man = read_manifest_dict(path)
+    return dict((man or {}).get("constraints") or {})
+
+
+def set_constraints(
+    path: str,
+    constraints: dict[str, str],
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> dict:
+    """Record the table's CHECK constraint map — one metadata-only
+    commit (``commit_kind='meta'``, no shards touched) that REPLACES
+    the whole map (pass ``{}`` to clear; add/drop one via
+    :class:`~.manifest_table.ManifestTable.add_constraint` /
+    ``drop_constraint``, which validate first). Enforcement semantics
+    are SQL CHECK: a row violates iff the predicate evaluates FALSE
+    (NULL passes), checked by :func:`_enforce_constraints` at every
+    enforced write path — the facade's ``append``/``overwrite`` and
+    the DML verbs (UPDATE's post-images, MERGE's source). Raw
+    ``df.write.format(...)`` bypasses enforcement (the Python
+    DataSource writer sees rows only executor-side, where a SQL
+    predicate cannot run) — the same caveat Delta documents for
+    non-Delta writers; the facade verbs are the enforced path."""
+    for name, sql in constraints.items():
+        if not name or not isinstance(sql, str) or not sql.strip():
+            raise ValueError(
+                f"set_constraints: bad constraint {name!r}: {sql!r}"
+            )
+
+    def build_action(prev: dict | None, seq: int) -> dict:
+        return {
+            "version": 2,
+            "commit_seq": seq,
+            "commit_kind": "meta",
+            "add": [],
+            "remove": [],
+            "constraints": dict(constraints),
+        }
+
+    return _commit_with_retries(path, build_action, checkpoint_every)
+
+
+def _enforce_constraints(df, constraints: dict | None, context: str) -> None:
+    """Refuse rows violating any recorded CHECK constraint — ONE agg
+    pass over ``df`` counting, per constraint, rows where the
+    predicate is FALSE (NULL satisfies, the SQL CHECK rule). Raises
+    with per-constraint violation counts; nothing is staged or
+    published past this point."""
+    if not constraints:
+        return
+    from pyspark.sql import functions as F
+
+    names = sorted(constraints)
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.expr(constraints[n]), F.lit(True)), 1
+                ).otherwise(0)
+            ).alias(n)
+            for n in names
+        ]
+    ).first()
+    bad = {n: int(row[n] or 0) for n in names if row[n]}
+    if bad:
+        raise ValueError(
+            f"{context}: CHECK constraint violation - "
+            + ", ".join(
+                f"{n} ({constraints[n]!r}): {c} rows"
+                for n, c in sorted(bad.items())
+            )
+            + " evaluate FALSE; nothing was published"
+        )
+
+
 def _stage_write(
     df,
     path: str,
@@ -3630,6 +3716,12 @@ def update_where(
                 for f in df.schema.fields
             ]
         )
+        # recorded CHECK constraints judge the POST-update rows (the
+        # only rows this DML introduces); survivors already satisfied
+        # them when they landed
+        _enforce_constraints(
+            updated, man.get("constraints"), "update_where"
+        )
         n_shards_upd = max(1, min(len(touched), 8))
         staged_survivors = _stage_write(
             survivors, path, "update-surv", touched
@@ -3730,6 +3822,9 @@ def merge_into(
             "(operators.merge.dedup_last_writer_wins) so which row wins "
             "is explicit"
         )
+    # recorded CHECK constraints judge the incoming source rows (both
+    # the updates and the inserts this merge lands)
+    _enforce_constraints(src, man.get("constraints"), "merge_into")
     bounds = src.agg(
         *[F.min(k).alias(f"mn_{k}") for k in key_cols],
         *[F.max(k).alias(f"mx_{k}") for k in key_cols],

@@ -62,6 +62,52 @@ class ManifestTable:
         man = self.manifest()
         return man.get("commit_seq", 0) if man else 0
 
+    # -- metadata-backed aggregates ------------------------------------
+    # The Python DataSource API has no aggregate-pushdown hook (the
+    # documented pyspark 4.1.2 ceiling), so the engine cannot answer
+    # load().count() from the log — but the FACADE can make the fast
+    # path the default path: these verbs answer from table_stats()
+    # when the log's metadata is exact, and fall back to a scan only
+    # when it is not (truncated string bounds, missing stats).
+    def count(self, version: int | None = None) -> int:
+        """Exact row count — always metadata-only (per-shard counts
+        are exact by construction): zero shard reads, no Spark job."""
+        return int(self.stats(version)["n_rows"])
+
+    def min(self, col: str, version: int | None = None):
+        """Exact minimum of ``col`` — from the log when every live
+        shard records untruncated stats for it (values come back in
+        the stats domain: numbers as numbers, temporals as ISO
+        strings), else one column-pruned scan."""
+        return self._stat_or_scan(col, "min", version)
+
+    def max(self, col: str, version: int | None = None):
+        return self._stat_or_scan(col, "max", version)
+
+    def null_count(self, col: str, version: int | None = None) -> int:
+        from pyspark.sql import functions as F
+
+        entry = self.stats(version)["columns"].get(col, {})
+        if "null_count" in entry:
+            return int(entry["null_count"])
+        df = self.to_df(version=version)
+        return int(
+            df.agg(
+                F.sum(F.col(col).isNull().cast("long")).alias("n")
+            ).first()["n"]
+            or 0
+        )
+
+    def _stat_or_scan(self, col: str, which: str, version: int | None):
+        from pyspark.sql import functions as F
+
+        entry = self.stats(version)["columns"].get(col, {})
+        if which in entry:
+            return entry[which]
+        df = self.to_df(version=version)
+        agg = F.min(col) if which == "min" else F.max(col)
+        return df.agg(agg.alias("v")).first()["v"]
+
     # -- reads ---------------------------------------------------------
     def to_df(
         self,
@@ -157,6 +203,56 @@ class ManifestTable:
             change_data=change_data,
         )
         return n_upd, n_ins
+
+    # -- enforced writes -----------------------------------------------
+    def append(self, df: DataFrame, **options) -> None:
+        """Append through the ENFORCED path: recorded CHECK
+        constraints judge the batch (one agg pass; a violation raises
+        before anything is written), then the write inherits the
+        table's recorded codec. Extra writer options pass through."""
+        self._write(df, "append", options)
+
+    def overwrite(self, df: DataFrame, **options) -> None:
+        self._write(df, "overwrite", options)
+
+    def _write(self, df: DataFrame, mode: str, options: dict) -> None:
+        MS._enforce_constraints(
+            df, MS.table_constraints(self.path), f"{mode} via ManifestTable"
+        )
+        w = df.write.format(MS.FORMAT_NAME).option("path", self.path)
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.mode(mode).save()
+
+    # -- CHECK constraints ---------------------------------------------
+    def constraints(self) -> dict[str, str]:
+        return MS.table_constraints(self.path)
+
+    def add_constraint(self, name: str, sql: str) -> None:
+        """ADD CONSTRAINT ... CHECK: the EXISTING rows must already
+        satisfy the predicate (validated with one scan — the Delta
+        contract), then the constraint is recorded in the log and
+        every enforced write path (append/overwrite, UPDATE
+        post-images, MERGE sources) judges future rows against it."""
+        if self.exists() and self.manifest()["n_rows"]:
+            MS._enforce_constraints(
+                self.to_df(), {name: sql}, f"add_constraint({name!r})"
+            )
+        MS.set_constraints(
+            self.path, {**MS.table_constraints(self.path), name: sql}
+        )
+
+    def drop_constraint(self, name: str) -> None:
+        cons = MS.table_constraints(self.path)
+        cons.pop(name, None)
+        MS.set_constraints(self.path, cons)
+
+    def validate(self) -> None:
+        """Audit the CURRENT rows against every recorded constraint
+        (raises with per-constraint violation counts)."""
+        MS._enforce_constraints(
+            self.to_df(), MS.table_constraints(self.path), "validate"
+        )
 
     # -- maintenance ---------------------------------------------------
     def optimize(

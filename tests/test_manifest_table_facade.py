@@ -84,3 +84,64 @@ def test_facade_time_travel_and_pruned_read(registered, tmp_path):
     # explicit schema override is honored
     t2 = ManifestTable(spark, p, schema="k long")
     assert t2.to_df().columns == ["k"]
+
+
+def test_facade_metadata_aggregates(registered, tmp_path):
+    """count/min/max/null_count answer from the log when exact (the
+    facade makes the metadata fast path the default path — the
+    documented DataSource aggregate-pushdown ceiling's product
+    answer) and fall back to a scan when the stats are bounds."""
+    spark, p = registered, str(tmp_path / "fagg")
+    rows = [(1, "a" * 40), (2, None), (3, "b" * 40)]
+    df = spark.createDataFrame(rows, "k long, txt string")
+    df.coalesce(1).write.format(MS.FORMAT_NAME).option("path", p).mode(
+        "append"
+    ).save()
+    t = ManifestTable(spark, p)
+    assert t.count() == 3
+    assert t.min("k") == 1 and t.max("k") == 3
+    assert t.null_count("txt") == 1 and t.null_count("k") == 0
+    # txt is truncated (40 > 32 default): stats are BOUNDS, so the
+    # facade must fall back to a scan and still answer exactly
+    assert t.min("txt") == "a" * 40
+    assert t.max("txt") == "b" * 40
+
+
+def test_facade_check_constraints(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "fcons")
+    t = ManifestTable(spark, p)
+    t.append(
+        spark.range(10).selectExpr("id as k", "concat('v', id) as s")
+        .coalesce(1)
+    )
+    t.add_constraint("k_nonneg", "k >= 0")
+    t.add_constraint("s_prefix", "s LIKE 'v%'")
+    assert set(t.constraints()) == {"k_nonneg", "s_prefix"}
+    # enforced append: violation refused BEFORE anything is written
+    v_before = t.version()
+    with pytest.raises(ValueError, match="k_nonneg"):
+        t.append(spark.createDataFrame([(-1, "vX")], "k long, s string"))
+    assert t.version() == v_before and t.count() == 10
+    # UPDATE post-images judged
+    with pytest.raises(ValueError, match="CHECK"):
+        t.update("k = 5", {"k": "-k"})
+    # MERGE source judged
+    with pytest.raises(ValueError, match="s_prefix"):
+        t.merge(
+            spark.createDataFrame([(7, "nope")], "k long, s string"), ["k"]
+        )
+    # NULL satisfies CHECK (the SQL rule)
+    t.append(
+        spark.createDataFrame([(None, "vnull")], "k long, s string")
+    )
+    assert t.count() == 11
+    # adding a constraint existing rows violate is refused
+    with pytest.raises(ValueError, match="impossible"):
+        t.add_constraint("impossible", "k < 5")
+    assert "impossible" not in t.constraints()
+    # constraints survive checkpoints/DML and drop works
+    assert t.delete("k = 9") == 1
+    assert set(t.constraints()) == {"k_nonneg", "s_prefix"}
+    t.drop_constraint("s_prefix")
+    assert set(t.constraints()) == {"k_nonneg"}
+    t.validate()
