@@ -2409,3 +2409,106 @@ def manifest_check_constraints(
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_deletion_vectors",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_custkey AS c
+            FROM orders WHERE o_orderkey % 10 = 8
+        ), final AS (
+            SELECT k, c FROM base
+            WHERE k % 100 NOT IN (8, 18) AND k % 1000 <> 28
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(k) AS BIGINT) AS sum_key,
+               CAST(sum(c) AS BIGINT) AS sum_cust
+        FROM final
+    """,
+    doc="Deletion vectors on the manifest format (round 12 — the "
+        "Delta DV shape): an orders slice lands as parquet shards, "
+        "then TWO narrow deletes run with mode='dv' — no shard is "
+        "rewritten (asserted: the live shard set is unchanged and "
+        "every entry gains/extends a dv reference); matched (shard, "
+        "row_index) pairs land as content-addressed position files "
+        "under dv/ and ONE metadata commit marks the shards, so a "
+        "narrow delete costs O(matched rows) never O(shard) — the "
+        "100-TB argument. The second delete UNIONS into the first's "
+        "vectors (replacement-is-union lineage, concurrent advances "
+        "refused); a third delete re-matching already-deleted rows "
+        "matches ZERO (reads apply vectors, asserted). A final "
+        "mode='rewrite' delete on a narrower band then MATERIALIZES "
+        "through the vectors (copy-on-write survivors computed from "
+        "live rows, vector cleared with the replaced shard). The "
+        "oracle restates the surviving rows relationally; a hash "
+        "match proves all three read/DML paths applied the vectors "
+        "exactly (sources/manifest_sink.py:_delete_where_dv, "
+        "_spark_read_shard_entries, _apply_dv; protocol 4).",
+    tags=("sink", "datasource", "pipeline", "dv"),
+)
+def manifest_deletion_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+    from ..sources.manifest_table import ManifestTable
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_dv_q_")
+    try:
+        base = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 == 8)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_custkey").alias("c"),
+            )
+        )
+        (
+            base.repartitionByRange(8, "k")
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .option("shard_format", "parquet")
+            .mode("append")
+            .save()
+        )
+        t = ManifestTable(spark, out)
+        shards_v1 = {s["file"] for s in t.manifest()["shards"]}
+        n1 = t.delete("k % 100 = 8", mode="dv")
+        n2 = t.delete("k % 100 = 18", mode="dv")
+        man = t.manifest()
+        if {s["file"] for s in man["shards"]} != shards_v1:
+            raise AssertionError(
+                "manifest_deletion_vectors: a dv delete must not "
+                "rewrite any shard"
+            )
+        if n1 <= 0 or n2 <= 0 or not any(
+            s.get("dv") for s in man["shards"]
+        ):
+            raise AssertionError(
+                "manifest_deletion_vectors: vectors must be recorded"
+            )
+        # already-deleted rows can never match again
+        if t.delete("k % 100 = 8", mode="dv") != 0:
+            raise AssertionError(
+                "manifest_deletion_vectors: re-delete must match zero"
+            )
+        # a copy-on-write delete MATERIALIZES through the vectors
+        t.delete("k % 1000 = 28", mode="rewrite")
+        rows = (
+            t.to_df()
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("k").cast("long").alias("sum_key"),
+                F.sum("c").cast("long").alias("sum_cust"),
+            )
+            .collect()  # 1 row; the temp lake dir dies below
+        )
+        return spark.createDataFrame(
+            rows, "n_rows long, sum_key long, sum_cust long"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -228,10 +228,18 @@ _MAX_COMMIT_RETRIES = 50
 #: so only the actions/checkpoints that actually involve parquet
 #: shards carry the bump — JSON-only tables keep stamping 2 and stay
 #: readable by older code.
-_READER_VERSION = 3
+_READER_VERSION = 4
 
-#: what a JSON-only commit stamps; parquet-involving commits stamp 3
+#: what a JSON-only commit stamps; parquet-involving commits stamp 3,
+#: deletion-vector carriers stamp 4 (protocol 4, round 12: a shard
+#: entry carrying ``dv`` has logically-deleted row positions a pre-DV
+#: reader would resurrect)
 _BASE_MIN_READER = 2
+_PARQUET_MIN_READER = 3
+#: cdf_add (DML-materialized change data) shipped with protocol 3 —
+#: an older vacuum would misclassify the files as garbage
+_CDF_MIN_READER = 3
+_DV_MIN_READER = 4
 
 
 def _shard_is_parquet(name: str) -> bool:
@@ -241,13 +249,17 @@ def _shard_is_parquet(name: str) -> bool:
 
 
 def _min_reader_for(add_entries) -> int:
-    """The protocol floor an action needs: 3 when it adds parquet
-    shards (a protocol-2 reader would JSON-parse them), else 2."""
-    return (
-        _READER_VERSION
-        if any(_shard_is_parquet(e["file"]) for e in add_entries)
-        else _BASE_MIN_READER
-    )
+    """The protocol floor a set of shard entries needs: 4 when any
+    carries a deletion vector (a pre-DV reader would resurrect
+    deleted rows), 3 when any is parquet (a protocol-2 reader would
+    JSON-parse the bytes), else 2."""
+    floor = _BASE_MIN_READER
+    for e in add_entries:
+        if e.get("dv"):
+            return _DV_MIN_READER
+        if _shard_is_parquet(e["file"]):
+            floor = _PARQUET_MIN_READER
+    return floor
 
 
 class ManifestProtocolError(RuntimeError):
@@ -337,6 +349,13 @@ def _apply_action(prev: dict | None, action: dict) -> dict:
         live.pop(f, None)
     for e in action.get("add", []):
         live[e["file"]] = e
+    # deletion vectors (round 12): dv_set REPLACES the named shards'
+    # dv (delete_where(mode="dv") merges old positions into the new
+    # dv file before committing, so replacement IS the union); a
+    # shard leaving the live set takes its dv with it
+    for f, dv in action.get("dv_set", {}).items():
+        if f in live:
+            live[f] = {**live[f], "dv": dv}
     ep = action.get("epoch")
     if ep is not None:
         epochs[ep["batch_id"]] = ep["shards"]
@@ -345,7 +364,12 @@ def _apply_action(prev: dict | None, action: dict) -> dict:
         "commit_seq": action["commit_seq"],
         "commit_kind": kind,
         "shards": sorted(live.values(), key=lambda s: s["file"]),
-        "n_rows": sum(s["n_rows"] for s in live.values()),
+        # LIVE rows: per-shard counts are physical; deletion vectors
+        # subtract logically-deleted positions
+        "n_rows": sum(
+            s["n_rows"] - (s.get("dv") or {}).get("n", 0)
+            for s in live.values()
+        ),
     }
     # the protocol floor of the STATE: what a reader of this snapshot
     # must understand. Derived from the live set, not carried forward
@@ -560,6 +584,7 @@ def _commit_with_retries(
             # raise the floor itself (cdf_add carriers stamp 3).
             "min_reader": max(
                 _min_reader_for(action.get("add", ())),
+                _DV_MIN_READER if action.get("dv_set") else 0,
                 action.get("min_reader", 0),
             ),
             "ts": max(round(_time.time(), 3), round(prev_ts + 0.001, 3)),
@@ -1814,6 +1839,37 @@ class ShardPartition(InputPartition):
     #: per-file constants the reader appends as metadata columns
     version: int | None = None
     cdf_class: str | None = None
+    #: the shard's deletion-vector FILE name (round 12), when the
+    #: entry carries one — the executor loads the positions and masks
+    #: them out of the decode
+    dv: str | None = None
+
+
+def _apply_dv(items, positions):
+    """Mask deleted row positions over a decoded shard stream —
+    Arrow batches get a boolean filter kernel, row tuples a counter
+    skip; positions are shard-file row indices (0-based)."""
+    import pyarrow as pa
+
+    pos = set(positions)
+    i = 0
+    for item in items:
+        if isinstance(item, pa.RecordBatch):
+            n = item.num_rows
+            if pos.isdisjoint(range(i, i + n)):
+                yield item
+            else:
+                mask = pa.array(
+                    [(i + j) not in pos for j in range(n)], pa.bool_()
+                )
+                out = item.filter(mask)
+                if out.num_rows:
+                    yield out
+            i += n
+        else:
+            if i not in pos:
+                yield item
+            i += 1
 
 
 def _row_converters(schema: StructType):
@@ -2137,15 +2193,27 @@ class ManifestShardReader(DataSourceReader):
                 f"no committed manifest at {self.path}"
                 + (f" version {self.version}" if self.version else "")
             )
-        shards = [s["file"] for s in man["shards"]]
-        if not shards:
+        if not man["shards"]:
             return [ShardPartition(path=self.path, shard="")]
-        return [ShardPartition(path=self.path, shard=s) for s in shards]
+        return [
+            ShardPartition(
+                path=self.path,
+                shard=s["file"],
+                dv=(s.get("dv") or {}).get("file"),
+            )
+            for s in man["shards"]
+        ]
 
     def read(self, partition: ShardPartition):
         if not partition.shard:
             return
-        yield from _decode_shard(self.schema, partition.path, partition.shard)
+        gen = _decode_shard(self.schema, partition.path, partition.shard)
+        if partition.dv:
+            fs, root = _fs_for(partition.path)
+            gen = _apply_dv(
+                gen, _load_dv(fs, root, {"file": partition.dv})
+            )
+        yield from gen
 
 
 class ManifestShardPushdownReader(ManifestShardReader):
@@ -2276,12 +2344,19 @@ class ManifestShardPushdownReader(ManifestShardReader):
             # filterless query reusing the relation) must read
             # everything — stale filters would silently UNDER-read
             self._fresh = False
-            shards = [s["file"] for s in man["shards"] if self._admits(s)]
+            kept = [s for s in man["shards"] if self._admits(s)]
         else:
-            shards = [s["file"] for s in man["shards"]]
-        if not shards:
+            kept = list(man["shards"])
+        if not kept:
             return [ShardPartition(path=self.path, shard="")]
-        return [ShardPartition(path=self.path, shard=s) for s in shards]
+        return [
+            ShardPartition(
+                path=self.path,
+                shard=s["file"],
+                dv=(s.get("dv") or {}).get("file"),
+            )
+            for s in kept
+        ]
 
 
 def _log_adds(
@@ -2523,7 +2598,9 @@ class ManifestShardStreamReader(DataSourceStreamReader):
                         ShardPartition(path=self.path, shard="")
                     ]
                 shards = [
-                    s["file"] for _v, s in adds if self._admits(s)
+                    (s["file"], None)
+                    for _v, s in adds
+                    if self._admits(s)
                 ]
             else:
                 # a commit in range was expired (log-retention horizon):
@@ -2564,16 +2641,23 @@ class ManifestShardStreamReader(DataSourceStreamReader):
                             shard=s["file"],
                             version=s.get("added_seq", 1),
                             cdf_class="insert",
+                            dv=(s.get("dv") or {}).get("file"),
                         )
                         for s in kept
                     ]
                     return parts or [
                         ShardPartition(path=self.path, shard="")
                     ]
-                shards = [s["file"] for s in kept]
+                shards = [
+                    (s["file"], (s.get("dv") or {}).get("file"))
+                    for s in kept
+                ]
         if not shards:  # planner still expects >=1 partition per batch
             return [ShardPartition(path=self.path, shard="")]
-        return [ShardPartition(path=self.path, shard=s) for s in shards]
+        return [
+            ShardPartition(path=self.path, shard=f, dv=d)
+            for f, d in shards
+        ]
 
     def commit(self, end: dict) -> None:
         # exactly-once progress lives in the stream's own checkpoint;
@@ -2595,19 +2679,31 @@ class ManifestShardStreamReader(DataSourceStreamReader):
         if not partition.shard:
             return
         if not self.read_cdf:
-            yield from _decode_shard(
+            gen = _decode_shard(
                 self.schema, partition.path, partition.shard
             )
+            if partition.dv:
+                fs, root = _fs_for(partition.path)
+                gen = _apply_dv(
+                    gen, _load_dv(fs, root, {"file": partition.dv})
+                )
+            yield from gen
             return
         # change-feed read: decode the DATA schema, then append the
         # two per-file-constant metadata columns (class + version) —
         # Arrow-side for batch output, tuple-side for the row path
         import pyarrow as pa
 
-        target = None
-        for item in _decode_shard(
+        gen = _decode_shard(
             self._data_schema, partition.path, partition.shard
-        ):
+        )
+        if partition.dv:
+            fs, root = _fs_for(partition.path)
+            gen = _apply_dv(
+                gen, _load_dv(fs, root, {"file": partition.dv})
+            )
+        target = None
+        for item in gen:
             if isinstance(item, pa.RecordBatch):
                 if target is None:
                     from pyspark.sql.pandas.types import to_arrow_schema
@@ -2834,6 +2930,100 @@ def _spark_read_shard_files(spark, files: list[str], schema):
     return out
 
 
+#: deletion-vector payload directory (round 12): per-shard deleted
+#: row positions live in content-addressed gzip-JSON files under
+#: ``dv/`` referenced from shard entries — the action log stays
+#: O(delta-METADATA) bytes (Delta's DV-file shape), never O(deleted
+#: rows)
+DV_DIR = "dv"
+
+
+def _write_dv(fs, root: str, positions: list[int]) -> str:
+    """Write a deletion vector's sorted positions as a
+    content-addressed ``dv/dv-<md5>.json.gz``; returns the name.
+    Identical position sets land once (same contract as shards)."""
+    payload = json.dumps(sorted(positions)).encode("utf-8")
+    digest = hashlib.md5(payload).hexdigest()
+    name = f"dv-{digest}.json.gz"
+    fs.create_dir(posixpath.join(root, DV_DIR), recursive=True)
+    import io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(payload)
+    _write_atomic(fs, posixpath.join(root, DV_DIR, name), buf.getvalue())
+    return name
+
+
+def _load_dv(fs, root: str, dv: dict | None) -> list[int]:
+    """The deleted row positions a shard entry's ``dv`` references."""
+    if not dv:
+        return []
+    with fs.open_input_stream(
+        posixpath.join(root, DV_DIR, dv["file"]), compression=None
+    ) as raw:
+        with gzip.GzipFile(fileobj=raw, mode="rb") as gz:
+            return json.loads(gz.read().decode("utf-8"))
+
+
+def _spark_read_shard_entries(spark, path: str, entries: list[dict], schema):
+    """Entries-aware snapshot read: like :func:`_spark_read_shard_files`
+    but applies DELETION VECTORS — shards whose entry carries ``dv``
+    are read through Spark's parquet source with the hidden
+    ``_metadata`` columns and anti-joined (broadcast) against their
+    deleted (file, row_index) pairs, so logically-deleted rows never
+    reach the caller. Every snapshot/DML read path funnels through
+    here; shards without DVs keep the plain fast path."""
+    dv_entries = [e for e in entries if e.get("dv")]
+    plain = [e for e in entries if not e.get("dv")]
+    frames = []
+    if plain:
+        frames.append(
+            _spark_read_shard_files(
+                spark,
+                [
+                    posixpath.join(path, "shards", e["file"])
+                    for e in plain
+                ],
+                schema,
+            )
+        )
+    if dv_entries:
+        from pyspark.sql import functions as F
+
+        fs, root = _fs_for(path)
+        pairs = [
+            (e["file"], int(pos))
+            for e in dv_entries
+            for pos in _load_dv(fs, root, e["dv"])
+        ]
+        files = [
+            posixpath.join(path, "shards", e["file"]) for e in dv_entries
+        ]
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        df = (
+            r.parquet(*files)
+            .withColumn("__dv_file", F.col("_metadata.file_name"))
+            .withColumn("__dv_ri", F.col("_metadata.row_index"))
+        )
+        dvdf = spark.createDataFrame(
+            pairs, "__dv_file string, __dv_ri long"
+        )
+        frames.append(
+            df.join(
+                F.broadcast(dvdf),
+                on=["__dv_file", "__dv_ri"],
+                how="left_anti",
+            ).drop("__dv_file", "__dv_ri")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def _schema_from_state(man: dict | None) -> StructType | None:
     """The StructType a state dict records, or None (legacy table)."""
     if man and man.get("schema"):
@@ -2990,8 +3180,7 @@ def read_manifest(
         shards, _total = prune_shards(man, prune, prune_eq)
         if not shards:  # every shard skipped: empty typed frame
             return spark.createDataFrame([], schema)
-    files = [posixpath.join(path, "shards", s["file"]) for s in shards]
-    return _spark_read_shard_files(spark, files, schema)
+    return _spark_read_shard_entries(spark, path, shards, schema)
 
 
 def _iter_retained_states(path: str):
@@ -3100,6 +3289,13 @@ def table_stats(path: str, version: int | None = None) -> dict:
         for s in shards:
             st = (s.get("stats") or {}).get(c)
             nu = (s.get("nulls") or {}).get(c)
+            if s.get("dv"):
+                # a deletion vector hides rows the recorded stats
+                # still cover: min/max/null_count become conservative
+                # BOUNDS, not values — omit rather than report wrong
+                # (n_rows stays exact: the state subtracts dv counts)
+                exact = False
+                nulls_exact = False
             if nu is None:
                 nulls_exact = False
             else:
@@ -3302,9 +3498,8 @@ def compact_small(
     small = [s for s in man["shards"] if s["n_rows"] < min_rows]
     if len(small) <= max(1, target_shards):
         return man, 0  # nothing to gain: publish nothing
-    files = [posixpath.join(path, "shards", s["file"]) for s in small]
     staged = _stage_write(
-        _spark_read_shard_files(spark, files, schema).repartition(
+        _spark_read_shard_entries(spark, path, small, schema).repartition(
             target_shards
         ),
         path,
@@ -3318,7 +3513,11 @@ def compact_small(
         remove_files=sorted(s["file"] for s in small),
         unchanged=staged,
         changed=[],
-        expect_unchanged=sum(s["n_rows"] for s in small),
+        # LIVE rows: the rewrite reads through any deletion vectors
+        # (materializing the deletes and clearing the vectors)
+        expect_unchanged=sum(
+            s["n_rows"] - (s.get("dv") or {}).get("n", 0) for s in small
+        ),
         expect_changed=0,
     )
     return man2, len(small)
@@ -3512,7 +3711,7 @@ def _commit_replace(
                     "cdf_add": sorted(
                         cdf_only, key=lambda s: (s["cdf_class"], s["file"])
                     ),
-                    "min_reader": _READER_VERSION,
+                    "min_reader": _CDF_MIN_READER,
                 }
                 if cdf_only
                 else {}
@@ -3530,6 +3729,7 @@ def delete_where(
     prune: dict[str, tuple] | None = None,
     prune_eq: dict | None = None,
     change_data: bool = True,
+    mode: str = "rewrite",
 ) -> tuple[dict, int]:
     """Row-level ``DELETE WHERE`` on the manifest table — copy-on-write
     shard rewrites published as ONE atomic commit (the Delta DML
@@ -3556,8 +3756,21 @@ def delete_where(
     replica tailing the CDF can now APPLY the delete instead of
     requiring Merkle reconciliation. ``change_data=False`` skips the
     extra staged write (the pre-r12 adds-only contract).
-    Returns ``(new_manifest, n_deleted)``; a delete matching zero rows
-    publishes nothing."""
+
+    ``mode="dv"`` (round 12 — DELETION VECTORS, the Delta DV shape)
+    skips the copy-on-write rewrite entirely: the matched rows'
+    (shard, row position) pairs are recorded as content-addressed
+    deletion-vector files under ``dv/`` and ONE metadata commit marks
+    the touched shards (``dv_set``) — a narrow delete on a huge shard
+    costs O(matched rows), never O(shard). Every read path applies
+    the vectors (native scans anti-join the positions via the hidden
+    ``_metadata`` columns; the DataSource decode masks them), stats
+    stay conservative over-approximations, and any later rewrite of
+    the shard (compact/DML) materializes the delete and clears the
+    vector. Parquet-codec shards only (row positions need the parquet
+    reader's ``row_index``); actions/states carrying DVs stamp
+    protocol 4. Returns ``(new_manifest, n_deleted)``; a delete
+    matching zero rows publishes nothing."""
     from pyspark.sql import functions as F
 
     man = read_manifest_dict(path)
@@ -3571,13 +3784,20 @@ def delete_where(
         touched = list(man["shards"])
     if not touched:
         return man, 0  # stats refute the predicate everywhere: no-op
+    if mode == "dv":
+        return _delete_where_dv(
+            spark, path, schema, predicate, touched, change_data
+        )
+    if mode != "rewrite":
+        raise ValueError(
+            f"delete_where: mode must be 'rewrite' or 'dv', got {mode!r}"
+        )
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    files = [posixpath.join(path, "shards", s["file"]) for s in touched]
     # persist the touched-shard read: it feeds the matched/total count
     # aggregation AND the survivor staging write — without the cache
     # each consumer re-decodes the same shards (the same
     # multi-consumer pattern merge_into caches; round-11 ADVICE)
-    df = _spark_read_shard_files(spark, files, schema).persist()
+    df = _spark_read_shard_entries(spark, path, touched, schema).persist()
     try:
         counts = df.agg(
             F.sum(F.when(cond, 1).otherwise(0)).alias("matched"),
@@ -3617,6 +3837,145 @@ def delete_where(
         cdf_only=staged_cdf,
         expect_cdf=n_deleted if change_data else None,
     )
+    return man2, n_deleted
+
+
+def _delete_where_dv(
+    spark, path: str, schema, predicate, touched: list[dict],
+    change_data: bool,
+) -> tuple[dict, int]:
+    """The deletion-vector delete (see :func:`delete_where` docs):
+    ONE scan of the touched shards (existing DVs applied, so an
+    already-deleted row can never match twice) finds the matched
+    (shard, row_index) pairs; merged per-shard vectors are written as
+    content-addressed ``dv/`` files and published by one metadata
+    commit that REFUSES if a touched shard was rewritten or its DV
+    advanced concurrently (the write-conflict contract, extended to
+    vector lineage)."""
+    from pyspark.sql import functions as F
+
+    not_pq = [
+        s["file"] for s in touched if not _shard_is_parquet(s["file"])
+    ]
+    if not_pq:
+        raise ValueError(
+            "delete_where(mode='dv') needs parquet-codec shards (row "
+            "positions come from the parquet reader's row_index); "
+            f"these admitted shards are not parquet: {not_pq[:3]} - "
+            "use the default copy-on-write mode or migrate the table "
+            "codec"
+        )
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    fs, root = _fs_for(path)
+    dv_entries = [e for e in touched if e.get("dv")]
+    existing_pairs = [
+        (e["file"], int(pos))
+        for e in dv_entries
+        for pos in _load_dv(fs, root, e["dv"])
+    ]
+    files = [posixpath.join(path, "shards", s["file"]) for s in touched]
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    df = (
+        r.parquet(*files)
+        .withColumn("__dv_file", F.col("_metadata.file_name"))
+        .withColumn("__dv_ri", F.col("_metadata.row_index"))
+    )
+    if existing_pairs:
+        dvdf = spark.createDataFrame(
+            existing_pairs, "__dv_file string, __dv_ri long"
+        )
+        df = df.join(
+            F.broadcast(dvdf), on=["__dv_file", "__dv_ri"], how="left_anti"
+        )
+    matched = df.filter(F.coalesce(cond, F.lit(False))).persist()
+    try:
+        hits = matched.select("__dv_file", "__dv_ri").collect()
+        n_deleted = len(hits)
+        if n_deleted == 0:
+            return read_manifest_dict(path), 0
+        staged_cdf = (
+            [
+                {**e, "cdf_class": "delete"}
+                for e in _stage_write(
+                    matched.drop("__dv_file", "__dv_ri").repartition(
+                        max(1, min(len(touched), 8))
+                    ),
+                    path,
+                    "delete-dv-cdf",
+                    touched,
+                )
+            ]
+            if change_data
+            else []
+        )
+    finally:
+        matched.unpersist()
+    new_by_shard: dict[str, set] = {}
+    for f, ri in hits:
+        new_by_shard.setdefault(f, set()).add(int(ri))
+    by_entry = {e["file"]: e for e in touched}
+    base_dv = {f: (by_entry[f].get("dv") or {}).get("file") for f in new_by_shard}
+    dv_set: dict[str, dict] = {}
+    for f, new_pos in sorted(new_by_shard.items()):
+        merged = set(
+            _load_dv(fs, root, by_entry[f].get("dv"))
+        ) | new_pos
+        phys = by_entry[f]["n_rows"]
+        if len(merged) > phys:
+            raise ValueError(
+                f"delete_where(dv): vector for {f} would exceed its "
+                f"physical rows ({len(merged)} > {phys})"
+            )
+        dv_set[f] = {
+            "file": _write_dv(fs, root, sorted(merged)),
+            "n": len(merged),
+        }
+    if change_data and sum(
+        s["n_rows"] for s in staged_cdf
+    ) != n_deleted:
+        raise ValueError(
+            "delete_where(dv): change-data row count mismatch - "
+            "nothing was published"
+        )
+
+    def build_action(prev: dict | None, seq: int) -> dict:
+        prev_by = (
+            {s["file"]: s for s in prev["shards"]} if prev else {}
+        )
+        for f in dv_set:
+            cur = prev_by.get(f)
+            if cur is None:
+                raise ValueError(
+                    f"delete_where(dv): shard {f} is no longer live - "
+                    "a concurrent rewrite committed; re-run against "
+                    "the current table"
+                )
+            if (cur.get("dv") or {}).get("file") != base_dv[f]:
+                raise ValueError(
+                    f"delete_where(dv): shard {f}'s deletion vector "
+                    "advanced concurrently - re-run against the "
+                    "current table (vector lineage conflict)"
+                )
+        return {
+            "version": 2,
+            "commit_seq": seq,
+            "commit_kind": "delete",
+            "add": [],
+            "remove": [],
+            "dv_set": dv_set,
+            "min_reader": _DV_MIN_READER,
+            **(
+                {"cdf_add": sorted(
+                    staged_cdf, key=lambda s: (s["cdf_class"], s["file"])
+                )}
+                if staged_cdf
+                else {}
+            ),
+        }
+
+    man2 = _commit_with_retries(path, build_action)
     return man2, n_deleted
 
 
@@ -3678,13 +4037,12 @@ def update_where(
     if not touched:
         return man, 0  # stats refute the predicate everywhere: no-op
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    files = [posixpath.join(path, "shards", s["file"]) for s in touched]
     # persist the touched-shard read: it feeds THREE consumers — the
     # matched/total count aggregation, the survivor staging write, and
     # the updated-rows staging write — and without the cache each one
     # re-decodes the same shards (the same multi-consumer pattern
     # merge_into caches; round-11 ADVICE)
-    df = _spark_read_shard_files(spark, files, schema).persist()
+    df = _spark_read_shard_entries(spark, path, touched, schema).persist()
     try:
         bad = set(assignments) - set(df.columns)
         if bad:
@@ -3850,15 +4208,14 @@ def merge_into(
     tdf = None
     try:
         if touched:
-            files = [
-                posixpath.join(path, "shards", s["file"]) for s in touched
-            ]
             # persist the touched-shard read: it feeds FOUR consumers
             # (n_touched, the survivor anti-join + its count, the
             # matched-keys semi-join, and the survivor staging write) —
             # without the cache each one re-decodes the same shards
             # (round-10 verdict item 4)
-            tdf = _spark_read_shard_files(spark, files, schema).persist()
+            tdf = _spark_read_shard_entries(
+                spark, path, touched, schema
+            ).persist()
             # broadcast the key set only while it is broadcast-SIZED; a
             # bulk merge's keys join shuffled (AQE picks the strategy)
             keys_side = F.broadcast(keys) if n_src <= 100_000 else keys
@@ -4058,20 +4415,17 @@ def table_changes(
             )
         return out
     if not with_version and not with_change_type:
-        files = [
-            posixpath.join(path, "shards", s["file"]) for _v, s in adds
-        ]
-        return _spark_read_shard_files(spark, files, schema)
+        return _spark_read_shard_entries(
+            spark, path, [s for _v, s in adds], schema
+        )
     # group per (version, class): both tags are per-file literals
-    by_key: dict[tuple[int, str], list[str]] = {}
+    by_key: dict[tuple[int, str], list[dict]] = {}
     for v, s in adds:
         k = (v, s.get("_cdf_class", "insert"))
-        by_key.setdefault(k, []).append(
-            posixpath.join(path, "shards", s["file"])
-        )
+        by_key.setdefault(k, []).append(s)
     frames = []
-    for (v, cls), files in sorted(by_key.items()):
-        f = _spark_read_shard_files(spark, files, schema)
+    for (v, cls), group in sorted(by_key.items()):
+        f = _spark_read_shard_entries(spark, path, group, schema)
         if with_change_type:
             f = f.withColumn("_change_type", F.lit(cls))
         if with_version:
@@ -4202,11 +4556,19 @@ def vacuum_unreferenced(path: str, min_age_seconds: float = 0.0) -> list[str]:
             if info.type == FileType.File and _old_enough(info):
                 fs.delete_file(info.path)
     live: set[str] = set()
+    live_dv: set[str] = set()
+
+    def _collect(state):
+        for s in state["shards"]:
+            live.add(s["file"])
+            if s.get("dv"):
+                live_dv.add(s["dv"]["file"])
+
     man = read_manifest_dict(path)
     if man:
-        live |= {s["file"] for s in man["shards"]}
+        _collect(man)
     for _v, state in _iter_retained_states(path):
-        live |= {s["file"] for s in state["shards"]}
+        _collect(state)
     # CDF-only shards (cdf_add: delete rows / update pre-images) are
     # referenced by the ACTION that created them, never by any state —
     # protect them while that action is retained; expire_history
@@ -4217,10 +4579,24 @@ def vacuum_unreferenced(path: str, min_age_seconds: float = 0.0) -> list[str]:
         doc = _read_json_opt(fs, commits[v])
         for e in (doc or {}).get("cdf_add", ()):
             live.add(e["file"])
+    # deletion-vector files referenced by the live state or any
+    # retained state stay (collected in the walk above); superseded
+    # vectors — a later dv REPLACED them, or their shard was
+    # rewritten/removed — are garbage
+    dvdir = posixpath.join(root, DV_DIR)
+    deleted = []
+    if fs.get_file_info(dvdir).type != FileType.NotFound:
+        for info in fs.get_file_info(FileSelector(dvdir)):
+            name = posixpath.basename(info.path)
+            if (
+                info.type == FileType.File
+                and name not in live_dv
+                and _old_enough(info)
+            ):
+                fs.delete_file(info.path)
     sdir = posixpath.join(root, "shards")
     if fs.get_file_info(sdir).type == FileType.NotFound:
-        return []
-    deleted = []
+        return sorted(deleted)
     for info in fs.get_file_info(FileSelector(sdir)):
         name = posixpath.basename(info.path)
         if (

@@ -156,7 +156,10 @@ class ManifestTable:
         prune: dict | None = None,
         prune_eq: dict | None = None,
         change_data: bool = True,
+        mode: str = "rewrite",
     ) -> int:
+        """DELETE WHERE; ``mode='dv'`` records deletion vectors
+        instead of rewriting shards (parquet codec only)."""
         _man, n = MS.delete_where(
             self.spark,
             self.path,
@@ -165,6 +168,7 @@ class ManifestTable:
             prune=prune,
             prune_eq=prune_eq,
             change_data=change_data,
+            mode=mode,
         )
         return n
 

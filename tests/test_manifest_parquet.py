@@ -162,7 +162,7 @@ def test_parquet_actions_stamp_protocol_3(registered, tmp_path):
     act = json.load(
         open(os.path.join(p, MS.HISTORY_DIR, MS._history_name(1)))
     )
-    assert act["min_reader"] == MS._READER_VERSION == 3
+    assert act["min_reader"] == MS._PARQUET_MIN_READER == 3
     hint = json.load(open(os.path.join(p, MS.MANIFEST)))
     assert hint["min_reader"] == 3
     # overwrite back to JSON: the new state is protocol-2 again
