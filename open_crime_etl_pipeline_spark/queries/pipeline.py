@@ -2512,3 +2512,102 @@ def manifest_deletion_vectors(
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_alter_add_columns",
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey AS k, o_custkey AS c
+            FROM orders WHERE o_orderkey % 20 = 2
+        ), new AS (
+            SELECT o_orderkey AS k, o_custkey AS c
+            FROM orders WHERE o_orderkey % 20 = 12
+        )
+        SELECT 'pre_evolution' AS cohort,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(k) AS BIGINT) AS sum_key,
+               CAST(sum(c) AS BIGINT) AS sum_cust
+        FROM old
+        UNION ALL
+        SELECT 'post_evolution',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(k) AS BIGINT),
+               CAST(sum(c) AS BIGINT)
+        FROM new
+        ORDER BY cohort
+    """,
+    doc="ALTER TABLE ADD COLUMNS on the manifest format (round 12): "
+        "an orders slice lands, then add_columns('batch_tag string') "
+        "widens the RECORDED schema as ONE metadata commit — the "
+        "query RAISES if any shard file changed. Pre-evolution rows "
+        "read the new column as NULL (both codecs' missing-field "
+        "decode); a second slice then lands WITH the column "
+        "populated. The result groups by tag-nullness — exactly the "
+        "pre/post cohorts — and the oracle restates both slices "
+        "relationally; a hash match proves the widening touched no "
+        "data and the evolved schema governs both the native and "
+        "DataSource reads. Narrowing/retyping evolutions are refused "
+        "(pinned in tests). Per-version schemas survive: time travel "
+        "to v1 still resolves the pre-evolution schema "
+        "(sources/manifest_sink.py:evolve_schema, "
+        "manifest_table.py:add_columns).",
+    tags=("sink", "datasource", "pipeline", "schema"),
+)
+def manifest_alter_add_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+    from ..sources.manifest_table import ManifestTable
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_alter_q_")
+    try:
+        orders = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("c"),
+        )
+        old = orders.filter(F.col("k") % 20 == 2)
+        (
+            old.repartitionByRange(4, "k")
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+        t = ManifestTable(spark, out)
+        before = {s["file"] for s in t.manifest()["shards"]}
+        t.add_columns("batch_tag string")
+        if {s["file"] for s in t.manifest()["shards"]} != before:
+            raise AssertionError(
+                "manifest_alter_add_columns: the widening must not "
+                "touch any shard"
+            )
+        new = orders.filter(F.col("k") % 20 == 12).withColumn(
+            "batch_tag", F.lit("b2")
+        )
+        t.append(new.repartitionByRange(4, "k"))
+        rows = (
+            t.to_df()
+            .groupBy(
+                F.when(F.col("batch_tag").isNull(), "pre_evolution")
+                .otherwise("post_evolution")
+                .alias("cohort")
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("k").cast("long").alias("sum_key"),
+                F.sum("c").cast("long").alias("sum_cust"),
+            )
+            .orderBy("cohort")
+            .collect()  # 2 rows; the temp lake dir dies below
+        )
+        return spark.createDataFrame(
+            rows,
+            "cohort string, n_rows long, sum_key long, sum_cust long",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

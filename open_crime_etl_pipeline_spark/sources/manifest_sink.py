@@ -3523,6 +3523,68 @@ def compact_small(
     return man2, len(small)
 
 
+def evolve_schema(
+    path: str,
+    new_schema,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> dict:
+    """ALTER TABLE ... ADD COLUMNS as one metadata commit (round 12):
+    restamp the table's RECORDED schema without touching a single
+    shard. The evolution must be a WIDENING — every currently
+    recorded field kept with its exact type (reordering allowed; the
+    recorded field ORDER becomes the new read order) — because a
+    narrowing or retype would silently change what existing shards
+    decode to; it is refused loudly. Existing shards simply read the
+    added columns as NULL (both codecs' missing-field behavior,
+    pinned by the schema-evolution tests), and the next append may
+    carry values for them. The rebase-safe commit recomputes nothing
+    (the new schema is the payload), and the r11 latest-wins rule
+    still applies: a LATER writer appending with a different schema
+    restamps again — pin writers to the evolved schema after
+    evolving. Accepts a StructType or DDL string; returns the new
+    state."""
+    if isinstance(new_schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        new_schema = _parse_datatype_string(new_schema)
+    man = read_manifest_dict(path)
+    if man is None:
+        raise FileNotFoundError(f"no committed manifest at {path}")
+    cur = _schema_from_state(man)
+    if cur is not None:
+        new_by_name = {f.name: f for f in new_schema.fields}
+        problems = []
+        for f in cur.fields:
+            g = new_by_name.get(f.name)
+            if g is None:
+                problems.append(f"drops {f.name!r}")
+            elif g.dataType != f.dataType:
+                problems.append(
+                    f"retypes {f.name!r} "
+                    f"({f.dataType.simpleString()} -> "
+                    f"{g.dataType.simpleString()})"
+                )
+        if problems:
+            raise ValueError(
+                "evolve_schema: only WIDENING evolutions are allowed "
+                "(existing shards must keep decoding identically) - "
+                + "; ".join(problems)
+            )
+    sj = new_schema.json()
+
+    def build_action(prev: dict | None, seq: int) -> dict:
+        return {
+            "version": 2,
+            "commit_seq": seq,
+            "commit_kind": "meta",
+            "add": [],
+            "remove": [],
+            "schema": sj,
+        }
+
+    return _commit_with_retries(path, build_action, checkpoint_every)
+
+
 def table_constraints(path: str) -> dict[str, str]:
     """The table's recorded CHECK constraints ``{name: sql}``."""
     man = read_manifest_dict(path)
@@ -3561,6 +3623,45 @@ def set_constraints(
             "add": [],
             "remove": [],
             "constraints": dict(constraints),
+        }
+
+    return _commit_with_retries(path, build_action, checkpoint_every)
+
+
+def update_constraints(
+    path: str,
+    updates: dict[str, str] | None = None,
+    drops: list[str] | None = None,
+    checkpoint_every: int = _CHECKPOINT_EVERY,
+) -> dict:
+    """RACE-SAFE add/drop of individual constraints: the merge happens
+    INSIDE the rebase loop's ``build_action`` (re-invoked against the
+    winner's state after a lost claim), so two writers adding
+    different constraints concurrently both land — a driver-side
+    read-modify-write through :func:`set_constraints` would let the
+    second writer silently drop the first's addition. This is the
+    primitive the facade's ``add_constraint``/``drop_constraint``
+    use."""
+    updates = dict(updates or {})
+    drops = list(drops or [])
+    for name, sql in updates.items():
+        if not name or not isinstance(sql, str) or not sql.strip():
+            raise ValueError(
+                f"update_constraints: bad constraint {name!r}: {sql!r}"
+            )
+
+    def build_action(prev: dict | None, seq: int) -> dict:
+        cur = dict((prev or {}).get("constraints") or {})
+        cur.update(updates)
+        for d in drops:
+            cur.pop(d, None)
+        return {
+            "version": 2,
+            "commit_seq": seq,
+            "commit_kind": "meta",
+            "add": [],
+            "remove": [],
+            "constraints": cur,
         }
 
     return _commit_with_retries(path, build_action, checkpoint_every)

@@ -237,19 +237,44 @@ class ManifestTable:
         satisfy the predicate (validated with one scan — the Delta
         contract), then the constraint is recorded in the log and
         every enforced write path (append/overwrite, UPDATE
-        post-images, MERGE sources) judges future rows against it."""
+        post-images, MERGE sources) judges future rows against it.
+        Race-safe: the map merge happens inside the commit's rebase
+        loop (:func:`~.manifest_sink.update_constraints`), so two
+        writers adding different constraints both land."""
         if self.exists() and self.manifest()["n_rows"]:
             MS._enforce_constraints(
                 self.to_df(), {name: sql}, f"add_constraint({name!r})"
             )
-        MS.set_constraints(
-            self.path, {**MS.table_constraints(self.path), name: sql}
-        )
+        MS.update_constraints(self.path, updates={name: sql})
 
     def drop_constraint(self, name: str) -> None:
-        cons = MS.table_constraints(self.path)
-        cons.pop(name, None)
-        MS.set_constraints(self.path, cons)
+        MS.update_constraints(self.path, drops=[name])
+
+    # -- schema evolution ----------------------------------------------
+    def add_columns(self, ddl_fragment: str) -> None:
+        """ALTER TABLE ... ADD COLUMNS: widen the recorded schema by
+        the DDL fragment (e.g. ``"score double, tag string"``) as one
+        metadata commit — no shard is touched; existing shards read
+        the new columns as NULL. Only widening is allowed
+        (:func:`~.manifest_sink.evolve_schema` refuses drops and
+        retypes)."""
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        cur = self.schema()
+        if cur is None:
+            raise ValueError(
+                "add_columns: the table records no schema (pre-r11 "
+                "log) - evolve_schema with a full schema instead"
+            )
+        frag = _parse_datatype_string(ddl_fragment)
+        dup = {f.name for f in frag.fields} & {f.name for f in cur.fields}
+        if dup:
+            raise ValueError(
+                f"add_columns: columns already exist: {sorted(dup)}"
+            )
+        MS.evolve_schema(
+            self.path, StructType(cur.fields + list(frag.fields))
+        )
 
     def validate(self) -> None:
         """Audit the CURRENT rows against every recorded constraint

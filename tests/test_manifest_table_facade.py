@@ -145,3 +145,81 @@ def test_facade_check_constraints(registered, tmp_path):
     t.drop_constraint("s_prefix")
     assert set(t.constraints()) == {"k_nonneg"}
     t.validate()
+
+
+@pytest.mark.parametrize("codec", ["jsonl", "parquet"])
+def test_schema_evolution_add_columns(registered, tmp_path, codec):
+    """ALTER TABLE ADD COLUMNS as one metadata commit: no shard
+    touched, existing rows read the new columns as NULL, the next
+    append carries values, and narrowing/retyping is refused."""
+    spark, p = registered, str(tmp_path / f"evo_{codec}")
+    _land(spark, p, codec, n=20)
+    t = ManifestTable(spark, p)
+    shards_before = {s["file"] for s in t.manifest()["shards"]}
+    t.add_columns("score double")
+    assert {s["file"] for s in t.manifest()["shards"]} == shards_before
+    df = t.to_df()
+    assert df.columns == ["k", "s", "score"]
+    assert df.filter("score IS NULL").count() == 20
+    # the DataSource read resolves the evolved schema too
+    ds = spark.read.format(MS.FORMAT_NAME).option("path", p).load()
+    assert ds.columns == ["k", "s", "score"]
+    # next append carries the new column
+    t.append(
+        spark.createDataFrame([(100, "x", 0.5)], t.schema())
+    )
+    assert t.to_df().filter("score = 0.5").count() == 1
+    # time travel keeps the pre-evolution schema
+    assert MS.table_schema(p, version=1).fieldNames() == ["k", "s"]
+    # refusals: duplicate add, drop, retype
+    with pytest.raises(ValueError, match="already exist"):
+        t.add_columns("score double")
+    with pytest.raises(ValueError, match="drops"):
+        MS.evolve_schema(p, "k long, score double")
+    with pytest.raises(ValueError, match="retypes"):
+        MS.evolve_schema(p, "k string, s string, score double")
+
+
+def test_concurrent_constraint_adds_both_land(registered, tmp_path):
+    """The race the read-modify-write pattern loses: writer A adds
+    c1, writer B (holding a STALE view from before A) adds c2 —
+    update_constraints merges inside the rebase loop, so both
+    survive."""
+    spark, p = registered, str(tmp_path / "ccons")
+    _land(spark, p)
+    MS.update_constraints(p, updates={"c1": "k >= 0"})
+    # B's update was BUILT before A's landed; the rebase-loop merge
+    # must still see A's constraint in prev and keep it
+    MS.update_constraints(p, updates={"c2": "k < 10000"})
+    assert set(MS.table_constraints(p)) == {"c1", "c2"}
+    MS.update_constraints(p, drops=["c1"], updates={"c3": "s IS NOT NULL"})
+    assert set(MS.table_constraints(p)) == {"c2", "c3"}
+
+
+def test_dv_delete_rebases_over_concurrent_append(registered, tmp_path):
+    """A dv delete built against a snapshot that an APPEND then
+    superseded: the touched shards are still live and their vectors
+    unchanged, so the delete must REBASE and land (not refuse) — the
+    appended shard untouched, counts exact."""
+    spark, p = registered, str(tmp_path / "dvrace")
+    _land(spark, p, codec="parquet", n=40)
+    t = ManifestTable(spark, p)
+    stale_touched = list(t.manifest()["shards"])
+    # concurrent append lands AFTER the delete's snapshot read
+    (
+        spark.createDataFrame([(900, "new")], "k long, s string")
+        .coalesce(1)
+        .write.format(MS.FORMAT_NAME)
+        .option("path", p)
+        .mode("append")
+        .save()
+    )
+    man2, n = MS._delete_where_dv(
+        spark, p, "k long, s string", "k = 3", stale_touched,
+        change_data=False,
+    )
+    assert n == 1
+    assert man2["commit_seq"] == 3  # append=2, dv delete rebased to 3
+    assert man2["n_rows"] == 40  # 40 + 1 appended - 1 deleted
+    live = {r["k"] for r in t.to_df().collect()}
+    assert 3 not in live and 900 in live
