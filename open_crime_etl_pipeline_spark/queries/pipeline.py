@@ -2611,3 +2611,111 @@ def manifest_alter_add_columns(
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "manifest_dv_update_merge",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_custkey AS c
+            FROM orders WHERE o_orderkey % 10 = 0
+        ), upd AS (
+            SELECT k, CASE WHEN k % 100 = 20 THEN c + 1000000 ELSE c
+                   END AS c
+            FROM base
+        ), merged AS (
+            SELECT k, CASE WHEN k % 100 = 40 THEN -1 ELSE c END AS c
+            FROM upd
+            UNION ALL
+            SELECT k + 5, CAST(-2 AS BIGINT)
+            FROM base WHERE k % 100 = 60
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(k) AS BIGINT) AS sum_key,
+               CAST(sum(c) AS BIGINT) AS sum_cust
+        FROM merged
+    """,
+    doc="Deletion-vector UPDATE and MERGE (round 12 wave 2 — the "
+        "Delta DV-DML shape): an orders slice lands as parquet, then "
+        "UPDATE WHERE mode='dv' rewrites a key band and MERGE "
+        "mode='dv' both updates matched keys and inserts unseen ones "
+        "— in BOTH verbs the matched target rows are vectored OUT of "
+        "their shards and only the post-images/source append as new "
+        "shards: the query RAISES unless every original shard is "
+        "still live afterwards (no survivor rewrite — cost O(matched "
+        "+ new rows), never O(touched shard bytes)). SET semantics "
+        "(pre-update row), the duplicate-target guard, constraint "
+        "enforcement, and the CDF quartet are identical to the "
+        "rewrite mode (pinned in tests); the oracle restates the "
+        "final state relationally, so a hash match proves the "
+        "vectored reads, the post-image appends, and the insert path "
+        "all compose exactly "
+        "(sources/manifest_sink.py:_update_where_dv, _merge_into_dv).",
+    tags=("sink", "datasource", "pipeline", "dv"),
+)
+def manifest_dv_update_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import manifest_sink as MS
+    from ..sources.manifest_table import ManifestTable
+
+    MS.register(spark)
+    out = tempfile.mkdtemp(prefix="manifest_dvum_q_")
+    try:
+        base = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 == 0)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_custkey").alias("c"),
+            )
+        )
+        (
+            base.repartitionByRange(8, "k")
+            .write.format(MS.FORMAT_NAME)
+            .option("path", out)
+            .option("shard_format", "parquet")
+            .mode("append")
+            .save()
+        )
+        t = ManifestTable(spark, out)
+        originals = {s["file"] for s in t.manifest()["shards"]}
+        n_upd = t.update(
+            "k % 100 = 20", {"c": "c + 1000000"}, mode="dv"
+        )
+        matched = base.filter(F.col("k") % 100 == 40).select(
+            "k", F.lit(-1).cast("long").alias("c")
+        )
+        inserts = base.filter(F.col("k") % 100 == 60).select(
+            (F.col("k") + 5).alias("k"),
+            F.lit(-2).cast("long").alias("c"),
+        )
+        n_m_upd, n_m_ins = t.merge(
+            matched.unionByName(inserts), ["k"], mode="dv"
+        )
+        if n_upd <= 0 or n_m_upd <= 0 or n_m_ins <= 0:
+            raise AssertionError(
+                "manifest_dv_update_merge: every dv verb must match"
+            )
+        if not originals <= {s["file"] for s in t.manifest()["shards"]}:
+            raise AssertionError(
+                "manifest_dv_update_merge: dv DML must never rewrite "
+                "an original shard"
+            )
+        rows = (
+            t.to_df()
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("k").cast("long").alias("sum_key"),
+                F.sum("c").cast("long").alias("sum_cust"),
+            )
+            .collect()  # 1 row; the temp lake dir dies below
+        )
+        return spark.createDataFrame(
+            rows, "n_rows long, sum_key long, sum_cust long"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

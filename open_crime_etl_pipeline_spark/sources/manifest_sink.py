@@ -3941,37 +3941,32 @@ def delete_where(
     return man2, n_deleted
 
 
-def _delete_where_dv(
-    spark, path: str, schema, predicate, touched: list[dict],
-    change_data: bool,
-) -> tuple[dict, int]:
-    """The deletion-vector delete (see :func:`delete_where` docs):
-    ONE scan of the touched shards (existing DVs applied, so an
-    already-deleted row can never match twice) finds the matched
-    (shard, row_index) pairs; merged per-shard vectors are written as
-    content-addressed ``dv/`` files and published by one metadata
-    commit that REFUSES if a touched shard was rewritten or its DV
-    advanced concurrently (the write-conflict contract, extended to
-    vector lineage)."""
-    from pyspark.sql import functions as F
-
+def _dv_require_parquet(touched: list[dict], verb: str) -> None:
     not_pq = [
         s["file"] for s in touched if not _shard_is_parquet(s["file"])
     ]
     if not_pq:
         raise ValueError(
-            "delete_where(mode='dv') needs parquet-codec shards (row "
+            f"{verb}(mode='dv') needs parquet-codec shards (row "
             "positions come from the parquet reader's row_index); "
             f"these admitted shards are not parquet: {not_pq[:3]} - "
             "use the default copy-on-write mode or migrate the table "
             "codec"
         )
-    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+
+def _dv_scan(spark, path: str, schema, touched: list[dict]):
+    """The touched shards read WITH the hidden position columns
+    (``__dv_file``/``__dv_ri``) and existing deletion vectors already
+    applied — the shared scan under every dv-mode DML verb (an
+    already-deleted row can never match twice)."""
+    from pyspark.sql import functions as F
+
     fs, root = _fs_for(path)
-    dv_entries = [e for e in touched if e.get("dv")]
     existing_pairs = [
         (e["file"], int(pos))
-        for e in dv_entries
+        for e in touched
+        if e.get("dv")
         for pos in _load_dv(fs, root, e["dv"])
     ]
     files = [posixpath.join(path, "shards", s["file"]) for s in touched]
@@ -3990,6 +3985,81 @@ def _delete_where_dv(
         df = df.join(
             F.broadcast(dvdf), on=["__dv_file", "__dv_ri"], how="left_anti"
         )
+    return df
+
+
+def _dv_merge_vectors(
+    path: str, touched: list[dict], hits, verb: str
+) -> tuple[dict, dict]:
+    """Union each hit shard's existing vector with the new positions,
+    write the merged content-addressed ``dv/`` files, and return
+    ``(dv_set, base_dv)`` — the action payload plus the lineage base
+    the conflict check pins (the vector each merge STARTED from)."""
+    fs, root = _fs_for(path)
+    new_by_shard: dict[str, set] = {}
+    for f, ri in hits:
+        new_by_shard.setdefault(f, set()).add(int(ri))
+    by_entry = {e["file"]: e for e in touched}
+    base_dv = {
+        f: (by_entry[f].get("dv") or {}).get("file") for f in new_by_shard
+    }
+    dv_set: dict[str, dict] = {}
+    for f, new_pos in sorted(new_by_shard.items()):
+        merged = set(_load_dv(fs, root, by_entry[f].get("dv"))) | new_pos
+        phys = by_entry[f]["n_rows"]
+        if len(merged) > phys:
+            raise ValueError(
+                f"{verb}(dv): vector for {f} would exceed its "
+                f"physical rows ({len(merged)} > {phys})"
+            )
+        dv_set[f] = {
+            "file": _write_dv(fs, root, sorted(merged)),
+            "n": len(merged),
+        }
+    return dv_set, base_dv
+
+
+def _dv_conflict_check(
+    prev: dict | None, dv_set: dict, base_dv: dict, verb: str
+) -> None:
+    """Refuse the commit when a touched shard was rewritten away or
+    its vector advanced since this DML's snapshot (the write-conflict
+    contract, extended to vector lineage)."""
+    prev_by = {s["file"]: s for s in prev["shards"]} if prev else {}
+    for f in dv_set:
+        cur = prev_by.get(f)
+        if cur is None:
+            raise ValueError(
+                f"{verb}(dv): shard {f} is no longer live - a "
+                "concurrent rewrite committed; re-run against the "
+                "current table"
+            )
+        if (cur.get("dv") or {}).get("file") != base_dv[f]:
+            raise ValueError(
+                f"{verb}(dv): shard {f}'s deletion vector advanced "
+                "concurrently - re-run against the current table "
+                "(vector lineage conflict)"
+            )
+
+
+
+def _delete_where_dv(
+    spark, path: str, schema, predicate, touched: list[dict],
+    change_data: bool,
+) -> tuple[dict, int]:
+    """The deletion-vector delete (see :func:`delete_where` docs):
+    ONE scan of the touched shards (existing DVs applied, so an
+    already-deleted row can never match twice) finds the matched
+    (shard, row_index) pairs; merged per-shard vectors are written as
+    content-addressed ``dv/`` files and published by one metadata
+    commit that REFUSES if a touched shard was rewritten or its DV
+    advanced concurrently (the write-conflict contract, extended to
+    vector lineage)."""
+    from pyspark.sql import functions as F
+
+    _dv_require_parquet(touched, "delete_where")
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    df = _dv_scan(spark, path, schema, touched)
     matched = df.filter(F.coalesce(cond, F.lit(False))).persist()
     try:
         hits = matched.select("__dv_file", "__dv_ri").collect()
@@ -4013,26 +4083,9 @@ def _delete_where_dv(
         )
     finally:
         matched.unpersist()
-    new_by_shard: dict[str, set] = {}
-    for f, ri in hits:
-        new_by_shard.setdefault(f, set()).add(int(ri))
-    by_entry = {e["file"]: e for e in touched}
-    base_dv = {f: (by_entry[f].get("dv") or {}).get("file") for f in new_by_shard}
-    dv_set: dict[str, dict] = {}
-    for f, new_pos in sorted(new_by_shard.items()):
-        merged = set(
-            _load_dv(fs, root, by_entry[f].get("dv"))
-        ) | new_pos
-        phys = by_entry[f]["n_rows"]
-        if len(merged) > phys:
-            raise ValueError(
-                f"delete_where(dv): vector for {f} would exceed its "
-                f"physical rows ({len(merged)} > {phys})"
-            )
-        dv_set[f] = {
-            "file": _write_dv(fs, root, sorted(merged)),
-            "n": len(merged),
-        }
+    dv_set, base_dv = _dv_merge_vectors(
+        path, touched, hits, "delete_where"
+    )
     if change_data and sum(
         s["n_rows"] for s in staged_cdf
     ) != n_deleted:
@@ -4042,23 +4095,7 @@ def _delete_where_dv(
         )
 
     def build_action(prev: dict | None, seq: int) -> dict:
-        prev_by = (
-            {s["file"]: s for s in prev["shards"]} if prev else {}
-        )
-        for f in dv_set:
-            cur = prev_by.get(f)
-            if cur is None:
-                raise ValueError(
-                    f"delete_where(dv): shard {f} is no longer live - "
-                    "a concurrent rewrite committed; re-run against "
-                    "the current table"
-                )
-            if (cur.get("dv") or {}).get("file") != base_dv[f]:
-                raise ValueError(
-                    f"delete_where(dv): shard {f}'s deletion vector "
-                    "advanced concurrently - re-run against the "
-                    "current table (vector lineage conflict)"
-                )
+        _dv_conflict_check(prev, dv_set, base_dv, "delete_where")
         return {
             "version": 2,
             "commit_seq": seq,
@@ -4079,7 +4116,6 @@ def _delete_where_dv(
     man2 = _commit_with_retries(path, build_action)
     return man2, n_deleted
 
-
 def update_where(
     spark,
     path: str,
@@ -4089,6 +4125,7 @@ def update_where(
     prune: dict[str, tuple] | None = None,
     prune_eq: dict | None = None,
     change_data: bool = True,
+    mode: str = "rewrite",
 ) -> tuple[dict, int]:
     """Row-level ``UPDATE WHERE ... SET`` on the manifest table — the
     third Delta DML verb, completing the triad with
@@ -4111,6 +4148,16 @@ def update_where(
     ``table_changes(with_change_type=True)`` delivers the Delta
     quartet exactly: these rows as ``update_preimage`` and the
     rewritten rows as ``update_postimage``.
+
+    ``mode="dv"`` (round 12, wave 2 — the Delta DV-update shape):
+    instead of rewriting every touched shard, the matched rows are
+    deletion-vectored OUT of their shards and their post-images
+    appended as new data shards — ONE commit carrying ``dv_set`` +
+    ``add``, cost O(matched rows + post-image bytes) instead of
+    O(touched shard bytes). Survivor rows are never rewritten or
+    re-delivered (no ``data_change=false`` shards at all). CDF is
+    identical to the rewrite mode. Parquet-codec shards only;
+    protocol 4.
     Both row classes are count-guarded (survivors = touched − matched,
     updated = matched, exactly) and the commit refuses to publish if a
     replaced shard is no longer live (concurrent-rewrite conflict —
@@ -4137,6 +4184,15 @@ def update_where(
         touched = list(man["shards"])
     if not touched:
         return man, 0  # stats refute the predicate everywhere: no-op
+    if mode == "dv":
+        return _update_where_dv(
+            spark, path, schema, predicate, assignments, touched,
+            change_data, man,
+        )
+    if mode != "rewrite":
+        raise ValueError(
+            f"update_where: mode must be 'rewrite' or 'dv', got {mode!r}"
+        )
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     # persist the touched-shard read: it feeds THREE consumers — the
     # matched/total count aggregation, the survivor staging write, and
@@ -4223,6 +4279,110 @@ def update_where(
     return man2, n_updated
 
 
+def _update_where_dv(
+    spark, path: str, schema, predicate, assignments: dict,
+    touched: list[dict], change_data: bool, man: dict,
+) -> tuple[dict, int]:
+    """The deletion-vector UPDATE (see :func:`update_where` docs):
+    dv-delete the matched rows, append their post-images — one
+    commit, no survivor rewrite."""
+    from pyspark.sql import functions as F
+
+    _dv_require_parquet(touched, "update_where")
+    if not assignments:
+        raise ValueError("update_where: assignments must be non-empty")
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    df = _dv_scan(spark, path, schema, touched)
+    bad = set(assignments) - (set(df.columns) - {"__dv_file", "__dv_ri"})
+    if bad:
+        raise ValueError(
+            f"update_where: SET targets not in schema: {sorted(bad)}"
+        )
+    matched = df.filter(F.coalesce(cond, F.lit(False))).persist()
+    try:
+        hits = matched.select("__dv_file", "__dv_ri").collect()
+        n_updated = len(hits)
+        if n_updated == 0:
+            return man, 0  # nothing matched: publish nothing
+        pre = matched.drop("__dv_file", "__dv_ri")
+        sets = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        # SET expressions see the PRE-update row (select, not chained
+        # withColumn), exactly the rewrite mode's semantics
+        post = pre.select(
+            *[
+                sets[f.name].cast(f.dataType).alias(f.name)
+                if f.name in sets
+                else F.col(f.name)
+                for f in pre.schema.fields
+            ]
+        )
+        _enforce_constraints(post, man.get("constraints"), "update_where")
+        n_shards = max(1, min(len(touched), 8))
+        staged_post = [
+            {**e, "cdf_class": "update_postimage"}
+            for e in _stage_write(
+                post.repartition(n_shards), path, "update-dv-rows", touched
+            )
+        ]
+        if sum(s["n_rows"] for s in staged_post) != n_updated:
+            raise ValueError(
+                "update_where(dv): post-image row count mismatch - "
+                "nothing was published"
+            )
+        staged_cdf = (
+            [
+                {**e, "cdf_class": "update_preimage"}
+                for e in _stage_write(
+                    pre.repartition(n_shards), path, "update-dv-cdf",
+                    touched,
+                )
+            ]
+            if change_data
+            else []
+        )
+        if change_data and sum(
+            s["n_rows"] for s in staged_cdf
+        ) != n_updated:
+            raise ValueError(
+                "update_where(dv): change-data row count mismatch - "
+                "nothing was published"
+            )
+    finally:
+        matched.unpersist()
+    dv_set, base_dv = _dv_merge_vectors(
+        path, touched, hits, "update_where"
+    )
+
+    def build_action(prev: dict | None, seq: int) -> dict:
+        _dv_conflict_check(prev, dv_set, base_dv, "update_where")
+        return {
+            "version": 2,
+            "commit_seq": seq,
+            "commit_kind": "update",
+            "add": sorted(
+                ({**s, "added_seq": seq} for s in staged_post),
+                key=lambda s: s["file"],
+            ),
+            "remove": [],
+            "dv_set": dv_set,
+            "min_reader": _DV_MIN_READER,
+            **(
+                {"cdf_add": sorted(
+                    staged_cdf, key=lambda s: (s["cdf_class"], s["file"])
+                )}
+                if staged_cdf
+                else {}
+            ),
+        }
+
+    man2 = _commit_with_retries(path, build_action)
+    return man2, n_updated
+
+
+
 def merge_into(
     spark,
     path: str,
@@ -4230,6 +4390,7 @@ def merge_into(
     source_df,
     key_cols: list[str],
     change_data: bool = True,
+    mode: str = "rewrite",
 ) -> tuple[dict, int, int]:
     """``MERGE INTO`` the manifest table — upsert by key, copy-on-write,
     ONE atomic commit (the Delta DML shape on the from-scratch format):
@@ -4249,7 +4410,16 @@ def merge_into(
     unseen-key rows as ``insert`` shards, and with ``change_data=True``
     the replaced target rows are additionally materialized as an
     ``update_preimage`` CDF-only shard — the Delta MERGE change-feed
-    quartet, exactly. Both row classes are
+    quartet, exactly.
+
+    ``mode="dv"`` (round 12, wave 2 — the Delta DV-merge shape):
+    matched target rows are deletion-vectored OUT of their shards
+    instead of rewriting survivors — ONE commit carrying ``dv_set`` +
+    the source's ``add`` shards, cost O(matched + source) instead of
+    O(touched shard bytes); a narrow upsert into huge shards never
+    re-encodes them. Identical CDF; parquet-codec shards only;
+    protocol 4. A merge admitting no target shards is a pure insert
+    under either mode. Both row classes are
     count-guarded (survivors = touched − matched; upserts = |source|)
     and the commit refuses to publish if a replaced shard is no longer
     live (concurrent-rewrite conflict). ``source_df`` must be
@@ -4306,6 +4476,15 @@ def merge_into(
             s for s in touched
             if any(_shard_admits_eq(s, k, v) for v in vals)
         ]
+    if mode == "dv" and touched:
+        return _merge_into_dv(
+            spark, path, schema, src, key_cols, touched, change_data,
+            man, n_src,
+        )
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(
+            f"merge_into: mode must be 'rewrite' or 'dv', got {mode!r}"
+        )
     tdf = None
     try:
         if touched:
@@ -4428,6 +4607,119 @@ def merge_into(
         ),
     )
     return man2, n_updated, n_inserted
+
+
+def _merge_into_dv(
+    spark, path: str, schema, src, key_cols: list[str],
+    touched: list[dict], change_data: bool, man: dict, n_src: int,
+) -> tuple[dict, int, int]:
+    """The deletion-vector MERGE (see :func:`merge_into` docs):
+    dv-delete the matched target rows, append the whole source batch
+    — one commit, survivors untouched."""
+    from pyspark.sql import functions as F
+
+    _dv_require_parquet(touched, "merge_into")
+    tdf = _dv_scan(spark, path, schema, touched)
+    keys = src.select(*key_cols)
+    keys_side = F.broadcast(keys) if n_src <= 100_000 else keys
+    matched = tdf.join(keys_side, on=key_cols, how="left_semi").persist()
+    try:
+        hits = matched.select("__dv_file", "__dv_ri").collect()
+        n_updated = len(hits)
+        matched_keys = (
+            matched.select(*key_cols).distinct().count()
+            if n_updated
+            else 0
+        )
+        if n_updated > matched_keys:
+            raise ValueError(
+                "merge_into: target has duplicate keys among matched "
+                f"rows ({n_updated} matched rows over {matched_keys} "
+                "distinct keys) - this merge upserts by UNIQUE key and "
+                "would collapse the duplicates; dedup the target first "
+                "(e.g. delete_where or a dedup rewrite)"
+            )
+        n_inserted = n_src - matched_keys
+        n_shards = max(1, min(len(touched), 8))
+        staged_changed: list[dict] = []
+        if matched_keys:
+            matched_src = src.join(
+                matched.select(*key_cols), on=key_cols, how="left_semi"
+            )
+            staged_changed += [
+                {**e, "cdf_class": "update_postimage"}
+                for e in _stage_write(
+                    matched_src.repartition(n_shards), path,
+                    "merge-dv-upd", touched,
+                )
+            ]
+        if n_inserted:
+            new_src = src.join(
+                matched.select(*key_cols), on=key_cols, how="left_anti"
+            )
+            staged_changed += [
+                {**e, "cdf_class": "insert"}
+                for e in _stage_write(
+                    new_src.repartition(n_shards), path,
+                    "merge-dv-ins", touched,
+                )
+            ]
+        if sum(s["n_rows"] for s in staged_changed) != n_src:
+            raise ValueError(
+                "merge_into(dv): upserted row count mismatch - "
+                "nothing was published"
+            )
+        staged_cdf = (
+            [
+                {**e, "cdf_class": "update_preimage"}
+                for e in _stage_write(
+                    matched.drop("__dv_file", "__dv_ri").repartition(
+                        n_shards
+                    ),
+                    path,
+                    "merge-dv-cdf",
+                    touched,
+                )
+            ]
+            if change_data and n_updated
+            else []
+        )
+        if staged_cdf and sum(
+            s["n_rows"] for s in staged_cdf
+        ) != n_updated:
+            raise ValueError(
+                "merge_into(dv): change-data row count mismatch - "
+                "nothing was published"
+            )
+    finally:
+        matched.unpersist()
+    dv_set, base_dv = _dv_merge_vectors(path, touched, hits, "merge_into")
+
+    def build_action(prev: dict | None, seq: int) -> dict:
+        _dv_conflict_check(prev, dv_set, base_dv, "merge_into")
+        return {
+            "version": 2,
+            "commit_seq": seq,
+            "commit_kind": "merge",
+            "add": sorted(
+                ({**s, "added_seq": seq} for s in staged_changed),
+                key=lambda s: s["file"],
+            ),
+            "remove": [],
+            **({"dv_set": dv_set} if dv_set else {}),
+            **({"min_reader": _DV_MIN_READER} if dv_set else {}),
+            **(
+                {"cdf_add": sorted(
+                    staged_cdf, key=lambda s: (s["cdf_class"], s["file"])
+                )}
+                if staged_cdf
+                else {}
+            ),
+        }
+
+    man2 = _commit_with_retries(path, build_action)
+    return man2, n_updated, n_inserted
+
 
 
 def table_changes(

@@ -179,7 +179,10 @@ class ManifestTable:
         prune: dict | None = None,
         prune_eq: dict | None = None,
         change_data: bool = True,
+        mode: str = "rewrite",
     ) -> int:
+        """UPDATE WHERE ... SET; ``mode='dv'`` deletion-vectors the
+        matched rows out and appends post-images (parquet only)."""
         _man, n = MS.update_where(
             self.spark,
             self.path,
@@ -189,6 +192,7 @@ class ManifestTable:
             prune=prune,
             prune_eq=prune_eq,
             change_data=change_data,
+            mode=mode,
         )
         return n
 
@@ -197,7 +201,10 @@ class ManifestTable:
         source_df: DataFrame,
         key_cols: list[str],
         change_data: bool = True,
+        mode: str = "rewrite",
     ) -> tuple[int, int]:
+        """MERGE INTO by key; ``mode='dv'`` deletion-vectors matched
+        target rows instead of rewriting survivors (parquet only)."""
         _man, n_upd, n_ins = MS.merge_into(
             self.spark,
             self.path,
@@ -205,6 +212,7 @@ class ManifestTable:
             source_df,
             key_cols,
             change_data=change_data,
+            mode=mode,
         )
         return n_upd, n_ins
 

@@ -215,3 +215,104 @@ def test_dv_stream_initial_snapshot_applies_vectors(
     q.awaitTermination(120)
     assert len(got) == 90
     assert min(r["k"] for r in got) == 10
+
+
+def test_dv_update_no_survivor_rewrite(registered, tmp_path):
+    """UPDATE mode='dv': matched rows are vectored out and their
+    post-images appended — survivors never rewritten (the original
+    shards stay live), exact values, CDF quartet intact."""
+    spark, p = registered, str(tmp_path / "dvu")
+    _mk(spark, p)
+    t = ManifestTable(spark, p)
+    before = {s["file"] for s in t.manifest()["shards"]}
+    n = t.update("k % 100 = 7", {"s": "concat(s, '-u')"}, mode="dv")
+    assert n == 10
+    man = t.manifest()
+    # originals all still live (plus new post-image shards)
+    assert before <= {s["file"] for s in man["shards"]}
+    assert man["n_rows"] == 1000
+    assert sum(1 for s in man["shards"] if s.get("dv")) == 4
+    got = {r["k"]: r["s"] for r in t.to_df().collect()}
+    assert len(got) == 1000
+    assert got[7] == "v7-u" and got[107] == "v107-u"
+    assert got[8] == "v8"  # survivor untouched
+    # CDF: the quartet matches the rewrite mode's exactly
+    ch = t.changes(1, with_version=True, with_change_type=True)
+    assert Counter(
+        (r["_commit_version"], r["_change_type"]) for r in ch.collect()
+    ) == {(2, "update_preimage"): 10, (2, "update_postimage"): 10}
+    # SET saw the PRE-update row; re-running matches nothing new? No -
+    # the predicate still matches the post-images (k unchanged), and
+    # they live in NEW shards: a second dv update vectors those
+    n2 = t.update("k = 7", {"s": "'final'"}, mode="dv")
+    assert n2 == 1
+    assert t.to_df().filter("k = 7").first()["s"] == "final"
+    assert t.to_df().count() == 1000
+
+
+def test_dv_merge_no_survivor_rewrite(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "dvm")
+    _mk(spark, p)
+    t = ManifestTable(spark, p)
+    before = {s["file"] for s in t.manifest()["shards"]}
+    src = spark.createDataFrame(
+        [(3, "m3"), (503, "m503"), (5000, "new")], SCH
+    )
+    n_upd, n_ins = t.merge(src, ["k"], mode="dv")
+    assert (n_upd, n_ins) == (2, 1)
+    man = t.manifest()
+    assert before <= {s["file"] for s in man["shards"]}
+    assert man["n_rows"] == 1001
+    got = {r["k"]: r["s"] for r in t.to_df().collect()}
+    assert got[3] == "m3" and got[503] == "m503" and got[5000] == "new"
+    assert got[4] == "v4"
+    ch = t.changes(1, with_version=True, with_change_type=True)
+    assert Counter(
+        (r["_commit_version"], r["_change_type"]) for r in ch.collect()
+    ) == {
+        (2, "update_preimage"): 2,
+        (2, "update_postimage"): 2,
+        (2, "insert"): 1,
+    }
+    # duplicate-target guard still applies under dv
+    t2 = ManifestTable(spark, p)
+    dup_src = spark.createDataFrame([(3, "x"), (3, "y")], SCH)
+    with pytest.raises(ValueError, match="duplicate"):
+        t2.merge(dup_src, ["k"], mode="dv")
+
+
+def test_dv_update_constraints_enforced(registered, tmp_path):
+    spark, p = registered, str(tmp_path / "dvc")
+    _mk(spark, p, n=50)
+    t = ManifestTable(spark, p)
+    t.add_constraint("s_prefix", "s LIKE 'v%'")
+    with pytest.raises(ValueError, match="s_prefix"):
+        t.update("k = 5", {"s": "'nope'"}, mode="dv")
+    assert t.to_df().filter("k = 5").first()["s"] == "v5"
+    assert t.version() == 2  # only the constraint meta commit
+
+
+def test_dv_dml_then_optimize_materializes_everything(
+    registered, tmp_path
+):
+    """The full dv-DML lifecycle collapses cleanly: OPTIMIZE reads
+    through every vector, clears them all, and the table is
+    byte-stable for replays."""
+    spark, p = registered, str(tmp_path / "dvo")
+    _mk(spark, p)
+    t = ManifestTable(spark, p)
+    t.delete("k % 100 = 1", mode="dv")
+    t.update("k % 100 = 2", {"s": "'u'"}, mode="dv")
+    src = spark.createDataFrame([(3, "m"), (6000, "new")], SCH)
+    t.merge(src, ["k"], mode="dv")
+    expect = 1000 - 10 + 1  # 10 deleted, 1 inserted
+    assert t.manifest()["n_rows"] == expect
+    t.optimize(target_shards=2)
+    man = t.manifest()
+    assert man["n_rows"] == expect
+    assert not any(s.get("dv") for s in man["shards"])
+    got = {r["k"]: r["s"] for r in t.to_df().collect()}
+    assert len(got) == expect
+    assert 1 not in got and 101 not in got
+    assert got[2] == "u" and got[202] == "u"
+    assert got[3] == "m" and got[6000] == "new"
