@@ -831,9 +831,21 @@ def duplicate_ngram_fraction(
         F.col(id_col),
         F.explode(hashed_shingles(text_col, shingle_n)).alias("__sh"),
     )
-    dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__dfreq"))
+    # dfreq via a partition-only window COUNT instead of groupBy+join-
+    # back: the join formulation references `sh` twice, and because the
+    # dfreq leg partial-aggregates before its exchange the two subtrees
+    # differ — no ReusedExchange — so the whole tokenize+shingle+hash
+    # explode executed TWICE (the r12 before-plan shows two Scan+
+    # Generate chains). count(*) OVER (PARTITION BY __sh) computes the
+    # same per-shingle posting count from ONE postings pass; the hot-
+    # shingle bound is unchanged (a k-posting shingle costs k rows in
+    # one task either way, never k²). Guide §2.4 (remove shuffles
+    # outright) + §2.3 (don't recompute what you can reuse).
+    per_posting = sh.withColumn(
+        "__dfreq", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+    )
     return (
-        sh.join(dfreq, "__sh")
+        per_posting
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_shingles"),

@@ -439,6 +439,8 @@ def connected_components_star(
     return therefore means "converged on the final round", never
     "budget exhausted".
     """
+    from pyspark.sql import Observation
+
     e = (
         edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -446,11 +448,14 @@ def connected_components_star(
         .transform(pin)
     )
     # memoized across rounds: each round compares |small| against the
-    # PREVIOUS round's cardinality, so only one count job runs per
-    # round instead of re-counting the checkpointed prior set too
+    # PREVIOUS round's cardinality; the cardinality itself rides the
+    # round's eager checkpoint via an Observation (the kcore pattern),
+    # so NO count job runs per round — r12: the separate count() job
+    # after each pin was pure scheduling overhead on an already-
+    # materialized frame.
     n_prev = e.count()
     rounds = 0
-    for _ in range(max_iters):
+    for _round_i in range(max_iters):
         # large-star: group full neighborhoods (both directions)
         nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -476,10 +481,11 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
             .distinct()
-            .transform(pin)
         )
+        obs = Observation(f"star_round_{_round_i}")
+        small = small.observe(obs, F.count(F.lit(1)).alias("n")).transform(pin)
         rounds += 1
-        n_small = small.count()
+        n_small = obs.get["n"]
         same_size = n_small == n_prev
         n_prev = n_small
         if same_size and small.join(e, ["a", "b"], "left_anti").isEmpty():

@@ -157,6 +157,7 @@ def global_running_sums(
     order_by: list[Column | str],
     value_cols: dict[str, str],
     n_partitions: int | None = None,
+    with_totals: bool = False,
 ) -> DataFrame:
     """Inclusive GLOBAL running sums of several integer value columns
     in ``order_by`` order (which must be TOTAL — include a unique
@@ -174,6 +175,13 @@ def global_running_sums(
     it accumulates; all sums ride ONE window pass. The partitioned
     frame is localCheckpoint-pinned so passes 2 and 3 see identical
     sampled range boundaries.
+
+    ``with_totals=True`` additionally returns ``(frame, totals)`` where
+    ``totals[out]`` is the grand total of that column — the sum of the
+    per-partition sums pass 2 already collected, so callers that need
+    it (the weighted-percentile threshold table) pay zero extra Spark
+    jobs instead of re-running the window pass for a max() (same
+    device as global_row_number's with_count; guide §1.2).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -190,9 +198,12 @@ def global_running_sums(
         .collect()
     )
     if not part:  # empty input: zero-valued sums over zero rows
-        return df.select(
+        empty = df.select(
             "*", *[F.lit(0).cast("long").alias(out) for out in outs]
         )
+        if with_totals:
+            return empty, {out: 0 for out in outs}
+        return empty
     offsets, acc = [], {out: 0 for out in outs}
     for pid, vals in part:
         offsets.append((pid, dict(acc)))
@@ -218,7 +229,11 @@ def global_running_sums(
                 "long"
             ),
         )
-    return res.drop("__pid")
+    res = res.drop("__pid")
+    if with_totals:
+        # after the offsets loop, acc holds the grand total per column
+        return res, dict(acc)
+    return res
 
 
 def weighted_percentiles(
@@ -290,12 +305,15 @@ def weighted_percentiles(
         w_ok.alias("w"),
         *[F.col(c) for c in tie_cols],
     )
-    summed = global_running_sums(
-        base, ["v", *tie_cols], {"cum_w": "w"}, n_partitions=n_partitions
+    # W comes back with the prefix-sum frame (with_totals: the sum of
+    # the per-partition sums the offsets pass already collected) — the
+    # previous max(cum_w) agg re-ran the whole window pass over the
+    # table just to read the grand total (guide §1.2).
+    summed, totals = global_running_sums(
+        base, ["v", *tie_cols], {"cum_w": "w"},
+        n_partitions=n_partitions, with_totals=True,
     )
-    w_total = int(
-        summed.agg(F.max("cum_w").alias("t")).collect()[0]["t"] or 0
-    )
+    w_total = int(totals["cum_w"] or 0)
     tgts = [(float(p), exact_target_rank(p, w_total)) for p in ps]
     tgt = df.sparkSession.createDataFrame(tgts, "p double, __t long")
     crossing = (F.col("cum_w") >= F.col("__t")) & (
@@ -355,13 +373,18 @@ def exact_percentiles(
 
     Returns (p double, value double).
     """
-    ranked = global_row_number(
+    # with_count returns N = Σ per-partition counts from the offsets
+    # pass global_row_number already ran — the previous max(__rn) agg
+    # re-executed the whole per-partition window (a full extra pass
+    # over the ranked table) to learn a number the driver had already
+    # summed (guide §1.2: don't compute things you throw away).
+    ranked, n = global_row_number(
         df.select(F.col(value_col).cast("double").alias("v")),
         ["v"],
         out_col="__rn",
         n_partitions=n_partitions,
+        with_count=True,
     )
-    n = ranked.agg(F.max("__rn").alias("__n")).collect()[0]["__n"] or 0
     tgts = [(float(p), exact_target_rank(p, int(n))) for p in ps]
     tgt = df.sparkSession.createDataFrame(tgts, "p double, __tgt long")
     return (

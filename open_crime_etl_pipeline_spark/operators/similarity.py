@@ -742,7 +742,12 @@ def pq_subvectors(
     out_id: str = "vec_id",
 ) -> DataFrame:
     """(id, s, sub): split vec_col (length m*dsub) into m contiguous
-    dsub-length double sub-vectors — one scan, no shuffle."""
+    dsub-length double sub-vectors — one scan (fan-out guarded: every
+    consumer runs broadcast-argmin distance folds scan-side over these
+    rows, which a single-split input would serialize; guide §2.5)."""
+    from ..partitioning import fan_out
+
+    df = fan_out(df)
     slices = F.array(*[
         F.slice(as_double_array(vec_col), s * dsub + 1, dsub) for s in range(m)
     ])

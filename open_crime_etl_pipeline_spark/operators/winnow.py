@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import fan_out
+
 _ENC = 1 << 31  # position-field width; see module docstring for the bound proof
 
 
@@ -51,6 +53,9 @@ def winnowing_fingerprints(
 ) -> DataFrame:
     """Selected winnowing fingerprints (module docstring). Returns
     distinct (id_col, pos long, fp long)."""
+    # the gram explode + per-gram md5 is the expensive stage and runs
+    # scan-side: don't let a few input files serialize it (guide §2.5)
+    df = fan_out(df)
     ng = F.greatest(F.length(text_col) - (k - 1), F.lit(1))  # gram count
     grams = df.select(
         F.col(id_col),

@@ -343,7 +343,14 @@ def pq_adc_over(emb: DataFrame) -> DataFrame:
     """pq_adc_topk's full pipeline over an arbitrary (vec_id,
     embedding) frame — shared with the scale tool so the proof
     measures exactly what the registered query runs."""
-    subs = S.pq_subvectors(emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
+    # subs feeds FIVE consumers (init filter, the Lloyd round's assign
+    # + cells join, the final encode, the query slice) — un-pinned,
+    # Catalyst re-runs the scan+fan-out+slice chain once per consumer.
+    # It is an O(N*m) frame of dsub-length arrays (the PQ working set);
+    # materialize it once (guide §5 caching: reused AND recompute-heavy).
+    subs = S.pq_subvectors(
+        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB
+    ).localCheckpoint(eager=True)
     init = subs.filter(F.col("vec_id") < _PQ_K0).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )
@@ -512,7 +519,11 @@ def ivfpq_adc_over(
     from pyspark.sql import Window
 
     # coarse quantizer: PQ machinery, one 64-dim subspace
-    full = S.pq_subvectors(emb, "vec_id", "embedding", m=1, dsub=64)
+    # same multi-consumer pinning as pq_adc_over: full feeds the
+    # coarse init/train/assign and the query-probe side (5 consumers)
+    full = S.pq_subvectors(
+        emb, "vec_id", "embedding", m=1, dsub=64
+    ).localCheckpoint(eager=True)
     cinit = full.filter(F.col("vec_id") < _IVF_KC).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )
@@ -537,7 +548,13 @@ def ivfpq_adc_over(
     rslices = F.array(*[
         F.slice("rvec", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)
     ])
-    rsubs = resid.select("vec_id", "ccid", F.posexplode(rslices).alias("s", "sub"))
+    # rsubs' upstream chain is itself a join pipeline (emb ⋈ cass ⋈
+    # broadcast cells → zip_with → posexplode); with 4 consumers the
+    # whole chain — including the coarse assign that produces cass —
+    # would re-execute per consumer. Pin the O(N*m) result instead.
+    rsubs = resid.select(
+        "vec_id", "ccid", F.posexplode(rslices).alias("s", "sub")
+    ).localCheckpoint(eager=True)
     rinit = rsubs.filter(F.col("vec_id") < _PQ_K0).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )

@@ -182,7 +182,12 @@ def document_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
 def language_id_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    from ...checkpointing import pin
+    from ...partitioning import fan_out
+
+    # both halves pay a full char-trigram explode scan-side — parallelize
+    # it instead of serializing on the input's split count (guide §2.5)
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     # sub-trigram docs emit no grams on either engine: generate_series
     # (1, length-2) is empty for length < 3 in SQL, but Spark's
     # sequence() would DESCEND — filter before the explode
@@ -203,6 +208,12 @@ def language_id_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 50)
         .select("lang", "g")
+        # prof feeds TWO consumers (the scoring join and the langs
+        # dictionary): un-pinned, Catalyst re-runs the whole train-side
+        # explode+count+window chain once per consumer (the before-plan
+        # shows the duplicated subtree). It is a <=|langs|*50-row frame —
+        # pin it so the train half is scanned once (guide §2.4/§5).
+        .transform(pin)
     )
     test = docs.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id", F.col("lang").alias("true_lang"), "text"

@@ -577,6 +577,9 @@ def logistic_regression_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _gd_features(docs: DataFrame) -> DataFrame:
     """(doc_id, y, x1..x3) training frame: label = long-document,
     features = integer token counts of the three probe terms."""
+    # NOT fan_out-guarded (r12): the frame is persisted by its trainer
+    # and each consumer is a 4-sum aggregate — measured A/B at sf0.1
+    # showed the guard's exchange buys nothing here (wash/noise)
     toks = docs.select("doc_id", "n_chars", TS.tokens("text").alias("toks"))
     return toks.select(
         "doc_id",
@@ -1129,6 +1132,10 @@ def _naive_bayes_predict(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     base corpus' scores exactly, since (rc+ra)/(rt+raV)=(c+a)/(t+aV))."""
     from pyspark.sql import Window
 
+    # NOT fan_out-guarded (r12): measured A/B at sf0.1 — the tokenize
+    # explode here is cheap relative to the extra round-robin exchange,
+    # and the eager checkpoint bounds the single-split cost to one pass
+    # (2.1s -> 3.3s WITH the guard; reverted)
     tok = docs.select(
         "doc_id", "lang", F.explode(TS.tokens("text")).alias("term")
     ).localCheckpoint(eager=True)  # 4 downstream branches, one tokenize
@@ -1304,6 +1311,10 @@ def adaboost_stumps_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ada_features(docs: DataFrame) -> DataFrame:
     """(doc_id, y in {-1,+1}, x1..x3 integer probe-term counts) — the
     long-document label over the _GD_TERMS count features."""
+    # NOT fan_out-guarded (r12): the boosting loop pins this frame once
+    # and the three token filters are cheap — measured A/B at sf0.1 the
+    # guard's extra exchange cost more than it parallelized (2.5s ->
+    # 2.8s WITH the guard; reverted)
     toks = docs.select("doc_id", "n_chars", TS.tokens("text").alias("toks"))
     return toks.select(
         "doc_id",

@@ -1,0 +1,150 @@
+"""Round-12 optimization pins: the rewrites must not change WHAT is
+computed, only how. Each test pins a changed operator's internals
+(fan_out guard, window-count dfreq, offsets-pass totals) against the
+pre-rewrite formulation or a hand-computed reference."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from open_crime_etl_pipeline_spark.operators.dedup import (
+    duplicate_ngram_fraction,
+    hashed_shingles,
+    tokens,
+)
+from open_crime_etl_pipeline_spark.operators.ranking import (
+    exact_percentiles,
+    global_running_sums,
+    weighted_percentiles,
+)
+from open_crime_etl_pipeline_spark.partitioning import fan_out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c x y z"),
+        (3, "unique words only here now"),
+        (4, "a b c d e f"),  # exact dup of 1
+        (5, ""),  # sub-shingle doc: excluded by the operator
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestFanOut:
+    def test_widens_narrow_frame(self, spark):
+        df = spark.range(100).coalesce(1)
+        out = fan_out(df)
+        assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+        # same rows, only placement changed
+        assert sorted(r.id for r in out.collect()) == list(range(100))
+
+    def test_noop_on_wide_frame(self, spark):
+        n = spark.sparkContext.defaultParallelism
+        df = spark.range(100).repartition(n + 2)
+        out = fan_out(df)
+        # never repartitions DOWN — existing parallelism is preserved
+        assert out.rdd.getNumPartitions() == n + 2
+        assert out is df  # the guard is a true no-op, not a new plan
+
+    def test_explicit_floor(self, spark):
+        df = spark.range(10).coalesce(1)
+        assert fan_out(df, min_parts=4).rdd.getNumPartitions() == 4
+
+
+class TestDuplicateNgramWindowRewrite:
+    def test_matches_join_formulation(self, spark, docs):
+        """The window-count rewrite must equal the original
+        groupBy+join-back formulation row for row."""
+        out = duplicate_ngram_fraction(docs, "doc_id", "text").collect()
+        # reference: the pre-r12 join formulation, stated inline
+        src = docs.filter(F.size(tokens("text")) >= 3)
+        sh = src.select(
+            F.col("doc_id"),
+            F.explode(hashed_shingles("text", 3)).alias("__sh"),
+        )
+        dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__dfreq"))
+        ref = (
+            sh.join(dfreq, "__sh")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_shingles"),
+                F.sum((F.col("__dfreq") > 1).cast("long")).alias("n_dup"),
+            )
+            .select(
+                "doc_id", "n_shingles", "n_dup",
+                F.round(
+                    F.col("n_dup").cast("double")
+                    / F.col("n_shingles").cast("double"), 6
+                ).alias("dup_frac"),
+            )
+            .collect()
+        )
+        assert sorted(map(tuple, out)) == sorted(map(tuple, ref))
+
+    def test_hot_shingle_no_quadratic_rows(self, spark):
+        """A shingle shared by k docs contributes k posting rows (one
+        window partition of size k), never k² — the inverted-index
+        contract the rewrite must preserve."""
+        rows = [(i, "common one two") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = duplicate_ngram_fraction(df, "doc_id", "text")
+        got = out.collect()
+        assert len(got) == 50
+        assert all(r.n_shingles == 1 and r.n_dup == 1 for r in got)
+
+
+class TestRankingTotalsFromOffsetsPass:
+    def test_running_sums_with_totals(self, spark):
+        df = spark.createDataFrame(
+            [(i, i % 7 + 1) for i in range(1000)], "k long, w long"
+        )
+        out, totals = global_running_sums(
+            df, ["k"], {"cum": "w"}, with_totals=True
+        )
+        mx = out.agg(F.max("cum")).collect()[0][0]
+        # the driver-summed total must equal the window's final value
+        assert totals["cum"] == mx == sum(i % 7 + 1 for i in range(1000))
+
+    def test_running_sums_with_totals_empty(self, spark):
+        df = spark.createDataFrame([], "k long, w long")
+        out, totals = global_running_sums(
+            df, ["k"], {"cum": "w"}, with_totals=True
+        )
+        assert totals == {"cum": 0}
+        assert out.count() == 0
+
+    def test_exact_percentiles_unchanged(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        vals = [float(rnd.randrange(10_000)) for _ in range(5000)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = {
+            r.p: r.value
+            for r in exact_percentiles(df, "v", [0.01, 0.5, 0.99]).collect()
+        }
+        sv = sorted(vals)
+        import math
+
+        for p in (0.01, 0.5, 0.99):
+            rank = max(math.ceil(p * len(sv)), 1)
+            assert got[p] == sv[rank - 1]
+
+    def test_weighted_percentiles_unchanged(self, spark):
+        rows = [(1.0, 1, 1, 1), (2.0, 3, 2, 1), (3.0, 1, 3, 1)]
+        df = spark.createDataFrame(
+            rows, "v double, w long, a long, b long"
+        )
+        got = {
+            r.p: r.value
+            for r in weighted_percentiles(
+                df, "v", "w", ["a", "b"], [0.2, 0.5, 0.9]
+            ).collect()
+        }
+        # expanded multiset: [1, 2, 2, 2, 3]; W=5
+        # ceil(.2*5)=1 -> 1.0; ceil(.5*5)=3 -> 2.0; ceil(.9*5)=5 -> 3.0
+        assert got == {0.2: 1.0, 0.5: 2.0, 0.9: 3.0}
