@@ -25,6 +25,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import pin
 from .textstats import HASH_MOD, tokens, word_shingles
 
 # Mersenne prime 2^31-1: minhash mixing stays below 2^62, so the affine
@@ -281,8 +282,17 @@ def minhash_near_dup_pairs(
         F.col(id_col), hashed_shingles(text_col, shingle_n).alias("hh")
     ).select(
         id_col, "hh", _minhash_sig_from_hashes(F.col("hh"), num_hashes).alias("signature")
-    ).persist()
-    per_doc.count()  # materialize once: LSH join + verify all read cache
+    )
+    # materialize once as raw UnsafeRow blocks (localCheckpoint via pin),
+    # NOT .persist(): building the columnar in-memory cache over the hh
+    # long-arrays costs more than the compute it saves, and at sf0.1 it
+    # is BIMODAL — interleaved A/B (4 reps) measured persist+count at
+    # 2.1s median per_doc with 15s outliers vs 1.1s flat for the
+    # checkpoint; end-to-end pairs pipeline 4.05s -> 2.84s median. The
+    # outliers were the bench's long-suspected near-dedup 15-28s spikes
+    # (guide §5: cache only when recompute beats the memory pressure —
+    # here it does not).
+    per_doc = pin(per_doc)
     cands = lsh_candidate_pairs(
         per_doc.select(id_col, "signature"), id_col, bands,
         num_hashes=num_hashes, with_signatures=not verify_exact,
@@ -292,7 +302,6 @@ def minhash_near_dup_pairs(
     else:
         out = _estimate_pairs(cands, num_hashes, threshold)
     out = out.localCheckpoint()
-    per_doc.unpersist()
     return out
 
 

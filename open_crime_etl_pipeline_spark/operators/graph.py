@@ -311,7 +311,13 @@ def _triangle_count_lazy(edges: DataFrame):
             ).alias("e")
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
-        .cache()
+        # pin (localCheckpoint), not .cache(): read 4x (3 wedge legs +
+        # the edge count) either way, but the columnar cache build is
+        # BIMODAL on this engine — interleaved A/B (4 reps, sf0.1)
+        # measured cache at 2.91s median with an 11.8s outlier vs 2.75s
+        # flat for the checkpoint (r12; the same persist pathology seen
+        # in minhash_near_dup_pairs). UnsafeRow blocks skip the encode.
+        .transform(pin)
     )
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
@@ -320,7 +326,7 @@ def _triangle_count_lazy(edges: DataFrame):
     out = oriented.agg(F.count("*").alias("n_edges")).crossJoin(
         tri.agg(F.count("*").alias("n_triangles"))
     )
-    return out, [oriented]
+    return out, []  # r12: oriented is pinned, not cached — nothing to unpersist
 
 
 def connected_components_converged(

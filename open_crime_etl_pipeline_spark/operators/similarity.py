@@ -742,12 +742,13 @@ def pq_subvectors(
     out_id: str = "vec_id",
 ) -> DataFrame:
     """(id, s, sub): split vec_col (length m*dsub) into m contiguous
-    dsub-length double sub-vectors — one scan (fan-out guarded: every
-    consumer runs broadcast-argmin distance folds scan-side over these
-    rows, which a single-split input would serialize; guide §2.5)."""
-    from ..partitioning import fan_out
-
-    df = fan_out(df)
+    dsub-length double sub-vectors — one scan, no shuffle. NOT
+    fan_out-guarded (r12 revert): with the un-pinned multi-consumer
+    plans below, the guard's round-robin exchange re-executes per
+    consumer and measured strictly slower at sf0.1 (pq 2.7s vs 2.3s,
+    ivfpq 5.6s vs 4.4s, interleaved medians); the broadcast-argmin
+    folds downstream are already parallelized by the shuffle their
+    groupBys introduce."""
     slices = F.array(*[
         F.slice(as_double_array(vec_col), s * dsub + 1, dsub) for s in range(m)
     ])

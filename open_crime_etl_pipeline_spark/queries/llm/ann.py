@@ -343,14 +343,13 @@ def pq_adc_over(emb: DataFrame) -> DataFrame:
     """pq_adc_topk's full pipeline over an arbitrary (vec_id,
     embedding) frame — shared with the scale tool so the proof
     measures exactly what the registered query runs."""
-    # subs feeds FIVE consumers (init filter, the Lloyd round's assign
-    # + cells join, the final encode, the query slice) — un-pinned,
-    # Catalyst re-runs the scan+fan-out+slice chain once per consumer.
-    # It is an O(N*m) frame of dsub-length arrays (the PQ working set);
-    # materialize it once (guide §5 caching: reused AND recompute-heavy).
-    subs = S.pq_subvectors(
-        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB
-    ).localCheckpoint(eager=True)
+    # subs feeds five consumers but is NOT pinned (r12 revert of the
+    # wave-1 eager checkpoint): its chain is just scan+slice — cheaper
+    # to recompute than to materialize O(N*m) sub-vector blocks.
+    # Interleaved A/B at sf0.1 (4 reps): pinned 3.19s median vs
+    # un-pinned 2.31s, values identical (guide §5: cache only when
+    # recompute costs more than the materialization).
+    subs = S.pq_subvectors(emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
     init = subs.filter(F.col("vec_id") < _PQ_K0).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )
@@ -518,12 +517,13 @@ def ivfpq_adc_over(
 
     from pyspark.sql import Window
 
-    # coarse quantizer: PQ machinery, one 64-dim subspace
-    # same multi-consumer pinning as pq_adc_over: full feeds the
-    # coarse init/train/assign and the query-probe side (5 consumers)
-    full = S.pq_subvectors(
-        emb, "vec_id", "embedding", m=1, dsub=64
-    ).localCheckpoint(eager=True)
+    # coarse quantizer: PQ machinery, one 64-dim subspace. NOT pinned
+    # (r12 revert, same measurement as pq_adc_over's subs): the m=1
+    # slice chain is one scan+project — recompute beats materializing
+    # the full-vector frame. rsubs below stays pinned: ITS chain is a
+    # join pipeline. Interleaved A/B at sf0.1: full-pinned+rsubs-pinned
+    # 4.38s vs full-plain+rsubs-pinned 3.97s median.
+    full = S.pq_subvectors(emb, "vec_id", "embedding", m=1, dsub=64)
     cinit = full.filter(F.col("vec_id") < _IVF_KC).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )

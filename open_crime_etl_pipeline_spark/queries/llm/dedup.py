@@ -1173,10 +1173,24 @@ def line_level_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "chunking"),
 )
 def cdc_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     chunks = D.cdc_chunks(docs)
-    cdf = chunks.groupBy("chunk").agg(F.count_distinct("doc_id").alias("df"))
-    return chunks.join(cdf, "chunk").groupBy("source").agg(
+    # df (distinct docs per chunk content) via a partition-only window
+    # instead of groupBy+join-back: the join formulation referenced
+    # `chunks` twice with different pre-exchange shapes (no
+    # ReusedExchange), so the whole CDC boundary-scan HOF pipeline ran
+    # TWICE, plus a second chunk-keyed shuffle for the join. The window
+    # ships each occurrence row to its chunk's partition ONCE — bytes
+    # the join leg already paid — and computes the same distinct-doc
+    # count per group (guide §2.4; same device as the r12
+    # duplicate_ngram_fraction rewrite; measured 1.83s -> 1.05s median,
+    # values identical). Hot-chunk skew is unchanged vs the join: either
+    # form concentrates one chunk's postings in one task.
+    w = Window.partitionBy("chunk")
+    chunks = chunks.withColumn("df", F.size(F.collect_set("doc_id").over(w)))
+    return chunks.groupBy("source").agg(
         F.count("*").alias("n_chunks"),
         F.count_distinct("chunk").alias("n_distinct_chunks"),
         F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long").alias("n_in_shared"),

@@ -148,3 +148,97 @@ class TestRankingTotalsFromOffsetsPass:
         # expanded multiset: [1, 2, 2, 2, 3]; W=5
         # ceil(.2*5)=1 -> 1.0; ceil(.5*5)=3 -> 2.0; ceil(.9*5)=5 -> 3.0
         assert got == {0.2: 1.0, 0.5: 2.0, 0.9: 3.0}
+
+
+class TestMinhashCheckpointNotPersist:
+    """Wave 2: minhash_near_dup_pairs materializes per_doc via pin
+    (localCheckpoint), not .persist() — values must be unchanged and
+    the pair graph complete."""
+
+    def test_pairs_unchanged_by_materialization(self, spark, docs):
+        from open_crime_etl_pipeline_spark.operators.dedup import (
+            minhash_near_dup_pairs,
+        )
+
+        got = minhash_near_dup_pairs(
+            docs, "doc_id", "text",
+            num_hashes=32, bands=16, threshold=0.7, verify_exact=True,
+        ).collect()
+        # docs 1 and 4 are exact duplicates: Jaccard 1.0, always a pair
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in got}
+        assert pairs[(1, 4)] == 1.0
+        # doc 3 shares no shingle with anything: never appears
+        assert not any(3 in p for p in pairs)
+
+    def test_no_lingering_cached_tables(self, spark, docs):
+        """The persist was replaced, not merely dropped: no SQL-cache
+        entry may survive the call (checkpoint blocks are RDD-level
+        and GC-managed, not catalog-level)."""
+        from open_crime_etl_pipeline_spark.operators.dedup import (
+            minhash_near_dup_pairs,
+        )
+
+        spark.catalog.clearCache()  # shared session: isolate the check
+        minhash_near_dup_pairs(
+            docs, "doc_id", "text", num_hashes=8, bands=4, threshold=0.5
+        ).count()
+        jsc = spark._jsparkSession.sharedState().cacheManager()
+        assert jsc.isEmpty()
+
+
+class TestCdcWindowRewrite:
+    def test_matches_join_formulation(self, spark):
+        """The window df-count must equal the original groupBy +
+        join-back formulation row for row."""
+        from open_crime_etl_pipeline_spark.operators.dedup import cdc_chunks
+
+        rows = [
+            (1, "a", "one two three four five six seven eight nine ten"),
+            (2, "a", "one two three four five six seven eight nine ten"),
+            (3, "b", "totally different words in this document body here"),
+            (4, "b", "one two three four nothing alike after that point"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        chunks = cdc_chunks(docs)
+        cdf = chunks.groupBy("chunk").agg(
+            F.count_distinct("doc_id").alias("df")
+        )
+        ref = (
+            chunks.join(cdf, "chunk")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.count_distinct("chunk").alias("n_distinct_chunks"),
+                F.sum((F.col("df") >= 2).cast("long")).alias("n_in_shared"),
+            )
+            .collect()
+        )
+        w = Window.partitionBy("chunk")
+        got = (
+            chunks.withColumn("df", F.size(F.collect_set("doc_id").over(w)))
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.count_distinct("chunk").alias("n_distinct_chunks"),
+                F.sum((F.col("df") >= 2).cast("long")).alias("n_in_shared"),
+            )
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+
+class TestTriangleOrientedPin:
+    def test_counts_unchanged(self, spark):
+        """oriented is pinned (localCheckpoint), no longer cached: the
+        count must match the direct closed form on a known graph."""
+        from open_crime_etl_pipeline_spark.operators.graph import triangle_count
+
+        # K4 (4 triangles... actually C(4,3)=4) plus a pendant edge
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        spark.catalog.clearCache()  # shared session: isolate the check
+        row = triangle_count(df).collect()[0]
+        assert row.n_edges == 7
+        assert row.n_triangles == 4
+        jsc = spark._jsparkSession.sharedState().cacheManager()
+        assert jsc.isEmpty()

@@ -164,11 +164,13 @@ def test_covariance_gram_single_exchange_no_row_shuffle(spark, sf_dir):
 
 
 def test_triangle_count_reuses_cached_oriented_edges(spark, sf_dir):
-    """The oriented edge list must be built once (InMemoryRelation) and
-    reused by all three wedge-join branches — rebuilding it per branch
-    triples the 6-way edge-build join at scale. The public operator
-    materializes its 1-row result and unpersists the cache, so the
-    receipt comes from the lazy plan-building core."""
+    """The oriented edge list must be built once and reused by all
+    three wedge-join branches — rebuilding it per branch triples the
+    6-way edge-build join at scale. r12: the materialization is a pin
+    (localCheckpoint -> LogicalRDD scan), no longer .cache() — the
+    columnar cache build was measured bimodal (OPTIMIZATION_r12.md) —
+    so the receipt is >= 3 ExistingRDD scans and ZERO re-derivations
+    of the orientation join in the plan."""
     from open_crime_etl_pipeline_spark.operators.graph import _triangle_count_lazy
     from open_crime_etl_pipeline_spark.queries.graph import _copurchase_edges
 
@@ -176,7 +178,11 @@ def test_triangle_count_reuses_cached_oriented_edges(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for c in caches:
         c.unpersist()
-    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("Scan ExistingRDD") >= 3
+    # the orientation build (degree-join over the parquet edges) must
+    # NOT appear: it ran once inside the pin, before this plan — only
+    # the wedge-closing joins over the pinned RDD remain
+    assert "InMemoryTableScan" not in plan and "Scan parquet" not in plan
 
 
 def test_scene_change_window_partitions_by_media_id(spark, sf_dir):
@@ -343,13 +349,18 @@ def test_k_anonymity_group_sizes_broadcast(spark, sf_dir):
 
 
 def test_profiler_reads_table_exactly_once(spark, sf_dir):
-    """All 24 column metrics must ride ONE parquet scan (the Expand-based
-    multi-count-distinct rewrite); a second scan appearing means the agg
-    split into per-column passes — N full reads of the table at scale."""
+    """All 24 column metrics must ride a CONSTANT number of scans — the
+    Expand-based multi-count-distinct pass plus (r12) one keyless
+    null/min/max pass, deliberately split out so the var-width string
+    min/max buffers stop forcing sort-based aggregation of the
+    x7-expanded table (OPTIMIZATION_r12.md). More than 2 scans means
+    the agg split into per-column passes — N full reads at scale."""
     plan = _plan(spark, sf_dir, "table_profile_single_pass")
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 2
     assert "Expand" in plan  # the one-scan multi-distinct machinery
     assert "BatchEvalPython" not in plan
+    # the r12 point: no Sort of the Expand-amplified rows anywhere
+    assert "Sort " not in plan.split("Expand")[0]
 
 
 def test_ewma_fold_is_jvm_side_and_parallel_across_series(spark, sf_dir):
