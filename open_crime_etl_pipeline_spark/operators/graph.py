@@ -363,15 +363,33 @@ def connected_components_converged(
         .unionByName(und.select(F.col("v").alias("node")))
         .distinct()
     )
+    # is_self marks the (node, node) rows: after the per-round join,
+    # the self-loop row's joined label IS the node's previous label, so
+    # the convergence comparison folds into the SAME aggregate instead
+    # of a second join back to the previous labels (r12; guide §2.4:
+    # remove shuffles outright — one join per round, not two). Wall-
+    # neutral at sf0.1 (interleaved A/B medians 6.6 vs 6.5s — round
+    # latency is scheduling-bound there), kept for the structural
+    # shape: per round, one join + one aggregate instead of two joins;
+    # labels and round count identical.
     adj = (
-        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionByName(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .unionByName(verts.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        und.select(
+            F.col("u").alias("src"), F.col("v").alias("dst"),
+            F.lit(False).alias("is_self"),
+        )
+        .unionByName(und.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"),
+            F.lit(False).alias("is_self"),
+        ))
+        .unionByName(verts.select(
+            F.col("node").alias("src"), F.col("node").alias("dst"),
+            F.lit(True).alias("is_self"),
+        ))
         .repartition("dst")
         .cache()
     )
     adj.count()
-    labels = adj.filter(F.col("src") == F.col("dst")).select(
+    labels = adj.filter("is_self").select(
         F.col("src").alias("node"), F.col("src").alias("label")
     ).transform(pin)
     rounds = 0
@@ -379,15 +397,15 @@ def connected_components_converged(
         new = (
             adj.join(labels, adj["dst"] == labels["node"])
             .groupBy("src")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                # exactly one self row per src — min() just unwraps it
+                F.min(F.when(F.col("is_self"), F.col("label"))).alias("prev"),
+            )
             .withColumnRenamed("src", "node")
         )
-        cmp = new.join(
-            labels.select(F.col("node").alias("n_prev"), F.col("label").alias("prev")),
-            new["node"] == F.col("n_prev"),
-        ).select("node", "label", "prev")
         obs = Observation(f"cc_round_{i}")
-        inst = cmp.observe(
+        inst = new.observe(
             obs,
             F.sum(
                 F.when(F.col("label") != F.col("prev"), F.lit(1)).otherwise(F.lit(0))

@@ -223,24 +223,40 @@ def language_id_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("pos"),
         F.col("text").alias("__t"),
     ).select("doc_id", F.expr("substring(__t, pos, 3)").alias("g"))
-    langs = prof.select("lang").distinct()
     raw_hits = (
         dg.join(F.broadcast(prof), "g")
         .groupBy("doc_id", "lang")
         .agg(F.count("*").alias("hits"))
     )
-    scored = (
-        test.select("doc_id", "true_lang")
-        .crossJoin(F.broadcast(langs))
-        .join(raw_hits, ["doc_id", "lang"], "left")
-        .na.fill({"hits": 0})
+    # r12 argmax rewrite: every raw_hits row has hits >= 1, so a
+    # zero-filled language can only win when a doc has NO hits at all —
+    # the x|langs| crossJoin + left join + per-doc row_number window
+    # reduce to ONE struct-min aggregate over raw_hits (min of
+    # (-hits, lang) == hits desc then lang asc, the window's exact
+    # order) plus a left join whose null side falls back to the
+    # alphabetically-first language, the same row the old window
+    # elected from the all-zero partition. Guide §2.4: the window
+    # shuffle, the x5 row expansion and one join disappear; confusion
+    # matrix identical (interleaved A/B at sf0.1: 4.06 -> 3.38s median).
+    perdoc = raw_hits.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("hits")).alias("neg"), F.col("lang").alias("lang")))
+        .alias("m")
     )
-    wd = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "lang")
-    pred = scored.withColumn("rn", F.row_number().over(wd)).filter(
-        F.col("rn") == 1
+    first_lang = prof.agg(F.min("lang").alias("__ml"))
+    pred = (
+        test.select("doc_id", "true_lang")
+        .join(perdoc, "doc_id", "left")
+        .crossJoin(F.broadcast(first_lang))
+        .select(
+            "true_lang",
+            F.coalesce(F.col("m.lang"), F.col("__ml")).alias("pred_lang"),
+        )
+        # empty-profile degenerate parity: the old crossJoin(langs)
+        # emitted nothing when no language profile existed
+        .filter(F.col("pred_lang").isNotNull())
     )
     return (
-        pred.groupBy("true_lang", F.col("lang").alias("pred_lang"))
+        pred.groupBy("true_lang", "pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
 

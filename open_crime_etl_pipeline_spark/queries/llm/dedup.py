@@ -1435,10 +1435,19 @@ def _winnow_verified_shared(spark: SparkSession, sf_dir: str):
     """Shared core of the winnowing pair queries: fingerprints over the
     doc_id % 25 slice (k=12, w=8) and the collision-verified distinct
     (doc_a, doc_b, fp) shared-fingerprint table."""
+    from ...checkpointing import pin
     from ...operators.winnow import winnowing_fingerprints as _wf
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    fp = _wf(docs, "doc_id", "text", k=12, w=8)
+    # r12: pin the fingerprint table — it feeds both self-join sides
+    # plus the callers' per-doc counts. The join's two sides already
+    # shared ONE exchange (identical subtree + hash(fp) partitioning
+    # -> ReusedExchange), so the A/B is wall-NEUTRAL at sf0.1 (2.02 vs
+    # 2.01s medians); kept because the per-doc-count consumer still
+    # re-ran the whole gram explode + md5 + window-min chain, which
+    # the pin removes (plan: one fingerprint build, not two). Narrow
+    # (id, pos, fp) longs; guide §5.
+    fp = pin(_wf(docs, "doc_id", "text", k=12, w=8))
     a = fp.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "fp"
     )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -786,51 +788,76 @@ def bm25_over(docs: DataFrame, k: int = 10) -> DataFrame:
     with hybrid_rrf_retrieval (k=50 lexical leg)."""
     from pyspark.sql import Window
 
-    # tokenize ONCE: the raw pipeline re-tokenizes documents three times
-    # (the corpus-stats scalar job, the dl join, the postings explode);
-    # the eager checkpoint is the natural materialization boundary a
-    # production index build would have anyway
-    toks = docs.select("doc_id", TS.tokens("text").alias("toks")).localCheckpoint(
-        eager=True
-    )
-    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    agg = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+    from ...checkpointing import pin
+
+    # r12 single-pass shape: the query set is THREE fixed probe terms,
+    # so per-doc term frequencies are array conditional counts computed
+    # SCAN-SIDE (the _gd_features device) — the previous form exploded
+    # every token of every document, shuffled the (doc, term) rows into
+    # a groupBy, then paid an idf broadcast join AND a dl join back.
+    # One narrow (doc_id, dl, tf1..tf3) frame is pinned (5 longs/row,
+    # far smaller than the token arrays the old form checkpointed);
+    # corpus stats INCLUDING per-term document frequencies ride one
+    # keyless aggregate; idf becomes constant-folded plan literals
+    # (exact same doubles: the JVM evaluates the identical F.log
+    # expression over the identical df/n_docs doubles at optimization
+    # time instead of row time). Guide §2.3/§2.4: aggregate before you
+    # shuffle; remove shuffles outright. Explode + (doc,term) shuffle +
+    # both joins gone. Scores/ranks bit-identical (oracle-verified at
+    # both SFs); interleaved A/B at sf0.1: 1.18 -> 0.79s median
+    # (bm25_retrieval_topk), 1.80 -> 1.67s (hybrid_rrf's k=50 leg).
+    toks = docs.select("doc_id", TS.tokens("text").alias("toks"))
+    nterms = len(_BM25_TERMS)
+    feats = pin(toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.size(F.filter("toks", (lambda term: lambda t: t == term)(t0)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t0 in enumerate(_BM25_TERMS)
+        ],
+    ))
+    agg = feats.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("s"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(nterms)
+        ],
+    ).collect()[0]
     n_docs, avgdl = float(agg["n"]), agg["s"] / agg["n"]
-    tf = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    idf = tf.groupBy("term").agg(F.count("*").cast("double").alias("df")).select(
-        "term",
+    # idf as literal-input expressions: df enters as the same double the
+    # old per-term count().cast("double") produced, the arithmetic tree
+    # is unchanged, and Catalyst constant-folds it with the same JVM
+    # Math.log the old row-side evaluation used — bit-identical idf
+    idf = [
         F.log(
-            F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
-    )
-    contrib = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .select(
-            "doc_id", "term",
-            (
-                F.col("idf") * F.col("tf") * F.lit(_BM25_K1 + 1.0)
-                / (
-                    F.col("tf")
-                    + F.lit(_BM25_K1)
-                    * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl))
-                )
-            ).alias("c"),
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.lit(float(agg[f"df{i}"])) + 0.5)
+            / (F.lit(float(agg[f"df{i}"])) + 0.5)
         )
+        for i in range(nterms)
+    ]
+    denom_tail = F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl)
     )
     per_term = [
-        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0))
-        for t in _BM25_TERMS
+        F.when(
+            F.col(f"tf{i}") > 0,
+            idf[i] * F.col(f"tf{i}") * F.lit(_BM25_K1 + 1.0)
+            / (F.col(f"tf{i}") + denom_tail),
+        ).otherwise(F.lit(0.0))
+        for i in range(nterms)
     ]
     score = per_term[0] + per_term[1] + per_term[2]
-    scored = contrib.groupBy("doc_id").agg(
-        score.alias("score"), F.count("*").alias("n_terms_matched")
+    n_matched = reduce(
+        lambda a, b: a + b,
+        [(F.col(f"tf{i}") > 0).cast("long") for i in range(nterms)],
     )
+    scored = feats.select(
+        "doc_id", score.alias("score"), n_matched.alias("n_terms_matched")
+    ).filter(F.col("n_terms_matched") > 0)
     top = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return top.withColumn("rank", F.row_number().over(w)).select(

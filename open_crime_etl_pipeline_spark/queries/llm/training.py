@@ -606,13 +606,22 @@ def logistic_gd_over(docs: DataFrame) -> DataFrame:
         list(zip(names, vals)), "param string, value double"
     ).select("param", F.round("value", 6).alias("value"))
 
-def _gd_train_params(docs: DataFrame) -> tuple:
+def _gd_train_params(docs: DataFrame, feat: DataFrame | None = None) -> tuple:
     """The two unrolled GD steps; returns (w2 list-of-3, b2) as plain
     Python floats, so apply-side queries can embed the trained model as
     plan literals. The weight algebra runs the same IEEE ops in the
     same order as the SQL oracle's CTEs — the floats are cross-engine
-    reproducible (see logistic_regression_gd_steps' doc)."""
-    feat = _gd_features(docs).persist()
+    reproducible (see logistic_regression_gd_steps' doc).
+
+    ``feat``: optionally pass an ALREADY-MATERIALIZED feature frame
+    (r12): train-then-apply queries scan the features once for the two
+    gradient aggregates AND the scoring pass — without this, the
+    tokenize+featurize chain ran once inside the persist here and
+    AGAIN for the caller's scoring scan (guide §1.2: don't compute
+    things twice). The caller owns the materialization lifetime."""
+    own = feat is None
+    if own:
+        feat = _gd_features(docs).persist()
     try:
         row = feat.agg(
             F.count("*").alias("n"),
@@ -642,7 +651,8 @@ def _gd_train_params(docs: DataFrame) -> tuple:
         w2 = [w[i] - _GD_LR * float(row2[f"s{i+1}"]) / n for i in range(3)]
         b2 = b - _GD_LR * float(row2["sb"]) / n
     finally:
-        feat.unpersist()
+        if own:
+            feat.unpersist()
     return w2, b2
 
 @register(
@@ -675,8 +685,10 @@ def _gd_train_params(docs: DataFrame) -> tuple:
 )
 def quality_classifier_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    w, b = _gd_train_params(docs)
-    feat = _gd_features(docs)
+    # r12: one featurize pass shared by train + apply (see
+    # classifier_auc_calibration); values unchanged
+    feat = pin(_gd_features(docs))
+    w, b = _gd_train_params(docs, feat=feat)
     # identical association order to the oracle's scoring expression
     z = (
         (F.lit(b) + F.lit(w[0]) * F.col("x1"))
@@ -773,8 +785,13 @@ def quality_classifier_train_apply(spark: SparkSession, sf_dir: str) -> DataFram
 def classifier_auc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
-    w, b = _gd_train_params(docs)
-    feat = _gd_features(docs)
+    # r12: featurize ONCE (pin) and share the frame between the two GD
+    # gradient aggregates and the scoring pass — the tokenize+filter
+    # chain previously ran twice (once under the trainer's persist,
+    # once for this scoring scan). Values unchanged: same frame, same
+    # arithmetic (guide §1.2).
+    feat = pin(_gd_features(docs))
+    w, b = _gd_train_params(docs, feat=feat)
     # identical association order to the oracle's scoring expression
     z = (
         (F.lit(b) + F.lit(w[0]) * F.col("x1"))
@@ -1334,39 +1351,49 @@ def _adaboost_train(feat: DataFrame, k: int = 3) -> list:
     """Integer-weight AdaBoost loop. Returns one (round, feature_name,
     threshold, sign, err_num, total_weight, alpha) tuple per round;
     raises if a stump is perfect (E=0) or anti-perfect (E=T), where
-    the multiplicative integer update degenerates (alpha infinite)."""
+    the multiplicative integer update degenerates (alpha infinite).
+
+    r12 single-pass shape: each round is ONE keyless aggregate over the
+    pinned feature frame computing all 24 candidate stumps' weighted
+    errors as conditional sums (plus the weight total) — the previous
+    form crossJoined the 24-stump grid into a x24 row expansion, paid a
+    groupBy shuffle per round, and eagerly pinned an N-row DECIMAL
+    weight frame per round. The weights are now a literal-product
+    EXPRESSION over the pinned features (the chosen stumps are driver
+    constants), so the reweight costs zero jobs and the argmin moves to
+    the driver over 24 integers (same (e, f, t, s) ascending tie-break
+    as the old orderBy). Guide §2.3/§2.4: aggregate before you shuffle;
+    remove shuffles outright. Interleaved A/B at sf0.1: wall-NEUTRAL
+    (3.73 vs 3.74s medians — the old groupBy partial-aggregated
+    map-side, so its shuffle was already tiny); kept for the
+    structural shape: 3 jobs instead of ~7, no x24 row expansion, no
+    N-row DECIMAL weight materialization per round. Values identical."""
     import math
 
-    spark = feat.sparkSession
-    cands = spark.createDataFrame(
-        [(f, t, s) for f in (1, 2, 3) for t in (0, 1, 2, 3) for s in (1, -1)],
-        "f int, t int, s int",
-    )
+    cands = [(f, t, s) for f in (1, 2, 3) for t in (0, 1, 2, 3) for s in (1, -1)]
+    feat = pin(feat)
     # DECIMAL(38,0) weights: integer products of per-round factors grow
     # past 2^63 by round 3 at sf0.1 (w <= prod T_r), and decimal keeps
     # them exact to 38 digits on both engines (DuckDB sums to HUGEINT)
-    w = pin(feat.withColumn("w", F.lit(1).cast("decimal(38,0)")))
+    w_expr = F.lit(1).cast("decimal(38,0)")
     out = []
     for r in range(1, k + 1):
-        x = (
-            F.when(F.col("f") == 1, F.col("x1"))
-            .when(F.col("f") == 2, F.col("x2"))
-            .otherwise(F.col("x3"))
-        )
-        h = F.when(x > F.col("t"), F.col("s")).otherwise(-F.col("s"))
-        best = (
-            w.crossJoin(F.broadcast(cands))
-            .groupBy("f", "t", "s")
-            .agg(
-                F.sum(F.when(h != F.col("y"), F.col("w")).otherwise(F.lit(0)))
-                .cast("decimal(38,0)").alias("e"),
-                F.sum("w").cast("decimal(38,0)").alias("tot"),
+        aggs = []
+        for f, t, s in cands:
+            h = F.when(_ada_x(f) > F.lit(t), F.lit(s)).otherwise(F.lit(-s))
+            aggs.append(
+                F.sum(F.when(h != F.col("y"), w_expr).otherwise(F.lit(0)))
+                .cast("decimal(38,0)").alias(f"e_{f}_{t}_{s}")
             )
-            .orderBy("e", "f", "t", "s")
-            .limit(1)
-            .collect()[0]
+        aggs.append(F.sum(w_expr).cast("decimal(38,0)").alias("tot"))
+        row = feat.agg(*aggs).collect()[0]
+        # argmin with the same total order as the old orderBy("e","f",
+        # "t","s"): plain ascending tuple comparison on exact integers
+        e_num, bf, bt, bs = min(
+            (int(row[f"e_{f}_{t}_{s}"]), f, t, s) for f, t, s in cands
         )
-        e_num, tot = int(best["e"]), int(best["tot"])
+        tot = int(row["tot"])
+        best = {"f": bf, "t": bt, "s": bs}
         # The output schema carries err_num/total_weight as BIGINT while
         # the training loop keeps weights in DECIMAL(38,0) precisely
         # because the multiplicative products outgrow 2^63 (by round 3
@@ -1396,12 +1423,11 @@ def _adaboost_train(feat: DataFrame, k: int = 3) -> list:
         hb = F.when(
             _ada_x(best["f"]) > F.lit(best["t"]), F.lit(best["s"])
         ).otherwise(F.lit(-best["s"]))
-        w = w.withColumn(
-            "w",
-            F.when(hb == F.col("y"), F.col("w") * F.lit(e_num)).otherwise(
-                F.col("w") * F.lit(tot - e_num)
-            ).cast("decimal(38,0)"),
-        ).transform(pin)
+        w_expr = (
+            F.when(hb == F.col("y"), w_expr * F.lit(e_num)).otherwise(
+                w_expr * F.lit(tot - e_num)
+            ).cast("decimal(38,0)")
+        )
     return out
 
 

@@ -242,3 +242,155 @@ class TestTriangleOrientedPin:
         assert row.n_triangles == 4
         jsc = spark._jsparkSession.sharedState().cacheManager()
         assert jsc.isEmpty()
+
+
+class TestBm25ScanSideRewrite:
+    def test_matches_explode_formulation(self, spark):
+        """Wave 3: bm25_over's scan-side conditional-count tf + literal
+        idf must reproduce the old explode + groupBy + join formulation
+        row for row, score doubles INCLUDED (same IEEE ops in the same
+        order; idf constant-folds through the same JVM Math.log)."""
+        from open_crime_etl_pipeline_spark.queries.llm.retrieval import (
+            _BM25_B,
+            _BM25_K1,
+            _BM25_TERMS,
+            bm25_over,
+        )
+
+        rows = [
+            (1, "spark join filter spark spark pad pad"),
+            (2, "join join filter other words here"),
+            (3, "nothing matching at all whatsoever"),
+            (4, "spark alone"),
+            (5, "filter filter filter join spark mix"),
+            (6, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = bm25_over(docs, k=4).collect()
+
+        # reference: the pre-r12 explode formulation, verbatim
+        from pyspark.sql import Window
+
+        from open_crime_etl_pipeline_spark.operators import textstats as TS
+
+        toks = docs.select("doc_id", TS.tokens("text").alias("toks"))
+        dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+        agg = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+        n_docs, avgdl = float(agg["n"]), agg["s"] / agg["n"]
+        tf = (
+            toks.select("doc_id", F.explode("toks").alias("term"))
+            .filter(F.col("term").isin(*_BM25_TERMS))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        idf = tf.groupBy("term").agg(
+            F.count("*").cast("double").alias("df")
+        ).select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+        contrib = (
+            tf.join(F.broadcast(idf), "term")
+            .join(dl, "doc_id")
+            .select(
+                "doc_id", "term",
+                (
+                    F.col("idf") * F.col("tf") * F.lit(_BM25_K1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + F.lit(_BM25_K1)
+                        * (F.lit(1.0 - _BM25_B)
+                           + F.lit(_BM25_B) * F.col("dl") / F.lit(avgdl))
+                    )
+                ).alias("c"),
+            )
+        )
+        per_term = [
+            F.coalesce(F.sum(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0))
+            for t in _BM25_TERMS
+        ]
+        score = per_term[0] + per_term[1] + per_term[2]
+        scored = contrib.groupBy("doc_id").agg(
+            score.alias("score"), F.count("*").alias("n_terms_matched")
+        )
+        top = scored.orderBy(F.col("score").desc(), "doc_id").limit(4)
+        w = Window.orderBy(F.col("score").desc(), "doc_id")
+        ref = top.withColumn("rank", F.row_number().over(w)).select(
+            "doc_id", F.round("score", 6).alias("score"), "n_terms_matched", "rank"
+        ).collect()
+
+        assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+
+
+class TestLanguageIdArgmaxRewrite:
+    def test_struct_min_matches_window_argmax(self, spark):
+        """Wave 3: min(struct(-hits, lang)) + min-lang fallback must
+        elect exactly the row_number() over (hits desc, lang) winner,
+        including docs with zero profile hits in SOME languages (tie
+        among present langs) and in ALL languages (fallback row)."""
+        hits = spark.createDataFrame(
+            # doc 1: clear winner; doc 2: tie broken by lang asc;
+            # doc 3 absent entirely (zero hits everywhere)
+            [(1, "de", 5), (1, "en", 3), (2, "en", 4), (2, "de", 4)],
+            "doc_id long, lang string, hits long",
+        )
+        test = spark.createDataFrame(
+            [(1, "en"), (2, "de"), (3, "fr")],
+            "doc_id long, true_lang string",
+        )
+        langs = spark.createDataFrame([("de",), ("en",)], "lang string")
+
+        # reference: the pre-r12 crossJoin + left join + window form
+        scored = (
+            test.crossJoin(langs)
+            .join(hits, ["doc_id", "lang"], "left")
+            .na.fill({"hits": 0})
+        )
+        wd = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), "lang")
+        ref = {
+            (r["doc_id"], r["lang"])
+            for r in scored.withColumn("rn", F.row_number().over(wd))
+            .filter(F.col("rn") == 1).collect()
+        }
+
+        perdoc = hits.groupBy("doc_id").agg(
+            F.min(F.struct((-F.col("hits")).alias("neg"),
+                           F.col("lang").alias("lang"))).alias("m")
+        )
+        first_lang = langs.agg(F.min("lang").alias("__ml"))
+        got = {
+            (r["doc_id"], r["pred"])
+            for r in test.join(perdoc, "doc_id", "left")
+            .crossJoin(F.broadcast(first_lang))
+            .select("doc_id",
+                    F.coalesce(F.col("m.lang"), F.col("__ml")).alias("pred"))
+            .collect()
+        }
+        assert got == ref == {(1, "de"), (2, "de"), (3, "de")}
+
+
+class TestGdSharedFeaturization:
+    def test_trained_params_identical_with_prepared_feat(self, spark):
+        """Wave 3: passing a pre-pinned feature frame into
+        _gd_train_params must yield bit-identical weights to the
+        self-materializing path (same frame, same aggregates)."""
+        from open_crime_etl_pipeline_spark.checkpointing import pin
+        from open_crime_etl_pipeline_spark.queries.llm.training import (
+            _gd_features,
+            _gd_train_params,
+        )
+
+        rows = [
+            (1, 300, "spark data slow spark"),
+            (2, 100, "slow data"),
+            (3, 500, "spark spark spark data slow data"),
+            (4, 120, "plain words"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, n_chars int, text string")
+        w_ref, b_ref = _gd_train_params(docs)
+        feat = pin(_gd_features(docs))
+        w_got, b_got = _gd_train_params(docs, feat=feat)
+        assert w_got == w_ref and b_got == b_ref

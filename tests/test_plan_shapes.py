@@ -305,12 +305,16 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
-def test_bm25_broadcasts_idf_and_heap_topk(spark, sf_dir):
-    """BM25's idf side is |query|-sized (3 rows) and must broadcast; the
-    global top-10 must be a per-partition heap merge, not a full sort."""
+def test_bm25_scan_side_tf_and_heap_topk(spark, sf_dir):
+    """r12 contract: the 3-term query's tf/idf machinery is scan-side
+    conditional counts + constant-folded idf literals — NO token
+    explode, NO (doc, term) shuffle, NO idf/dl joins survive in the
+    plan (OPTIMIZATION_r12.md). The global top-10 must remain a
+    per-partition heap merge, not a full sort."""
     plan = _plan(spark, sf_dir, "bm25_retrieval_topk")
-    assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # the old per-token explode
+    assert "Join" not in plan  # idf/dl joins folded into the scan pass
 
 
 def test_symspell_blocking_never_goes_all_pairs(spark, sf_dir):
