@@ -1168,13 +1168,18 @@ def _tput_topk(tok: DataFrame, m: int, k: int) -> DataFrame:
     sum(tau), and the membership certificate exact > sum(tau)."""
     from pyspark.sql import Window
 
-    local = (
-        tok.groupBy("node", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)  # feeds reported + tau + nothing else
-    )
+    local = tok.groupBy("node", "term").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("node").orderBy(F.desc("c"), "term")
-    ranked = local.withColumn("rn", F.row_number().over(w))
+    # r12 wave 4: the materialization barrier moved one operator LATER —
+    # it sat on `local`, but BOTH consumers (reported, tau) read
+    # `ranked`, so the per-node ranking window ran twice; pinning the
+    # ranked frame (same row count, one extra int) runs groupBy+window
+    # once (guide §1.2). Wall-neutral at sf0.1 (interleaved A/B medians
+    # 1.29 vs 1.27 — the window over the pinned dictionary was cheap
+    # here); kept for the structural one-window plan.
+    ranked = local.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     reported = ranked.filter(F.col("rn") <= m).select("node", "term", "c")
     # tau = the m-th local count; a node with < m distinct terms reported
     # everything it has, so its cap for unreported terms is exactly 0

@@ -1153,6 +1153,13 @@ def _naive_bayes_predict(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     # explode here is cheap relative to the extra round-robin exchange,
     # and the eager checkpoint bounds the single-split cost to one pass
     # (2.1s -> 3.3s WITH the guard; reverted)
+    # (r12 wave 4: pinning the AGGREGATED tf frame instead — so cwc/
+    # tokc/voc sum tf rows rather than re-scanning token instances —
+    # was tried and REVERTED: interleaved A/B at sf0.1 measured 2.43 ->
+    # 2.82s median. The tok pin is a map-only materialization, while a
+    # tf pin blocks on the groupBy shuffle before anything else can
+    # start, and the three stat aggregates over the pinned instance
+    # table partial-aggregate map-side anyway.)
     tok = docs.select(
         "doc_id", "lang", F.explode(TS.tokens("text")).alias("term")
     ).localCheckpoint(eager=True)  # 4 downstream branches, one tokenize
