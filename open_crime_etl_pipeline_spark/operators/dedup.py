@@ -241,6 +241,7 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
     verify_exact: bool = False,
     hash_fn: str = "xxhash",
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate pairs clearing the similarity threshold.
 
@@ -255,7 +256,12 @@ def minhash_near_dup_pairs(
     pair graph is orders of magnitude smaller than the corpus, and the
     eager barrier lets the scan-side persist scaffolding be released
     immediately — repeat invocations in one session stay flat instead
-    of accumulating cached blocks."""
+    of accumulating cached blocks. ``materialize=False`` is a physical
+    hint for SINGLE-consumer callers (e.g. a driver union-find that
+    collects the pairs exactly once, r12 wave 5): the pipeline then
+    runs once inside the consumer's own action and the extra
+    materialization job is skipped. Leave True when the pairs feed
+    more than one action/consumer."""
     if hash_fn != "xxhash":
         # portable fold-hash path (oracle value checks only): shingle
         # STRINGS feed both signatures and verify — ~10× slower
@@ -301,7 +307,8 @@ def minhash_near_dup_pairs(
         out = _verify_pairs(cands, per_doc.select(id_col, "hh"), id_col, threshold)
     else:
         out = _estimate_pairs(cands, num_hashes, threshold)
-    out = out.localCheckpoint()
+    if materialize:
+        out = out.localCheckpoint()
     return out
 
 
@@ -639,6 +646,10 @@ def near_dedup(
     all unpaired docs. ``small_graph`` hints the clustering step (see
     ``cluster_representatives``)."""
     minhash_kwargs.setdefault("verify_exact", True)
+    if small_graph:
+        # the driver union-find collects the pairs exactly once — skip
+        # the operator's final materialization job (r12 wave 5)
+        minhash_kwargs.setdefault("materialize", False)
     pairs = minhash_near_dup_pairs(df, id_col, text_col, **minhash_kwargs)
     rep = cluster_representatives(pairs, small_graph=small_graph)
     losers = rep.filter(F.col("member_id") != F.col("rep_id")).select(

@@ -420,7 +420,7 @@ def connected_components_converged(
 
 
 def connected_components_star(
-    edges: DataFrame, max_iters: int = 50
+    edges: DataFrame, max_iters: int = 50, assume_canonical: bool = False
 ) -> tuple:
     """Connected components by alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -462,10 +462,21 @@ def connected_components_star(
     component minima). ``rounds_used == max_iters`` in a successful
     return therefore means "converged on the final round", never
     "budget exhausted".
+
+    ``assume_canonical=True`` is a physical hint (like ``small_graph``
+    elsewhere): the caller asserts ``edges`` is ALREADY canonical
+    (a < b, no self-loops, deduplicated) and materialized, so the
+    operator skips its canonicalize + distinct shuffle and the pin —
+    r12 wave 5 (guide §2.4): the near-dup pipelines feed a pinned
+    verified-pair table that is canonical by construction (id_a < id_b
+    out of the LSH join, distinct out of the verify), so one whole
+    shuffle + one eager materialization job per call were redundant.
+    Wrong input under the hint means wrong components — leave False
+    unless the producer guarantees the shape.
     """
     from pyspark.sql import Observation
 
-    e = (
+    e = edges if assume_canonical else (
         edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()

@@ -790,16 +790,42 @@ def pq_assign(
 
 
 def pq_train_codebook(
-    subs: DataFrame, init: DataFrame, rounds: int = 1, id_col: str = "vec_id"
+    subs: DataFrame, init: DataFrame, rounds: int = 1, id_col: str = "vec_id",
+    dsub: int | None = None,
 ) -> DataFrame:
     """Lloyd-refine an initial (s, cid, cvec) codebook for `rounds`
-    iterations: assign (broadcast argmin) -> per-(s, cid, pos) mean in
-    long form (the scale-correct element-wise aggregate — shuffles
-    |codebook|*dsub running sums, not vectors) -> rebuild arrays.
-    Means are rounded to 6dp (repo float-agg pin); centroids that
-    attract no members are dropped (both engines mirror this)."""
+    iterations: assign (broadcast argmin) -> per-(s, cid) element-wise
+    means -> rebuild arrays. Means are rounded to 6dp (repo float-agg
+    pin); centroids that attract no members are dropped (both engines
+    mirror this).
+
+    With ``dsub`` (the fixed sub-vector width) the mean step is ONE
+    fixed-width groupBy of dsub avg columns over the assigned⋈subs
+    join (r12 optimization wave 5, guide §2.4): that removes the
+    posexplode (×dsub row amplification) and the second groupBy with
+    its collect_list + array_sort. (Carrying the sub-vector through
+    the argmin struct to ALSO kill the re-join was tried and measured
+    SLOWER — min over a struct with an array field drops the argmin
+    out of the fixed-width hash-aggregate path; interleaved A/B at
+    sf0.1: ivfpq 4.42s vs 4.05s median — so the thin argmin + join
+    stays.) Still scale-correct: the aggregate partial-aggregates
+    map-side and its state is |codebook|·dsub running sums, same as
+    the long form. Without ``dsub`` the original long-form path runs
+    (kept for callers that don't know the width statically); values
+    are identical — same argmin, same avg over the same elements,
+    same 6dp round."""
     cb = init
     for _ in range(rounds):
+        if dsub is not None:
+            assigned = pq_assign(subs, cb, id_col).select(id_col, "s", "cid")
+            cb = (
+                assigned.join(subs, [id_col, "s"])
+                .groupBy("s", "cid")
+                .agg(F.array(*[
+                    F.round(F.avg(F.col("sub")[i]), 6) for i in range(dsub)
+                ]).alias("cvec"))
+            )
+            continue
         assigned = pq_assign(subs, cb, id_col).select(id_col, "s", "cid")
         cells = assigned.join(subs, [id_col, "s"]).select(
             "s", "cid", F.posexplode("sub").alias("pos", "val")

@@ -356,7 +356,7 @@ def pq_adc_over(emb: DataFrame) -> DataFrame:
     # 128-row codebook feeds BOTH the encode join and the ADC table:
     # materialize once (driver-local barrier on an O(m*k) frame) so the
     # Lloyd job doesn't replay per consumer.
-    cb = S.pq_train_codebook(subs, init, rounds=1).localCheckpoint()
+    cb = S.pq_train_codebook(subs, init, rounds=1, dsub=_PQ_DSUB).localCheckpoint()
     codes = S.pq_assign(subs, cb).select("vec_id", "s", "cid")
     qsubs = subs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "s", "sub"
@@ -527,7 +527,7 @@ def ivfpq_adc_over(
     cinit = full.filter(F.col("vec_id") < _IVF_KC).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )
-    ccb = S.pq_train_codebook(full, cinit, rounds=1).localCheckpoint()
+    ccb = S.pq_train_codebook(full, cinit, rounds=1, dsub=64).localCheckpoint()
     cass = S.pq_assign(full, ccb).select("vec_id", F.col("cid").alias("ccid"))
     cells = ccb.select(F.col("cid").alias("ccid"), F.col("cvec").alias("ccvec"))
     resid = (
@@ -558,7 +558,7 @@ def ivfpq_adc_over(
     rinit = rsubs.filter(F.col("vec_id") < _PQ_K0).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )
-    rcb = S.pq_train_codebook(rsubs, rinit, rounds=1).localCheckpoint()
+    rcb = S.pq_train_codebook(rsubs, rinit, rounds=1, dsub=_PQ_DSUB).localCheckpoint()
     codes = S.pq_assign(rsubs, rcb, carry_cols=("ccid",)).select(
         "vec_id", "ccid", "s", "cid"
     )

@@ -372,18 +372,27 @@ def near_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dedup_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ...operators import graph as G
 
+    from pyspark.sql import Window
+
     corpus = _corpus_near(spark, sf_dir)
     pairs = D.minhash_near_dup_pairs(
         corpus, "doc_id", "text",
         num_hashes=32, bands=16, threshold=0.7, verify_exact=True,
     )
+    # pairs is canonical by construction (id_a < id_b from the LSH
+    # join, distinct from the verify, no self-loops) and pinned by
+    # minhash_near_dup_pairs — assert that so the operator skips its
+    # redundant canonicalize+distinct shuffle and re-pin (r12 wave 5).
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    labels, _rounds = G.connected_components_star(edges)
-    sizes = labels.groupBy("label").agg(F.count("*").alias("n_members"))
-    return labels.join(sizes, "label").select(
+    labels, _rounds = G.connected_components_star(edges, assume_canonical=True)
+    # component size via count() OVER (PARTITION BY label): one pass
+    # over the labels instead of groupBy + join-back — the same device
+    # as duplicate_ngram_fraction's dfreq (r12 wave 1); also avoids
+    # re-running the label read-out union+distinct once per consumer.
+    return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("rep_id"),
-        "n_members",
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("n_members"),
     )
 
 _INCR_BATCH_SQL = """

@@ -394,3 +394,81 @@ class TestGdSharedFeaturization:
         feat = pin(_gd_features(docs))
         w_got, b_got = _gd_train_params(docs, feat=feat)
         assert w_got == w_ref and b_got == b_ref
+
+
+class TestPqCodebookFixedWidthMeans:
+    def test_dsub_path_equals_long_form(self, spark):
+        """Wave 5: pq_train_codebook's fixed-width mean aggregate (one
+        groupBy of dsub avg columns) must yield the identical codebook
+        to the long-form posexplode + two-groupBy path — same argmin,
+        same avg over the same elements, same 6dp round."""
+        from open_crime_etl_pipeline_spark.operators.similarity import (
+            pq_subvectors,
+            pq_train_codebook,
+        )
+
+        emb = spark.range(60).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: ((F.col("id") * 13 + i * 7) % 29).cast("double") / 29.0,
+            ).alias("embedding"),
+        )
+        subs = pq_subvectors(emb, "vec_id", "embedding", m=4, dsub=4)
+        init = subs.filter(F.col("vec_id") < 5).select(
+            "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
+        )
+        ref = {
+            (r["s"], r["cid"]): tuple(r["cvec"])
+            for r in pq_train_codebook(subs, init, rounds=1).collect()
+        }
+        got = {
+            (r["s"], r["cid"]): tuple(r["cvec"])
+            for r in pq_train_codebook(subs, init, rounds=1, dsub=4).collect()
+        }
+        assert got == ref and len(got) > 0
+
+
+class TestStarAssumeCanonical:
+    def test_canonical_hint_matches_default(self, spark):
+        """Wave 5: on an already-canonical (a < b, deduplicated,
+        self-loop-free, materialized) edge set, assume_canonical=True
+        must return the identical fixpoint labels and round count as
+        the default canonicalizing path."""
+        from open_crime_etl_pipeline_spark.checkpointing import pin
+        from open_crime_etl_pipeline_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        rows = [(1, 2), (2, 3), (5, 6), (8, 9), (3, 9)]
+        edges = pin(spark.createDataFrame(rows, "a long, b long"))
+        ref_labels, ref_rounds = connected_components_star(edges)
+        got_labels, got_rounds = connected_components_star(
+            edges, assume_canonical=True
+        )
+        ref = sorted(map(tuple, ref_labels.collect()))
+        got = sorted(map(tuple, got_labels.collect()))
+        assert got == ref and got_rounds == ref_rounds
+
+
+class TestPairsMaterializeHint:
+    def test_unmaterialized_pairs_identical(self, spark, docs):
+        """Wave 5: materialize=False (single-consumer hint) must return
+        the same verified pair set as the default materialized path."""
+        from open_crime_etl_pipeline_spark.operators.dedup import (
+            minhash_near_dup_pairs,
+        )
+
+        kw = dict(num_hashes=16, bands=8, threshold=0.5, verify_exact=True)
+        ref = sorted(
+            map(tuple, minhash_near_dup_pairs(docs, "doc_id", "text", **kw).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                minhash_near_dup_pairs(
+                    docs, "doc_id", "text", materialize=False, **kw
+                ).collect(),
+            )
+        )
+        assert got == ref and len(got) > 0
