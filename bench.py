@@ -319,6 +319,16 @@ def main() -> None:
     par_canary = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
+    # r13 (round-12 verdict item 7): per-query contention probes. The
+    # pre-loop canaries missed contention that DEVELOPED mid-run (the
+    # r12 driver artifact's zorder_3d/merkle tail ran 5x slow on a
+    # 32-core session yet clean at 8 cores — a late-run host episode
+    # invisible to canaries that only ran before the loop). A 1e6-iter
+    # slice of the same canary loop (~60ms idle) timed right after each
+    # query gives the reader a per-slot host-speed trace; a contended
+    # window shows up as probe inflation on exactly the affected
+    # queries. Probes run OUTSIDE the per-query timers.
+    probes: dict[str, float] = {}
     for name in headline:
         fn = specs[name].fn
         t0 = time.perf_counter()
@@ -331,6 +341,28 @@ def main() -> None:
         # churn; per-query attribution should not bill a neighbor's
         # garbage).
         spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _canary_loop(1_000_000)
+        probes[name] = round(time.perf_counter() - t0, 3)
+
+    # r13: full canary block AGAIN after the loop (verdict item 7) so a
+    # judge can adjudicate late-run contamination: clean before + clean
+    # after + flat probes => the per-query numbers are trustworthy.
+    t0 = time.perf_counter()
+    _canary_loop()
+    py_canary_after = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    (
+        spark.range(20_000_000)
+        .groupBy((F.col("id") % 1000).alias("k"))
+        .count()
+        .count()
+    )
+    jvm_canary_after = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    with _cf.ProcessPoolExecutor(max_workers=n_workers) as pool:
+        list(pool.map(_canary_loop, [10_000_000] * n_workers))
+    par_canary_after = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -352,15 +384,30 @@ def main() -> None:
         "canary": {"py_loop_sec": py_canary, "jvm_shuffle_sec": jvm_canary,
                    "par_loop_sec": par_canary, "par_workers": n_workers,
                    "cpus": int(cpus)},
+        # post-loop canaries + per-slot probes (r13 additive fields;
+        # see comments above). probes are seconds for a fixed 1e6-iter
+        # single-core loop timed right after each query's slot.
+        "canary_after": {"py_loop_sec": py_canary_after,
+                         "jvm_shuffle_sec": jvm_canary_after,
+                         "par_loop_sec": par_canary_after,
+                         "par_workers": n_workers, "cpus": int(cpus)},
+        "probes": probes,
     }))
     if "--slow" in sys.argv:
         slow_timings: dict[str, float] = {}
+        slow_probes: dict[str, float] = {}
         for name in slow:
             fn = specs[name].fn
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             slow_timings[name] = round(time.perf_counter() - t0, 3)
             spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            _canary_loop(1_000_000)
+            slow_probes[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _canary_loop()
+        py_after_slow = round(time.perf_counter() - t0, 3)
         print(json.dumps({
             "metric": "slow_queries_runtime",
             "value": round(sum(slow_timings.values()), 3),
@@ -371,6 +418,9 @@ def main() -> None:
                        "jvm_shuffle_sec": jvm_canary,
                        "par_loop_sec": par_canary,
                        "par_workers": n_workers, "cpus": int(cpus)},
+            "canary_after": {"py_loop_sec": py_after_slow,
+                             "par_workers": n_workers, "cpus": int(cpus)},
+            "probes": slow_probes,
         }))
     spark.stop()
 

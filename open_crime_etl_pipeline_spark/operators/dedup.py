@@ -594,7 +594,9 @@ def cluster_representatives(
         schema = pairs.select(
             F.col("id_a").alias("member_id"), F.col("id_a").alias("rep_id")
         ).schema
-        return spark.createDataFrame(out, schema)
+        from ..localrel import local_df
+
+        return local_df(spark, out, schema)
     # localCheckpoint (not just persist): iterative plans otherwise grow
     # the lineage multiplicatively — Catalyst re-analyzes the whole
     # upstream LSH pipeline per round and broadcasts re-execute it. The

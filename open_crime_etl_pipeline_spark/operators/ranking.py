@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..checkpointing import pin
+from ..localrel import local_df
 
 
 def global_row_number(
@@ -138,7 +139,12 @@ def grouped_running_sum(
             F.col(value_col).cast("long").alias("__off"),
         ).schema
     )
-    off_df = F.broadcast(spark.createDataFrame(offsets, off_schema))
+    # local_df, not createDataFrame: the offsets broadcast otherwise
+    # scans a 32-partition pickled RDD (a full job with one Python
+    # worker round-trip per task) on EVERY ranking pass — this helper
+    # runs once per percentile query and once per suffix-doubling
+    # round (r13).
+    off_df = F.broadcast(local_df(spark, offsets, off_schema))
     w = (
         Window.partitionBy("__pid", group_col)
         .orderBy(*ocols)
@@ -315,7 +321,7 @@ def weighted_percentiles(
     )
     w_total = int(totals["cum_w"] or 0)
     tgts = [(float(p), exact_target_rank(p, w_total)) for p in ps]
-    tgt = df.sparkSession.createDataFrame(tgts, "p double, __t long")
+    tgt = local_df(df.sparkSession, tgts, "p double, __t long")
     crossing = (F.col("cum_w") >= F.col("__t")) & (
         F.col("cum_w") - F.col("w") < F.col("__t")
     )
@@ -386,7 +392,7 @@ def exact_percentiles(
         with_count=True,
     )
     tgts = [(float(p), exact_target_rank(p, int(n))) for p in ps]
-    tgt = df.sparkSession.createDataFrame(tgts, "p double, __tgt long")
+    tgt = local_df(df.sparkSession, tgts, "p double, __tgt long")
     return (
         ranked.join(
             F.broadcast(tgt), ranked["__rn"] == tgt["__tgt"], "inner"

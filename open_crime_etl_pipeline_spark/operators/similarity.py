@@ -390,7 +390,10 @@ def kmeans_parallel_centroids(
         nxt = max((i for i in ids if i not in chosen), key=score)
         chosen.append(nxt)
     spark = df.sparkSession
-    cents = spark.createDataFrame(
+    from ..localrel import local_df
+
+    cents = local_df(
+        spark,
         [(ci, [float(x) for x in vecs[i]]) for ci, i in enumerate(sorted(chosen))],
         "cluster_id int, cvec array<double>",
     )
@@ -840,6 +843,69 @@ def pq_train_codebook(
             ).alias("cvec")
         )
     return cb
+
+
+def collect_codebook(cb: DataFrame) -> list[tuple[int, int, list[float]]]:
+    """Collect a tiny (s, cid, cvec) codebook frame to the driver as a
+    canonically ordered row list (sorted by (s, cid) so expression
+    trees built from it are deterministic). A PQ codebook is O(m·k)
+    rows — constant in corpus size — so this is model-state-to-driver,
+    exactly the split the BPE/GD training loops already use; the
+    corpus itself never moves."""
+    return sorted(
+        (int(r["s"]), int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in cb.collect()
+    )
+
+
+def codebook_df(spark, rows: list[tuple[int, int, list[float]]]) -> DataFrame:
+    """Driver-collected codebook rows back as a (s, cid, cvec) frame —
+    a TRUE LocalRelation (SQL ``VALUES``), same schema the join-based
+    consumers (e.g. :func:`pq_adc_topk`'s distance table) expect.
+    NOT ``spark.createDataFrame(list)``: that parallelizes the rows
+    into a defaultParallelism-partition PICKLED RDD, so every
+    broadcast over it runs a whole 32-task scan job with a Python
+    worker round-trip per task (~0.2s/task of pure overhead —
+    measured as the two dominant stages of the r13 pq profile). A
+    ``VALUES`` relation constant-folds driver-side: broadcasts build
+    from driver memory with ZERO jobs. Doubles round-trip via
+    ``repr`` (shortest exact form), so distances computed from this
+    frame are bit-identical to ones from the original lineage."""
+    from ..localrel import local_df
+
+    return local_df(spark, rows, "s INT, cid BIGINT, cvec ARRAY<DOUBLE>")
+
+
+def inline_nearest_single(
+    rows: list[tuple[int, int, list[float]]], sub_col: str = "sub"
+) -> Column:
+    """Nearest-centroid struct(d2, cid) computed ENTIRELY scan-side
+    against a driver-collected SINGLE-subspace codebook (r13, guide
+    §2.4 "remove shuffles outright"): a ``least`` over one literal
+    candidate struct per centroid — no broadcast join, no partial-agg
+    groupBy shuffle, no exchange. Distances are the same
+    :func:`sq_dist` pinned fold over the same doubles (the centroid
+    is a constant-folded literal array) and ties break on cid exactly
+    like the struct-min in :func:`pq_assign`, so values are
+    bit-identical. Meant for SMALL candidate sets (an IVF coarse
+    quantizer: kc ≈ 8-256): the expression is O(kc) nodes. For the
+    m×k residual codebook keep the join-based :func:`pq_assign` —
+    a CASE-dispatched m·k literal tree measured strictly worse
+    (seconds of py4j Column-build time plus interpreted evaluation
+    of the mega-expression; r13 measured-revert note)."""
+    cands = [(cid, cvec) for s, cid, cvec in rows]
+    if {s for s, _, _ in rows} != {0}:
+        raise ValueError("inline_nearest_single: codebook must have s == 0 only")
+    structs = [
+        F.struct(
+            sq_dist(
+                F.col(sub_col), F.array(*[F.lit(x) for x in cvec])
+            ).alias("d2"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, cvec in cands
+    ]
+    return structs[0] if len(structs) == 1 else F.least(*structs)
 
 
 def pq_adc_topk(

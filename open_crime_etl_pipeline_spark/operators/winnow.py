@@ -49,13 +49,23 @@ _ENC = 1 << 31  # position-field width; see module docstring for the bound proof
 
 
 def winnowing_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 8
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 8,
+    widen: bool = True,
 ) -> DataFrame:
     """Selected winnowing fingerprints (module docstring). Returns
-    distinct (id_col, pos long, fp long)."""
+    distinct (id_col, pos long, fp long).
+
+    ``widen`` guards the fan_out below: the full-corpus caller keeps
+    it (r12 wave 1: 5.0 → 1.6s isolated — the gram explode serialized
+    on a single parquet split), but thin-slice callers (the pair
+    queries' doc_id % 25 corpus) pass False — there the round-robin
+    exchange costs more than the parallelism it buys, and it was the
+    larger half of the r12 winnowing_similarity_pairs regression
+    (round-12 verdict item 2; r13 A/B in OPTIMIZATION_r13.md)."""
     # the gram explode + per-gram md5 is the expensive stage and runs
     # scan-side: don't let a few input files serialize it (guide §2.5)
-    df = fan_out(df)
+    if widen:
+        df = fan_out(df)
     ng = F.greatest(F.length(text_col) - (k - 1), F.lit(1))  # gram count
     grams = df.select(
         F.col(id_col),

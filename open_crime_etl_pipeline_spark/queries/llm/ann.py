@@ -342,21 +342,26 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_adc_over(emb: DataFrame) -> DataFrame:
     """pq_adc_topk's full pipeline over an arbitrary (vec_id,
     embedding) frame — shared with the scale tool so the proof
-    measures exactly what the registered query runs."""
-    # subs feeds five consumers but is NOT pinned (r12 revert of the
-    # wave-1 eager checkpoint): its chain is just scan+slice — cheaper
-    # to recompute than to materialize O(N*m) sub-vector blocks.
-    # Interleaved A/B at sf0.1 (4 reps): pinned 3.19s median vs
-    # un-pinned 2.31s, values identical (guide §5: cache only when
-    # recompute costs more than the materialization).
+    measures exactly what the registered query runs.
+
+    r13 shape (guide §2.4): the trained codebook is O(m·k) model
+    state, so it crosses the driver ONCE (collect_codebook) and comes
+    back as a LOCAL RELATION — its two consumers (the encode join's
+    broadcast and the ADC distance table) build their broadcasts
+    straight from driver memory instead of each running a
+    collect-the-checkpoint job against the r12
+    ``localCheckpoint()``'d frame. subs stays un-pinned (r12 revert
+    kept: scan+slice is cheaper to recompute than to materialize)."""
     subs = S.pq_subvectors(emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
     init = subs.filter(F.col("vec_id") < _PQ_K0).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )
-    # 128-row codebook feeds BOTH the encode join and the ADC table:
-    # materialize once (driver-local barrier on an O(m*k) frame) so the
-    # Lloyd job doesn't replay per consumer.
-    cb = S.pq_train_codebook(subs, init, rounds=1, dsub=_PQ_DSUB).localCheckpoint()
+    cb = S.codebook_df(
+        emb.sparkSession,
+        S.collect_codebook(
+            S.pq_train_codebook(subs, init, rounds=1, dsub=_PQ_DSUB)
+        ),
+    )
     codes = S.pq_assign(subs, cb).select("vec_id", "s", "cid")
     qsubs = subs.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "s", "sub"
@@ -512,82 +517,107 @@ def ivfpq_adc_over(
 ) -> DataFrame:
     """ivfpq_residual_adc_topk's full two-level pipeline over an
     arbitrary (vec_id, embedding) frame — shared with the scale tool
-    so the proof measures exactly what the registered query runs."""
+    so the proof measures exactly what the registered query runs.
+
+    r13 shape (guide §2.4; round-12 verdict item 1):
+
+    - The trained COARSE codebook (kc=8 × 64 doubles) is driver-held
+      model state; the cell assignment becomes a scan-side literal
+      argmin (S.inline_nearest_single — no broadcast join, no argmin
+      groupBy shuffle) and the centroid lookup a CASE over kc literal
+      arrays. The whole residual chain (assign → subtract → slice →
+      posexplode) is therefore MAP-ONLY: the r12 emb⋈cass⋈cells join
+      pipeline, its per-assign shuffles, and the O(N·m)
+      ``rsubs.localCheckpoint`` (the verdict's flagged regression)
+      all disappear — consumers re-run one cheap columnar scan each.
+    - The RESIDUAL codebook (m·k = 128 rows) keeps the join-based
+      :func:`pq_assign` (a literal m×k expression tree measured
+      strictly worse — seconds of Column-build + interpreted eval;
+      r13 measured-revert note) but crosses the driver once and comes
+      back as a LOCAL RELATION, so its broadcasts build from driver
+      memory with no collect-the-checkpoint jobs.
+
+    Values bit-identical (same sq_dist folds, same (d2, cid)
+    tie-breaks, same 6dp means — the oracle replays them)."""
     from functools import reduce as _reduce
 
     from pyspark.sql import Window
 
-    # coarse quantizer: PQ machinery, one 64-dim subspace. NOT pinned
-    # (r12 revert, same measurement as pq_adc_over's subs): the m=1
-    # slice chain is one scan+project — recompute beats materializing
-    # the full-vector frame. rsubs below stays pinned: ITS chain is a
-    # join pipeline. Interleaved A/B at sf0.1: full-pinned+rsubs-pinned
-    # 4.38s vs full-plain+rsubs-pinned 3.97s median.
     full = S.pq_subvectors(emb, "vec_id", "embedding", m=1, dsub=64)
     cinit = full.filter(F.col("vec_id") < _IVF_KC).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )
-    ccb = S.pq_train_codebook(full, cinit, rounds=1, dsub=64).localCheckpoint()
-    cass = S.pq_assign(full, ccb).select("vec_id", F.col("cid").alias("ccid"))
-    cells = ccb.select(F.col("cid").alias("ccid"), F.col("cvec").alias("ccvec"))
-    resid = (
-        emb.join(cass, "vec_id")
-        .join(F.broadcast(cells), "ccid")
-        .select(
-            "vec_id", "ccid",
-            F.zip_with(
-                S.as_double_array("embedding"), F.col("ccvec"), lambda x, c: x - c
-            ).alias("rvec"),
-        )
+    ccb_rows = S.collect_codebook(
+        S.pq_train_codebook(full, cinit, rounds=1, dsub=64)
     )
-    # residual sub-vectors CARRY the cell id: ccid is functionally
-    # dependent on vec_id, so threading it through the encode groupBy
-    # costs nothing and avoids re-joining two O(N) frames (codes x
-    # cell assignment) just to recover it — one whole shuffle saved
-    # on the index-build path.
+    # literal centroid arrays, built ONCE and shared by every
+    # consumer expression (Column objects are immutable)
+    _cell_lit = {
+        cid: F.array(*[F.lit(x) for x in cvec]) for _, cid, cvec in ccb_rows
+    }
+
+    def _cell_arr(cid_col):
+        # centroid lookup as a CASE over the kc literal arrays
+        expr = None
+        for _, cid, _cv in ccb_rows:
+            cond = cid_col == F.lit(cid).cast("long")
+            expr = (
+                F.when(cond, _cell_lit[cid])
+                if expr is None
+                else expr.when(cond, _cell_lit[cid])
+            )
+        return expr
+
+    fv = S.as_double_array("embedding")
+    assigned = emb.select("vec_id", fv.alias("fv")).select(
+        "vec_id", "fv",
+        S.inline_nearest_single(ccb_rows, sub_col="fv")["cid"].alias("ccid"),
+    )
+    resid = assigned.select(
+        "vec_id", "ccid",
+        F.zip_with("fv", _cell_arr(F.col("ccid")), lambda x, c: x - c).alias(
+            "rvec"
+        ),
+    )
     rslices = F.array(*[
         F.slice("rvec", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)
     ])
-    # rsubs' upstream chain is itself a join pipeline (emb ⋈ cass ⋈
-    # broadcast cells → zip_with → posexplode); with 4 consumers the
-    # whole chain — including the coarse assign that produces cass —
-    # would re-execute per consumer. Pin the O(N*m) result instead.
     rsubs = resid.select(
         "vec_id", "ccid", F.posexplode(rslices).alias("s", "sub")
-    ).localCheckpoint(eager=True)
+    )
     rinit = rsubs.filter(F.col("vec_id") < _PQ_K0).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )
-    rcb = S.pq_train_codebook(rsubs, rinit, rounds=1, dsub=_PQ_DSUB).localCheckpoint()
+    rcb = S.codebook_df(
+        emb.sparkSession,
+        S.collect_codebook(
+            S.pq_train_codebook(rsubs, rinit, rounds=1, dsub=_PQ_DSUB)
+        ),
+    )
     codes = S.pq_assign(rsubs, rcb, carry_cols=("ccid",)).select(
         "vec_id", "ccid", "s", "cid"
     )
-    # nprobe nearest cells per query
-    qd = (
-        full.filter(F.col("vec_id") < 5)
-        .join(F.broadcast(ccb), "s")
-        .select(
-            F.col("vec_id").alias("query_id"), F.col("cid").alias("ccid"),
-            S.sq_dist(F.col("sub"), F.col("cvec")).alias("d2"),
+    # nprobe nearest cells per query: sort the kc candidate structs
+    # (d2 asc, ccid asc — the same order the old row_number window
+    # used) scan-side and take the first nprobe. No window shuffle.
+    qcells = F.array_sort(F.array(*[
+        F.struct(
+            S.sq_dist(F.col("fv"), _cell_lit[cid]).alias("d2"),
+            F.lit(cid).cast("long").alias("ccid"),
         )
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("ccid").asc()
-    )
-    probes = (
-        qd.withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= _IVF_NPROBE)
-        .select("query_id", "ccid")
-    )
+        for _, cid, _cv in ccb_rows
+    ]))
     qres = (
         emb.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-        .join(probes, "query_id")
-        .join(F.broadcast(cells), "ccid")
+        .select(F.col("vec_id").alias("query_id"), fv.alias("fv"))
         .select(
-            "query_id", "ccid",
+            "query_id", "fv",
+            F.explode(F.slice(qcells, 1, _IVF_NPROBE)).alias("pb"),
+        )
+        .select(
+            "query_id", F.col("pb.ccid").alias("ccid"),
             F.zip_with(
-                S.as_double_array("embedding"), F.col("ccvec"), lambda x, c: x - c
+                "fv", _cell_arr(F.col("pb.ccid")), lambda x, c: x - c
             ).alias("qrv"),
         )
     )

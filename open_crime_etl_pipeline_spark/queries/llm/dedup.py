@@ -1444,19 +1444,19 @@ def _winnow_verified_shared(spark: SparkSession, sf_dir: str):
     """Shared core of the winnowing pair queries: fingerprints over the
     doc_id % 25 slice (k=12, w=8) and the collision-verified distinct
     (doc_a, doc_b, fp) shared-fingerprint table."""
-    from ...checkpointing import pin
     from ...operators.winnow import winnowing_fingerprints as _wf
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
-    # r12: pin the fingerprint table — it feeds both self-join sides
-    # plus the callers' per-doc counts. The join's two sides already
-    # shared ONE exchange (identical subtree + hash(fp) partitioning
-    # -> ReusedExchange), so the A/B is wall-NEUTRAL at sf0.1 (2.02 vs
-    # 2.01s medians); kept because the per-doc-count consumer still
-    # re-ran the whole gram explode + md5 + window-min chain, which
-    # the pin removes (plan: one fingerprint build, not two). Narrow
-    # (id, pos, fp) longs; guide §5.
-    fp = pin(_wf(docs, "doc_id", "text", k=12, w=8))
+    # r13 (round-12 verdict item 2): the r12 fan_out + eager pin
+    # composition REGRESSED this slice path on both hosts (driver
+    # 1.17 → 1.87s; builder artifacts 1.36 → 3.70s across waves) — the
+    # %25 slice is tiny, so the pin's eager job + the operator's
+    # round-robin exchange cost more than the recompute they save,
+    # and the self-join's two sides already share ONE exchange via
+    # ReusedExchange. Reverted to the r11 shape: no pin, no fan_out
+    # (widen=False); the per-doc-count consumer re-runs the (cheap,
+    # slice-sized) gram chain instead.
+    fp = _wf(docs, "doc_id", "text", k=12, w=8, widen=False)
     a = fp.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "fp"
     )

@@ -103,8 +103,10 @@ def lang_id_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     marker_rows = [(lang, m) for lang, ms in TS.LANG_MARKERS.items() for m in ms]
+    from ...localrel import local_df
+
     markers = F.broadcast(
-        spark.createDataFrame(marker_rows, "lang string, marker string")
+        local_df(spark, marker_rows, "lang string, marker string")
     )
     toks = docs.select("doc_id", F.explode(TS.tokens("text")).alias("token"))
     scores = (
@@ -279,7 +281,9 @@ def frequent_terms_cms_certificate(spark: SparkSession, sf_dir: str) -> DataFram
     for r in top:
         est = cms.estimateCount(r.term)
         rows.append((r.term, r.exact_count, bool(r.exact_count <= est <= r.exact_count + slack)))
-    return spark.createDataFrame(rows, "term string, exact_count long, cms_ok boolean")
+    from ...localrel import local_df
+
+    return local_df(spark, rows, "term string, exact_count long, cms_ok boolean")
 
 @register(
     "tfidf_top_terms",
@@ -580,8 +584,15 @@ def bpe_multi_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = _bpe_merge_loop(
         _bpe_symbol_corpus(spark, sf_dir).select("cnt", "rep"), k=4
     )
-    return spark.createDataFrame(
-        merges, "round int, w1 string, w2 string, merged string, pair_count long"
+    from ...localrel import local_df
+
+    # local_df, not createDataFrame: the 4-row merge table otherwise
+    # materializes as a 32-partition pickled RDD whose scan was the
+    # single dominant stage of this query's profile (8.0s summed
+    # runtime / 0.16s CPU of pure Python-worker round-trips; r13).
+    return local_df(
+        spark, merges,
+        "round int, w1 string, w2 string, merged string, pair_count long",
     ).orderBy("round")
 
 @register(

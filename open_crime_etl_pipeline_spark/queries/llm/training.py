@@ -356,8 +356,10 @@ _CLASSIFIER_BIAS = -0.2
     tags=("llm", "text", "inference"),
 )
 def linear_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    weights = spark.createDataFrame(
-        [(t, w) for t, w in _CLASSIFIER_WEIGHTS], "term string, wt string"
+    from ...localrel import local_df
+
+    weights = local_df(
+        spark, [(t, w) for t, w in _CLASSIFIER_WEIGHTS], "term string, wt string"
     ).select("term", F.col("wt").cast("decimal(4,2)").alias("wt"))
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", TS.tokens("text").alias("toks"))
@@ -602,8 +604,10 @@ def logistic_gd_over(docs: DataFrame) -> DataFrame:
     names = ["bias", "w_spark", "w_data", "w_slow"]
     vals = [b2, w2[0], w2[1], w2[2]]
     # F.round (HALF_UP) — not Python round() (banker's) — to match SQL
-    return spark.createDataFrame(
-        list(zip(names, vals)), "param string, value double"
+    from ...localrel import local_df
+
+    return local_df(
+        spark, list(zip(names, vals)), "param string, value double"
     ).select("param", F.round("value", 6).alias("value"))
 
 def _gd_train_params(docs: DataFrame, feat: DataFrame | None = None) -> tuple:
@@ -1321,8 +1325,10 @@ _ADA_ORACLE_OUT = """
 def adaboost_stumps_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     rounds = _adaboost_train(_ada_features(docs), k=3)
-    out = spark.createDataFrame(
-        rounds,
+    from ...localrel import local_df
+
+    out = local_df(
+        spark, rounds,
         "round int, feature string, threshold int, sign int, "
         "err_num long, total_weight long, alpha double",
     )
