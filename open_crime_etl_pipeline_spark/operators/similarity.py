@@ -876,6 +876,30 @@ def codebook_df(spark, rows: list[tuple[int, int, list[float]]]) -> DataFrame:
     return local_df(spark, rows, "s INT, cid BIGINT, cvec ARRAY<DOUBLE>")
 
 
+def sql_double(x: float) -> str:
+    """A double as exact SQL text (repr round-trips the IEEE value)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def sql_arr(cvec: list[float]) -> str:
+    """A literal double array as SQL text."""
+    return "array(" + ", ".join(sql_double(x) for x in cvec) + ")"
+
+
+def sql_sq_dist(col_sql: str, arr_sql: str) -> str:
+    """:func:`sq_dist` as SQL text — the IDENTICAL Catalyst expression
+    (zip_with + left-fold aggregate, same lambda bodies), just parsed
+    from one string instead of built through thousands of py4j
+    Column-DSL round-trips (~1ms each; the first literal-codebook
+    formulation spent several SECONDS of driver time just constructing
+    expressions — r13 measurement)."""
+    return (
+        f"aggregate(zip_with({col_sql}, {arr_sql}, "
+        f"(x, c) -> (x - c) * (x - c)), {sql_double(0.0)}, "
+        f"(acc, y) -> acc + y)"
+    )
+
+
 def inline_nearest_single(
     rows: list[tuple[int, int, list[float]]], sub_col: str = "sub"
 ) -> Column:
@@ -887,25 +911,22 @@ def inline_nearest_single(
     :func:`sq_dist` pinned fold over the same doubles (the centroid
     is a constant-folded literal array) and ties break on cid exactly
     like the struct-min in :func:`pq_assign`, so values are
-    bit-identical. Meant for SMALL candidate sets (an IVF coarse
-    quantizer: kc ≈ 8-256): the expression is O(kc) nodes. For the
-    m×k residual codebook keep the join-based :func:`pq_assign` —
-    a CASE-dispatched m·k literal tree measured strictly worse
-    (seconds of py4j Column-build time plus interpreted evaluation
-    of the mega-expression; r13 measured-revert note)."""
-    cands = [(cid, cvec) for s, cid, cvec in rows]
+    bit-identical. Built as SQL text (:func:`sql_sq_dist`) — one
+    F.expr parse, not O(kc·dsub) py4j calls. Meant for SMALL candidate
+    sets (an IVF coarse quantizer: kc ≈ 8-256): the expression is
+    O(kc) nodes. For the m×k residual codebook keep the join-based
+    :func:`pq_assign` — a CASE-dispatched m·k literal tree measured
+    strictly worse (r13 measured-revert note)."""
     if {s for s, _, _ in rows} != {0}:
         raise ValueError("inline_nearest_single: codebook must have s == 0 only")
     structs = [
-        F.struct(
-            sq_dist(
-                F.col(sub_col), F.array(*[F.lit(x) for x in cvec])
-            ).alias("d2"),
-            F.lit(cid).cast("long").alias("cid"),
-        )
-        for cid, cvec in cands
+        f"named_struct('d2', {sql_sq_dist(sub_col, sql_arr(cvec))}, "
+        f"'cid', CAST({cid} AS BIGINT))"
+        for _, cid, cvec in rows
     ]
-    return structs[0] if len(structs) == 1 else F.least(*structs)
+    if len(structs) == 1:
+        return F.expr(structs[0])
+    return F.expr("least(" + ", ".join(structs) + ")")
 
 
 def pq_adc_topk(

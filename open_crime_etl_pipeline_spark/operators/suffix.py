@@ -127,18 +127,26 @@ def suffix_ranks(
     # Spark's sequence(1, 0) silently yields the DESCENDING [1, 0]
     # (positions 0 and 1 of an empty string), unlike SQL
     # generate_series(1, 0) which is empty.
+    from pyspark.sql import Observation
+
+    # r13: n_total and maxlen ride the suf pin's eager job as an
+    # Observation — max(pos) over the suffix rows IS the longest
+    # document's length (pos enumerates 1..len per doc), so the
+    # separate count() and max(length) jobs are gone (guide §1.2).
+    obs = Observation()
     suf = pin(
         df.filter(F.length(text_col) >= 1)
         .select(
             F.col(id_col).alias("__doc"),
             F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("pos"),
             F.col(text_col).alias("__t"),
-        ).select("__doc", "pos", F.expr(f"substring(__t, pos, {w0})").alias("__g"))
+        )
+        .select("__doc", "pos", F.expr(f"substring(__t, pos, {w0})").alias("__g"))
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.max("pos").alias("m"))
     )
-    n_total = suf.count()
-    maxlen = int(
-        df.agg(F.max(F.length(text_col)).alias("m")).collect()[0]["m"] or 1
-    )
+    vals = obs.get  # blocks on the pin job just executed
+    n_total = int(vals["n"] or 0)
+    maxlen = int(vals["m"] or 1)
     explicit_cap = max_rounds is not None
     if max_rounds is None:
         # after r rounds the comparison window is w0 * 2^r; cover maxlen

@@ -550,23 +550,22 @@ def ivfpq_adc_over(
     ccb_rows = S.collect_codebook(
         S.pq_train_codebook(full, cinit, rounds=1, dsub=64)
     )
-    # literal centroid arrays, built ONCE and shared by every
-    # consumer expression (Column objects are immutable)
-    _cell_lit = {
-        cid: F.array(*[F.lit(x) for x in cvec]) for _, cid, cvec in ccb_rows
-    }
+    # all literal expressions below are SQL TEXT parsed with one
+    # F.expr each — the Column-DSL form of the same trees costs
+    # thousands of py4j round-trips (measured ~3.5s of driver time
+    # per query construction; r13)
+    _cell_sql = {cid: S.sql_arr(cvec) for _, cid, cvec in ccb_rows}
 
-    def _cell_arr(cid_col):
+    def _cell_arr_sql(cid_sql: str) -> str:
         # centroid lookup as a CASE over the kc literal arrays
-        expr = None
-        for _, cid, _cv in ccb_rows:
-            cond = cid_col == F.lit(cid).cast("long")
-            expr = (
-                F.when(cond, _cell_lit[cid])
-                if expr is None
-                else expr.when(cond, _cell_lit[cid])
+        return (
+            "CASE "
+            + " ".join(
+                f"WHEN {cid_sql} = CAST({cid} AS BIGINT) THEN {arr}"
+                for cid, arr in _cell_sql.items()
             )
-        return expr
+            + " END"
+        )
 
     fv = S.as_double_array("embedding")
     assigned = emb.select("vec_id", fv.alias("fv")).select(
@@ -575,9 +574,9 @@ def ivfpq_adc_over(
     )
     resid = assigned.select(
         "vec_id", "ccid",
-        F.zip_with("fv", _cell_arr(F.col("ccid")), lambda x, c: x - c).alias(
-            "rvec"
-        ),
+        F.expr(
+            f"zip_with(fv, {_cell_arr_sql('ccid')}, (x, c) -> x - c)"
+        ).alias("rvec"),
     )
     rslices = F.array(*[
         F.slice("rvec", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)
@@ -600,13 +599,15 @@ def ivfpq_adc_over(
     # nprobe nearest cells per query: sort the kc candidate structs
     # (d2 asc, ccid asc — the same order the old row_number window
     # used) scan-side and take the first nprobe. No window shuffle.
-    qcells = F.array_sort(F.array(*[
-        F.struct(
-            S.sq_dist(F.col("fv"), _cell_lit[cid]).alias("d2"),
-            F.lit(cid).cast("long").alias("ccid"),
+    qcells = F.expr(
+        "array_sort(array("
+        + ", ".join(
+            f"named_struct('d2', {S.sql_sq_dist('fv', arr)}, "
+            f"'ccid', CAST({cid} AS BIGINT))"
+            for cid, arr in _cell_sql.items()
         )
-        for _, cid, _cv in ccb_rows
-    ]))
+        + "))"
+    )
     qres = (
         emb.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), fv.alias("fv"))
@@ -616,8 +617,8 @@ def ivfpq_adc_over(
         )
         .select(
             "query_id", F.col("pb.ccid").alias("ccid"),
-            F.zip_with(
-                "fv", _cell_arr(F.col("pb.ccid")), lambda x, c: x - c
+            F.expr(
+                f"zip_with(fv, {_cell_arr_sql('pb.ccid')}, (x, c) -> x - c)"
             ).alias("qrv"),
         )
     )

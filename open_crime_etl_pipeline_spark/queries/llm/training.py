@@ -838,17 +838,22 @@ def auc_calibration_over(scored: DataFrame) -> DataFrame:
         F.sum("y").alias("np"),
         (F.count(F.lit(1)) - F.sum("y")).alias("nn"),
     ).localCheckpoint(eager=True)
-    # AUC is undefined without both classes (pp*qq = 0 would silently
-    # emit NaN into every row); d is already materialized, so the
-    # check is one sketch-sized agg, not a corpus pass
-    chk = d.agg(F.sum("np").alias("p_"), F.sum("nn").alias("n_")).first()
-    if not chk["p_"] or not chk["n_"]:
+    # r13: the class totals ride the prefix-sum pass's own
+    # per-partition sums (with_totals — the same zero-extra-jobs
+    # device the weighted-percentile threshold table uses), replacing
+    # the separate d.agg(...).first() job the r12 form ran before the
+    # ranking pass. The both-classes guard is unchanged — it still
+    # raises during query construction, before any result is handed
+    # back (AUC is undefined without both classes; pp*qq = 0 would
+    # silently emit NaN into every row).
+    cum, _totals = global_running_sums(
+        d, ["p"], {"cum_np": "np", "cum_nn": "nn"}, with_totals=True
+    )
+    sp, sn = int(_totals["cum_np"]), int(_totals["cum_nn"])
+    if not sp or not sn:
         raise ValueError(
-            f"AUC needs both classes: positives={chk['p_'] or 0}, "
-            f"negatives={chk['n_'] or 0}"
+            f"AUC needs both classes: positives={sp}, negatives={sn}"
         )
-    sp, sn = int(chk["p_"]), int(chk["n_"])
-    cum = global_running_sums(d, ["p"], {"cum_np": "np", "cum_nn": "nn"})
     dw = cum.select(
         "p", "np", "nn",
         (F.col("cum_nn") - F.col("nn")).alias("cneg_below"),
