@@ -261,7 +261,12 @@ def minhash_near_dup_pairs(
     collects the pairs exactly once, r12 wave 5): the pipeline then
     runs once inside the consumer's own action and the extra
     materialization job is skipped. Leave True when the pairs feed
-    more than one action/consumer."""
+    more than one action/consumer. NOTE (r12 ADVICE): the flag only
+    applies to the default xxhash path — the portable
+    ``hash_fn != "xxhash"`` branch below ALWAYS localCheckpoints its
+    result, because it must materialize before ``sigs.unpersist()``
+    anyway; passing materialize=False there is accepted and
+    ignored."""
     if hash_fn != "xxhash":
         # portable fold-hash path (oracle value checks only): shingle
         # STRINGS feed both signatures and verify — ~10× slower

@@ -929,9 +929,46 @@ def inline_nearest_single(
     return F.expr("least(" + ", ".join(structs) + ")")
 
 
+def py_sq_dist(a: list[float], b: list[float]) -> float:
+    """:func:`sq_dist`'s pinned left fold executed on the DRIVER:
+    CPython floats are IEEE doubles and ``acc + (x-c)*(x-c)`` is the
+    identical operation sequence (no FMA, no extended precision), so
+    the result is bit-equal to the Spark/SQL fold over the same
+    values. Used for O(|Q|·m·k) query-side model state only — never
+    anything corpus-sized."""
+    acc = 0.0
+    for x, c in zip(a, b):
+        d = x - c
+        acc = acc + d * d
+    return acc
+
+
+def adc_pd_rows(
+    qrows: list[tuple[int, list[float]]],
+    cb_rows: list[tuple[int, int, list[float]]],
+    m: int, dsub: int,
+) -> list[tuple[int, int, int, float]]:
+    """The ADC lookup table (query_id, s, cid, pd) computed driver-
+    side from collected query vectors + a driver-held codebook (r13,
+    guide §2.4 at job granularity): the table is O(|Q|·m·k) — constant
+    in corpus size, the per-query model state every ADC engine
+    precomputes — so building it as a job (scan + join + broadcast
+    build) was pure stage overhead. Distances via :func:`py_sq_dist`
+    (bit-equal)."""
+    out = []
+    for qid, vec in qrows:
+        for s in range(m):
+            sub = vec[s * dsub:(s + 1) * dsub]
+            for s2, cid, cvec in cb_rows:
+                if s2 == s:
+                    out.append((qid, s, cid, py_sq_dist(sub, cvec)))
+    return out
+
+
 def pq_adc_topk(
     codes: DataFrame, codebook: DataFrame, query_subs: DataFrame,
     m: int, k: int = 5, exclude_self: bool = True,
+    precomputed_pd: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: (query_id, neighbor_id, adc_dist2, rank).
 
@@ -941,13 +978,22 @@ def pq_adc_topk(
     and is broadcast; the corpus side is scanned once and reduced by
     a partial-agg pivot. The final distance is an explicit
     left-associative chain over the m pivoted columns — fixed FP
-    order, no order-unspecified double SUM."""
+    order, no order-unspecified double SUM.
+
+    ``precomputed_pd``: a caller-supplied distance table (e.g. from
+    :func:`adc_pd_rows` as a LocalRelation) — the broadcast then
+    builds from driver memory with no scan job; values must be the
+    same pinned fold (``query_subs``/``codebook`` are ignored for the
+    table when given)."""
     from functools import reduce as _reduce
 
-    pd = query_subs.join(codebook, "s").select(
-        "query_id", "s", "cid",
-        sq_dist(F.col("sub"), F.col("cvec")).alias("pd"),
-    )
+    if precomputed_pd is not None:
+        pd = precomputed_pd
+    else:
+        pd = query_subs.join(codebook, "s").select(
+            "query_id", "s", "cid",
+            sq_dist(F.col("sub"), F.col("cvec")).alias("pd"),
+        )
     j = codes.join(F.broadcast(pd), ["s", "cid"])
     if exclude_self:
         j = j.filter(F.col("vec_id") != F.col("query_id"))

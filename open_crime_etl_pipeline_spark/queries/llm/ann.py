@@ -352,21 +352,32 @@ def pq_adc_over(emb: DataFrame) -> DataFrame:
     collect-the-checkpoint job against the r12
     ``localCheckpoint()``'d frame. subs stays un-pinned (r12 revert
     kept: scan+slice is cheaper to recompute than to materialize)."""
+    from ...localrel import local_df
+
     subs = S.pq_subvectors(emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
     init = subs.filter(F.col("vec_id") < _PQ_K0).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )
-    cb = S.codebook_df(
-        emb.sparkSession,
-        S.collect_codebook(
-            S.pq_train_codebook(subs, init, rounds=1, dsub=_PQ_DSUB)
-        ),
+    cb_rows = S.collect_codebook(
+        S.pq_train_codebook(subs, init, rounds=1, dsub=_PQ_DSUB)
     )
+    cb = S.codebook_df(emb.sparkSession, cb_rows)
     codes = S.pq_assign(subs, cb).select("vec_id", "s", "cid")
-    qsubs = subs.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "s", "sub"
+    # the ADC lookup table is O(|Q|·m·k) query-side model state:
+    # computed driver-side (bit-equal pinned fold, S.py_sq_dist) from
+    # the collected query vectors, so its broadcast builds from a
+    # LocalRelation instead of running a scan+join+fold job (r13).
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding").collect()
+    ]
+    pd = local_df(
+        emb.sparkSession,
+        S.adc_pd_rows(qrows, cb_rows, m=_PQ_M, dsub=_PQ_DSUB),
+        "query_id bigint, s int, cid bigint, pd double",
     )
-    return S.pq_adc_topk(codes, cb, qsubs, m=_PQ_M, k=5)
+    return S.pq_adc_topk(codes, cb, None, m=_PQ_M, k=5, precomputed_pd=pd)
 
 _IVF_KC, _IVF_NPROBE = 8, 2
 
@@ -568,7 +579,17 @@ def ivfpq_adc_over(
         )
 
     fv = S.as_double_array("embedding")
-    assigned = emb.select("vec_id", fv.alias("fv")).select(
+    # fan_out BEFORE the scan-side assign: the residual chain is now
+    # map-only, so every consumer's scan stage would otherwise run the
+    # interpreted coarse+residual distance folds SERIALLY on the
+    # single parquet split (profiled: 0.5-1.5s single-task stages).
+    # The round-robin exchange moves the narrow raw rows once per
+    # consumer — cheap — and is a no-op at scale (guide §2.5; the r12
+    # revert of this guard applied to the old JOIN-pipeline
+    # formulation, where the exchange fed re-executed joins).
+    from ...partitioning import fan_out
+
+    assigned = fan_out(emb.select("vec_id", fv.alias("fv"))).select(
         "vec_id", "fv",
         S.inline_nearest_single(ccb_rows, sub_col="fv")["cid"].alias("ccid"),
     )
@@ -587,48 +608,50 @@ def ivfpq_adc_over(
     rinit = rsubs.filter(F.col("vec_id") < _PQ_K0).select(
         "s", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )
-    rcb = S.codebook_df(
-        emb.sparkSession,
-        S.collect_codebook(
-            S.pq_train_codebook(rsubs, rinit, rounds=1, dsub=_PQ_DSUB)
-        ),
+    rcb_rows = S.collect_codebook(
+        S.pq_train_codebook(rsubs, rinit, rounds=1, dsub=_PQ_DSUB)
     )
+    rcb = S.codebook_df(emb.sparkSession, rcb_rows)
     codes = S.pq_assign(rsubs, rcb, carry_cols=("ccid",)).select(
         "vec_id", "ccid", "s", "cid"
     )
-    # nprobe nearest cells per query: sort the kc candidate structs
-    # (d2 asc, ccid asc — the same order the old row_number window
-    # used) scan-side and take the first nprobe. No window shuffle.
-    qcells = F.expr(
-        "array_sort(array("
-        + ", ".join(
-            f"named_struct('d2', {S.sql_sq_dist('fv', arr)}, "
-            f"'ccid', CAST({cid} AS BIGINT))"
-            for cid, arr in _cell_sql.items()
-        )
-        + "))"
-    )
-    qres = (
-        emb.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"), fv.alias("fv"))
-        .select(
-            "query_id", "fv",
-            F.explode(F.slice(qcells, 1, _IVF_NPROBE)).alias("pb"),
-        )
-        .select(
-            "query_id", F.col("pb.ccid").alias("ccid"),
-            F.expr(
-                f"zip_with(fv, {_cell_arr_sql('pb.ccid')}, (x, c) -> x - c)"
-            ).alias("qrv"),
-        )
-    )
-    qslices = F.array(*[
-        F.slice("qrv", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)
-    ])
-    qrsubs = qres.select("query_id", "ccid", F.posexplode(qslices).alias("s", "sub"))
-    pdist = qrsubs.join(rcb, "s").select(
-        "query_id", "ccid", "s", "cid",
-        S.sq_dist(F.col("sub"), F.col("cvec")).alias("pd"),
+    # ENTIRE query side driver-side (r13): probes, query residuals and
+    # the per-(query, cell) ADC table are O(|Q|·nprobe·m·k) model
+    # state — constant in corpus size — so they are computed in Python
+    # from the collected query vectors with the bit-equal pinned fold
+    # (S.py_sq_dist; probe order = sorted (d2, ccid) ascending, the
+    # same ordering the r12 row_number window and the interim
+    # array_sort both used) and shipped back as a LocalRelation. The
+    # scan-side qcells/qres/pdist subtree and its broadcast-build job
+    # are gone; the final job is one codes scan against a
+    # driver-built broadcast.
+    from ...localrel import local_df
+
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding").collect()
+    ]
+    _cell_vec = {cid: cvec for _, cid, cvec in ccb_rows}
+    _rcb_by_s: dict[int, list] = {}
+    for s_, cid_, cvec_ in rcb_rows:
+        _rcb_by_s.setdefault(s_, []).append((cid_, cvec_))
+    pdist_rows = []
+    for qid, v in qrows:
+        near = sorted(
+            (S.py_sq_dist(v, cvec), cid) for cid, cvec in _cell_vec.items()
+        )[:_IVF_NPROBE]
+        for _d2, ccid in near:
+            qrv = [x - c for x, c in zip(v, _cell_vec[ccid])]
+            for s_ in range(_PQ_M):
+                sub = qrv[s_ * _PQ_DSUB:(s_ + 1) * _PQ_DSUB]
+                for cid_, cvec_ in _rcb_by_s.get(s_, []):
+                    pdist_rows.append(
+                        (qid, ccid, s_, cid_, S.py_sq_dist(sub, cvec_))
+                    )
+    pdist = local_df(
+        emb.sparkSession, pdist_rows,
+        "query_id bigint, ccid bigint, s int, cid bigint, pd double",
     )
     j = codes.join(F.broadcast(pdist), ["ccid", "s", "cid"])
     if exclude_self:

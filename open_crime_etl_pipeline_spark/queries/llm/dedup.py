@@ -379,10 +379,16 @@ def near_dedup_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text",
         num_hashes=32, bands=16, threshold=0.7, verify_exact=True,
     )
-    # pairs is canonical by construction (id_a < id_b from the LSH
-    # join, distinct from the verify, no self-loops) and pinned by
-    # minhash_near_dup_pairs — assert that so the operator skips its
-    # redundant canonicalize+distinct shuffle and re-pin (r12 wave 5).
+    # pairs is canonical by construction: id_a < id_b and no
+    # self-loops come from the LSH join's strict inequality, and
+    # DISTINCTNESS comes from lsh_candidate_pairs' .distinct() — the
+    # verify join merely PRESERVES it because _corpus_near yields one
+    # row per doc_id, so the shingle join multiplies no rows (r12
+    # ADVICE: if either producer changes — duplicate corpus ids, or a
+    # verify that re-expands pairs — this invariant breaks and
+    # assume_canonical below must be dropped). Asserting it lets the
+    # operator skip its redundant canonicalize+distinct shuffle and
+    # re-pin (r12 wave 5).
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     labels, _rounds = G.connected_components_star(edges, assume_canonical=True)
     # component size via count() OVER (PARTITION BY label): one pass

@@ -33,8 +33,18 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
 
 
 def test_all_queries_return_rows_or_valid_empty(spark, sf_dir):
-    """Queries without oracles still must run and have a stable schema."""
+    """Queries WITHOUT oracles still must run and have a stable schema.
+
+    r13: restricted to the no-oracle specs — every oracle-backed query
+    is already fully executed (toPandas) and schema-compared by
+    test_query_matches_oracle above, so re-running all 269 here was
+    pure duplication and the suite's single slowest item (425s of the
+    43-minute wall; the round-12 driver run timed out mid-suite).
+    Coverage is unchanged: the union of the two tests still executes
+    every registered query."""
     for name, spec in sorted(all_specs().items()):
+        if spec.oracle is not None:
+            continue
         df = spec.fn(spark, sf_dir)
         assert df.columns, f"{name} produced no schema"
         df.limit(1).collect()  # must execute
